@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Design point (SURVEY.md §4): the engine leans on Catalyst + AQE for all
+  * physical planning. Local mode is a stand-in for a multi-executor cluster:
+  * shuffle partitions track the core count here, and would track
+  * `spark.sql.shuffle.partitions` sized to cluster cores at scale; AQE
+  * coalesces / skew-splits at runtime either way.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors().min(32)): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
