@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SQL `MERGE INTO` semantics as a DataFrame-level operator — the one real
+  * capability gap vs the reference, which runs Delta MERGE on Databricks
+  * (reference: notebooks/22_ETL_Silver_PySpark.py:62-101,
+  * 33_ETL_Gold_Dim_PySpark.py:61-104, 34_ETL_Gold_Fact_PySpark.py:90-139).
+  * Our environment has no Delta, so merge is rebuilt as a declarative plan:
+  * one full-outer join on the ON predicate, per-row first-match clause
+  * dispatch, single `select` + `filter` output (SURVEY.md §7.3).
+  *
+  * Semantics mirror SQL MERGE:
+  *  - clauses are evaluated in declaration order, first match wins;
+  *  - `WHEN NOT MATCHED BY SOURCE` sees every target row whose join
+  *    condition found no source row (including extra non-equi ON conjuncts);
+  *  - a target row matching >1 source row is an error (Delta parity,
+  *    SURVEY.md §7.4) — detected up front when `failOnMultipleMatches`.
+  *
+  * Scale shape: the join shuffles both sides by the equi-keys once (or
+  * broadcasts a small source); clause dispatch is pure projection —
+  * whole-stage-codegen friendly, no driver-side iteration. Conditions and
+  * set-expressions reference the two sides via the `t`/`s` aliases, e.g.
+  * `col("s.qty") - col("t.qty")`.
+  */
+object MergeInto {
+
+  sealed trait MatchedAction { def cond: Option[Column] }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET …` — unspecified columns keep
+    * the target value. */
+  final case class MatchedUpdate(cond: Option[Column], set: Map[String, Column]) extends MatchedAction
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class MatchedDelete(cond: Option[Column]) extends MatchedAction
+
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (…)` — unspecified target
+    * columns become NULL. */
+  final case class NotMatchedInsert(cond: Option[Column], values: Map[String, Column])
+
+  sealed trait BySourceAction { def cond: Option[Column] }
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …`. */
+  final case class BySourceUpdate(cond: Option[Column], set: Map[String, Column]) extends BySourceAction
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`. */
+  final case class BySourceDelete(cond: Option[Column]) extends BySourceAction
+
+  private val TMark = "__graft_t"
+  private val SMark = "__graft_s"
+
+  /** Returns the post-merge target state (target schema preserved). */
+  def apply(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      extraOn: Option[Column] = None,
+      matched: Seq[MatchedAction] = Nil,
+      notMatched: Seq[NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[BySourceAction] = Nil,
+      failOnMultipleMatches: Boolean = true): DataFrame = {
+
+    require(keys.nonEmpty, "merge keys must be non-empty")
+
+    if (failOnMultipleMatches) {
+      // Delta parity: error when a target row would match multiple source
+      // rows. One aggregation + semi-join, skippable for trusted pipelines.
+      val dup = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .join(target.select(keys.map(col): _*), keys, "left_semi")
+        .limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
+    }
+
+    val t = target.withColumn(TMark, lit(true)).alias("t")
+    val s = source.withColumn(SMark, lit(true)).alias("s")
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+    val j = t.join(s, onCond, "full_outer")
+
+    val isMatched = col(s"t.$TMark").isNotNull && col(s"s.$SMark").isNotNull
+    val sourceOnly = col(s"t.$TMark").isNull
+
+    val outCols = target.columns.toSeq
+    val outTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // First-match clause dispatch: when().when()…otherwise() chains.
+    def chainValue(c: String, actions: Seq[(Option[Column], Option[Map[String, Column]])], default: Column): Column =
+      actions.foldLeft(Option.empty[Column]) { case (acc, (cond, set)) =>
+        val v = set.map(_.getOrElse(c, default)).getOrElse(default)
+        val w = cond.getOrElse(lit(true))
+        Some(acc.map(_.when(w, v)).getOrElse(when(w, v)))
+      }.map(_.otherwise(default)).getOrElse(default)
+
+    def chainKeep(actions: Seq[(Option[Column], Boolean)], default: Boolean): Column =
+      actions.foldLeft(Option.empty[Column]) { case (acc, (cond, keep)) =>
+        val w = cond.getOrElse(lit(true))
+        Some(acc.map(_.when(w, lit(keep))).getOrElse(when(w, lit(keep))))
+      }.map(_.otherwise(lit(default))).getOrElse(lit(default))
+
+    val tDefault: String => Column = c => col(s"t.$c")
+    val nullDefault: String => Column = c => lit(null).cast(outTypes(c))
+
+    val matchedSpecs = matched.map {
+      case MatchedUpdate(c, set) => (c, Some(set))
+      case MatchedDelete(c) => (c, None)
+    }
+    val matchedKeeps = matched.map {
+      case MatchedUpdate(c, _) => (c, true)
+      case MatchedDelete(c) => (c, false)
+    }
+    val insertSpecs = notMatched.map(i => (i.cond, Some(i.values)))
+    val insertKeeps = notMatched.map(i => (i.cond, true))
+    val bySourceSpecs = notMatchedBySource.map {
+      case BySourceUpdate(c, set) => (c, Some(set))
+      case BySourceDelete(c) => (c, None)
+    }
+    val bySourceKeeps = notMatchedBySource.map {
+      case BySourceUpdate(c, _) => (c, true)
+      case BySourceDelete(c) => (c, false)
+    }
+
+    val projected = outCols.map { c =>
+      when(isMatched, chainValue(c, matchedSpecs, tDefault(c)))
+        .when(sourceOnly, chainValue(c, insertSpecs, nullDefault(c)))
+        .otherwise(chainValue(c, bySourceSpecs, tDefault(c)))
+        .cast(outTypes(c)).as(c)
+    }
+    val keep =
+      when(isMatched, chainKeep(matchedKeeps, default = true))
+        .when(sourceOnly, chainKeep(insertKeeps, default = false))
+        .otherwise(chainKeep(bySourceKeeps, default = true))
+
+    j.select(projected :+ keep.as("__graft_keep"): _*)
+      .filter(col("__graft_keep"))
+      .drop("__graft_keep")
+  }
+}
