@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++
       graft.queries.StarQueries.all ++
-      graft.queries.MergeQueries.all
+      graft.queries.MergeQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.StarQueries.oracles ++
-      graft.queries.MergeQueries.oracles
+      graft.queries.MergeQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

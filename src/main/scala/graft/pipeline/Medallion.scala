@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Calendar, Scd, SurrogateKeys}
+import graft.sources.Tables
+import graft.tables.TableStore
+
+/** The reference's bronze → silver → gold medallion pipeline, re-expressed
+  * over the testdata star schema (reference DAG:
+  * finalize_databricks_deployment.py:383-431; stage logic:
+  * 12_ETL_Bronze_PySpark.py, 22_ETL_Silver_PySpark.py,
+  * 33_ETL_Gold_Dim_PySpark.py, 34_ETL_Gold_Fact_PySpark.py).
+  * The four notebooks become four functions sequenced by [[run]]; the
+  * Databricks job DAG collapses to a call chain (SURVEY.md §3.3).
+  *
+  * Table mapping (FIXTURES.md §B): orders/lineitem ≈ sales order
+  * header/detail, customer ≈ customer, nation+region ≈ address/geography,
+  * order dates drive dim_calendar smart keys.
+  *
+  * Scale notes: silver SCD2 merges shuffle on the natural key only; gold
+  * fact assembly broadcasts every dimension (all small by star-schema
+  * construction) so the fact table never shuffles at all — at 100 TB the
+  * fact side stays partition-local from scan to write.
+  */
+final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
+
+  private val bronzeTables = Seq("region", "nation", "customer", "orders", "lineitem")
+
+  /** Bronze: snapshot-overwrite ingest (reference 12:61-128, K1). */
+  def runBronze(): Unit =
+    bronzeTables.foreach(n => store.createOrReplace(s"bronze.$n", Tables.t(spark, sfDir, n)))
+
+  /** Silver: SCD2 incremental load per table (reference 22). */
+  def runSilver(loadTs: Column): Unit = {
+    val specs = Seq(
+      ("customer", Seq("c_custkey")),
+      ("orders", Seq("o_orderkey")),
+      ("lineitem", Seq("l_orderkey", "l_linenumber")),
+      ("nation", Seq("n_nationkey")),
+      ("region", Seq("r_regionkey")))
+    specs.foreach { case (name, keys) =>
+      val src = store.read(s"bronze.$name")
+      val tgt = s"silver.$name"
+      if (!store.exists(tgt)) store.createOrReplace(tgt, Scd.scd2Init(src, loadTs))
+      else store.createOrReplace(tgt, Scd.scd2Merge(store.read(tgt), src, keys, loadTs))
+    }
+  }
+
+  private def current(name: String): DataFrame =
+    store.read(name).filter(col(Scd.ValidTo).isNull)
+
+  /** Gold dims: calendar CTAS + SCD1 dims with -9 unknown members
+    * (reference 01:180-233 calendar; 33 dims; 01:265-321 seeds). */
+  def runGoldDims(): Unit = {
+    // testdata order dates start in 1995, so the calendar range is widened
+    // vs the reference's 2000-01-01 start (01_Init.py:188)
+    store.createOrReplace("gold.dim_calendar", Calendar.build(spark, start = "1995-01-01"))
+
+    // dim_geography ≈ nation ⋈ region with N/A defaults (reference 33:44-57)
+    val geoUnknown = spark.sql(
+      "SELECT CAST(-9 AS BIGINT) AS _tf_dim_geography_id, CAST(-9 AS INT) AS nation_key, 'N/A' AS nation_name, 'N/A' AS region_name")
+    val geo = current("silver.nation").alias("n")
+      .join(broadcast(current("silver.region").alias("r")),
+        col("n.n_regionkey") === col("r.r_regionkey"), "left_outer")
+      .select(
+        col("n.n_nationkey").as("nation_key"),
+        coalesce(col("n.n_name").try_cast("string"), lit("N/A")).as("nation_name"),
+        coalesce(col("r.r_name").try_cast("string"), lit("N/A")).as("region_name"))
+    store.createOrReplace("gold.dim_geography",
+      geoUnknown.unionByName(
+        SurrogateKeys.assignOrdered(geo, "_tf_dim_geography_id", Seq(col("nation_key")))))
+
+    // dim_customer (reference 33:108-125)
+    val custUnknown = spark.sql(
+      "SELECT CAST(-9 AS BIGINT) AS _tf_dim_customer_id, CAST(-9 AS BIGINT) AS customer_key, 'N/A' AS customer_name, 'N/A' AS mktsegment, CAST(-9 AS INT) AS nation_key")
+    val cust = current("silver.customer").select(
+      col("c_custkey").as("customer_key"),
+      coalesce(col("c_name").try_cast("string"), lit("N/A")).as("customer_name"),
+      coalesce(col("c_mktsegment").try_cast("string"), lit("N/A")).as("mktsegment"),
+      col("c_nationkey").as("nation_key"))
+    store.createOrReplace("gold.dim_customer",
+      custUnknown.unionByName(
+        SurrogateKeys.assignOrdered(cust, "_tf_dim_customer_id", Seq(col("customer_key")))))
+  }
+
+  /** Gold fact: star-join assembly at line grain with smart date key and -9
+    * FK defaults (reference 34:44-83), current-version predicates embedded
+    * in the join conditions to preserve left-join semantics (SURVEY §2.4 J1). */
+  def runGoldFact(): Unit = {
+    val li = current("silver.lineitem").alias("li")
+    val o = store.read("silver.orders").alias("o")
+    val dc = store.read("gold.dim_customer").alias("dc")
+    val dg = store.read("gold.dim_geography").alias("dg")
+    val fact = li
+      .join(o,
+        col("li.l_orderkey") === col("o.o_orderkey") && col(s"o.${Scd.ValidTo}").isNull,
+        "left_outer")
+      .join(broadcast(dc), col("o.o_custkey") === col("dc.customer_key"), "left_outer")
+      .join(broadcast(dg), col("dc.nation_key") === col("dg.nation_key"), "left_outer")
+      .select(
+        col("li.l_orderkey").as("sales_order_key"),
+        col("li.l_linenumber").as("sales_line_number"),
+        coalesce(
+          (year(col("o.o_orderdate")) * 10000 + month(col("o.o_orderdate")) * 100 +
+            dayofmonth(col("o.o_orderdate"))).cast("int"),
+          lit(-9)).as("_tf_dim_calendar_id"),
+        coalesce(col("dc._tf_dim_customer_id"), lit(-9L)).as("_tf_dim_customer_id"),
+        coalesce(col("dg._tf_dim_geography_id"), lit(-9L)).as("_tf_dim_geography_id"),
+        coalesce(col("li.l_quantity"), lit(0.0)).cast("decimal(19,4)").as("sales_qty"),
+        coalesce(col("li.l_extendedprice"), lit(0.0)).cast("decimal(19,4)").as("sales_extended_price"),
+        coalesce(col("li.l_discount"), lit(0.0)).cast("decimal(19,4)").as("sales_discount"),
+        (coalesce(col("li.l_extendedprice"), lit(0.0)) * (lit(1.0) - coalesce(col("li.l_discount"), lit(0.0))))
+          .cast("decimal(38,6)").as("sales_net_price"))
+    store.createOrReplace("gold.fact_sales", fact)
+  }
+
+  def run(loadTs: Column): Unit = {
+    runBronze()
+    runSilver(loadTs)
+    runGoldDims()
+    runGoldFact()
+  }
+}

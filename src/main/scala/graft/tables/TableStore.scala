@@ -1,0 +1,103 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.MergeInto
+
+/** Minimal managed-table layer over parquet with atomic snapshot swap — the
+  * stand-in for Delta/Unity-Catalog managed tables (SURVEY.md §1.1, §7.1
+  * module 2; reference stores everything in Delta but never touches storage
+  * directly, so its DataFrame logic is storage-agnostic).
+  *
+  * Layout: `root/<db>/<table>/v_<n>/` parquet snapshots + a `_CURRENT`
+  * pointer file naming the live version. Writes go to a fresh `v_<n+1>`
+  * directory, then the pointer is swapped via atomic file move — readers
+  * resolve the pointer at read time and never observe a partial snapshot.
+  * Old versions are retained (cheap time travel / debugging; `vacuum`
+  * drops them).
+  *
+  * Known limits vs Delta, by design (SURVEY.md §4 "transactional table
+  * replace"): single-writer (no commit protocol arbitration), snapshot
+  * granularity = whole table. UPDATE/DELETE (reference
+  * 23_Testing_SCD2.py:40-64) are full-snapshot rewrites — exactly how
+  * copy-on-write table formats behave without file-level pruning; at 100 TB
+  * the same API would sit over partitioned rewrites keyed by the predicate.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def tableDir(name: String) = {
+    val parts = name.split('.')
+    require(parts.length == 2, s"table name must be db.table, got $name")
+    Paths.get(root, parts(0), parts(1))
+  }
+
+  private def currentVersion(name: String): Option[Int] = {
+    val ptr = tableDir(name).resolve("_CURRENT")
+    if (Files.exists(ptr)) Some(new String(Files.readAllBytes(ptr)).trim.toInt) else None
+  }
+
+  private def swapTo(name: String, version: Int): Unit = {
+    val dir = tableDir(name)
+    val tmp = dir.resolve(s"_CURRENT.tmp.$version")
+    Files.createDirectories(dir)
+    Files.write(tmp, version.toString.getBytes)
+    Files.move(tmp, dir.resolve("_CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def exists(name: String): Boolean = currentVersion(name).isDefined
+
+  /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot. */
+  def createOrReplace(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name).getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(tableDir(name).resolve(s"v_$next").toString)
+    swapTo(name, next)
+  }
+
+  def read(name: String): DataFrame = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    spark.read.parquet(tableDir(name).resolve(s"v_$v").toString)
+  }
+
+  /** K6: UPDATE … SET … WHERE — copy-on-write rewrite. */
+  def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
+    val cur = read(name)
+    import org.apache.spark.sql.functions.when
+    val updated = cur.columns.foldLeft(cur) { (df, c) =>
+      set.get(c).map(v => df.withColumn(c, when(cond, v).otherwise(df(c)))).getOrElse(df)
+    }
+    createOrReplace(name, updated)
+  }
+
+  /** K6: DELETE FROM … WHERE — copy-on-write rewrite. */
+  def delete(name: String, cond: Column): Unit =
+    createOrReplace(name, read(name).filter(!cond || cond.isNull))
+
+  /** K5: MERGE INTO applied to a stored table. */
+  def merge(
+      name: String,
+      source: DataFrame,
+      keys: Seq[String],
+      extraOn: Option[Column] = None,
+      matched: Seq[MergeInto.MatchedAction] = Nil,
+      notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil): Unit =
+    createOrReplace(name,
+      MergeInto(read(name), source, keys, extraOn, matched, notMatched, notMatchedBySource))
+
+  /** Drop all non-current snapshot versions. */
+  def vacuum(name: String): Unit = {
+    val keep = currentVersion(name)
+    val dir = tableDir(name)
+    if (Files.exists(dir)) {
+      Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_") && keep.forall(v => n != s"v_$v")) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scd
+import graft.pipeline.Medallion
+import graft.tables.TableStore
+
+/** End-to-end medallion run at sf0.001 (the t1 smoke shape): bronze ingest,
+  * SCD2 silver, gold dims with -9 seeds, star-join fact; plus the table
+  * store's snapshot-swap / update / delete semantics. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("medallion pipeline runs end-to-end and is idempotent on replay") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new TableStore(spark, root)
+    val pipe = new Medallion(spark, store, sfDir)
+    pipe.run(lit("2024-01-01 00:00:00"))
+
+    val liCount = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val fact = store.read("gold.fact_sales")
+    assert(fact.count() == liCount, "fact is line-item grain")
+    assert(fact.filter(col("_tf_dim_customer_id") === -9L).count() >= 0)
+    assert(store.read("gold.dim_customer").filter(col("customer_key") === -9L).count() == 1,
+      "unknown member seeded")
+    assert(store.read("gold.dim_calendar").count() > 10000, "30y calendar")
+    // every fact row resolves its calendar key or is unknown
+    val badKeys = fact.join(
+      store.read("gold.dim_calendar").select(col("date_key")),
+      fact("_tf_dim_calendar_id") === col("date_key"), "left_anti")
+      .filter(col("_tf_dim_calendar_id") =!= -9)
+    assert(badKeys.count() == 0, "all smart keys resolve in dim_calendar")
+
+    // replay with same data at a later ts: SCD2 closes nothing, fact unchanged
+    pipe.runSilver(lit("2024-02-01 00:00:00"))
+    val closed = store.read("silver.customer").filter(col(Scd.ValidTo).isNotNull)
+    assert(closed.count() == 0, "idempotent replay closes no versions")
+  }
+
+  test("table store: update/delete rewrite and snapshot swap") {
+    val root = Files.createTempDirectory("graft_store2").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    store.update("db.t", col("k") === 2, Map("v" -> lit("B")))
+    store.delete("db.t", col("k") === 3)
+    val rows = store.read("db.t").as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "a"), (2, "B")))
+    store.vacuum("db.t")
+    assert(store.read("db.t").count() == 2, "vacuum keeps current version readable")
+  }
+}
