@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.CoreQueries.all ++
       graft.queries.StarQueries.all ++
       graft.queries.MergeQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.ExtensionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
       graft.queries.StarQueries.oracles ++
       graft.queries.MergeQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.ExtensionQueries.oracles
 }

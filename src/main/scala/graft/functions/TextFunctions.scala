@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * normalization, token counting, quality scoring, language identification.
+  * All are compositions of codegen'd built-ins (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with the corpus — the
+  * design point is a 100 TB document set where every per-row closure would
+  * dominate the profile.
+  *
+  * These extend the reference's surface (its SQL-warehouse endpoint exposes
+  * full Spark SQL — SURVEY.md §2.5) with the LLM-data-pipeline operators
+  * named in the build brief.
+  */
+object TextFunctions {
+
+  /** Canonical form for dedup/fingerprinting: lowercase, trim, collapse
+    * whitespace runs. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace word count over the normalized text. */
+  def wordCount(c: Column): Column = {
+    val n = normalizeText(c)
+    when(length(n) === 0, 0).otherwise(size(split(n, " ")))
+  }
+
+  /** BPE-ish token estimate: alphabetic runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — the standard cheap
+    * proxy for subword tokenizer counts. */
+  def tokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation characters / total characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(regexp_count(c, lit("[.,;:!?'\"()\\[\\]-]")).cast("double") / length(c))
+
+  /** Stopword tokens / word count (English stopword list). */
+  def stopwordRatio(c: Column): Column = {
+    val sw = "\\b(the|a|an|and|of|to|in|is|it|that|for|on|as|with|was|at|by|be)\\b"
+    when(wordCount(c) === 0, 0.0)
+      .otherwise(regexp_count(normalizeText(c), lit(sw)).cast("double") / wordCount(c))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, stopword presence,
+    * bounded punctuation — the usual heuristic pre-filter before expensive
+    * model-based scoring. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
+    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(c) * 5.0, lit(0.0))
+    round((lenScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** N-gram/stopword language heuristic over en/es/de/fr + CJK detection.
+    * Deterministic tie-break: zh > en > es > de > fr > und. */
+  def langId(c: Column): Column = {
+    val n = normalizeText(c)
+    val zh = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+    val en = regexp_count(n, lit("\\b(the|and|of|to|is|was|that|with)\\b"))
+    val es = regexp_count(n, lit("\\b(el|la|los|las|de|que|y|en|un|una|por)\\b"))
+    val de = regexp_count(n, lit("\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b"))
+    val fr = regexp_count(n, lit("\\b(le|la|les|de|et|est|dans|que|pour|une)\\b"))
+    when(zh > 0, "zh")
+      .when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+}

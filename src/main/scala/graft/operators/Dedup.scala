@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.normalizeText
+
+/** Document deduplication for training-data pipelines: exact, word-shingle
+  * Jaccard, MinHash+LSH, and SimHash. All are pure DataFrame programs
+  * (shuffle-aware, no driver loops, no UDFs), designed so the only O(n²)
+  * work ever done is *within candidate buckets*, never across the corpus.
+  *
+  * Determinism: every hash is built from `md5` of the content (never a
+  * seeded RNG), so results are reproducible across runs, partitionings and
+  * engines — which is also what makes the DuckDB oracles possible.
+  *
+  * Scale notes per operator are on the methods; the corpus-wide patterns:
+  *  - shingling explodes ~L rows per doc → distinct → shuffle on shingle;
+  *    skew from ultra-common shingles is the known hazard — the LSH path
+  *    never joins on raw shingles, and the raw-Jaccard path is quadratic by
+  *    nature (kept for small corpora / oracle duty).
+  *  - MinHash agg is a single groupBy(doc) with k min() columns —
+  *    map-side partial aggregation collapses each partition to one row per
+  *    doc before the shuffle.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: canonical row = min(id) per digest.
+    * One shuffle on the 128-bit digest; at 100 TB this is the cheapest
+    * possible dedup (digest is 16 bytes/row regardless of doc size). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(normalizeText(col(textCol))).as("text_md5"))
+      .groupBy(col("text_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** (doc, shingle) pairs: distinct word n-grams of the normalized text. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(normalizeText(col(textCol)), " ")
+    // guard: sequence(1, x) with x<1 would generate a *descending* sequence
+    val positions = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(
+        col(idCol).as("doc"),
+        explode(
+          transform(positions, i => concat_ws(" ", slice(words, i, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold. Self-join on shingle →
+    * intersection counts → join per-doc sizes. Quadratic in bucket size by
+    * construction — the exact baseline the approximate paths are verified
+    * against; at corpus scale use [[minhashLsh]] instead. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k = bands×rows min-hash values per doc, one
+    * groupBy. The "permutation" is the lexicographic order of
+    * `md5(seed ∥ shingle)` — deterministic and engine-portable. */
+  def minhashSignatures(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val aggs = (0 until bands * rows).map(i =>
+      min(md5(concat(lit(s"graft$i|"), col("shingle")))).as(s"mh_$i"))
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: docs whose signatures collide in ≥1 band become
+    * candidate pairs, then candidates are verified with exact Jaccard.
+    * Corpus-wide cost: one shingle shuffle + one signature groupBy + a
+    * bucket self-join that only multiplies *within* colliding buckets —
+    * the standard near-dup design for trillion-token corpora. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 2, threshold: Double = 0.0): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sig = minhashSignatures(sh, bands, rows)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("key")))
+    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = buckets.alias("a").join(buckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    candidates.join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per doc: token hash bits vote ±1, fingerprint = sign
+    * vector. One groupBy(doc) with 32 conditional sums. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+        col(idCol).as("doc"),
+        explode(split(normalizeText(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      // first 8 hex chars of md5 → 32-bit token hash (engine-portable)
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b"))
+    val voted = toks.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 32).map(b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    voted.select(col("doc"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded: split
+    * the 32 bits into (maxDist+1) bands — pigeonhole guarantees any pair
+    * within distance shares ≥1 exact band, so the join is bucketed, not
+    * quadratic. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val s = simhash(docs, idCol, textCol)
+    val nBands = maxDist + 1
+    val width = 32 / nBands
+    val bandCols = (0 until nBands).map { b =>
+      val bits = shiftright(col("simhash"), b * width)
+        .bitwiseAND((1L << (if (b == nBands - 1) 32 - b * width else width)) - 1L)
+      struct(lit(b).as("band"), bits.as("key"))
+    }
+    val buckets = s.select(col("doc"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    buckets.alias("a").join(buckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, and a bit-sampled
+  * (sign-random-hyperplane flavored) LSH bucketing as the scale path.
+  *
+  * All vector math is built from higher-order functions
+  * (`zip_with`/`transform`/`aggregate`) — codegen'd, no UDF, and the
+  * sequential left-fold makes the double arithmetic deterministic (the
+  * property the DuckDB oracle relies on).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays in double space. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 decimals (rounding pins engine-portable
+    * comparisons; raw doubles agree to ~1e-15 anyway). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Exact top-k neighbors for each query vector. The query set is
+    * broadcast (it is small by construction); candidates stream partition-
+    * local, so the only shuffle is the per-query top-k window over
+    * #queries × #corpus scored rows. At 100 TB-scale corpora, score+filter
+    * stays embarrassingly parallel; the window shuffles only k×queries
+    * survivors if preceded by a partial top-k — which AQE's local limit
+    * already approximates. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.alias("c").join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        col("query_id") =!= col(s"c.$idCol"))
+      .select(
+        col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        cosine(col("qvec"), col(s"c.$vecCol")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic sign-LSH bucket per vector: bit b = sign of component
+    * picked by md5(b) (a degenerate-but-deterministic hyperplane — no RNG,
+    * so buckets are reproducible across engines and runs). Vectors sharing
+    * a bucket are ANN candidates. */
+  def lshBucket(vecCol: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { b =>
+      val component = (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"graft_plane_$b").substring(0, 8), 16) % dim).toInt
+      when(element_at(vecCol, component + 1) >= 0f, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via LSH buckets: score only within-bucket candidates, then
+    * per-query top-k. Trades recall for candidate-set size exactly like an
+    * IVF probe=1 index; multi-probe = explode over neighboring buckets. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+    val qb = queries.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("bucket"))
+    val scored = cb.alias("c").join(broadcast(qb), Seq("bucket"))
+      .filter(col("query_id") =!= col(s"c.$idCol"))
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        cosine(col("qvec"), col(s"c.$vecCol")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact quadratic
+    * form for oracle duty; bucket with [[lshBucket]] first at scale. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.alias("a").join(corpus.alias("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+}

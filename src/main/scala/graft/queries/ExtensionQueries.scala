@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.RollingHash.rolling_hash
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables.t
+
+/** Training-data-pipeline extension surface over the `documents` /
+  * `embeddings` tables: dedup family (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash), similarity search, text analysis, fingerprinting, multimodal
+  * features. Everything hash-deterministic (md5-derived, no RNG) so the
+  * approximate operators have *exact* DuckDB oracles, not just row counts.
+  */
+object ExtensionQueries {
+
+  // x1: exact dedup on normalized text.
+  def x1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("text_md5"))
+
+  // x2: exact pairwise 3-gram Jaccard near-dups (threshold 0.6).
+  def x2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // x3: MinHash+LSH candidate generation (4 bands × 2 rows) with exact
+  // Jaccard verification of candidates.
+  def x3MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, rows = 2, threshold = 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // x4: SimHash fingerprints + banded Hamming-distance pairs.
+  def x4SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // x5: brute-force cosine top-5 for the first 10 vectors as queries.
+  def x5AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // x6: embedding near-duplicate pairs, cosine ≥ 0.45.
+  def x6EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // x7: per-document text statistics + quality score.
+  def x7TextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.wordCount(col("text")).as("word_count"),
+        TextFunctions.tokenCount(col("text")).as("token_count"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  // x8: language identification vs the labeled lang column.
+  def x8LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang").as("labeled"), TextFunctions.langId(col("text")).as("detected"))
+      .groupBy(col("labeled"), col("detected"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("labeled"), col("detected"))
+
+  // x9: document fingerprints via the native rolling-hash expression
+  // (no SQL oracle — 64-bit wrapping arithmetic isn't expressible in
+  // DuckDB; pinned instead by a unit spec against a Scala reference).
+  def x9Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        rolling_hash(TextFunctions.normalizeText(col("text"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // x10: multimodal plumbing — synthesize binary media, extract features
+  // partition-batch-wise through the stubbed decoder (rows-only check).
+  def x10MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+      .orderBy(col("media_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_dedup_exact" -> x1DedupExact _,
+    "x2_ngram_jaccard" -> x2NgramJaccard _,
+    "x3_minhash_lsh" -> x3MinhashLsh _,
+    "x4_simhash_pairs" -> x4SimhashPairs _,
+    "x5_ann_topk" -> x5AnnTopK _,
+    "x6_embed_neardup" -> x6EmbedNearDup _,
+    "x7_text_stats" -> x7TextStats _,
+    "x8_lang_id" -> x8LangId _,
+    "x9_fingerprint" -> x9Fingerprint _,
+    "x10_media_features" -> x10MediaFeatures _)
+
+  private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  private val ShingleCte =
+    s"""norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
+       |w AS (SELECT doc, string_split(t, ' ') AS w FROM norm),
+       |sh AS (SELECT DISTINCT doc, array_to_string(w[i:i+2], ' ') AS shingle
+       |       FROM w, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
+       |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+       |inter AS (
+       |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      s"""SELECT md5($Norm) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    "x2_ngram_jaccard" ->
+      s"""WITH $ShingleCte
+         |SELECT doc_a, doc_b,
+         |  ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+         |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x3_minhash_lsh" ->
+      s"""WITH $ShingleCte,
+         |sig AS (
+         |  SELECT doc,
+         |    ${(0 until 8).map(i => s"MIN(md5('graft$i|' || shingle)) AS mh_$i").mkString(", ")}
+         |  FROM sh GROUP BY doc),
+         |buckets AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc, $b AS band, mh_${b * 2} || '|' || mh_${b * 2 + 1} AS key FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc)
+         |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+         |  ROUND(COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)), 6) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+         |JOIN sizes sa ON c.doc_a = sa.doc JOIN sizes sb ON c.doc_b = sb.doc
+         |WHERE COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= 0.6
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "x4_simhash_pairs" ->
+      s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc, tok FROM norm, UNNEST(string_split(t, ' ')) AS u(tok)
+         |  WHERE LENGTH(tok) > 0),
+         |h AS (SELECT doc, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+         |votes AS (
+         |  SELECT doc, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, UNNEST(range(0, 32)) AS u(b) GROUP BY doc, b),
+         |fp AS (
+         |  SELECT doc, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+         |  FROM votes GROUP BY doc)
+         |SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM fp a JOIN fp b ON a.doc < b.doc
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x5_ann_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * c.nrm), 6) AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "x6_embed_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b.nrm) >= 0.4499995
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x7_text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $Norm AS t,
+         |    CASE WHEN LENGTH($Norm) = 0 THEN 0
+         |         ELSE len(string_split($Norm, ' ')) END AS wc
+         |  FROM documents),
+         |stats AS (
+         |  SELECT doc_id, wc AS word_count,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token_count,
+         |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / LENGTH(text) END AS pr,
+         |    CASE WHEN wc = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(t, '\\b(the|a|an|and|of|to|in|is|it|that|for|on|as|with|was|at|by|be)\\b')) * 1.0 / wc END AS sr,
+         |    LENGTH(text) AS n_len
+         |  FROM base)
+         |SELECT doc_id, word_count, token_count,
+         |  ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stopword_ratio,
+         |  ROUND(least(n_len / 200.0, 1.0) * 0.4 + least(sr * 5.0, 1.0) * 0.3 +
+         |        greatest(1.0 - pr * 5.0, 0.0) * 0.3, 6) AS quality
+         |FROM stats ORDER BY doc_id""".stripMargin,
+    "x8_lang_id" ->
+      s"""WITH d AS (
+         |  SELECT lang AS labeled, $Norm AS t, text FROM documents),
+         |scores AS (
+         |  SELECT labeled,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh,
+         |    len(regexp_extract_all(t, '\\b(the|and|of|to|is|was|that|with)\\b')) AS en,
+         |    len(regexp_extract_all(t, '\\b(el|la|los|las|de|que|y|en|un|una|por)\\b')) AS es,
+         |    len(regexp_extract_all(t, '\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS de,
+         |    len(regexp_extract_all(t, '\\b(le|la|les|de|et|est|dans|que|pour|une)\\b')) AS fr
+         |  FROM d)
+         |SELECT labeled,
+         |  CASE WHEN zh > 0 THEN 'zh'
+         |       WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |       WHEN de >= fr AND de > 0 THEN 'de'
+         |       WHEN fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS detected,
+         |  COUNT(*) AS n
+         |FROM scores GROUP BY 1, 2 ORDER BY labeled, detected""".stripMargin)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingHash.rolling_hash
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Extension-operator semantics at sf0.001: recall/containment relations
+  * between the approximate and exact paths, native-expression parity with a
+  * Scala reference implementation, and multimodal plumbing shape. */
+class ExtensionSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash LSH candidates contain every true pair with jaccard ≥ 0.8 (recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select($"doc_a", $"doc_b")
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 4, 2, 0.8)
+      .select($"doc_a", $"doc_b")
+    assert(exact.exceptAll(lsh).count() == 0, "LSH must not miss near-exact dups")
+  }
+
+  test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
+    val s = Dedup.simhash(docs, "doc_id", "text")
+    val brute = s.alias("a").join(s.alias("b"), col("a.doc") < col("b.doc"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
+  }
+
+  test("rolling_hash matches a Scala reference fold, interpreted and codegen'd") {
+    val texts = docs.select(TextFunctions.normalizeText($"text").as("t")).as[String].take(20)
+    def ref(s: String): Long = s.foldLeft(0L)((h, c) => h * 1000003L + c)
+    val got = docs.limit(20)
+      .select(TextFunctions.normalizeText($"text").as("t"))
+      .withColumn("h", rolling_hash($"t"))
+      .as[(String, Long)].collect().toMap
+    texts.foreach(t => assert(got(t) == ref(t), s"hash mismatch for: ${t.take(40)}"))
+  }
+
+  test("lsh topk neighbors are a subset of brute-force scored space and self-excluded") {
+    val queries = emb.filter($"vec_id" < 5)
+    val out = Similarity.lshTopK(emb, queries, k = 5, nBits = 4, dim = 64)
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    assert(out.groupBy($"query_id").count().filter($"count" > 5).count() == 0)
+  }
+
+  test("multimodal: features are deterministic byte stats over 16-byte md5 payloads") {
+    val media = Multimodal.syntheticMedia(docs)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.filter($"n_bytes" =!= 16).count() == 0, "md5 payload is 16 bytes")
+    assert(feats.count() == docs.count())
+    val twice = Multimodal.extractFeatures(media)
+    assert(feats.exceptAll(twice).count() == 0, "decode stub is deterministic")
+    // metadata-only access never touches the binary column
+    val metaOnly = media.select($"media_id", $"meta.declared_bytes")
+    assert(metaOnly.count() == docs.count())
+  }
+
+  test("exact dedup canonicalizes duplicated normalized text") {
+    val withDups = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), upper($"text").as("text")))
+    val out = Dedup.exactDedup(withDups, "doc_id", "text")
+    // normalization lowercases, so every group has exactly 2 members
+    assert(out.filter($"n_dups" =!= 2).count() == 0)
+    assert(out.filter($"canonical_id" >= 100000).count() == 0, "canonical id is the min")
+  }
+}
