@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.StarQueries.all ++
       graft.queries.MergeQueries.all ++
       graft.queries.PipelineQueries.all ++
-      graft.queries.ExtensionQueries.all
+      graft.queries.ExtensionQueries.all ++
+      graft.queries.EventQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.StarQueries.oracles ++
       graft.queries.MergeQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.ExtensionQueries.oracles
+      graft.queries.ExtensionQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.streaming.EventStreams
+import graft.sources.Tables.t
+
+/** Event-table queries: the batch twins of the streaming transforms (the
+  * same functions run under readStream — asserted by StreamingSpec), JSON
+  * extraction from the props column, and window-function sessionization.
+  */
+object EventQueries {
+
+  // x11: tumbling-window aggregation (batch twin of EventStreams.tumblingAgg).
+  def x11EventsTumbling(s: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingAgg(t(s, dir, "events"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  // x12: lag-gap sessionization, 30-minute inactivity threshold.
+  def x12EventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val e = EventStreams.normalizeTs(t(s, dir, "events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = e.select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 1800L, 1L)
+        .otherwise(lit(0L)).as("new_session"))
+    val sessions = flagged.withColumn("session_idx",
+      sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  // x13: JSON extraction from the props column + aggregation.
+  def x13EventsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_events_tumbling" -> x11EventsTumbling _,
+    "x12_events_sessions" -> x12EventsSessions _,
+    "x13_events_json" -> x13EventsJson _)
+
+  val oracles: Map[String, String] = Map(
+    "x11_events_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "x12_events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN epoch(CAST(ts AS TIMESTAMP)) -
+        |              epoch(LAG(CAST(ts AS TIMESTAMP), 1) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "x13_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

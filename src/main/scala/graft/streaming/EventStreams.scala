@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.10
+  * extension surface — the reference is batch-only, its "incremental" loads
+  * are MERGE diffing; this is the streaming path the bronze `Source` trait
+  * was designed to accept).
+  *
+  * Every transform here is expressed once and runs identically over a
+  * `readStream` or a batch `read` DataFrame — the streaming specs exploit
+  * that by asserting stream output == batch output on the same files.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 minutes is dropped, state for closed windows is
+  * evicted); sessionization state is per-key and evicted on event-time
+  * timeout — both are the standard shapes that keep state stores bounded on
+  * unbounded inputs.
+  */
+object EventStreams {
+
+  /** The testdata stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * only reads via `spark.sql.legacy.parquet.nanosAsLong` (set in our
+    * session builders) — so `ts` arrives as a nanosecond LONG and is
+    * converted here with exact integer division (double math would lose
+    * precision above 2^53 ns). Timestamp-typed inputs pass through. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
+
+  /** File-source streaming read of the events table (parquet). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  /** Tumbling 10-minute counts/sums per event type with a 10-minute
+    * watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 6).cast("double").as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 10-minute windows every 5 minutes. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("n_events"))
+
+  /** Exactly-once-per-id stream: duplicates within the watermark horizon are
+    * dropped by keyed state. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(start: Timestamp, end: Timestamp, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Stateful sessionization: 30-minute inactivity gap closes a session;
+    * event-time timeout evicts state (custom state via
+    * flatMapGroupsWithState — SURVEY.md §2.10 / build brief streaming
+    * surface). */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                  cur = Some(SessionState(s.start, e.ts, s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.end, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

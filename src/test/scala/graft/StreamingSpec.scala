@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Session, SessionEvent}
+
+/** Structured Streaming semantics: the streaming transforms produce the
+  * same results as their batch twins on the same files, duplicates are
+  * dropped within the watermark, and stateful sessionization closes
+  * sessions on gap/timeout. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg == batch tumbling agg over the same parquet") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.tumblingAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+      val batch = EventStreams.tumblingAgg(spark.read.parquet(s"$dir/events.parquet"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream and batch results must be identical")
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates removes replayed event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    val df = events.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupedStream(df)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      events.addData((1L, t0, 1.0), (2L, t0, 2.0), (1L, t0, 1.0))
+      q.processAllAvailable()
+      events.addData((2L, t0, 2.0), (3L, t0, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "each id exactly once across batches")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionize(events.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      def ts(m: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+      // user 1: two sessions separated by a 60-min gap; user 2: one session
+      events.addData(
+        SessionEvent(1L, ts(0), "view"), SessionEvent(1L, ts(10), "click"),
+        SessionEvent(2L, ts(5), "view"))
+      q.processAllAvailable()
+      events.addData(SessionEvent(1L, ts(70), "view"))
+      q.processAllAvailable()
+      // advance watermark far enough to time out all state
+      events.addData(SessionEvent(99L, ts(600), "view"))
+      q.processAllAvailable()
+      events.addData(SessionEvent(99L, ts(1200), "view"))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").as[Session].collect()
+        .filter(_.user_id != 99L).sortBy(s => (s.user_id, s.session_start.getTime))
+      assert(out.map(s => (s.user_id, s.n_events)).toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)),
+        s"got: ${out.mkString("; ")}")
+    } finally q.stop()
+  }
+}
