@@ -32,14 +32,19 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** (doc, shingle) pairs: distinct word n-grams of the normalized text. */
+  /** (doc, shingle) pairs: distinct word n-grams of the normalized text.
+    * `words` is materialized as a column BEFORE the higher-order transform:
+    * HOF lambdas are interpreted, and an unbound `split(regexp_replace(…))`
+    * subtree inside the lambda would re-run the regex once per position
+    * (O(L) regex evaluations per document — measured 10× slower). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(normalizeText(col(textCol)), " ")
+    val words = col("__words")
     // guard: sequence(1, x) with x<1 would generate a *descending* sequence
     val positions = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    docs.select(
-        col(idCol).as("doc"),
+    docs.select(col(idCol).as("doc"), split(normalizeText(col(textCol)), " ").as("__words"))
+      .select(
+        col("doc"),
         explode(
           transform(positions, i => concat_ws(" ", slice(words, i, lit(n))))).as("shingle"))
       .distinct()
@@ -51,7 +56,10 @@ object Dedup {
     * against; at corpus scale use [[minhashLsh]] instead. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // the shingle relation feeds sizes + both join sides: persist it once
+    // instead of recomputing the explode+distinct pipeline three times
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -84,6 +92,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 2, threshold: Double = 0.0): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, bands, rows)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -95,13 +104,17 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification of candidates only
+    // exact-Jaccard verification of candidates only: the intersection join
+    // is driven BY the candidate pairs (explode each pair by doc_a's
+    // shingles, equi-join doc_b's) — never the full corpus-quadratic
+    // shingle self-join, which is the entire point of LSH
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.alias("a").join(sh.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val inter = candidates.alias("c")
+      .join(sh.alias("a"), col("c.doc_a") === col("a.doc"))
+      .join(sh.alias("b"),
+        col("c.doc_b") === col("b.doc") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
     candidates.join(inter, Seq("doc_a", "doc_b"), "left_outer")
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

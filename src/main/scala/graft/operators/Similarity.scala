@@ -14,12 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays in double space. */
+  /** Sequential-fold dot product of two float arrays in double space —
+    * native codegen expression (see [[graft.functions.DotProductFloat]]);
+    * bit-identical to the HOF `aggregate(zip_with(...))` form. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot_f(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,12 +36,14 @@ object Similarity {
     * already approximates. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.alias("c").join(
-        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+    val cn = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"))
+    val scored = cn.alias("c").join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+          norm(col(vecCol)).as("qnrm"))),
         col("query_id") =!= col(s"c.$idCol"))
       .select(
         col("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        cosine(col("qvec"), col(s"c.$vecCol")).as("cos_sim"))
+        round(dot(col("qvec"), col(s"c.$vecCol")) / (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -77,11 +78,16 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact quadratic
-    * form for oracle duty; bucket with [[lshBucket]] first at scale. */
+    * form for oracle duty; bucket with [[lshBucket]] first at scale.
+    * Norms are computed once per vector (n rows), not once per pair (n²):
+    * the pair loop does only the dot product. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.alias("a").join(corpus.alias("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    n.alias("a").join(n.alias("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos_sim"))
+        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
 }
