@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.MergeQueries.all ++
       graft.queries.PipelineQueries.all ++
       graft.queries.ExtensionQueries.all ++
-      graft.queries.EventQueries.all
+      graft.queries.EventQueries.all ++
+      graft.queries.AdvancedQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.MergeQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtensionQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.AdvancedQueries.oracles
 }

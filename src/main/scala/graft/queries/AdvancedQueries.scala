@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{AsOfJoin, Salting}
+import graft.sources.Tables
+import graft.sources.Tables.t
+import graft.streaming.EventStreams
+
+/** Advanced operator surface: as-of join, salted aggregation, the SQL
+  * warehouse endpoint (arbitrary Spark SQL over registered views — the
+  * reference's Power BI serving path, SURVEY.md §2.5/§2.6), and exact
+  * interpolated percentiles.
+  */
+object AdvancedQueries {
+
+  // x14: as-of join — for each click event, the user's most recent purchase
+  // at or before the click (NULLs when none). Right side deduped
+  // deterministically per (user, ts).
+  def x14AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = EventStreams.normalizeTs(t(s, dir, "events"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    AsOfJoin.asofBackward(
+        clicks, purchases, Seq("user_id"), "ts", "ts",
+        Map("ts" -> "purchase_ts", "value" -> "purchase_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  // x15: salted two-phase aggregation over the (3-key, maximally skewed)
+  // returnflag column — logical result equals the direct groupBy, which is
+  // exactly what the oracle checks.
+  def x15SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Salting.saltedSumCount(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity").cast("decimal(18,6)"), buckets = 16)
+      .select(col("l_returnflag"),
+        col("sum_value").cast("double").as("sum_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  // q24: the SQL warehouse endpoint — one ANSI statement (CTE + scalar
+  // subquery + join + aggregation) submitted verbatim to spark.sql over
+  // registered views; the oracle is the very same text in DuckDB.
+  private val WarehouseSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total_spend,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  SUM(n_orders) AS n_orders,
+      |  CAST(SUM(total_spend) AS DOUBLE) AS segment_spend
+      |FROM customer JOIN spend ON c_custkey = o_custkey
+      |WHERE total_spend > (SELECT AVG(total_spend) FROM spend)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def q24SqlWarehouse(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(WarehouseSql)
+  }
+
+  // q25: exact interpolated percentiles (Spark `percentile` == DuckDB
+  // `quantile_cont`), rounded for cross-engine float stability.
+  def q25Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
+  // q26: approximate aggregates (HLL distinct counts, approximate
+  // percentiles) — sketch algorithms differ across engines, so this is a
+  // rows-only surface check; the exact twins q21/q25 are oracle-gated.
+  def q26Approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
+      .orderBy(col("l_returnflag"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_asof_join" -> x14AsofJoin _,
+    "x15_salted_agg" -> x15SaltedAgg _,
+    "q24_sql_warehouse" -> q24SqlWarehouse _,
+    "q25_percentiles" -> q25Percentiles _,
+    "q26_approx" -> q26Approx _)
+
+  val oracles: Map[String, String] = Map(
+    "x14_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+        |clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, ts, value, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |       FROM e WHERE event_type = 'purchase'),
+        |purchases AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+        |SELECT clicks.event_id, clicks.user_id, clicks.ts,
+        |  purchases.ts AS purchase_ts, purchases.value AS purchase_value
+        |FROM clicks ASOF LEFT JOIN purchases
+        |  ON clicks.user_id = purchases.user_id AND purchases.ts <= clicks.ts
+        |ORDER BY clicks.user_id, clicks.ts, clicks.event_id""".stripMargin,
+    "x15_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_sql_warehouse" -> WarehouseSql,
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
