@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tables.Bucketing
+
+/** Machine-checked physical-plan properties — the 100 TB design assertions
+  * (pushdown reaches the scan, small dims broadcast, bucketed joins are
+  * exchange-free, SCD2 does exactly one join shuffle). Catching a plan
+  * regression here is the difference between "passes at sf0.01" and
+  * "melts at 1000 executors".
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filters are pushed to the parquet scan and columns pruned") {
+    val plan = executed(SparkEntry.queries("q2_filter_project")(spark, dir))
+    assert(plan.contains("PushedFilters: ["), "expected parquet pushdown")
+    assert(plan.contains("GreaterThan") || plan.contains("LessThan"),
+      s"expected comparison filters pushed, plan:\n${plan.take(2000)}")
+    assert(!plan.contains("l_suppkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q16 star join: all dimension joins are broadcast, fact side never shuffles for joins") {
+    val plan = executed(SparkEntry.queries("q16_star_agg")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge join expected in star assembly")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = executed(SparkEntry.queries("q1_pricing_summary")(spark, dir))
+    assert(plan.contains("HashAggregate"), "hash aggregate expected")
+    assert("partial_".r.findFirstIn(plan).isDefined, "partial aggregation expected")
+  }
+
+  test("fused SCD2 merge: exactly one shuffle exchange (the key join)") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val init = graft.operators.Scd.scd2Init(src, lit("2024-01-01 00:00:00"))
+    val merged = graft.operators.Scd.scd2Merge(
+      init, src.withColumn("c_acctbal", col("c_acctbal") + 1.0), Seq("c_custkey"),
+      lit("2024-02-01 00:00:00"))
+    merged.collect()
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(Bucketing.finalPlanString(merged)).size
+    // one shuffle per join side feeding the sort-merge join is acceptable;
+    // anything beyond means an accidental extra shuffle appeared
+    assert(exchanges <= 2, s"expected ≤2 shuffle exchanges (join sides), got $exchanges")
+  }
+
+  test("bucketed tables: co-located join runs with zero shuffle exchanges") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    Bucketing.writeBucketed(o, "bkt_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), "bkt_lineitem", "o_orderkey", 8)
+    // force the sort-merge path: a broadcast join would hide whether
+    // bucketing actually removed the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+      assert(Bucketing.isShuffleFree(joined),
+        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan.toString.take(1500)}")
+      assert(joined.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "co-located join should sort-merge over bucket files")
+      assert(joined.count() == li.count(), "join result at line grain")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("catalog DDL surface: databases, saveAsTable, spark.table round-trip, drop cascade") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver_t")
+    assert(spark.sql("SHOW DATABASES").collect().map(_.getString(0))
+      .count(Set("bronze_t", "silver_t")) == 2)
+    spark.read.parquet(s"$dir/region.parquet")
+      .write.mode("overwrite").format("parquet").saveAsTable("bronze_t.region")
+    assert(spark.table("bronze_t.region").count() == 5)
+    spark.sql("DROP DATABASE bronze_t CASCADE")
+    spark.sql("DROP DATABASE silver_t CASCADE")
+    assert(!spark.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("bronze_t"))
+  }
+}
