@@ -14,6 +14,7 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors().min(32)): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new graft.ext.GraftExtensions)
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)

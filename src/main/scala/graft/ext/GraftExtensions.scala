@@ -1,0 +1,28 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProductFloat, RollingHash}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions in the SQL function registry, so the SQL warehouse
+  * surface (SURVEY.md §7.1 step 5) can call them by name —
+  * `SELECT rolling_hash(text), dot_f(a, b) FROM …` — with full codegen.
+  *
+  * Wire up with `.withExtensions(new GraftExtensions)` on the session
+  * builder, or `spark.sql.extensions=graft.ext.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
+      (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+  }
+}

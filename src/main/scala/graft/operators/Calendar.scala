@@ -37,6 +37,8 @@ object Calendar {
       date_sub(col("cal_date"), weekday(col("cal_date"))).as("week_start"),
       date_add(date_sub(col("cal_date"), weekday(col("cal_date"))), 6).as("week_end"),
       last_day(col("cal_date")).as("month_end"),
+      last_day(add_months(col("cal_date"), -1)).as("prev_month_end"),
+      date_add(last_day(add_months(col("cal_date"), -1)), 1).as("month_start"),
       // fiscal calendar starting July 1 (reference fiscal logic, 01_Init.py:222-228)
       when(month(col("cal_date")).isin(7, 8, 9), "FQ1")
         .when(month(col("cal_date")).isin(10, 11, 12), "FQ2")

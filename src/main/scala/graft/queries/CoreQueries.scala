@@ -200,7 +200,11 @@ object CoreQueries {
         lower(col("p_brand")).as("brand_lower"),
         substring(col("p_type"), 1, 6).as("type_prefix"),
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
-        length(col("p_name")).as("name_len"))
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_last_word"),
+        lpad(col("p_brand"), 12, "#").as("brand_padded"),
+        translate(col("p_name"), " ", "_").as("name_snake"),
+        replace(col("p_type"), lit(" "), lit("-")).as("type_dashed"))
       .orderBy(col("p_partkey"))
   }
 
@@ -346,7 +350,11 @@ object CoreQueries {
       """SELECT p_partkey, UPPER(p_name) AS name_upper, LOWER(p_brand) AS brand_lower,
         |  SUBSTRING(p_type, 1, 6) AS type_prefix,
         |  p_brand || '/' || p_type AS brand_type,
-        |  LENGTH(p_name) AS name_len
+        |  LENGTH(p_name) AS name_len,
+        |  COALESCE(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS type_last_word,
+        |  lpad(p_brand, 12, '#') AS brand_padded,
+        |  translate(p_name, ' ', '_') AS name_snake,
+        |  replace(p_type, ' ', '-') AS type_dashed
         |FROM part WHERE p_type LIKE '%BRASS%' ORDER BY p_partkey""".stripMargin,
     "q14_monthly_revenue" ->
       """SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m,

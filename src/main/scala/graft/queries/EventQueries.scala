@@ -44,12 +44,28 @@ object EventQueries {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // x16: sliding windows (10-minute window, 5-minute slide) — each event
+  // lands in two windows; the batch twin of EventStreams.slidingAgg.
+  def x16EventsSliding(s: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingAgg(t(s, dir, "events"))
+      .orderBy(col("win_start"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_events_sliding" -> x16EventsSliding _,
     "x11_events_tumbling" -> x11EventsTumbling _,
     "x12_events_sessions" -> x12EventsSessions _,
     "x13_events_json" -> x13EventsJson _)
 
   val oracles: Map[String, String] = Map(
+    "x16_events_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |expanded AS (
+        |  SELECT u.win_start FROM e, UNNEST([
+        |    time_bucket(INTERVAL '5 minutes', ts),
+        |    time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS u(win_start)
+        |  WHERE ts >= u.win_start AND ts < u.win_start + INTERVAL 10 MINUTE)
+        |SELECT win_start, COUNT(*) AS n_events
+        |FROM expanded GROUP BY win_start ORDER BY win_start""".stripMargin,
     "x11_events_tumbling" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
         |  event_type, COUNT(*) AS n_events,

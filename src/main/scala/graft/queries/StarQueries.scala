@@ -97,6 +97,8 @@ object StarQueries {
         |  cal_date - CAST(isodow(cal_date) - 1 AS INT) AS week_start,
         |  cal_date - CAST(isodow(cal_date) - 1 AS INT) + 6 AS week_end,
         |  last_day(cal_date) AS month_end,
+        |  last_day(cal_date - INTERVAL 1 MONTH) AS prev_month_end,
+        |  last_day(cal_date - INTERVAL 1 MONTH) + 1 AS month_start,
         |  CASE WHEN MONTH(cal_date) IN (7,8,9) THEN 'FQ1'
         |       WHEN MONTH(cal_date) IN (10,11,12) THEN 'FQ2'
         |       WHEN MONTH(cal_date) IN (1,2,3) THEN 'FQ3'
