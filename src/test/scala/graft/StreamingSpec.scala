@@ -74,4 +74,35 @@ class StreamingSpec extends AnyFunSuite {
         s"got: ${out.mkString("; ")}")
     } finally q.stop()
   }
+
+  test("streaming SCD2 upsert sink: micro-batches merge into the table store") {
+    import org.apache.spark.sql.functions.lit
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    val store = new graft.tables.TableStore(spark, root)
+    val updates = MemoryStream[(Int, String, Double)]
+    val df = updates.toDF().toDF("cust_id", "name", "balance")
+    val q = graft.streaming.StreamingUpsert.scd2Sink(
+        df, store, "silver.customers", Seq("cust_id"),
+        batchId => lit(s"2024-01-0${batchId + 1} 00:00:00").cast("timestamp"))
+      .start()
+    try {
+      updates.addData((1, "alice", 10.0), (2, "bob", 20.0))
+      q.processAllAvailable()
+      updates.addData((1, "alice", 15.0), (3, "carol", 30.0))
+      q.processAllAvailable()
+      val out = store.read("silver.customers")
+      assert(out.count() == 4,
+        "alice v1 (closed) + alice v2 (current) + bob (closed) + carol (current)")
+      import org.apache.spark.sql.functions.col
+      val current = out.filter(col(graft.operators.Scd.ValidTo).isNull)
+      val currentMap = current.select("cust_id", "balance")
+        .as[(Int, Double)].collect().toMap
+      assert(currentMap == Map(1 -> 15.0, 3 -> 30.0),
+        s"batch 2 omitted bob => bob closed (delete semantics); got $currentMap")
+      val closed = out.filter(col(graft.operators.Scd.ValidTo).isNotNull)
+        .select("cust_id").as[Int].collect().sorted
+      assert(closed.toSeq == Seq(1, 2), "alice v1 closed by update, bob closed by delete")
+    } finally q.stop()
+  }
 }
