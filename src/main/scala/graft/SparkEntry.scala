@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.all ++
       graft.queries.ExtensionQueries.all ++
       graft.queries.EventQueries.all ++
-      graft.queries.AdvancedQueries.all
+      graft.queries.AdvancedQueries.all ++
+      graft.queries.TpchExtraQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtensionQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.AdvancedQueries.oracles
+      graft.queries.AdvancedQueries.oracles ++
+      graft.queries.TpchExtraQueries.oracles
 }

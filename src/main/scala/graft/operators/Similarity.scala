@@ -49,14 +49,18 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** md5-derived component index per LSH bit — public so oracle SQL can be
+    * generated from the same constants. */
+  def lshComponents(nBits: Int, dim: Int): Seq[Int] =
+    (0 until nBits).map(b => (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"graft_plane_$b").substring(0, 8), 16) % dim).toInt)
+
   /** Deterministic sign-LSH bucket per vector: bit b = sign of component
     * picked by md5(b) (a degenerate-but-deterministic hyperplane — no RNG,
     * so buckets are reproducible across engines and runs). Vectors sharing
     * a bucket are ANN candidates. */
   def lshBucket(vecCol: Column, nBits: Int, dim: Int): Column =
-    (0 until nBits).map { b =>
-      val component = (java.lang.Long.parseLong(
-        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"graft_plane_$b").substring(0, 8), 16) % dim).toInt
+    lshComponents(nBits, dim).zipWithIndex.map { case (component, b) =>
       when(element_at(vecCol, component + 1) >= 0f, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -72,6 +76,57 @@ object Similarity {
       .filter(col("query_id") =!= col(s"c.$idCol"))
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
         cosine(col("qvec"), col(s"c.$vecCol")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** LSH-bucketed near-duplicate pairs — the scale path for [[nearDupPairs]]:
+    * pair enumeration happens only within sign-LSH buckets, so corpus-wide
+    * cost is linear in Σ bucket² instead of n². Recall trades against
+    * bucket count exactly like the dedup LSH; semantics (bucketed, not
+    * exhaustive) are deterministic and oracle-checkable. */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double, nBits: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      lshBucket(col(vecCol), nBits, dim).as("bucket"))
+    n.alias("a").join(n.alias("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** IVF-style ANN: vectors are assigned once to their nearest centroid;
+    * a query probes only its nearest centroid's cluster (probe=1). The
+    * centroid set here is the deterministic "first k vectors" (a stand-in
+    * for trained k-means centroids — the assignment and probe machinery is
+    * the operator; plugging trained centroids changes recall, not code).
+    * One broadcast of k centroids, assignment is partition-local, and the
+    * probe join touches 1/k of the corpus per query in expectation. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    def assign(df: DataFrame, outCol: String): DataFrame = {
+      val scored = df.join(broadcast(centroids))
+        .withColumn("__csim", round(dot(col(vecCol), col("cvec")) /
+          (norm(col(vecCol)) * norm(col("cvec"))), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__csim").desc, col("centroid_id"))
+      scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+        .select(df.columns.map(col) :+ col("centroid_id").as(outCol): _*)
+    }
+    val assigned = assign(corpus, "cluster")
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"), col("cluster"))
+    val probes = assign(queries, "cluster")
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnrm"), col("cluster"))
+    val scored = assigned.alias("c").join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col(s"c.$idCol"))
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        round(dot(col("qvec"), col(s"c.$vecCol")) / (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

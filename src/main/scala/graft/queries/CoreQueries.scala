@@ -168,10 +168,12 @@ object CoreQueries {
       .orderBy(col("orderstatus"), col("orderpriority"))
   }
 
-  // q11: NOT EXISTS → left-anti join.
+  // q11: NOT EXISTS → left-anti join (recent orders only, so the result is
+  // non-empty: customers with no orders since 2000).
   def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
@@ -337,7 +339,8 @@ object CoreQueries {
         |ORDER BY orderstatus, orderpriority""".stripMargin,
     "q11_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "q12_conditional_agg" ->
       """SELECT o_orderpriority,

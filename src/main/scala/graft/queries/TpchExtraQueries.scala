@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.operators.Similarity
+import graft.sources.Tables.t
+
+/** Additional TPC-H-shaped query forms (disjunctive predicates, HAVING,
+  * correlated scalar subqueries, country-code anti-join) plus the IVF and
+  * LSH-bucketed similarity entries.
+  */
+object TpchExtraQueries {
+
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def d(c: Column): Column = c.cast(DoubleType)
+
+  // q27: disjunctive multi-column predicate (TPC-H Q19 shape) — an OR of
+  // conjunctive brackets across the join, partially pushable per branch.
+  def q27Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity") >= 1 && col("l_quantity") <= 15 &&
+          col("p_size") >= 1 && col("p_size") <= 10) ||
+        (col("p_brand") === "Brand#7" && col("l_quantity") >= 10 && col("l_quantity") <= 25 &&
+          col("p_size") >= 5 && col("p_size") <= 20) ||
+        (col("p_brand") === "Brand#13" && col("l_quantity") >= 20 && col("l_quantity") <= 35))
+      .agg(
+        d(round(sum(dec6(col("l_extendedprice")) * dec6(lit(1.0) - col("l_discount"))), 6)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // q28: HAVING over grouped aggregation (supplier part-supply value).
+  def q28Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(d(sum(dec6(col("l_quantity")))).as("total_qty"), count(lit(1)).as("n"))
+      .filter(col("total_qty") > 7000.0)
+      .orderBy(col("l_suppkey"))
+
+  // q29: correlated scalar aggregate (TPC-H Q17 shape) — lines below 50% of
+  // their part's average quantity. Spark expresses the correlation as a
+  // window average (one pass, no rejoin); DuckDB uses the literal
+  // correlated subquery — same semantics.
+  def q29AvgQtyFraction(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_partkey"))
+    li.withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        d(round(sum(dec6(col("l_extendedprice"))) / 7.0, 6)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // q30: country-code anti-join with scalar-subquery threshold (Q22 shape):
+  // customers in selected code buckets with above-average balance and no
+  // orders.
+  def q30CountryCode(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .withColumn("cntrycode", substring(col("c_name"), 10, 2))
+    val codes = Seq("00", "01", "02", "03", "04")
+    val inCodes = c.filter(col("cntrycode").isin(codes: _*))
+    val avgBal = inCodes.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal"))).head.getDouble(0)
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    inCodes.filter(col("c_acctbal") > avgBal)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        d(round(sum(dec6(col("c_acctbal"))), 6)).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  // x17: IVF-style ANN (probe=1, 8 deterministic centroids).
+  def x17IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nCentroids = 8)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // x18: LSH-bucketed embedding near-dup pairs (16 buckets).
+  def x18LshNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.4, nBits = 4, dim = 64)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_disjunctive" -> q27Disjunctive _,
+    "q28_having" -> q28Having _,
+    "q29_avg_qty_fraction" -> q29AvgQtyFraction _,
+    "q30_country_code" -> q30CountryCode _,
+    "x17_ivf_topk" -> x17IvfTopK _,
+    "x18_lsh_neardup" -> x18LshNearDup _)
+
+  private val DotSql =
+    "list_sum(list_transform(range(1, len(%s.embedding)+1), i -> CAST(%s.embedding[i] AS DOUBLE) * CAST(%s.embedding[i] AS DOUBLE)))"
+
+  private def bucketSql(alias: String): String =
+    Similarity.lshComponents(4, 64).zipWithIndex.map { case (comp, b) =>
+      s"CASE WHEN $alias.embedding[${comp + 1}] >= 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q27_disjunctive" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(CAST(1.0 AS DOUBLE)-l_discount AS DECIMAL(18,6))), 6) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#7' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 5 AND 20)
+        |   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q28_having" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 7000.0
+        |ORDER BY l_suppkey""".stripMargin,
+    "q29_avg_qty_fraction" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 6) AS DOUBLE) AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.5 * (
+        |  SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q30_country_code" ->
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 6) AS DOUBLE) AS totacctbal
+        |FROM (SELECT SUBSTRING(c_name, 10, 2) AS cntrycode, c_acctbal, c_custkey FROM customer) c
+        |WHERE cntrycode IN ('00','01','02','03','04')
+        |  AND c_acctbal > (
+        |    SELECT AVG(c_acctbal) FROM customer
+        |    WHERE SUBSTRING(c_name, 10, 2) IN ('00','01','02','03','04') AND c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "x17_ivf_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${DotSql.format("e", "e", "e").replace("e.embedding", "embedding")}) AS nrm
+         |  FROM embeddings e),
+         |centroids AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm
+         |  FROM n ORDER BY vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, centroid_id AS cluster FROM (
+         |    SELECT a.vec_id, a.embedding, a.nrm, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |        ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+         |          / (a.nrm * c.cnrm), 6) DESC, c.centroid_id) AS rk
+         |    FROM n a CROSS JOIN centroids c) WHERE rk = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (q.nrm * c.nrm), 6) AS cos_sim
+         |  FROM assigned q JOIN assigned c ON q.cluster = c.cluster
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+    "x18_lsh_neardup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, nrm, ${bucketSql("n")} AS bucket FROM n)
+         |SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         |  ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE)))
+         |    / (a.nrm * bb.nrm), 6) AS cos_sim
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE)))
+         |    / (a.nrm * bb.nrm) >= 0.3999995
+         |ORDER BY id_a, id_b""".stripMargin)
+}
