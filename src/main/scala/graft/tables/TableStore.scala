@@ -47,6 +47,13 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = currentVersion(name).isDefined
 
+  /** K2: declare an empty table from an explicit schema (the reference's
+    * CREATE OR REPLACE TABLE DDL, constraints recorded as metadata only —
+    * Spark cannot enforce PK/FK, SURVEY.md §1.1). */
+  def createEmpty(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    createOrReplace(name, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
   /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot. */
   def createOrReplace(name: String, df: DataFrame): Unit = {
     val next = currentVersion(name).getOrElse(0) + 1

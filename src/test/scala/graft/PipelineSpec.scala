@@ -45,6 +45,12 @@ class PipelineSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_store2").toString
     val store = new TableStore(spark, root)
     import spark.implicits._
+    // K2: declare-empty then load
+    store.createEmpty("db.t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    assert(store.read("db.t").count() == 0 && store.read("db.t").columns.toSeq == Seq("k", "v"))
     store.createOrReplace("db.t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
     store.update("db.t", col("k") === 2, Map("v" -> lit("B")))
     store.delete("db.t", col("k") === 3)

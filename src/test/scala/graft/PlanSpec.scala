@@ -83,6 +83,15 @@ class PlanSpec extends AnyFunSuite {
     spark.read.parquet(s"$dir/region.parquet")
       .write.mode("overwrite").format("parquet").saveAsTable("bronze_t.region")
     assert(spark.table("bronze_t.region").count() == 5)
+    // S4: catalog metadata scan (single built-in catalog replaces Unity)
+    assert(spark.sql("SHOW CATALOGS").collect().map(_.getString(0)).contains("spark_catalog"))
+    // K4: INSERT INTO ... VALUES (the reference's -9 unknown-member seeds)
+    spark.sql("INSERT INTO bronze_t.region VALUES (-9, 'N/A')")
+    assert(spark.table("bronze_t.region").count() == 6)
+    // K8: constraints as table metadata (informational only)
+    spark.sql("ALTER TABLE bronze_t.region SET TBLPROPERTIES ('primary_key'='r_regionkey')")
+    assert(spark.sql("SHOW TBLPROPERTIES bronze_t.region").collect()
+      .exists(r => r.getString(0) == "primary_key" && r.getString(1) == "r_regionkey"))
     spark.sql("DROP DATABASE bronze_t CASCADE")
     spark.sql("DROP DATABASE silver_t CASCADE")
     assert(!spark.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("bronze_t"))
