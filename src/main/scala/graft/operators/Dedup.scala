@@ -93,7 +93,13 @@ object Dedup {
       n: Int = 3, bands: Int = 4, rows: Int = 2, threshold: Double = 0.0): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sh, bands, rows)
+    // one pass: signatures AND per-doc shingle counts (saves a second
+    // groupBy over the shingle relation); tiny → persisted for its 3 uses
+    val sigAggs = (0 until bands * rows).map(i =>
+      min(md5(concat(lit(s"graft$i|"), col("shingle")))).as(s"mh_$i")) :+
+      count(lit(1)).as("n_sh")
+    val sig = sh.groupBy(col("doc")).agg(sigAggs.head, sigAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("key")))
@@ -108,7 +114,7 @@ object Dedup {
     // is driven BY the candidate pairs (explode each pair by doc_a's
     // shingles, equi-join doc_b's) — never the full corpus-quadratic
     // shingle self-join, which is the entire point of LSH
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val sizes = sig.select(col("doc"), col("n_sh"))
     val inter = candidates.alias("c")
       .join(sh.alias("a"), col("c.doc_a") === col("a.doc"))
       .join(sh.alias("b"),

@@ -75,6 +75,25 @@ object TpchExtraQueries {
       .orderBy(col("cntrycode"))
   }
 
+  // x19: banded range join — orders counted into calendar-week intervals
+  // (no equi-key; the band trick turns it into a hash join).
+  def x19RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val weeks = graft.operators.Calendar.build(s, "1995-01-01", "2001-12-31")
+      .select(col("week_start"), col("week_end")).distinct()
+      .select(
+        col("week_start"),
+        unix_timestamp(col("week_start")).as("ws"),
+        // end of week_end day: inclusive BETWEEN over timestamps
+        (unix_timestamp(col("week_end")) + 86399L).as("we"))
+    val orders = t(s, dir, "orders")
+      .select(unix_timestamp(col("o_orderdate")).as("ots"))
+    graft.operators.RangeJoin.pointInInterval(
+        orders, weeks, "ots", "ws", "we", bandWidth = 7L * 86400L)
+      .groupBy(col("week_start"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("week_start"))
+  }
+
   // x17: IVF-style ANN (probe=1, 8 deterministic centroids).
   def x17IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -94,6 +113,7 @@ object TpchExtraQueries {
     "q29_avg_qty_fraction" -> q29AvgQtyFraction _,
     "q30_country_code" -> q30CountryCode _,
     "x17_ivf_topk" -> x17IvfTopK _,
+    "x19_range_join" -> x19RangeJoin _,
     "x18_lsh_neardup" -> x18LshNearDup _)
 
   private val DotSql =
@@ -138,6 +158,17 @@ object TpchExtraQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "x19_range_join" ->
+      """WITH days AS (
+        |  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        |weeks AS (
+        |  SELECT DISTINCT d - CAST(isodow(d) - 1 AS INT) AS week_start,
+        |    d - CAST(isodow(d) - 1 AS INT) + 6 AS week_end
+        |  FROM days)
+        |SELECT week_start, COUNT(*) AS n_orders
+        |FROM weeks JOIN orders
+        |  ON CAST(o_orderdate AS DATE) BETWEEN week_start AND week_end
+        |GROUP BY week_start ORDER BY week_start""".stripMargin,
     "x17_ivf_topk" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding,
