@@ -27,9 +27,20 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
 
   private val bronzeTables = Seq("region", "nation", "customer", "orders", "lineitem")
 
+  // Independent table loads run as concurrent Spark jobs (the scheduler
+  // interleaves their stages across executor slots) — the reference's
+  // serial notebook loop leaves the cluster idle between small tables.
+  private def inParallel(work: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+  }
+
   /** Bronze: snapshot-overwrite ingest (reference 12:61-128, K1). */
   def runBronze(): Unit =
-    bronzeTables.foreach(n => store.createOrReplace(s"bronze.$n", Tables.t(spark, sfDir, n)))
+    inParallel(bronzeTables.map(n =>
+      () => store.createOrReplace(s"bronze.$n", Tables.t(spark, sfDir, n))))
 
   /** Silver: SCD2 incremental load per table (reference 22). */
   def runSilver(loadTs: Column): Unit = {
@@ -39,12 +50,12 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
       ("lineitem", Seq("l_orderkey", "l_linenumber")),
       ("nation", Seq("n_nationkey")),
       ("region", Seq("r_regionkey")))
-    specs.foreach { case (name, keys) =>
+    inParallel(specs.map { case (name, keys) => () =>
       val src = store.read(s"bronze.$name")
       val tgt = s"silver.$name"
       if (!store.exists(tgt)) store.createOrReplace(tgt, Scd.scd2Init(src, loadTs))
       else store.createOrReplace(tgt, Scd.scd2Merge(store.read(tgt), src, keys, loadTs))
-    }
+    })
   }
 
   private def current(name: String): DataFrame =
