@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.ExtensionQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.AdvancedQueries.all ++
-      graft.queries.TpchExtraQueries.all
+      graft.queries.TpchExtraQueries.all ++
+      graft.queries.ReshapeQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.ExtensionQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.AdvancedQueries.oracles ++
-      graft.queries.TpchExtraQueries.oracles
+      graft.queries.TpchExtraQueries.oracles ++
+      graft.queries.ReshapeQueries.oracles
 }
