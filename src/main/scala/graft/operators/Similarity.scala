@@ -65,13 +65,21 @@ object Similarity {
     }.reduce(_ + _)
 
   /** ANN top-k via LSH buckets: score only within-bucket candidates, then
-    * per-query top-k. Trades recall for candidate-set size exactly like an
-    * IVF probe=1 index; multi-probe = explode over neighboring buckets. */
+    * per-query top-k. `probes` > 1 turns on multi-probe: each query also
+    * searches the buckets at Hamming distance 1 from its own (bit flips),
+    * recovering most of the recall lost to boundary effects for a probes×
+    * candidate-cost increase — the standard LSH recall/cost dial. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding", probes: Int = 1): DataFrame = {
     val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
-    val qb = queries.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
+    val baseQ = queries.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("bucket"))
+    val qb =
+      if (probes <= 1) baseQ
+      else baseQ
+        .withColumn("bucket", explode(array(
+          col("bucket") +: (0 until (probes - 1).min(nBits)).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b))): _*)))
     val scored = cb.alias("c").join(broadcast(qb), Seq("bucket"))
       .filter(col("query_id") =!= col(s"c.$idCol"))
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),

@@ -54,11 +54,26 @@ final class TableStore(spark: SparkSession, root: String) {
     createOrReplace(name, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
-  /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot. */
-  def createOrReplace(name: String, df: DataFrame): Unit = {
+  /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot.
+    * `partitionBy` lays the snapshot out hive-style so predicate columns
+    * prune whole directories at the scan — at 100 TB this is what keeps a
+    * current-version SCD2 read from touching history files at all. */
+  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val next = currentVersion(name).getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(tableDir(name).resolve(s"v_$next").toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tableDir(name).resolve(s"v_$next").toString)
     swapTo(name, next)
+  }
+
+  /** SCD2-layout write: partitions the history by a derived `is_current`
+    * flag so `_tf_valid_to IS NULL` readers never open closed-version
+    * files. */
+  def createOrReplaceScd2(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    createOrReplace(name,
+      df.withColumn("is_current", col(graft.operators.Scd.ValidTo).isNull),
+      partitionBy = Seq("is_current"))
   }
 
   def read(name: String): DataFrame = {

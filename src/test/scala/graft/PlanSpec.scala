@@ -75,6 +75,38 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned SCD2 layout: current-version filter prunes history partitions") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val store = new graft.tables.TableStore(spark, root)
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val merged = graft.operators.Scd.scd2Merge(
+      graft.operators.Scd.scd2Init(src, lit("2024-01-01 00:00:00")),
+      src.withColumn("c_acctbal", col("c_acctbal") + 1.0),
+      Seq("c_custkey"), lit("2024-02-01 00:00:00"))
+    store.createOrReplaceScd2("silver.cust", merged)
+    // hive-style partition values come back as strings (booleans are not
+    // type-inferred) — filter on the literal
+    val cur = store.read("silver.cust").filter(col("is_current") === "true")
+    cur.collect()
+    val plan = Bucketing.finalPlanString(cur)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("is_current"),
+      s"expected partition pruning on is_current, plan:\n${plan.take(1200)}")
+    assert(cur.count() == src.count(), "current slice = one row per key")
+  }
+
+  test("multi-probe LSH topk: superset of single-probe results") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val p1 = graft.operators.Similarity.lshTopK(emb, q, 5, 4, 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val p3 = graft.operators.Similarity.lshTopK(emb, q, 50, 4, 64, probes = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(p1.exceptAll(p3).count() == 0, "probe-1 hits must survive wider probing")
+  }
+
   test("catalog DDL surface: databases, saveAsTable, spark.table round-trip, drop cascade") {
     spark.sql("CREATE DATABASE IF NOT EXISTS bronze_t")
     spark.sql("CREATE DATABASE IF NOT EXISTS silver_t")
