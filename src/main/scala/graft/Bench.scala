@@ -26,7 +26,9 @@ object Bench {
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] query failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
