@@ -84,7 +84,26 @@ object ExtensionQueries {
     Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
       .orderBy(col("media_id"))
 
+  // x20: deterministic corpus splitting — md5-bucket assignment to
+  // train/val/test (80/10/10) plus a stable shuffle position, the standard
+  // reproducible-split pattern for training pipelines (content-hash, no
+  // RNG, so the split survives re-partitioning, re-runs, and engines).
+  def x20DatasetSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.select(
+        col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+        md5(concat(lit("shuffle|"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("shuffle_pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("split")).orderBy(col("shuffle_key"))))
+      .orderBy(col("split"), col("shuffle_pos"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_dataset_split" -> x20DatasetSplit _,
     "x1_dedup_exact" -> x1DedupExact _,
     "x2_ngram_jaccard" -> x2NgramJaccard _,
     "x3_minhash_lsh" -> x3MinhashLsh _,
@@ -110,6 +129,20 @@ object ExtensionQueries {
        |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x20_dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |    md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |    shuffle_key
+        |  FROM b)
+        |SELECT doc_id, split, shuffle_key,
+        |  ROW_NUMBER() OVER (PARTITION BY split ORDER BY shuffle_key) AS shuffle_pos
+        |FROM s ORDER BY split, shuffle_pos""".stripMargin,
     "x1_dedup_exact" ->
       s"""SELECT md5($Norm) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
