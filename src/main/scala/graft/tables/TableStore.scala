@@ -79,7 +79,25 @@ final class TableStore(spark: SparkSession, root: String) {
   def read(name: String): DataFrame = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
-    spark.read.parquet(tableDir(name).resolve(s"v_$v").toString)
+    readVersion(name, v)
+  }
+
+  /** Time travel: read a specific retained snapshot version. */
+  def readVersion(name: String, version: Int): DataFrame =
+    spark.read.parquet(tableDir(name).resolve(s"v_$version").toString)
+
+  /** All retained snapshot versions, oldest first. */
+  def versions(name: String): Seq[Int] = {
+    val dir = tableDir(name)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_")) out += n.stripPrefix("v_").toInt
+      }
+      out.sorted.toSeq
+    }
   }
 
   /** K6: UPDATE … SET … WHERE — copy-on-write rewrite. */

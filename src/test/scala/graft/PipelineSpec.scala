@@ -56,7 +56,11 @@ class PipelineSpec extends AnyFunSuite {
     store.delete("db.t", col("k") === 3)
     val rows = store.read("db.t").as[(Int, String)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1, "a"), (2, "B")))
+    // time travel: pre-update/delete snapshots remain readable
+    assert(store.versions("db.t").size == 4, "empty + load + update + delete")
+    assert(store.readVersion("db.t", 2).count() == 3, "pre-delete snapshot intact")
     store.vacuum("db.t")
     assert(store.read("db.t").count() == 2, "vacuum keeps current version readable")
+    assert(store.versions("db.t") == Seq(4), "vacuum drops non-current versions")
   }
 }
