@@ -155,7 +155,10 @@ object Dedup {
     * quadratic. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // both sides of the banded self-join reference the fingerprints —
+    // persist so the 32-vote aggregation runs once, not twice
     val s = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = maxDist + 1
     val width = 32 / nBands
     val bandCols = (0 until nBands).map { b =>
