@@ -107,7 +107,18 @@ object TpchExtraQueries {
     Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.4, nBits = 4, dim = 64)
       .orderBy(col("id_a"), col("id_b"))
 
+  // x21: LSH-bucketed ANN top-k (probe=1) — the bucketed counterpart of
+  // x5's exact top-k; deterministic buckets make even the approximate
+  // result oracle-exact.
+  def x21LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nBits = 4, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_lsh_topk" -> x21LshTopK _,
     "q27_disjunctive" -> q27Disjunctive _,
     "q28_having" -> q28Having _,
     "q29_avg_qty_fraction" -> q29AvgQtyFraction _,
@@ -125,6 +136,25 @@ object TpchExtraQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "x21_lsh_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, nrm, ${bucketSql("n")} AS bucket FROM n),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (q.nrm * c.nrm), 6) AS cos_sim
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
     "q27_disjunctive" ->
       """SELECT
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(CAST(1.0 AS DOUBLE)-l_discount AS DECIMAL(18,6))), 6) AS DOUBLE) AS revenue,
