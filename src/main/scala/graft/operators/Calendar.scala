@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * `sequence` + `explode` over a date range, then derived columns — smart
   * integer date key (`10000*Y + 100*M + D`, 01_Init.py:197), ISO week
   * bounds (01_Init.py:205-216), formatted labels (01_Init.py:203-204,
-  * 218-219), and a July-start fiscal calendar (01_Init.py:222-228).
+  * 218-219), and the reference's fiscal columns (01_Init.py:223-229):
+  * fiscal quarter = calendar quarter number, fiscal year =
+  * YEAR(date + 89 days) — an October-4 fiscal-year start.
   *
   * Scale note: the generated range (30 years ≈ 11k rows) is driver-trivial
   * and always broadcast-joined against facts; generation cost is irrelevant,
@@ -39,12 +41,11 @@ object Calendar {
       last_day(col("cal_date")).as("month_end"),
       last_day(add_months(col("cal_date"), -1)).as("prev_month_end"),
       date_add(last_day(add_months(col("cal_date"), -1)), 1).as("month_start"),
-      // fiscal calendar starting July 1 (reference fiscal logic, 01_Init.py:222-228)
-      when(month(col("cal_date")).isin(7, 8, 9), "FQ1")
-        .when(month(col("cal_date")).isin(10, 11, 12), "FQ2")
-        .when(month(col("cal_date")).isin(1, 2, 3), "FQ3")
-        .otherwise("FQ4").as("fiscal_quarter"),
-      (year(col("cal_date")) + when(month(col("cal_date")) >= 7, 1).otherwise(0))
-        .cast("int").as("fiscal_year"))
+      // fiscal columns exactly as the reference defines them
+      // (01_Init.py:223-229): fiscal quarter = the *calendar* quarter
+      // number (Jan-Mar -> 1 ... Oct-Dec -> 4), fiscal year =
+      // YEAR(date + 89 days), i.e. an ~October-4 fiscal-year start.
+      quarter(col("cal_date")).cast("int").as("fiscal_quarter"),
+      year(date_add(col("cal_date"), 89)).cast("int").as("fiscal_year"))
   }
 }

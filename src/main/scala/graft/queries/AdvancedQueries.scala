@@ -53,7 +53,7 @@ object AdvancedQueries {
       |  FROM orders GROUP BY o_custkey)
       |SELECT c_mktsegment,
       |  COUNT(*) AS n_customers,
-      |  SUM(n_orders) AS n_orders,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
       |  CAST(SUM(total_spend) AS DOUBLE) AS segment_spend
       |FROM customer JOIN spend ON c_custkey = o_custkey
       |WHERE total_spend > (SELECT AVG(total_spend) FROM spend)

@@ -344,9 +344,9 @@ object CoreQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q12_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END) AS high_qty_lines,
-        |  SUM(CASE WHEN l_quantity < 25.0 THEN 1 ELSE 0 END) AS low_qty_lines,
-        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_lines
+        |  CAST(SUM(CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_qty_lines,
+        |  CAST(SUM(CASE WHEN l_quantity < 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS low_qty_lines,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q13_string_funcs" ->

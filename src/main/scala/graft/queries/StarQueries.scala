@@ -99,11 +99,8 @@ object StarQueries {
         |  last_day(cal_date) AS month_end,
         |  last_day(cal_date - INTERVAL 1 MONTH) AS prev_month_end,
         |  last_day(cal_date - INTERVAL 1 MONTH) + 1 AS month_start,
-        |  CASE WHEN MONTH(cal_date) IN (7,8,9) THEN 'FQ1'
-        |       WHEN MONTH(cal_date) IN (10,11,12) THEN 'FQ2'
-        |       WHEN MONTH(cal_date) IN (1,2,3) THEN 'FQ3'
-        |       ELSE 'FQ4' END AS fiscal_quarter,
-        |  CAST(YEAR(cal_date) + CASE WHEN MONTH(cal_date) >= 7 THEN 1 ELSE 0 END AS INT) AS fiscal_year
+        |  CAST(quarter(cal_date) AS INT) AS fiscal_quarter,
+        |  CAST(YEAR(cal_date + 89) AS INT) AS fiscal_year
         |FROM days ORDER BY date_key""".stripMargin,
     "q16_star_agg" ->
       """SELECT COALESCE(CAST(YEAR(o_orderdate) AS INT), -9) AS order_year,

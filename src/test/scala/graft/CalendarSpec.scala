@@ -12,12 +12,12 @@ class CalendarSpec extends AnyFunSuite {
   lazy val spark = graft.core.GraftSession.local(4)
   import spark.implicits._
 
-  private lazy val cal = Calendar.build(spark, "2019-12-25", "2020-07-10")
+  private lazy val cal = Calendar.build(spark, "2019-12-25", "2020-10-10")
     .select($"date_key", $"cal_date".cast("string"), $"day_name", $"weekday_idx",
       $"week_start".cast("string"), $"week_end".cast("string"),
       $"fiscal_quarter", $"fiscal_year", $"month_start".cast("string"),
       $"month_end".cast("string"), $"date_label")
-    .as[(Int, String, String, Int, String, String, String, Int, String, String, String)]
+    .as[(Int, String, String, Int, String, String, Int, Int, String, String, String)]
     .collect().map(r => r._1 -> r).toMap
 
   test("smart key round-trips year/month/day") {
@@ -34,10 +34,16 @@ class CalendarSpec extends AnyFunSuite {
     assert(cal(20200106)._5 == "2020-01-06")
   }
 
-  test("fiscal year starts July 1 (FQ1 = Jul-Sep)") {
-    assert(cal(20200630)._7 == "FQ4" && cal(20200630)._8 == 2020)
-    assert(cal(20200701)._7 == "FQ1" && cal(20200701)._8 == 2021)
-    assert(cal(20200101)._7 == "FQ3" && cal(20200101)._8 == 2020)
+  test("fiscal columns follow the reference (01_Init.py:223-229): " +
+    "quarter = calendar quarter, fiscal year = YEAR(date + 89 days)") {
+    // fiscal quarter is the plain calendar quarter number
+    assert(cal(20200101)._7 == 1 && cal(20200630)._7 == 2)
+    assert(cal(20200701)._7 == 3 && cal(20201010)._7 == 4)
+    // fiscal year rolls over when date+89d crosses Jan 1: Oct 3 is the
+    // last day of FY2020, Oct 4 the first day of FY2021
+    assert(cal(20201003)._8 == 2020)
+    assert(cal(20201004)._8 == 2021)
+    assert(cal(20200101)._8 == 2020 && cal(20191231)._8 == 2020)
   }
 
   test("month bounds honor add_months/last_day semantics incl. leap February") {
