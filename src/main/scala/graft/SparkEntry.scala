@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.EventQueries.all ++
       graft.queries.AdvancedQueries.all ++
       graft.queries.TpchExtraQueries.all ++
-      graft.queries.ReshapeQueries.all
+      graft.queries.ReshapeQueries.all ++
+      graft.queries.SqlDmlQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.AdvancedQueries.oracles ++
       graft.queries.TpchExtraQueries.oracles ++
-      graft.queries.ReshapeQueries.oracles
+      graft.queries.ReshapeQueries.oracles ++
+      graft.queries.SqlDmlQueries.oracles
 }

@@ -16,6 +16,9 @@ import graft.functions.{DotProductFloat, RollingHash}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL-text MERGE INTO / UPDATE / DELETE over TableStore tables — the
+    // reference's workhorse statement shape (22_ETL_Silver_PySpark.py:62).
+    e.injectResolutionRule(new GraftSqlDml(_))
     e.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

@@ -1,0 +1,243 @@
+package graft.ext
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, GraftShims, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import graft.operators.MergeInto
+import graft.tables.TableStore
+
+/** SQL-text DML over [[TableStore]] tables: `MERGE INTO`, `UPDATE`,
+  * `DELETE FROM` submitted as plain SQL strings — the reference's workhorse
+  * write path (every silver/gold load is a SQL MERGE:
+  * 22_ETL_Silver_PySpark.py:62-101, 33_ETL_Gold_Dim_PySpark.py:61-104,
+  * 34_ETL_Gold_Fact_PySpark.py:90-139; 23_Testing_SCD2.py:40-64 issues SQL
+  * UPDATE/DELETE).
+  *
+  * Spark parses these statements into `MergeIntoTable` / `UpdateTable` /
+  * `DeleteFromTable` logical nodes but can only execute them against v2
+  * tables with row-level-operation support. [[GraftSqlDml]] — injected via
+  * [[GraftExtensions]] — intercepts the parsed node during analysis
+  * whenever the target names a table in the session's attached TableStore,
+  * and lowers it onto the existing [[MergeInto]] operator / copy-on-write
+  * table rewrites. Execution therefore inherits the operator's scale shape:
+  * one key-shuffled (or broadcast) join plus pure projection, never a
+  * driver-side loop.
+  *
+  * Lowering steps for MERGE:
+  *  1. the target must be `db.table` in the attached store (else the node
+  *     is left for Spark to reject);
+  *  2. SQL-side qualifiers (aliases or table names) are rewritten to the
+  *     operator's canonical `t`/`s` sides;
+  *  3. the ON conjunction splits into equi-key conjuncts `t.k = s.k`
+  *     (the shuffle keys) and arbitrary residual conjuncts (`extraOn` —
+  *     e.g. the reference's `tgt._tf_valid_to IS NULL` current-row pin);
+  *  4. WHEN clauses map 1:1 onto [[MergeInto]] actions, preserving clause
+  *     order (first-match-wins); `UPDATE SET *` / `INSERT *` expand to the
+  *     target's column list at execution time.
+  */
+object SqlDml {
+
+  /** Clause payloads captured at parse-lowering time; star forms expand
+    * against the live target schema inside the command's `run`. */
+  sealed trait SqlAction
+  final case class SqlUpdate(cond: Option[Column], set: Map[String, Column]) extends SqlAction
+  final case class SqlUpdateStar(cond: Option[Column]) extends SqlAction
+  final case class SqlDelete(cond: Option[Column]) extends SqlAction
+  final case class SqlInsert(cond: Option[Column], values: Map[String, Column]) extends SqlAction
+  final case class SqlInsertStar(cond: Option[Column]) extends SqlAction
+
+  /** Target table reference: (db.table, qualifier spellings usable in the
+    * statement text). An alias shadows the table name, as in SQL. */
+  private def tableRef(plan: LogicalPlan): Option[(String, Seq[Seq[String]])] = plan match {
+    case SubqueryAlias(id, u: UnresolvedRelation) =>
+      Some((u.multipartIdentifier.mkString("."), Seq(Seq(id.name))))
+    case u: UnresolvedRelation =>
+      val parts = u.multipartIdentifier
+      Some((parts.mkString("."), Seq(parts, Seq(parts.last)).distinct))
+    case _ => None
+  }
+
+  private def sourceQuals(plan: LogicalPlan): Seq[Seq[String]] = plan match {
+    case SubqueryAlias(id, _) => Seq(Seq(id.name))
+    case u: UnresolvedRelation =>
+      Seq(u.multipartIdentifier, Seq(u.multipartIdentifier.last)).distinct
+    case _ => Nil
+  }
+
+  private def lc(parts: Seq[String]): Seq[String] = parts.map(_.toLowerCase(Locale.ROOT))
+
+  /** Rewrite statement-text qualifiers onto the operator's `t`/`s` sides. */
+  private def requalify(e: Expression, tQuals: Seq[Seq[String]], sQuals: Seq[Seq[String]]): Expression = {
+    val tq = tQuals.map(lc)
+    val sq = sQuals.map(lc)
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val prefix = lc(a.nameParts.init)
+        if (tq.contains(prefix)) UnresolvedAttribute(Seq("t", a.nameParts.last))
+        else if (sq.contains(prefix)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else a
+    }
+  }
+
+  /** Drop target qualifiers entirely (single-table UPDATE/DELETE rewrite). */
+  private def unqualify(e: Expression, tQuals: Seq[Seq[String]]): Expression = {
+    val tq = tQuals.map(lc)
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 && tq.contains(lc(a.nameParts.init)) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def assignKey(k: Expression): String = k match {
+    case ua: UnresolvedAttribute => ua.nameParts.last
+    case at: Attribute => at.name
+    case other => throw new UnsupportedOperationException(s"unsupported assignment key: $other")
+  }
+
+  private[ext] def lowerMerge(m: MergeIntoTable, store: TableStore): Option[LogicalPlan] =
+    tableRef(m.targetTable).filter { case (name, _) =>
+      name.contains(".") && store.exists(name)
+    }.map { case (name, tQuals) =>
+      val sQuals = sourceQuals(m.sourceTable)
+      def cv(e: Expression): Column = GraftShims.column(requalify(e, tQuals, sQuals))
+
+      val (keyEqs, extras) = conjuncts(requalify(m.mergeCondition, tQuals, sQuals)).partition {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.length == 2 && b.nameParts.length == 2 &&
+            a.nameParts.last == b.nameParts.last =>
+          Set(a.nameParts.head, b.nameParts.head) == Set("t", "s")
+        case _ => false
+      }
+      if (keyEqs.isEmpty) throw new UnsupportedOperationException(
+        s"MERGE INTO $name: ON must contain at least one target.key = source.key equality")
+      val keys = keyEqs.map { case EqualTo(a: UnresolvedAttribute, _) => a.nameParts.last }
+      val extraOn = extras.reduceOption(And.apply).map(GraftShims.column)
+
+      def assignMap(as: Seq[Assignment]): Map[String, Column] =
+        as.map { case Assignment(k, v) => assignKey(k) -> cv(v) }.toMap
+
+      def act(a: MergeAction): SqlAction = a match {
+        case u: UpdateAction => SqlUpdate(u.condition.map(cv), assignMap(u.assignments))
+        case u: UpdateStarAction => SqlUpdateStar(u.condition.map(cv))
+        case d: DeleteAction => SqlDelete(d.condition.map(cv))
+        case i: InsertAction => SqlInsert(i.condition.map(cv), assignMap(i.assignments))
+        case i: InsertStarAction => SqlInsertStar(i.condition.map(cv))
+        case other => throw new UnsupportedOperationException(s"unsupported MERGE action: $other")
+      }
+
+      GraftMergeCommand(name, m.sourceTable, keys, extraOn,
+        m.matchedActions.map(act), m.notMatchedActions.map(act),
+        m.notMatchedBySourceActions.map(act))
+    }
+
+  private[ext] def lowerUpdate(u: UpdateTable, store: TableStore): Option[LogicalPlan] =
+    tableRef(u.table).filter { case (name, _) =>
+      name.contains(".") && store.exists(name)
+    }.map { case (name, tQuals) =>
+      val set = u.assignments.map { case Assignment(k, v) =>
+        assignKey(k) -> GraftShims.column(unqualify(v, tQuals))
+      }.toMap
+      val cond = u.condition.map(e => GraftShims.column(unqualify(e, tQuals))).getOrElse(lit(true))
+      GraftUpdateCommand(name, cond, set)
+    }
+
+  private[ext] def lowerDelete(d: DeleteFromTable, store: TableStore): Option[LogicalPlan] =
+    tableRef(d.table).filter { case (name, _) =>
+      name.contains(".") && store.exists(name)
+    }.map { case (name, tQuals) =>
+      GraftDeleteCommand(name, GraftShims.column(unqualify(d.condition, tQuals)))
+    }
+}
+
+/** Analyzer rule: lower parsed SQL DML onto TableStore operators. Fires
+  * only when the session has an attached store and the target table exists
+  * in it; every other statement is left untouched for Spark to handle. */
+class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    TableStore.attached(spark) match {
+      case None => plan
+      case Some(st) => plan.resolveOperatorsDown {
+        case m: MergeIntoTable => SqlDml.lowerMerge(m, st).getOrElse(m)
+        case u: UpdateTable => SqlDml.lowerUpdate(u, st).getOrElse(u)
+        case d: DeleteFromTable => SqlDml.lowerDelete(d, st).getOrElse(d)
+      }
+    }
+}
+
+/** Eagerly-executed MERGE: resolves the source subquery against the live
+  * session (temp views included), expands star clauses against the target
+  * schema, and hands off to `TableStore.merge` → [[MergeInto]]. */
+final case class GraftMergeCommand(
+    table: String,
+    sourcePlan: LogicalPlan,
+    keys: Seq[String],
+    extraOn: Option[Column],
+    matched: Seq[SqlDml.SqlAction],
+    notMatched: Seq[SqlDml.SqlAction],
+    bySource: Seq[SqlDml.SqlAction]) extends LeafRunnableCommand {
+
+  import SqlDml._
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(sourcePlan)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.attached(spark).getOrElse(
+      throw new IllegalStateException(s"no TableStore attached for MERGE INTO $table"))
+    val source = GraftShims.ofRows(spark, sourcePlan)
+    val targetCols = store.read(table).columns.toSeq
+    def star: Map[String, Column] = targetCols.map(c => c -> col(s"s.$c")).toMap
+
+    val m = matched.map {
+      case SqlUpdate(c, set) => MergeInto.MatchedUpdate(c, set)
+      case SqlUpdateStar(c) => MergeInto.MatchedUpdate(c, star)
+      case SqlDelete(c) => MergeInto.MatchedDelete(c)
+      case a => throw new UnsupportedOperationException(s"WHEN MATCHED does not allow $a")
+    }
+    val nm = notMatched.map {
+      case SqlInsert(c, values) => MergeInto.NotMatchedInsert(c, values)
+      case SqlInsertStar(c) => MergeInto.NotMatchedInsert(c, star)
+      case a => throw new UnsupportedOperationException(s"WHEN NOT MATCHED does not allow $a")
+    }
+    val bs = bySource.map {
+      case SqlUpdate(c, set) => MergeInto.BySourceUpdate(c, set)
+      case SqlDelete(c) => MergeInto.BySourceDelete(c)
+      case a => throw new UnsupportedOperationException(s"WHEN NOT MATCHED BY SOURCE does not allow $a")
+    }
+    store.merge(table, source, keys, extraOn, m, nm, bs)
+    Seq.empty
+  }
+}
+
+/** Eagerly-executed `UPDATE db.table SET … WHERE …` (copy-on-write). */
+final case class GraftUpdateCommand(table: String, cond: Column, set: Map[String, Column])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.attached(spark).getOrElse(
+      throw new IllegalStateException(s"no TableStore attached for UPDATE $table"))
+    store.update(table, cond, set)
+    Seq.empty
+  }
+}
+
+/** Eagerly-executed `DELETE FROM db.table WHERE …` (copy-on-write). */
+final case class GraftDeleteCommand(table: String, cond: Column)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.attached(spark).getOrElse(
+      throw new IllegalStateException(s"no TableStore attached for DELETE FROM $table"))
+    store.delete(table, cond)
+    Seq.empty
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+import graft.tables.TableStore
+
+/** The reference's SQL-text write path, executed verbatim: two consecutive
+  * `spark.sql("MERGE INTO …")` statements perform the silver SCD2 load
+  * exactly as 22_ETL_Silver_PySpark.py:62-101 writes them (alias quals,
+  * current-row pin inside ON, qualified SET keys, explicit INSERT list
+  * carrying the `_tf_create_date`/`_tf_update_date` audit pair), plus SQL
+  * UPDATE/DELETE (23_Testing_SCD2.py:40-64). Timestamps are pinned
+  * literals in place of `current_timestamp()` so DuckDB can replay the
+  * exact state.
+  *
+  * Source batches reuse the deterministic customer slices from
+  * [[MergeQueries]] (batch 2 adds keys ≡8 (mod 10), drops keys ≡0
+  * (mod 17), bumps acctbal by 100 for keys ≡0 (mod 7)).
+  */
+object SqlDmlQueries {
+
+  private val Ts1 = "2024-01-01 00:00:00"
+  private val Ts2 = "2024-02-01 00:00:00"
+
+  private def batch1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 < 8)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  private def batch2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 < 9 && col("c_custkey") % 17 =!= 0)
+      .select(
+        col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+
+  // q34: the reference's 2-phase SCD2 as verbatim SQL MERGE text.
+  def q34SqlMergeScd2(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+
+    store.createOrReplace("silver.customer",
+      batch1(s, dir)
+        .withColumn("_tf_valid_from", lit(Ts1).cast("timestamp"))
+        .withColumn("_tf_valid_to", lit(null).cast("timestamp"))
+        .withColumn("_tf_create_date", lit(Ts1).cast("timestamp"))
+        .withColumn("_tf_update_date", lit(Ts1).cast("timestamp")))
+    batch2(s, dir).createOrReplaceTempView("src_customer")
+
+    // Phase 1 — close changed + vanished current rows (ref 22:62-82).
+    s.sql(
+      s"""MERGE INTO silver.customer AS tgt
+         |USING src_customer AS src
+         |ON tgt.c_custkey = src.c_custkey AND tgt._tf_valid_to IS NULL
+         |WHEN MATCHED AND (
+         |       tgt.c_name != src.c_name OR
+         |       tgt.c_acctbal != src.c_acctbal
+         |) THEN UPDATE SET
+         |    tgt._tf_valid_to = TIMESTAMP '$Ts2',
+         |    tgt._tf_update_date = TIMESTAMP '$Ts2'
+         |WHEN NOT MATCHED BY SOURCE AND tgt._tf_valid_to IS NULL THEN
+         |  UPDATE SET
+         |    tgt._tf_valid_to = TIMESTAMP '$Ts2',
+         |    tgt._tf_update_date = TIMESTAMP '$Ts2'
+         |""".stripMargin)
+
+    // Phase 2 — insert the new current versions (ref 22:86-101).
+    s.sql(
+      s"""MERGE INTO silver.customer AS tgt
+         |USING src_customer AS src
+         |ON tgt.c_custkey = src.c_custkey AND tgt._tf_valid_to IS NULL
+         |WHEN NOT MATCHED THEN
+         |  INSERT (
+         |    c_custkey, c_name, c_acctbal,
+         |    _tf_valid_from, _tf_valid_to, _tf_create_date, _tf_update_date
+         |  )
+         |  VALUES (
+         |    src.c_custkey, src.c_name, src.c_acctbal,
+         |    TIMESTAMP '$Ts2', NULL, TIMESTAMP '$Ts2', TIMESTAMP '$Ts2'
+         |  )
+         |""".stripMargin)
+
+    store.read("silver.customer").orderBy(col("c_custkey"), col("_tf_valid_from"))
+  }
+
+  // q35: SQL-text UPDATE + DELETE (copy-on-write rewrites, ref 23:40-64).
+  def q35SqlUpdateDelete(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.orders",
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+
+    s.sql("UPDATE silver.orders SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) WHERE o_orderstatus = 'O'")
+    s.sql("DELETE FROM silver.orders WHERE o_totalprice < CAST(100000 AS DOUBLE)")
+
+    store.read("silver.orders").orderBy(col("o_orderkey"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
+    "q35_sql_update_delete" -> q35SqlUpdateDelete _)
+
+  private val B1 = "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 < 8"
+  private val B2 =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q34_sql_merge_scd2" ->
+      s"""WITH b1 AS ($B1), b2 AS ($B2)
+         |SELECT * FROM (
+         |  -- unchanged current rows from batch 1
+         |  SELECT b1.c_custkey, b1.c_name, b1.c_acctbal,
+         |    TIMESTAMP '$Ts1' AS _tf_valid_from, CAST(NULL AS TIMESTAMP) AS _tf_valid_to,
+         |    TIMESTAMP '$Ts1' AS _tf_create_date, TIMESTAMP '$Ts1' AS _tf_update_date
+         |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+         |  WHERE b1.c_name = b2.c_name AND b1.c_acctbal = b2.c_acctbal
+         |  UNION ALL
+         |  -- closed: changed in batch 2
+         |  SELECT b1.c_custkey, b1.c_name, b1.c_acctbal,
+         |    TIMESTAMP '$Ts1', TIMESTAMP '$Ts2', TIMESTAMP '$Ts1', TIMESTAMP '$Ts2'
+         |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+         |  WHERE b1.c_name <> b2.c_name OR b1.c_acctbal <> b2.c_acctbal
+         |  UNION ALL
+         |  -- closed: deleted from batch 2
+         |  SELECT b1.c_custkey, b1.c_name, b1.c_acctbal,
+         |    TIMESTAMP '$Ts1', TIMESTAMP '$Ts2', TIMESTAMP '$Ts1', TIMESTAMP '$Ts2'
+         |  FROM b1 WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.c_custkey = b1.c_custkey)
+         |  UNION ALL
+         |  -- new current version: changed keys
+         |  SELECT b2.c_custkey, b2.c_name, b2.c_acctbal,
+         |    TIMESTAMP '$Ts2', CAST(NULL AS TIMESTAMP), TIMESTAMP '$Ts2', TIMESTAMP '$Ts2'
+         |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+         |  WHERE b1.c_name <> b2.c_name OR b1.c_acctbal <> b2.c_acctbal
+         |  UNION ALL
+         |  -- inserted keys
+         |  SELECT b2.c_custkey, b2.c_name, b2.c_acctbal,
+         |    TIMESTAMP '$Ts2', CAST(NULL AS TIMESTAMP), TIMESTAMP '$Ts2', TIMESTAMP '$Ts2'
+         |  FROM b2 WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.c_custkey = b2.c_custkey))
+         |ORDER BY c_custkey, _tf_valid_from""".stripMargin,
+    "q35_sql_update_delete" ->
+      """WITH updated AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM updated
+        |WHERE NOT (o_totalprice < CAST(100000 AS DOUBLE))
+        |ORDER BY o_orderkey""".stripMargin)
+}

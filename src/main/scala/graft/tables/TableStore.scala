@@ -23,7 +23,22 @@ import graft.operators.MergeInto
   * copy-on-write table formats behave without file-level pruning; at 100 TB
   * the same API would sit over partitioned rewrites keyed by the predicate.
   */
+object TableStore {
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, TableStore]()
+
+  /** The store SQL-text DML statements resolve against (last attached wins). */
+  def attached(spark: SparkSession): Option[TableStore] = Option(sessions.get(spark))
+
+  def attach(spark: SparkSession, store: TableStore): Unit = sessions.put(spark, store)
+}
+
 final class TableStore(spark: SparkSession, root: String) {
+
+  // SQL-text DML (MERGE/UPDATE/DELETE via spark.sql) resolves table names
+  // against the session's most recently constructed store — single-writer
+  // by design, like the rest of the layer.
+  TableStore.attach(spark, this)
 
   private def tableDir(name: String) = {
     val parts = name.split('.')

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tables.TableStore
+
+/** SQL-text DML over TableStore: mirrors the reference's SCD2 test flow
+  * (23_Testing_SCD2.py — UPDATE / DELETE / PK-rewrite on bronze via SQL,
+  * rerun the SCD2 merge, check silver history) with the merge itself issued
+  * as the reference's 2-phase SQL MERGE (22_ETL_Silver_PySpark.py:62-101).
+  */
+class SqlDmlSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  import spark.implicits._
+
+  private val Ts1 = "2024-01-01 00:00:00"
+  private val Ts2 = "2024-02-01 00:00:00"
+
+  private def mergeTwoPhaseSql(loadTs: String): Unit = {
+    spark.sql(
+      s"""MERGE INTO silver.address AS tgt
+         |USING src_address AS src
+         |ON tgt.address_id = src.address_id AND tgt._tf_valid_to IS NULL
+         |WHEN MATCHED AND (tgt.city != src.city OR tgt.postal_code != src.postal_code)
+         |  THEN UPDATE SET tgt._tf_valid_to = TIMESTAMP '$loadTs'
+         |WHEN NOT MATCHED BY SOURCE AND tgt._tf_valid_to IS NULL
+         |  THEN UPDATE SET tgt._tf_valid_to = TIMESTAMP '$loadTs'
+         |""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO silver.address AS tgt
+         |USING src_address AS src
+         |ON tgt.address_id = src.address_id AND tgt._tf_valid_to IS NULL
+         |WHEN NOT MATCHED THEN
+         |  INSERT (address_id, city, postal_code, _tf_valid_from, _tf_valid_to)
+         |  VALUES (src.address_id, src.city, src.postal_code, TIMESTAMP '$loadTs', NULL)
+         |""".stripMargin)
+  }
+
+  test("reference SCD2 flow via SQL text: update, delete, PK rewrite, 2-phase merge") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec").toString)
+
+    val bronze = Seq(
+      (1105, "Bothell", "98011"),
+      (2001, "Surrey", "V3S"),
+      (3001, "Dallas", "75201"))
+      .toDF("address_id", "city", "postal_code")
+    store.createOrReplace("bronze.address", bronze)
+
+    // Silver initial load from bronze.
+    store.read("bronze.address").createOrReplaceTempView("src_address")
+    store.createOrReplace("silver.address",
+      store.read("bronze.address")
+        .withColumn("_tf_valid_from", lit(Ts1).cast("timestamp"))
+        .withColumn("_tf_valid_to", lit(null).cast("timestamp")))
+
+    // 23_Testing_SCD2.py:40-45 — simulate an UPDATE in source.
+    spark.sql("UPDATE bronze.address SET postal_code = '12345' WHERE city = 'Bothell'")
+    // 23:49-51 — simulate a DELETE in source.
+    spark.sql("DELETE FROM bronze.address WHERE city = 'Surrey'")
+    // 23:59-64 — simulate INSERT+DELETE via PK modification.
+    spark.sql("UPDATE bronze.address SET address_id = 11383 WHERE address_id = 1105")
+
+    // Re-run the SCD2 ETL (the reference's 2-phase SQL MERGE).
+    store.read("bronze.address").createOrReplaceTempView("src_address")
+    mergeTwoPhaseSql(Ts2)
+
+    val silver = store.read("silver.address").cache()
+    def rows(df: DataFrame) = df
+      .select($"address_id", $"city", $"postal_code",
+        $"_tf_valid_from".cast("string"), $"_tf_valid_to".cast("string"))
+      .as[(Int, String, String, String, String)].collect().toSet
+
+    // Bothell: PK rewrite closed 1105 and inserted 11383 (postal updated).
+    assert(rows(silver.filter($"city" === "Bothell")) == Set(
+      (1105, "Bothell", "98011", Ts1, Ts2),
+      (11383, "Bothell", "12345", Ts2, null)))
+    // Surrey: deleted from source → closed, no current version.
+    assert(rows(silver.filter($"city" === "Surrey")) == Set(
+      (2001, "Surrey", "V3S", Ts1, Ts2)))
+    // Dallas: untouched → single open version.
+    assert(rows(silver.filter($"city" === "Dallas")) == Set(
+      (3001, "Dallas", "75201", Ts1, null)))
+    silver.unpersist()
+  }
+
+  test("MERGE star clauses and unaliased statements lower correctly") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec2").toString)
+    store.createOrReplace("db.kv",
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    Seq((2, "B"), (3, "c")).toDF("k", "v").createOrReplaceTempView("kv_src")
+
+    spark.sql(
+      """MERGE INTO db.kv USING kv_src
+        |ON db.kv.k = kv_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(store.read("db.kv").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("MERGE with no key equality in ON is rejected") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec3").toString)
+    store.createOrReplace("db.t1", Seq((1, 2)).toDF("a", "b"))
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("t1_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO db.t1 AS t USING t1_src AS s ON t.a < s.b
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("equality"))
+  }
+}
