@@ -106,38 +106,79 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** IVF-style ANN: vectors are assigned once to their nearest centroid;
-    * a query probes only its nearest centroid's cluster (probe=1). The
-    * centroid set here is the deterministic "first k vectors" (a stand-in
-    * for trained k-means centroids — the assignment and probe machinery is
-    * the operator; plugging trained centroids changes recall, not code).
-    * One broadcast of k centroids, assignment is partition-local, and the
-    * probe join touches 1/k of the corpus per query in expectation. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
+  /** Nearest centroid per vector (spherical assignment): broadcast the k
+    * centroids, score partition-local, keep the top `probes` centroids per
+    * vector. Ties break on rounded cosine then centroid id — fully
+    * deterministic, which the cross-engine oracle requires. */
+  def nearestCentroids(df: DataFrame, centroids: DataFrame, probes: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val scored = df.join(broadcast(
+        centroids.select(col("centroid_id"), col("cvec"), norm(col("cvec")).as("__cnrm"))))
+      .withColumn("__csim", round(dot(col(vecCol), col("cvec")) /
+        (norm(col(vecCol)) * col("__cnrm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__csim").desc, col("centroid_id"))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= probes)
+      .select(df.columns.map(col) :+ col("centroid_id").as("cluster"): _*)
+  }
+
+  /** Deterministic spherical k-means (Lloyd's) as pure DataFrame ops:
+    * seed = first k vectors by id, then `iterations` rounds of
+    * assign-nearest → per-cluster mean. Exactness strategy (the DuckDB
+    * oracle replays training bit-for-bit): components are scaled to
+    * micro-units and summed as BIGINT — an order-independent exact sum,
+    * immune to float reduction order across partitions — and the mean is
+    * truncated back to FLOAT.
+    *
+    * Scale shape: each iteration is one broadcast join (corpus × k) plus a
+    * (cluster, dim)-keyed partial-aggregated shuffle of n·dim longs; at
+    * 100 TB you train on a sampled slice (caller passes the sample) and
+    * assign the full corpus once with the final centroids. */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, iterations: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+    var centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
-    def assign(df: DataFrame, outCol: String): DataFrame = {
-      val scored = df.join(broadcast(centroids))
-        .withColumn("__csim", round(dot(col(vecCol), col("cvec")) /
-          (norm(col(vecCol)) * norm(col("cvec"))), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol)).orderBy(col("__csim").desc, col("centroid_id"))
-      scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-        .select(df.columns.map(col) :+ col("centroid_id").as(outCol): _*)
+    for (_ <- 1 to iterations) {
+      val assigned = nearestCentroids(corpus, centroids, probes = 1, idCol, vecCol)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "comp")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(round(col("comp").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m", (col("s").cast("double") / (col("n").cast("double") * 1e6)).cast("float"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("cvec"))
+        .select(col("cluster").as("centroid_id"), col("cvec"))
     }
-    val assigned = assign(corpus, "cluster")
+    centroids
+  }
+
+  /** IVF ANN: k-means-trained centroids (deterministic Lloyd's, see
+    * [[trainCentroids]]); vectors are assigned once to their nearest
+    * centroid, a query probes its `probes` nearest centroids' clusters
+    * (the standard IVF nprobe recall/cost dial). One broadcast of k
+    * centroids, assignment is partition-local, and the probe join touches
+    * probes/k of the corpus per query in expectation. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      iterations: Int = 2, probes: Int = 1): DataFrame = {
+    val centroids = trainCentroids(corpus, nCentroids, iterations, idCol, vecCol)
+      .persist() // consumed by both assignment passes below
+    val assigned = nearestCentroids(corpus, centroids, probes = 1, idCol, vecCol)
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"), col("cluster"))
-    val probes = assign(queries, "cluster")
+    val probed = nearestCentroids(queries, centroids, probes, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnrm"), col("cluster"))
-    val scored = assigned.alias("c").join(broadcast(probes), Seq("cluster"))
+    val scored = assigned.alias("c").join(broadcast(probed), Seq("cluster"))
       .filter(col("query_id") =!= col(s"c.$idCol"))
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
         round(dot(col("qvec"), col(s"c.$vecCol")) / (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
+    // probes > 1: the same neighbor can surface via two clusters — dedup
+    // only then (for probes=1 the extra shuffle would be pure cost).
+    val deduped = if (probes > 1) scored.distinct() else scored
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    deduped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact quadratic

@@ -94,10 +94,12 @@ object TpchExtraQueries {
       .orderBy(col("week_start"))
   }
 
-  // x17: IVF-style ANN (probe=1, 8 deterministic centroids).
+  // x17: IVF ANN (probe=1, 8 centroids, 2 deterministic k-means
+  // iterations — the DuckDB oracle replays the training bit-for-bit).
   def x17IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nCentroids = 8)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nCentroids = 8,
+        iterations = 2)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
   }
@@ -134,6 +136,65 @@ object TpchExtraQueries {
     Similarity.lshComponents(4, 64).zipWithIndex.map { case (comp, b) =>
       s"CASE WHEN $alias.embedding[${comp + 1}] >= 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  /** DuckDB replay of Similarity.ivfTopK incl. the deterministic k-means
+    * training: one (assign → exact scaled-integer sums → float means) CTE
+    * trio per Lloyd iteration, then probe-1 search over the final
+    * centroids. Sums are BIGINT micro-units, so they are exact and
+    * order-independent in both engines. */
+  private def ivfOracle(nCentroids: Int, iterations: Int, k: Int): String = {
+    def dotL(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a)+1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def cnrm(c: String): String = s"sqrt(${dotL(c, c)})"
+
+    val iterCtes = (1 to iterations).map { j =>
+      val prev = s"cent${j - 1}"
+      s"""a$j AS (
+         |  SELECT vec_id, embedding, cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ROUND(${dotL("e.embedding", "c.cvec")}
+         |          / (e.nrm * ${cnrm("c.cvec")}), 6) DESC, c.centroid_id) AS rk
+         |    FROM n e CROSS JOIN $prev c) WHERE rk = 1),
+         |s$j AS (
+         |  SELECT cluster, u.i AS pos,
+         |    SUM(CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
+         |    COUNT(*) AS cnt
+         |  FROM a$j, UNNEST(range(1, len(embedding)+1)) AS u(i)
+         |  GROUP BY cluster, u.i),
+         |cent$j AS (
+         |  SELECT cluster AS centroid_id,
+         |    list(CAST(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1e6) AS FLOAT) ORDER BY pos) AS cvec
+         |  FROM s$j GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, ${cnrm("embedding")} AS nrm
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM n ORDER BY vec_id LIMIT $nCentroids),
+       |$iterCtes,
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(${dotL("e.embedding", "c.cvec")}
+       |          / (e.nrm * ${cnrm("c.cvec")}), 6) DESC, c.centroid_id) AS rk
+       |    FROM n e CROSS JOIN cent$iterations c) WHERE rk = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROUND(${dotL("q.embedding", "c.embedding")}
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM assigned q JOIN assigned c ON q.cluster = c.cluster
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "x21_lsh_topk" ->
@@ -199,34 +260,7 @@ object TpchExtraQueries {
         |FROM weeks JOIN orders
         |  ON CAST(o_orderdate AS DATE) BETWEEN week_start AND week_end
         |GROUP BY week_start ORDER BY week_start""".stripMargin,
-    "x17_ivf_topk" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${DotSql.format("e", "e", "e").replace("e.embedding", "embedding")}) AS nrm
-         |  FROM embeddings e),
-         |centroids AS (
-         |  SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm
-         |  FROM n ORDER BY vec_id LIMIT 8),
-         |assigned AS (
-         |  SELECT vec_id, embedding, nrm, centroid_id AS cluster FROM (
-         |    SELECT a.vec_id, a.embedding, a.nrm, c.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-         |        ROUND(list_sum(list_transform(range(1, len(a.embedding)+1),
-         |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
-         |          / (a.nrm * c.cnrm), 6) DESC, c.centroid_id) AS rk
-         |    FROM n a CROSS JOIN centroids c) WHERE rk = 1),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
-         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-         |      / (q.nrm * c.nrm), 6) AS cos_sim
-         |  FROM assigned q JOIN assigned c ON q.cluster = c.cluster
-         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
-         |ORDER BY query_id, rk""".stripMargin,
+    "x17_ivf_topk" -> ivfOracle(nCentroids = 8, iterations = 2, k = 5),
     "x18_lsh_neardup" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding,

@@ -51,6 +51,37 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.groupBy($"query_id").count().filter($"count" > 5).count() == 0)
   }
 
+  test("ivf: k-means training raises the clustering objective; recall holds and nprobe raises it") {
+    // Lloyd's guarantee is on the objective (within-cluster cohesion), not
+    // per-query recall — so pin the objective monotonically improving, and
+    // recall staying in a band + responding to the nprobe dial.
+    def objective(iterations: Int): Double = {
+      val cents = Similarity.trainCentroids(emb, nCentroids = 8, iterations = iterations)
+      Similarity.nearestCentroids(emb, cents, probes = 1, "vec_id", "embedding")
+        .join(cents, col("cluster") === col("centroid_id"))
+        .select(Similarity.cosine($"embedding", $"cvec").as("c"))
+        .agg(avg($"c")).head.getDouble(0)
+    }
+    val obj0 = objective(0); val obj2 = objective(2)
+    assert(obj2 > obj0, s"training did not improve the k-means objective: $obj2 <= $obj0")
+
+    val queries = emb.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val nTruth = truth.count().toDouble
+    def recall(iterations: Int, probes: Int): Double =
+      Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8,
+          iterations = iterations, probes = probes)
+        .select($"query_id", $"neighbor_id")
+        .intersect(truth).count() / nTruth
+    val untrained = recall(0, 1)
+    val trained = recall(2, 1)
+    val probed = recall(2, 2)
+    assert(trained >= untrained - 0.1, s"training collapsed recall: $trained vs $untrained")
+    assert(probed > trained, s"nprobe=2 did not raise recall: $probed <= $trained")
+    assert(trained >= 0.3, s"trained probe-1 recall collapsed: $trained")
+  }
+
   test("multimodal: features are deterministic byte stats over 16-byte md5 payloads") {
     val media = Multimodal.syntheticMedia(docs)
     val feats = Multimodal.extractFeatures(media)
