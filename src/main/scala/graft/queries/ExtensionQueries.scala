@@ -78,10 +78,15 @@ object ExtensionQueries {
         rolling_hash(TextFunctions.normalizeText(col("text"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
-  // x10: multimodal plumbing — synthesize binary media, extract features
-  // partition-batch-wise through the stubbed decoder (rows-only check).
+  // x10: multimodal decode — image rows are real PNGs decoded through
+  // javax.imageio; pixel payloads are md5-derived, so DuckDB recomputes the
+  // expected stats from the hash and the oracle validates the full
+  // encode → PNG container → decode round trip exactly. n_bytes (the PNG
+  // container size, an encoder detail) is intentionally not selected.
   def x10MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        col("channels"), round(col("px_mean"), 6).as("px_mean"), col("px_max"))
       .orderBy(col("media_id"))
 
   // x20: deterministic corpus splitting — md5-bucket assignment to
@@ -129,6 +134,21 @@ object ExtensionQueries {
        |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x10_media_features" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    list_transform(range(0, 16),
+        |      i -> CAST(('0x' || substring(md5(text), 2*i+1, 2)) AS INT)) AS px
+        |  FROM documents)
+        |SELECT media_id, media_type,
+        |  CASE WHEN media_type = 'image' THEN 4 END AS width,
+        |  CASE WHEN media_type = 'image' THEN 4 END AS height,
+        |  CASE WHEN media_type = 'image' THEN 1 END AS channels,
+        |  ROUND(list_sum(px) / 16.0, 6) AS px_mean,
+        |  list_max(px) AS px_max
+        |FROM h ORDER BY media_id""".stripMargin,
     "x20_dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id,

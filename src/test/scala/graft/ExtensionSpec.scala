@@ -82,16 +82,32 @@ class ExtensionSpec extends AnyFunSuite {
     assert(trained >= 0.3, s"trained probe-1 recall collapsed: $trained")
   }
 
-  test("multimodal: features are deterministic byte stats over 16-byte md5 payloads") {
+  test("multimodal: PNG encode→imageio decode round-trips pixels exactly") {
+    val payload = Array.tabulate[Byte](16)(i => ((i * 17 + 3) % 256).toByte)
+    val png = Multimodal.encodePng(payload)
+    // real PNG container: magic bytes, larger than the raw payload
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 4 && img.getHeight == 4 && img.getRaster.getNumBands == 1)
+    val decoded = for (y <- 0 until 4; x <- 0 until 4)
+      yield img.getRaster.getSample(x, y, 0).toByte
+    assert(decoded == payload.toSeq, "grayscale PNG round trip is lossless")
+  }
+
+  test("multimodal: image rows decode via imageio, audio/video via the byte stub") {
     val media = Multimodal.syntheticMedia(docs)
-    val feats = Multimodal.extractFeatures(media)
-    assert(feats.filter($"n_bytes" =!= 16).count() == 0, "md5 payload is 16 bytes")
+    val feats = Multimodal.extractFeatures(media).cache()
     assert(feats.count() == docs.count())
+    val images = feats.filter($"media_type" === "image")
+    assert(images.filter($"width" =!= 4 || $"height" =!= 4 || $"channels" =!= 1).count() == 0)
+    assert(images.filter($"n_bytes" <= 16).count() == 0, "PNG container adds bytes over the payload")
+    assert(feats.filter($"media_type" =!= "image" && $"n_bytes" =!= 16).count() == 0)
     val twice = Multimodal.extractFeatures(media)
-    assert(feats.exceptAll(twice).count() == 0, "decode stub is deterministic")
+    assert(feats.exceptAll(twice).count() == 0, "decode is deterministic")
     // metadata-only access never touches the binary column
     val metaOnly = media.select($"media_id", $"meta.declared_bytes")
     assert(metaOnly.count() == docs.count())
+    feats.unpersist()
   }
 
   test("exact dedup canonicalizes duplicated normalized text") {
