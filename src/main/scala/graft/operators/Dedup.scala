@@ -173,7 +173,9 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup so the distinct shuffle only carries pairs
+      // that survive the Hamming bound, not every banded candidate
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -57,17 +57,20 @@ object TpchExtraQueries {
 
   // q30: country-code anti-join with scalar-subquery threshold (Q22 shape):
   // customers in selected code buckets with above-average balance and no
-  // orders.
+  // orders. The scalar stays IN the plan — a broadcast cross join of the
+  // 1-row average — so the whole query is one job and Catalyst sees the
+  // full tree (no eager driver-side collect).
   def q30CountryCode(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
       .withColumn("cntrycode", substring(col("c_name"), 10, 2))
     val codes = Seq("00", "01", "02", "03", "04")
     val inCodes = c.filter(col("cntrycode").isin(codes: _*))
     val avgBal = inCodes.filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal"))).head.getDouble(0)
+      .agg(avg(col("c_acctbal")).as("__avg_bal"))
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
-    inCodes.filter(col("c_acctbal") > avgBal)
+    inCodes.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("cntrycode"))
       .agg(count(lit(1)).as("numcust"),

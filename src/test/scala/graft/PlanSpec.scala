@@ -96,6 +96,30 @@ class PlanSpec extends AnyFunSuite {
     assert(cur.count() == src.count(), "current slice = one row per key")
   }
 
+  test("q30: scalar threshold stays in the plan — no eager job during query construction") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // baseline: constructing a plain one-table query costs some parquet
+      // schema-inference jobs per source read, but no execution jobs
+      SparkEntry.queries("q2_filter_project")(spark, dir)
+      Thread.sleep(500) // listener bus is async
+      val perRead = counter.get()
+      counter.set(0)
+      val df = SparkEntry.queries("q30_country_code")(spark, dir) // two source reads
+      Thread.sleep(500)
+      assert(counter.get() <= 2 * perRead,
+        s"building q30 ran ${counter.get()} jobs vs $perRead per plain read — " +
+          "an eager driver-side scalar is back in the construction path")
+      assert(df.queryExecution.optimizedPlan.toString.contains("Join"),
+        "the average-balance threshold must appear as a join in the single plan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("multi-probe LSH topk: superset of single-probe results") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
