@@ -35,12 +35,27 @@ object Scd {
 
   val ValidFrom = "_tf_valid_from"
   val ValidTo = "_tf_valid_to"
+  /** Audit pair the reference carries on every table (01_Init.py:231-233)
+    * and touches on every write (22_ETL_Silver_PySpark.py:76-77,99): set at
+    * insert, bumped on every version-closing or payload-changing write.
+    * Opt-in: the merge operators maintain the pair whenever the target
+    * carries both columns. */
+  val CreateDate = "_tf_create_date"
+  val UpdateDate = "_tf_update_date"
+
+  private def hasAudit(df: DataFrame): Boolean =
+    df.columns.contains(CreateDate) && df.columns.contains(UpdateDate)
 
   /** Initial SCD2 load: every source row becomes a current version. */
-  def scd2Init(source: DataFrame, loadTs: Column): DataFrame =
-    source
+  def scd2Init(source: DataFrame, loadTs: Column, audit: Boolean = false): DataFrame = {
+    val base = source
       .withColumn(ValidFrom, loadTs.cast(TimestampType))
       .withColumn(ValidTo, lit(null).cast(TimestampType))
+    if (audit)
+      base.withColumn(CreateDate, loadTs.cast(TimestampType))
+        .withColumn(UpdateDate, loadTs.cast(TimestampType))
+    else base
+  }
 
   private def changePredicate(payload: Seq[String], nullSafe: Boolean): Column =
     payload
@@ -59,8 +74,10 @@ object Scd {
 
     val payload = source.columns.filterNot(keys.contains).toSeq
     val naturalCols = source.columns.toSeq
+    val audit = hasAudit(target)
+    val envelope = Seq(ValidFrom, ValidTo) ++ (if (audit) Seq(CreateDate, UpdateDate) else Nil)
     require(
-      target.columns.toSet == (naturalCols :+ ValidFrom :+ ValidTo).toSet,
+      target.columns.toSet == (naturalCols ++ envelope).toSet,
       s"target must carry source columns + envelope; got ${target.columns.mkString(",")}")
 
     val hist = target.filter(col(ValidTo).isNotNull)
@@ -85,11 +102,14 @@ object Scd {
     val keepStruct = mkStruct(target.columns.toSeq.map(c => col(s"t.$c")))
     val closedStruct = mkStruct(target.columns.toSeq.map {
       case ValidTo => loadTs.cast(TimestampType)
+      case UpdateDate if audit => loadTs.cast(TimestampType)
       case c => col(s"t.$c")
     })
     val newStruct = mkStruct(target.columns.toSeq.map {
       case ValidFrom => loadTs.cast(TimestampType)
       case ValidTo => lit(null).cast(TimestampType)
+      case CreateDate if audit => loadTs.cast(TimestampType)
+      case UpdateDate if audit => loadTs.cast(TimestampType)
       case c => col(s"s.$c")
     })
 
@@ -115,24 +135,25 @@ object Scd {
 
     val payload = source.columns.filterNot(keys.contains).toSeq
     val currentOnly = col(s"t.$ValidTo").isNull
+    val audit = hasAudit(target)
+    val ts = loadTs.cast(TimestampType)
+    val closeSet = Map(ValidTo -> ts) ++ (if (audit) Map(UpdateDate -> ts) else Map.empty)
 
     // MERGE #1: close changed rows; close rows deleted from the source.
     val phase1 = MergeInto(
       target, source, keys,
       extraOn = Some(currentOnly),
       matched = Seq(MergeInto.MatchedUpdate(
-        Some(changePredicate(payload, nullSafeCompare)),
-        Map(ValidTo -> loadTs.cast(TimestampType)))),
-      notMatchedBySource = Seq(MergeInto.BySourceUpdate(
-        Some(currentOnly),
-        Map(ValidTo -> loadTs.cast(TimestampType)))),
+        Some(changePredicate(payload, nullSafeCompare)), closeSet)),
+      notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)),
       failOnMultipleMatches = false)
 
     // MERGE #2: insert the new current version for new/changed keys.
     val insertValues: Map[String, Column] =
       (keys ++ payload).map(c => c -> col(s"s.$c")).toMap +
-        (ValidFrom -> loadTs.cast(TimestampType)) +
-        (ValidTo -> lit(null).cast(TimestampType))
+        (ValidFrom -> ts) +
+        (ValidTo -> lit(null).cast(TimestampType)) ++
+        (if (audit) Map(CreateDate -> ts, UpdateDate -> ts) else Map.empty)
     MergeInto(
       phase1, source, keys,
       extraOn = Some(currentOnly),
@@ -141,21 +162,29 @@ object Scd {
   }
 
   /** SCD1 merge: matched-and-changed → update payload, unmatched → insert;
-    * rows missing from the source are kept (reference 33:61-104). */
+    * rows missing from the source are kept (reference 33:61-104). When the
+    * target carries the audit pair, pass `auditTs` to bump `_tf_update_date`
+    * on changed rows and stamp both dates on inserts (reference 33:80,99). */
   def scd1Merge(
       target: DataFrame,
       source: DataFrame,
       keys: Seq[String],
-      nullSafeCompare: Boolean = false): DataFrame = {
+      nullSafeCompare: Boolean = false,
+      auditTs: Option[Column] = None): DataFrame = {
 
     val payload = source.columns.filterNot(keys.contains).toSeq
+    val ts = auditTs.map(_.cast(TimestampType))
+    require(ts.isEmpty || hasAudit(target),
+      s"auditTs requires the target to carry $CreateDate and $UpdateDate")
     MergeInto(
       target, source, keys,
       matched = Seq(MergeInto.MatchedUpdate(
         Some(changePredicate(payload, nullSafeCompare)),
-        payload.map(c => c -> col(s"s.$c")).toMap)),
+        payload.map(c => c -> col(s"s.$c")).toMap ++
+          ts.map(UpdateDate -> _).toMap)),
       notMatched = Seq(MergeInto.NotMatchedInsert(
-        None, (keys ++ payload).map(c => c -> col(s"s.$c")).toMap)),
+        None, (keys ++ payload).map(c => c -> col(s"s.$c")).toMap ++
+          ts.map(t => Map(CreateDate -> t, UpdateDate -> t)).getOrElse(Map.empty))),
       failOnMultipleMatches = false)
   }
 }

@@ -42,7 +42,9 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
     inParallel(bronzeTables.map(n =>
       () => store.createOrReplace(s"bronze.$n", Tables.t(spark, sfDir, n))))
 
-  /** Silver: SCD2 incremental load per table (reference 22). */
+  /** Silver: SCD2 incremental load per table (reference 22), carrying the
+    * reference's audit pair — scd2Merge maintains it automatically once the
+    * initial load declares it (01_Init.py:231-233). */
   def runSilver(loadTs: Column): Unit = {
     val specs = Seq(
       ("customer", Seq("c_custkey")),
@@ -53,7 +55,7 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
     inParallel(specs.map { case (name, keys) => () =>
       val src = store.read(s"bronze.$name")
       val tgt = s"silver.$name"
-      if (!store.exists(tgt)) store.createOrReplace(tgt, Scd.scd2Init(src, loadTs))
+      if (!store.exists(tgt)) store.createOrReplace(tgt, Scd.scd2Init(src, loadTs, audit = true))
       else store.createOrReplace(tgt, Scd.scd2Merge(store.read(tgt), src, keys, loadTs))
     })
   }
@@ -61,12 +63,18 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
   private def current(name: String): DataFrame =
     store.read(name).filter(col(Scd.ValidTo).isNull)
 
+  private def withAudit(df: DataFrame, loadTs: Column): DataFrame =
+    df.withColumn(Scd.CreateDate, loadTs.cast("timestamp"))
+      .withColumn(Scd.UpdateDate, loadTs.cast("timestamp"))
+
   /** Gold dims: calendar CTAS + SCD1 dims with -9 unknown members
-    * (reference 01:180-233 calendar; 33 dims; 01:265-321 seeds). */
-  def runGoldDims(): Unit = {
+    * (reference 01:180-233 calendar; 33 dims; 01:265-321 seeds), all
+    * carrying the audit pair like the reference tables. */
+  def runGoldDims(loadTs: Column): Unit = {
     // testdata order dates start in 1995, so the calendar range is widened
     // vs the reference's 2000-01-01 start (01_Init.py:188)
-    store.createOrReplace("gold.dim_calendar", Calendar.build(spark, start = "1995-01-01"))
+    store.createOrReplace("gold.dim_calendar",
+      withAudit(Calendar.build(spark, start = "1995-01-01"), loadTs))
 
     // dim_geography ≈ nation ⋈ region with N/A defaults (reference 33:44-57)
     val geoUnknown = spark.sql(
@@ -79,8 +87,8 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
         coalesce(col("n.n_name").try_cast("string"), lit("N/A")).as("nation_name"),
         coalesce(col("r.r_name").try_cast("string"), lit("N/A")).as("region_name"))
     store.createOrReplace("gold.dim_geography",
-      geoUnknown.unionByName(
-        SurrogateKeys.assignOrdered(geo, "_tf_dim_geography_id", Seq(col("nation_key")))))
+      withAudit(geoUnknown.unionByName(
+        SurrogateKeys.assignOrdered(geo, "_tf_dim_geography_id", Seq(col("nation_key")))), loadTs))
 
     // dim_customer (reference 33:108-125)
     val custUnknown = spark.sql(
@@ -91,14 +99,14 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
       coalesce(col("c_mktsegment").try_cast("string"), lit("N/A")).as("mktsegment"),
       col("c_nationkey").as("nation_key"))
     store.createOrReplace("gold.dim_customer",
-      custUnknown.unionByName(
-        SurrogateKeys.assignOrdered(cust, "_tf_dim_customer_id", Seq(col("customer_key")))))
+      withAudit(custUnknown.unionByName(
+        SurrogateKeys.assignOrdered(cust, "_tf_dim_customer_id", Seq(col("customer_key")))), loadTs))
   }
 
   /** Gold fact: star-join assembly at line grain with smart date key and -9
     * FK defaults (reference 34:44-83), current-version predicates embedded
     * in the join conditions to preserve left-join semantics (SURVEY §2.4 J1). */
-  def runGoldFact(): Unit = {
+  def runGoldFact(loadTs: Column): Unit = {
     val li = current("silver.lineitem").alias("li")
     val o = store.read("silver.orders").alias("o")
     val dc = store.read("gold.dim_customer").alias("dc")
@@ -123,13 +131,13 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
         coalesce(col("li.l_discount"), lit(0.0)).cast("decimal(19,4)").as("sales_discount"),
         (coalesce(col("li.l_extendedprice"), lit(0.0)) * (lit(1.0) - coalesce(col("li.l_discount"), lit(0.0))))
           .cast("decimal(38,6)").as("sales_net_price"))
-    store.createOrReplace("gold.fact_sales", fact)
+    store.createOrReplace("gold.fact_sales", withAudit(fact, loadTs))
   }
 
   def run(loadTs: Column): Unit = {
     runBronze()
     runSilver(loadTs)
-    runGoldDims()
-    runGoldFact()
+    runGoldDims(loadTs)
+    runGoldFact(loadTs)
   }
 }

@@ -39,6 +39,17 @@ object MergeQueries {
       .orderBy(col("c_custkey"), col(Scd.ValidFrom))
   }
 
+  // q36: q18's SCD2 lifecycle with the reference's audit pair maintained by
+  // the operator itself (opt-in via the target carrying the columns). The
+  // oracle is shared with q34 — the SQL-text two-phase MERGE — pinning that
+  // the fused operator, the SQL path, and DuckDB all agree on the full
+  // envelope including _tf_create_date/_tf_update_date.
+  def q36Scd2Audit(s: SparkSession, dir: String): DataFrame = {
+    val state1 = Scd.scd2Init(batch1(s, dir), lit(Ts1), audit = true)
+    Scd.scd2Merge(state1, batch2(s, dir), Seq("c_custkey"), lit(Ts2))
+      .orderBy(col("c_custkey"), col(Scd.ValidFrom))
+  }
+
   // q19: SCD1 dimension upsert — matched-and-changed update, insert, keep.
   def q19Scd1(s: SparkSession, dir: String): DataFrame =
     Scd.scd1Merge(batch1(s, dir), batch2(s, dir), Seq("c_custkey"))
@@ -72,7 +83,8 @@ object MergeQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_scd2_history" -> q18Scd2 _,
     "q19_scd1_upsert" -> q19Scd1 _,
-    "q22_merge_delete" -> q22MergeDelete _)
+    "q22_merge_delete" -> q22MergeDelete _,
+    "q36_scd2_audit" -> q36Scd2Audit _)
 
   private val B1 = "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 < 8"
   private val B2 =
@@ -119,6 +131,8 @@ object MergeQueries {
          |  COALESCE(b2.c_acctbal, b1.c_acctbal) AS c_acctbal
          |FROM b1 FULL OUTER JOIN b2 ON b1.c_custkey = b2.c_custkey
          |ORDER BY c_custkey""".stripMargin,
+    // shared with the SQL-text MERGE twin — one oracle pins both paths
+    "q36_scd2_audit" -> SqlDmlQueries.oracles("q34_sql_merge_scd2"),
     "q22_merge_delete" ->
       """WITH tgt AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 < 3),

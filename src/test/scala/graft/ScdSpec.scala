@@ -109,6 +109,43 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 audit pair: create date sticks, update date bumps on close (01_Init.py:231-233)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ts1 = lit("2024-01-01 00:00:00")
+    val ts2 = lit("2024-02-01 00:00:00")
+    val b0 = addr((1, "Bothell", "98011"), (2, "Surrey", "V3S"))
+    val b1 = addr((1, "Bothell", "12345")) // 1 changes, 2 vanishes
+    val fused = Scd.scd2Merge(
+      Scd.scd2Init(b0, ts1, audit = true), b1, Seq("address_id"), ts2)
+    val phased = Scd.scd2MergeTwoPhase(
+      Scd.scd2Init(b0, ts1, audit = true), b1, Seq("address_id"), ts2)
+    assert(fused.exceptAll(phased).count() == 0 && phased.exceptAll(fused).count() == 0,
+      "fused and two-phase audit maintenance must agree")
+    val got = fused
+      .select(col("address_id"), col(Scd.ValidTo).cast("string"),
+        col(Scd.CreateDate).cast("string"), col(Scd.UpdateDate).cast("string"))
+      .as[(Int, String, String, String)].collect().toSet
+    assert(got == Set(
+      (1, "2024-02-01 00:00:00", "2024-01-01 00:00:00", "2024-02-01 00:00:00"), // closed v1
+      (1, null, "2024-02-01 00:00:00", "2024-02-01 00:00:00"), // new version
+      (2, "2024-02-01 00:00:00", "2024-01-01 00:00:00", "2024-02-01 00:00:00"))) // deleted
+  }
+
+  test("scd1 audit pair: inserts stamp both dates, changed rows bump update only") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tgt = Scd.scd1Merge(
+      addr((1, "Bothell", "98011")).withColumn(Scd.CreateDate, lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn(Scd.UpdateDate, lit("2024-01-01 00:00:00").cast("timestamp")),
+      addr((1, "Bothell", "12345"), (3, "Dallas", "75201")),
+      Seq("address_id"), auditTs = Some(lit("2024-02-01 00:00:00")))
+    val got = tgt.select(col("address_id"), col("postal_code"),
+        col(Scd.CreateDate).cast("string"), col(Scd.UpdateDate).cast("string"))
+      .as[(Int, String, String, String)].collect().toSet
+    assert(got == Set(
+      (1, "12345", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      (3, "75201", "2024-02-01 00:00:00", "2024-02-01 00:00:00")))
+  }
+
   test("scd1: update-in-place + insert, keep missing keys (33:61-104)") {
     val target = addr((1, "Bothell", "98011"), (2, "Surrey", "V3T"))
     val source = addr((1, "Bothell", "12345"), (3, "Renton", "98055"))
