@@ -28,4 +28,11 @@ final class JdbcSource(url: String, props: Properties,
     schema: String = "SalesLT") extends Source {
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.jdbc(url, s"$schema.$table", props)
+
+  /** Range-partitioned parallel extraction — one JDBC cursor per partition
+    * over `[lower, upper)` stripes of `column`; the shape the reference's
+    * serial single-cursor ingest needs at scale. */
+  def readPartitioned(spark: SparkSession, table: String, column: String,
+      lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, s"$schema.$table", column, lower, upper, numPartitions, props)
 }
