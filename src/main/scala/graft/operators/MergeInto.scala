@@ -61,11 +61,26 @@ object MergeInto {
 
     if (failOnMultipleMatches) {
       // Delta parity: error when a target row would match multiple source
-      // rows. One aggregation + semi-join, skippable for trusted pipelines.
-      val dup = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1)
-        .join(target.select(keys.map(col): _*), keys, "left_semi")
-        .limit(1).count()
+      // rows. Kept as an up-front check (one cheap extra job) rather than
+      // fused into the merge join — fusing needs a per-target-row window
+      // count, a second full-size shuffle on every merge, which is the
+      // wrong trade at scale for a skippable safety net.
+      val dup = extraOn match {
+        case None =>
+          // fast path: key-duplicated source rows that hit any target key
+          source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1)
+            .join(target.select(keys.map(col): _*), keys, "left_semi")
+            .limit(1).count()
+        case Some(extra) =>
+          // extra ON conjuncts can disambiguate key-duplicated source rows,
+          // so count matches from the REAL join condition per target row
+          val tt = target.withColumn("__graft_tid", monotonically_increasing_id()).alias("t")
+          val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _) && extra
+          tt.join(source.alias("s"), cond)
+            .groupBy(col("__graft_tid")).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).limit(1).count()
+      }
       if (dup > 0) throw new IllegalStateException(
         s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
     }

@@ -40,25 +40,40 @@ object ReshapeQueries {
 
   final case class OrderRow(o_orderpriority: String, o_totalprice: Double)
 
-  // q33: typed-Dataset mapGroups — imperative per-group logic through the
-  // Encoder path (the Dataset[T] escape hatch; no partial aggregation, so
-  // reserved for logic SQL can't express — here a running-max count).
+  // q33: typed-Dataset escape hatch for imperative per-group logic (here a
+  // running-max count in price order), via the secondary-sort pattern:
+  // repartition on the key + sortWithinPartitions makes every group arrive
+  // contiguous and value-ordered, so the iterator streams in O(1) heap per
+  // group — a skewed group spills in the sort, it never materializes (the
+  // naive `mapGroups { rows.toSeq.sortBy }` OOMs exactly there at scale).
   def q33TypedMapGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "orders")
+    val sorted = t(s, dir, "orders")
       .select(col("o_orderpriority"), col("o_totalprice"))
+      .repartition(col("o_orderpriority"))
+      .sortWithinPartitions(col("o_orderpriority"), col("o_totalprice"))
       .as[OrderRow]
-      .groupByKey(_.o_orderpriority)
-      .mapGroups { (priority, rows) =>
-        var n = 0L
-        var maxSeen = Double.MinValue
-        var nNewMax = 0L // how often the running max advanced, in o_totalprice order
-        rows.toSeq.sortBy(r => r.o_totalprice).foreach { r =>
-          n += 1
-          if (r.o_totalprice > maxSeen) { maxSeen = r.o_totalprice; nNewMax += 1 }
+    sorted.mapPartitions { it =>
+      new Iterator[(String, Long, Double, Long)] {
+        private var head: Option[OrderRow] = if (it.hasNext) Some(it.next()) else None
+        def hasNext: Boolean = head.isDefined
+        def next(): (String, Long, Double, Long) = {
+          val key = head.get.o_orderpriority
+          var n = 0L
+          var maxSeen = Double.MinValue
+          var nNewMax = 0L // how often the running max advanced, in o_totalprice order
+          var cur = head
+          while (cur.isDefined && cur.get.o_orderpriority == key) {
+            val r = cur.get
+            n += 1
+            if (r.o_totalprice > maxSeen) { maxSeen = r.o_totalprice; nNewMax += 1 }
+            cur = if (it.hasNext) Some(it.next()) else None
+          }
+          head = cur
+          (key, n, maxSeen, nNewMax)
         }
-        (priority, n, maxSeen, nNewMax)
       }
+    }
       .toDF("o_orderpriority", "n", "max_price", "n_distinct_prices")
       .orderBy(col("o_orderpriority"))
   }

@@ -164,6 +164,23 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("merge: extra ON conjuncts that disambiguate duplicated keys do not false-positive") {
+    val target = Seq((1, "x", 10.0)).toDF("address_id", "city", "bal")
+    // both source rows share the key, but only the city='x' row satisfies ON
+    val dupSource = Seq((1, "x", 1.0), (1, "y", 2.0)).toDF("address_id", "city", "bal")
+    val out = MergeInto(target, dupSource, Seq("address_id"),
+      extraOn = Some(col("t.city") === col("s.city")),
+      matched = Seq(MergeInto.MatchedUpdate(None, Map("bal" -> col("s.bal")))))
+    assert(out.as[(Int, String, Double)].collect().toSeq == Seq((1, "x", 1.0)))
+    // and a genuinely ambiguous match under the full condition still fails
+    val ambiguous = Seq((1, "x", 1.0), (1, "x", 2.0)).toDF("address_id", "city", "bal")
+    assertThrows[IllegalStateException] {
+      MergeInto(target, ambiguous, Seq("address_id"),
+        extraOn = Some(col("t.city") === col("s.city")),
+        matched = Seq(MergeInto.MatchedUpdate(None, Map("bal" -> col("s.bal")))))
+    }
+  }
+
   test("merge: clause order — first matching WHEN wins") {
     val target = Seq((1, 10.0)).toDF("k", "v")
     val source = Seq((1, 99.0)).toDF("k", "v")
