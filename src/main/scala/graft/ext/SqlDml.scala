@@ -159,6 +159,13 @@ object SqlDml {
     }.map { case (name, tQuals) =>
       GraftDeleteCommand(name, GraftShims.column(unqualify(d.condition, tQuals)))
     }
+
+  private[ext] def lowerInsert(i: InsertIntoStatement, store: TableStore): Option[LogicalPlan] =
+    tableRef(i.table).filter { case (name, _) =>
+      name.contains(".") && store.exists(name) && i.partitionSpec.isEmpty
+    }.map { case (name, _) =>
+      GraftInsertCommand(name, i.query, i.userSpecifiedCols, i.overwrite, i.byName)
+    }
 }
 
 /** Analyzer rule: lower parsed SQL DML onto TableStore operators. Fires
@@ -172,6 +179,7 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
         case m: MergeIntoTable => SqlDml.lowerMerge(m, st).getOrElse(m)
         case u: UpdateTable => SqlDml.lowerUpdate(u, st).getOrElse(u)
         case d: DeleteFromTable => SqlDml.lowerDelete(d, st).getOrElse(d)
+        case i: InsertIntoStatement => SqlDml.lowerInsert(i, st).getOrElse(i)
       }
     }
 }
@@ -216,6 +224,47 @@ final case class GraftMergeCommand(
       case a => throw new UnsupportedOperationException(s"WHEN NOT MATCHED BY SOURCE does not allow $a")
     }
     store.merge(table, source, keys, extraOn, m, nm, bs)
+    Seq.empty
+  }
+}
+
+/** Eagerly-executed `INSERT INTO / INSERT OVERWRITE db.table` (the
+  * reference's seed-row statements, 01_Init.py:265-321): resolves the
+  * source query (VALUES lists included) against the live session, aligns
+  * columns positionally or by the explicit column list / BY NAME, casts to
+  * the target schema, and snapshots append-or-overwrite. */
+final case class GraftInsertCommand(
+    table: String,
+    queryPlan: LogicalPlan,
+    userCols: Seq[String],
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(queryPlan)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.attached(spark).getOrElse(
+      throw new IllegalStateException(s"no TableStore attached for INSERT INTO $table"))
+    val target = store.read(table)
+    val data = GraftShims.ofRows(spark, queryPlan)
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.length == data.columns.length,
+          s"INSERT INTO $table: ${userCols.length} columns specified, query returns ${data.columns.length}")
+        data.toDF(userCols: _*)
+      } else if (byName) data
+      else {
+        require(data.columns.length == target.columns.length,
+          s"INSERT INTO $table: target has ${target.columns.length} columns, query returns ${data.columns.length}")
+        data.toDF(target.columns.toSeq: _*)
+      }
+    // align to the target schema: absent columns become NULL, all cast
+    val aligned = named.select(target.schema.fields.toSeq.map { f =>
+      (if (named.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }: _*)
+    store.createOrReplace(table,
+      if (overwrite) aligned else target.unionByName(aligned))
     Seq.empty
   }
 }

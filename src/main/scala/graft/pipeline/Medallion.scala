@@ -75,6 +75,12 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
     // vs the reference's 2000-01-01 start (01_Init.py:188)
     store.createOrReplace("gold.dim_calendar",
       withAudit(Calendar.build(spark, start = "1995-01-01"), loadTs))
+    // declarative metadata like the reference's COMMENT + ADD PRIMARY KEY
+    // DDL (01_Init.py:196-197, 236-241) — recorded, not enforced
+    store.setMeta("gold.dim_calendar", graft.tables.TableMeta(
+      comment = Some("Calendar dimension, one row per day"),
+      columnComments = Map("date_key" -> "smart key 10000*Y + 100*M + D")))
+    store.setPrimaryKey("gold.dim_calendar", Seq("date_key"))
 
     // dim_geography ≈ nation ⋈ region with N/A defaults (reference 33:44-57)
     val geoUnknown = spark.sql(

@@ -69,9 +69,10 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("labeled"), col("detected"))
 
-  // x9: document fingerprints via the native rolling-hash expression
-  // (no SQL oracle — 64-bit wrapping arithmetic isn't expressible in
-  // DuckDB; pinned instead by a unit spec against a Scala reference).
+  // x9: document fingerprints via the native rolling-hash expression. The
+  // oracle replays the 64-bit wrapping fold in DuckDB as HUGEINT modular
+  // arithmetic (h*1000003+c mod 2^64, then two's-complement back to BIGINT)
+  // — exact, so even the native codegen expression is hash-gated.
   def x9Fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
         col("doc_id"),
@@ -134,6 +135,18 @@ object ExtensionQueries {
        |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x9_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $Norm AS t FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        list_transform(regexp_extract_all(t, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+         |      (acc, c) -> (acc * 1000003 + c) % 18446744073709551616) AS h
+         |  FROM n)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint
+         |FROM f ORDER BY doc_id""".stripMargin,
     "x10_media_features" ->
       """WITH h AS (
         |  SELECT doc_id AS media_id,

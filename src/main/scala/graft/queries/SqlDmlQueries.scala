@@ -100,9 +100,30 @@ object SqlDmlQueries {
     store.read("silver.orders").orderBy(col("o_orderkey"))
   }
 
+  // q37: SQL-text INSERT — the reference's unknown-member seed statement
+  // (01_Init.py:265-321) plus a bulk INSERT…SELECT append.
+  def q37SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("gold.dim_customer",
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("customer_key"), col("c_name").as("customer_name"),
+          col("c_mktsegment").as("mktsegment")))
+
+    s.sql("INSERT INTO gold.dim_customer VALUES (-9, 'N/A', 'N/A')")
+    t(s, dir, "customer").filter(col("c_custkey") % 5 === 1)
+      .createOrReplaceTempView("ins_cust_src")
+    s.sql(
+      """INSERT INTO gold.dim_customer (customer_key, customer_name, mktsegment)
+        |SELECT c_custkey, c_name, c_mktsegment FROM ins_cust_src""".stripMargin)
+
+    store.read("gold.dim_customer").orderBy(col("customer_key"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
-    "q35_sql_update_delete" -> q35SqlUpdateDelete _)
+    "q35_sql_update_delete" -> q35SqlUpdateDelete _,
+    "q37_sql_insert" -> q37SqlInsert _)
 
   private val B1 = "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 < 8"
   private val B2 =
@@ -143,6 +164,13 @@ object SqlDmlQueries {
          |    TIMESTAMP '$Ts2', CAST(NULL AS TIMESTAMP), TIMESTAMP '$Ts2', TIMESTAMP '$Ts2'
          |  FROM b2 WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.c_custkey = b2.c_custkey))
          |ORDER BY c_custkey, _tf_valid_from""".stripMargin,
+    "q37_sql_insert" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS customer_key, c_name AS customer_name, c_mktsegment AS mktsegment
+        |  FROM customer WHERE c_custkey % 5 IN (0, 1)
+        |  UNION ALL
+        |  SELECT CAST(-9 AS BIGINT), 'N/A', 'N/A')
+        |ORDER BY customer_key""".stripMargin,
     "q35_sql_update_delete" ->
       """WITH updated AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -23,6 +23,12 @@ import graft.operators.MergeInto
   * copy-on-write table formats behave without file-level pruning; at 100 TB
   * the same API would sit over partitioned rewrites keyed by the predicate.
   */
+/** Non-enforced declarative table metadata (comments, properties, PK). */
+final case class TableMeta(
+    comment: Option[String] = None,
+    columnComments: Map[String, String] = Map.empty,
+    properties: Map[String, String] = Map.empty)
+
 object TableStore {
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, TableStore]()
@@ -140,6 +146,45 @@ final class TableStore(spark: SparkSession, root: String) {
       notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil): Unit =
     createOrReplace(name,
       MergeInto(read(name), source, keys, extraOn, matched, notMatched, notMatchedBySource))
+
+  /** Table-level metadata sidecar: the reference's COMMENT clauses and
+    * TBLPROPERTIES/constraint DDL (01_Init.py:58-77, 236-241 — column
+    * comments, table comment, PRIMARY KEY recorded as metadata; Spark
+    * cannot enforce PK/FK either, SURVEY.md §1.1). Stored as a properties
+    * file beside the snapshots, so metadata survives every snapshot swap
+    * and is versioned with the table directory. */
+  def setMeta(name: String, meta: TableMeta): Unit = {
+    val p = new java.util.Properties()
+    meta.comment.foreach(p.setProperty("comment", _))
+    meta.columnComments.foreach { case (c, v) => p.setProperty(s"col.$c", v) }
+    meta.properties.foreach { case (k, v) => p.setProperty(s"prop.$k", v) }
+    val dir = tableDir(name)
+    Files.createDirectories(dir)
+    val out = Files.newOutputStream(dir.resolve("_META"))
+    try p.store(out, null) finally out.close()
+  }
+
+  def meta(name: String): TableMeta = {
+    val f = tableDir(name).resolve("_META")
+    if (!Files.exists(f)) TableMeta()
+    else {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      val entries = p.asScala.toMap
+      TableMeta(
+        comment = entries.get("comment"),
+        columnComments = entries.collect { case (k, v) if k.startsWith("col.") => k.stripPrefix("col.") -> v },
+        properties = entries.collect { case (k, v) if k.startsWith("prop.") => k.stripPrefix("prop.") -> v })
+    }
+  }
+
+  /** Record a (non-enforced) primary key, like the reference's
+    * `ALTER TABLE … ADD PRIMARY KEY` (01_Init.py:239-241). */
+  def setPrimaryKey(name: String, cols: Seq[String]): Unit =
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + ("primary_key" -> cols.mkString(","))))
 
   /** Drop all non-current snapshot versions. */
   def vacuum(name: String): Unit = {

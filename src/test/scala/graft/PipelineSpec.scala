@@ -62,5 +62,19 @@ class PipelineSpec extends AnyFunSuite {
     store.vacuum("db.t")
     assert(store.read("db.t").count() == 2, "vacuum keeps current version readable")
     assert(store.versions("db.t") == Seq(4), "vacuum drops non-current versions")
+
+    // declarative metadata (comments, properties, PK) round-trips and
+    // survives snapshot swaps, like the reference's COMMENT / ALTER TABLE
+    // ADD PRIMARY KEY DDL (01_Init.py:58-77, 236-241)
+    store.setMeta("db.t", graft.tables.TableMeta(
+      comment = Some("test table"),
+      columnComments = Map("k" -> "the key"),
+      properties = Map("quality" -> "gold")))
+    store.setPrimaryKey("db.t", Seq("k"))
+    store.createOrReplace("db.t", Seq((9, "z")).toDF("k", "v")) // swap again
+    val m = store.meta("db.t")
+    assert(m.comment.contains("test table"))
+    assert(m.columnComments == Map("k" -> "the key"))
+    assert(m.properties == Map("quality" -> "gold", "primary_key" -> "k"))
   }
 }

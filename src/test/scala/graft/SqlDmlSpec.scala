@@ -102,6 +102,24 @@ class SqlDmlSpec extends AnyFunSuite {
       Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("INSERT INTO: seed VALUES, column-list alignment with NULL fill, and OVERWRITE") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec4").toString)
+    store.createOrReplace("gold.dim",
+      Seq((1L, "a", "SEG")).toDF("customer_key", "customer_name", "mktsegment"))
+
+    // reference seed shape (01_Init.py:265-321): positional VALUES
+    spark.sql("INSERT INTO gold.dim VALUES (-9, 'N/A', 'N/A')")
+    // explicit column list: unspecified columns become NULL, ints cast to the schema
+    spark.sql("INSERT INTO gold.dim (customer_key, customer_name) VALUES (2, 'b')")
+    assert(store.read("gold.dim")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "SEG"), (-9L, "N/A", "N/A"), (2L, "b", null)))
+
+    spark.sql("INSERT OVERWRITE gold.dim VALUES (7, 'only', 'ROW')")
+    assert(store.read("gold.dim").as[(Long, String, String)].collect().toSeq ==
+      Seq((7L, "only", "ROW")))
+  }
+
   test("MERGE with no key equality in ON is rejected") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec3").toString)
     store.createOrReplace("db.t1", Seq((1, 2)).toDF("a", "b"))
