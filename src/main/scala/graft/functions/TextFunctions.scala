@@ -55,6 +55,20 @@ object TextFunctions {
     round((lenScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3), 6)
   }
 
+  /** PII/noise scrub for training corpora: URLs, e-mail addresses and long
+    * digit runs (ids, phone numbers) are replaced with stable placeholder
+    * tokens. RE2-compatible patterns (no lookaround) so the DuckDB oracle
+    * applies the identical regexes. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+  def cleanText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
   /** N-gram/stopword language heuristic over en/es/de/fr + CJK detection.
     * Deterministic tie-break: zh > en > es > de > fr > und. */
   def langId(c: Column): Column = {

@@ -149,6 +149,44 @@ object Dedup {
     voted.select(col("doc"), fp.as("simhash"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over a pair list, by
+    * alternating min-label propagation — each round is one edge⋈label join
+    * plus a min-aggregation, both plain shuffles, and the loop runs
+    * O(component diameter) rounds with a convergence check (near-dup
+    * components are shallow — habitually 2-4 hops — so this terminates in
+    * a handful of rounds; `maxIter` caps pathological chains). Every doc
+    * appears in the output: singletons label themselves. The driver loop
+    * only sequences Spark jobs — per-round work is fully distributed, the
+    * same shape GraphX/GraphFrames connected components uses.
+    *
+    * cluster_id = min doc id of the component — the canonical document a
+    * curation pipeline keeps (pair generators: [[ngramJaccardPairs]],
+    * [[minhashLsh]], [[simhashPairs]], or embedding near-dup pairs). */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborLabels = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.alias("n").join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded: split
     * the 32 bits into (maxDist+1) bands — pigeonhole guarantees any pair
     * within distance shares ≥1 exact band, so the join is bucketed, not

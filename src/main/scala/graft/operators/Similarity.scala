@@ -181,6 +181,38 @@ object Similarity {
     deduped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization: each component maps to
+    * round(x / max|x| · 127) ∈ [-127, 127]. 4× smaller vectors — at
+    * 100 TB the scan is memory-bandwidth-bound, so quantization is the
+    * standard first scale lever before any indexing. Stored as FLOAT so the
+    * codegen dot product is reused; every value is an exact small integer,
+    * which keeps the arithmetic (and the DuckDB oracle) exact. */
+  def quantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+        greatest(array_max(transform(col(vecCol), x => abs(x.cast("double")))), lit(1e-30)).as("__s"),
+        col(vecCol))
+      .select(col(idCol),
+        transform(col(vecCol), x => round(x.cast("double") / col("__s") * 127).cast("int"))
+          .cast("array<float>").as("qvec"))
+
+  /** Brute-force top-k over int8-quantized vectors: the cheap re-rankable
+    * first pass (quantized cosine orders candidates almost identically to
+    * full precision — pinned by the recall spec). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cq = quantize(corpus, idCol, vecCol)
+      .select(col(idCol), col("qvec"), norm(col("qvec")).as("cnrm"))
+    val qq = quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("qvec_q"), norm(col("qvec")).as("qnrm"))
+    val scored = cq.alias("c").join(broadcast(qq), col("query_id") =!= col(s"c.$idCol"))
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        round(dot(col("qvec_q"), col(s"c.qvec")) / (col("qnrm") * col("cnrm")), 6).as("qcos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("qcos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact quadratic
     * form for oracle duty; bucket with [[lshBucket]] first at scale.
     * Norms are computed once per vector (n rows), not once per pair (n²):

@@ -90,6 +90,50 @@ object ExtensionQueries {
         col("channels"), round(col("px_mean"), 6).as("px_mean"), col("px_max"))
       .orderBy(col("media_id"))
 
+  // x22: near-duplicate clusters — connected components over the MinHash
+  // LSH pair list (x3's parameters); cluster_id = min doc id = the
+  // canonical document a curation pipeline keeps. The DuckDB oracle
+  // computes the same components with a recursive transitive closure.
+  def x22DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, bands = 4, rows = 2, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.dupClusters(docs.select(col("doc_id")), pairs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  // x23: PII/noise scrub — URLs, e-mails and long digit runs replaced by
+  // placeholder tokens, with per-document hit counts (the cheap pre-filter
+  // pass every crawl corpus goes through before tokenization).
+  def x23TextClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.cleanText(col("text")).as("clean_text"),
+        regexp_count(col("text"), lit(TextFunctions.UrlRe)).as("n_urls"),
+        regexp_count(col("text"), lit(TextFunctions.EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(TextFunctions.LongNumRe)).as("n_longnums"))
+      .orderBy(col("doc_id"))
+
+  // x24: repetition statistics — distinct-word ratio and top-word mass, the
+  // standard cheap repetition/boilerplate quality signals. One explode +
+  // two partial-aggregated groupBys, linear in corpus token count.
+  def x24Repetition(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextFunctions.normalizeText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+          .as("rep_ratio"),
+        round(col("top_count").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_word_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // x20: deterministic corpus splitting — md5-bucket assignment to
   // train/val/test (80/10/10) plus a stable shuffle position, the standard
   // reproducible-split pattern for training pipelines (content-hash, no
@@ -109,6 +153,9 @@ object ExtensionQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_dup_clusters" -> x22DupClusters _,
+    "x23_text_clean" -> x23TextClean _,
+    "x24_repetition" -> x24Repetition _,
     "x20_dataset_split" -> x20DatasetSplit _,
     "x1_dedup_exact" -> x1DedupExact _,
     "x2_ngram_jaccard" -> x2NgramJaccard _,
@@ -133,6 +180,30 @@ object ExtensionQueries {
        |  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** MinHash signatures → banded buckets → verified pairs (x3's exact
+    * parameters), as a reusable CTE chain ending in `lsh_pairs`. */
+  private val MinhashCtes =
+    s"""$ShingleCte,
+       |sig AS (
+       |  SELECT doc,
+       |    ${(0 until 8).map(i => s"MIN(md5('graft$i|' || shingle)) AS mh_$i").mkString(", ")}
+       |  FROM sh GROUP BY doc),
+       |buckets AS (
+       |  ${(0 until 4).map(b =>
+            s"SELECT doc, $b AS band, mh_${b * 2} || '|' || mh_${b * 2 + 1} AS key FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+       |lsh_pairs AS (
+       |  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       |    ROUND(COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)), 6) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+       |  JOIN sizes sa ON c.doc_a = sa.doc JOIN sizes sb ON c.doc_b = sb.doc
+       |  WHERE COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= 0.6)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x9_fingerprint" ->
@@ -162,6 +233,29 @@ object ExtensionQueries {
         |  ROUND(list_sum(px) / 16.0, 6) AS px_mean,
         |  list_max(px) AS px_max
         |FROM h ORDER BY media_id""".stripMargin,
+    "x23_text_clean" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnums
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x24_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, tok
+         |  FROM (SELECT doc_id, $Norm AS t FROM documents), UNNEST(string_split(t, ' ')) AS u(tok)
+         |  WHERE LENGTH(tok) > 0),
+         |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+         |SELECT doc_id,
+         |  CAST(SUM(c) AS BIGINT) AS n_words,
+         |  COUNT(*) AS n_distinct,
+         |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio,
+         |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_word_frac
+         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x20_dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -187,26 +281,20 @@ object ExtensionQueries {
          |WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x3_minhash_lsh" ->
-      s"""WITH $ShingleCte,
-         |sig AS (
-         |  SELECT doc,
-         |    ${(0 until 8).map(i => s"MIN(md5('graft$i|' || shingle)) AS mh_$i").mkString(", ")}
-         |  FROM sh GROUP BY doc),
-         |buckets AS (
-         |  ${(0 until 4).map(b =>
-              s"SELECT doc, $b AS band, mh_${b * 2} || '|' || mh_${b * 2 + 1} AS key FROM sig")
-              .mkString("\n  UNION ALL\n  ")}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc)
-         |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-         |  ROUND(COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)), 6) AS jaccard
-         |FROM cand c
-         |LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
-         |JOIN sizes sa ON c.doc_a = sa.doc JOIN sizes sb ON c.doc_b = sb.doc
-         |WHERE COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= 0.6
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+      s"""WITH $MinhashCtes
+         |SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x22_dup_clusters" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+         |  UNION SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "x4_simhash_pairs" ->
       s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
          |tok AS (

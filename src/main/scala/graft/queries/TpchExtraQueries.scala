@@ -122,8 +122,19 @@ object TpchExtraQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // x25: int8-quantized brute-force top-k (x5's shape over 4× smaller
+  // vectors). All quantized values are exact small integers, so the DuckDB
+  // oracle reproduces the scores bit-for-bit.
+  def x25QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("qcos_sim"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x21_lsh_topk" -> x21LshTopK _,
+    "x25_quantized_topk" -> x25QuantizedTopK _,
     "q27_disjunctive" -> q27Disjunctive _,
     "q28_having" -> q28Having _,
     "q29_avg_qty_fraction" -> q29AvgQtyFraction _,
@@ -264,6 +275,30 @@ object TpchExtraQueries {
         |  ON CAST(o_orderdate AS DATE) BETWEEN week_start AND week_end
         |GROUP BY week_start ORDER BY week_start""".stripMargin,
     "x17_ivf_topk" -> ivfOracle(nCentroids = 8, iterations = 2, k = 5),
+    "x25_quantized_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(ROUND(
+        |      CAST(x AS DOUBLE) / greatest(
+        |        list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) * 127)
+        |      AS INT)) AS qvec
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qvec,
+        |    sqrt(list_sum(list_transform(range(1, len(qvec)+1),
+        |      i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))) AS nrm
+        |  FROM q),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_sum(list_transform(range(1, len(a.qvec)+1),
+        |      i -> CAST(a.qvec[i] AS DOUBLE) * CAST(c.qvec[i] AS DOUBLE)))
+        |      / (a.nrm * c.nrm), 6) AS qcos_sim
+        |  FROM n a JOIN n c ON a.vec_id < 10 AND c.vec_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos_sim DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, qcos_sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     "x18_lsh_neardup" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding,

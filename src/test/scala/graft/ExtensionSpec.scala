@@ -82,6 +82,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(trained >= 0.3, s"trained probe-1 recall collapsed: $trained")
   }
 
+  test("int8 quantization: values bounded, recall vs full precision stays high") {
+    val q = Similarity.quantize(emb)
+    val bounds = q.select(array_max($"qvec").as("mx"), array_min($"qvec").as("mn"))
+      .agg(max($"mx"), min($"mn")).as[(Float, Float)].head()
+    assert(bounds._1 <= 127f && bounds._2 >= -127f)
+    val queries = emb.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val got = Similarity.quantizedTopK(emb, queries, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val recall = got.intersect(truth).count().toDouble / truth.count()
+    assert(recall >= 0.8, s"int8 recall collapsed: $recall")
+  }
+
   test("multimodal: PNG encode→imageio decode round-trips pixels exactly") {
     val payload = Array.tabulate[Byte](16)(i => ((i * 17 + 3) % 256).toByte)
     val png = Multimodal.encodePng(payload)
@@ -108,6 +122,18 @@ class ExtensionSpec extends AnyFunSuite {
     val metaOnly = media.select($"media_id", $"meta.declared_bytes")
     assert(metaOnly.count() == docs.count())
     feats.unpersist()
+  }
+
+  test("dup clusters: pairs land in one component, labels are component minima, singletons self-label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val ids = spark.range(1, 15).toDF("doc_id")
+    val out = Dedup.dupClusters(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // chain 1-2-3 collapses transitively; 10-11 is its own component
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    // untouched docs are their own cluster
+    assert((4L to 9L).forall(d => out(d) == d) && (12L to 14L).forall(d => out(d) == d))
   }
 
   test("exact dedup canonicalizes duplicated normalized text") {
