@@ -164,11 +164,18 @@ object Dedup {
     * [[minhashLsh]], [[simhashPairs]], or embedding near-dup pairs). */
   def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String = "doc_a", bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    // Only docs that appear in a pair can ever change label — iterate over
+    // that (much smaller) vertex set and left-join the full corpus once at
+    // the end; singletons self-label through the coalesce.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // materialize once; pair generation can be expensive
+    // localCheckpoint (not persist): iterative algorithms re-optimize the
+    // whole lineage each round otherwise — plan analysis cost grows
+    // superlinearly with iteration count while the data stays tiny
+    var labels = edges.select(col("src")).distinct()
+      .select(col("src").as("id"), col("src").as("label"))
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -176,15 +183,15 @@ object Dedup {
         .select(edges("src").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.alias("n").join(labels.alias("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    docs.select(col(idCol))
+      .join(labels, docs(idCol) === labels("id"), "left_outer")
+      .select(docs(idCol), coalesce(col("label"), docs(idCol)).as("cluster_id"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded: split
