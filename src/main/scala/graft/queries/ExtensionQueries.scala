@@ -134,6 +134,37 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x26: the end-to-end curation pipeline — the composite shape a training
+  // corpus actually runs: quality gate → exact dedup (canonical = min id
+  // per digest) → near-dup clustering over MinHash LSH pairs (keep cluster
+  // canonicals) → deterministic train/val/test split. One oracle checks
+  // the entire lineage.
+  def x26Curation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val qualified = docs
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    val exactCanon = qualified
+      .withColumn("text_md5", md5(TextFunctions.normalizeText(col("text"))))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("text"), col("quality"))
+      .persist() // feeds pair generation, clustering, and the final keep-join
+    val pairs = Dedup.minhashLsh(exactCanon, "doc_id", "text",
+        n = 3, bands = 4, rows = 2, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val canonicals = Dedup.dupClusters(exactCanon.select(col("doc_id")), pairs, "doc_id")
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    exactCanon.join(canonicals, Seq("doc_id"))
+      .select(col("doc_id"), col("quality"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // x20: deterministic corpus splitting — md5-bucket assignment to
   // train/val/test (80/10/10) plus a stable shuffle position, the standard
   // reproducible-split pattern for training pipelines (content-hash, no
@@ -154,6 +185,7 @@ object ExtensionQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_dup_clusters" -> x22DupClusters _,
+    "x26_curation" -> x26Curation _,
     "x23_text_clean" -> x23TextClean _,
     "x24_repetition" -> x24Repetition _,
     "x20_dataset_split" -> x20DatasetSplit _,
@@ -170,9 +202,9 @@ object ExtensionQueries {
 
   private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
-  private val ShingleCte =
-    s"""norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
-       |w AS (SELECT doc, string_split(t, ' ') AS w FROM norm),
+  /** Shingle/size/intersection CTEs over a source CTE exposing (doc, t). */
+  private def shingleCtes(src: String): String =
+    s"""w AS (SELECT doc, string_split(t, ' ') AS w FROM $src),
        |sh AS (SELECT DISTINCT doc, array_to_string(w[i:i+2], ' ') AS shingle
        |       FROM w, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
        |sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
@@ -181,11 +213,14 @@ object ExtensionQueries {
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
        |  GROUP BY 1, 2)""".stripMargin
 
+  private val ShingleCte =
+    s"""norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
+       |${shingleCtes("norm")}""".stripMargin
+
   /** MinHash signatures → banded buckets → verified pairs (x3's exact
-    * parameters), as a reusable CTE chain ending in `lsh_pairs`. */
-  private val MinhashCtes =
-    s"""$ShingleCte,
-       |sig AS (
+    * parameters) over the shingle CTEs, ending in `lsh_pairs`. */
+  private def minhashTail: String =
+    s"""sig AS (
        |  SELECT doc,
        |    ${(0 until 8).map(i => s"MIN(md5('graft$i|' || shingle)) AS mh_$i").mkString(", ")}
        |  FROM sh GROUP BY doc),
@@ -204,6 +239,10 @@ object ExtensionQueries {
        |  LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
        |  JOIN sizes sa ON c.doc_a = sa.doc JOIN sizes sb ON c.doc_b = sb.doc
        |  WHERE COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= 0.6)""".stripMargin
+
+  private val MinhashCtes =
+    s"""$ShingleCte,
+       |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x9_fingerprint" ->
@@ -233,6 +272,43 @@ object ExtensionQueries {
         |  ROUND(list_sum(px) / 16.0, 6) AS px_mean,
         |  list_max(px) AS px_max
         |FROM h ORDER BY media_id""".stripMargin,
+    "x26_curation" ->
+      s"""WITH RECURSIVE
+         |base AS (
+         |  SELECT doc_id, text, $Norm AS t,
+         |    CASE WHEN LENGTH($Norm) = 0 THEN 0
+         |         ELSE len(string_split($Norm, ' ')) END AS wc
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, t,
+         |    ROUND(least(LENGTH(text) / 200.0, 1.0) * 0.4 +
+         |          least(CASE WHEN wc = 0 THEN 0.0
+         |                ELSE len(regexp_extract_all(t, '\\b(the|a|an|and|of|to|in|is|it|that|for|on|as|with|was|at|by|be)\\b')) * 1.0 / wc END * 5.0, 1.0) * 0.3 +
+         |          greatest(1.0 - CASE WHEN LENGTH(text) = 0 THEN 0.0
+         |                ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / LENGTH(text) END * 5.0, 0.0) * 0.3, 6) AS quality
+         |  FROM base),
+         |qual AS (SELECT doc_id, t, quality FROM scored WHERE quality >= 0.5),
+         |exact AS (
+         |  SELECT doc_id AS doc, t, quality FROM (
+         |    SELECT doc_id, t, quality,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+         |    FROM qual) WHERE rn = 1),
+         |${shingleCtes("exact")},
+         |$minhashTail,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+         |  UNION SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc, doc FROM exact
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |clusters AS (SELECT src AS doc, MIN(dst) AS cluster FROM reach GROUP BY src)
+         |SELECT e.doc AS doc_id, e.quality, CASE
+         |    WHEN CAST(('0x' || substring(md5(CAST(e.doc AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST(('0x' || substring(md5(CAST(e.doc AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM exact e JOIN clusters c ON e.doc = c.doc AND c.doc = c.cluster
+         |ORDER BY doc_id""".stripMargin,
     "x23_text_clean" ->
       """SELECT doc_id,
         |  regexp_replace(
