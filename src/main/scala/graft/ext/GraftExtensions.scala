@@ -8,7 +8,10 @@ import graft.functions.{DotProductFloat, RollingHash}
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions in the SQL function registry, so the SQL warehouse
   * surface (SURVEY.md §7.1 step 5) can call them by name —
-  * `SELECT rolling_hash(text), dot_f(a, b) FROM …` — with full codegen.
+  * `SELECT rolling_hash(text), dot_f(a, b) FROM …` — with full codegen,
+  * and injects the [[GraftSqlDml]] analyzer rule that executes SQL-text
+  * `MERGE INTO` / `UPDATE` / `DELETE FROM` / `INSERT INTO` against
+  * TableStore tables (the reference's workhorse statement shapes).
   *
   * Wire up with `.withExtensions(new GraftExtensions)` on the session
   * builder, or `spark.sql.extensions=graft.ext.GraftExtensions`.

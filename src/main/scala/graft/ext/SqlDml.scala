@@ -110,6 +110,8 @@ object SqlDml {
     tableRef(m.targetTable).filter { case (name, _) =>
       name.contains(".") && store.exists(name)
     }.map { case (name, tQuals) =>
+      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+        s"MERGE INTO $name: WITH SCHEMA EVOLUTION is not supported by the snapshot store")
       val sQuals = sourceQuals(m.sourceTable)
       def cv(e: Expression): Column = GraftShims.column(requalify(e, tQuals, sQuals))
 

@@ -50,11 +50,20 @@ object EventQueries {
     EventStreams.slidingAgg(t(s, dir, "events"))
       .orderBy(col("win_start"))
 
+  // x27: attribution interval join — batch twin of the stream-stream join
+  // (EventStreams.attributionJoin; StreamingSpec pins stream == batch).
+  def x27Attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    EventStreams.attributionJoin(e, e)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x16_events_sliding" -> x16EventsSliding _,
     "x11_events_tumbling" -> x11EventsTumbling _,
     "x12_events_sessions" -> x12EventsSessions _,
-    "x13_events_json" -> x13EventsJson _)
+    "x13_events_json" -> x13EventsJson _,
+    "x27_attribution_join" -> x27Attribution _)
 
   val oracles: Map[String, String] = Map(
     "x16_events_sliding" ->
@@ -87,6 +96,15 @@ object EventQueries {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "x27_attribution_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT click_id, c.user_id, click_ts, purchase_id, purchase_ts, purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "x13_events_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

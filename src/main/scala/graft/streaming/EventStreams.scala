@@ -68,6 +68,29 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join (attribution shape): each click pairs
+    * with the same user's purchases inside [click, click+windowMinutes].
+    * Watermarks on BOTH sides + the time-range conjunct bound the join
+    * state — Spark evicts buffered rows once the watermark passes the
+    * interval, the standard state-bounding recipe for stream-stream joins.
+    * Works identically over batch DataFrames (the oracle twin x27). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = normalizeTs(clicks).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = normalizeTs(purchases).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Timestamp, end: Timestamp, n: Long)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -75,6 +75,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join == batch twin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+    val rows = Seq(
+      (1L, 7L, ts(0), 0.0, "click"),
+      (2L, 7L, ts(10), 25.0, "purchase"),  // inside 30-min window of click 1
+      (3L, 7L, ts(50), 30.0, "purchase"),  // outside
+      (4L, 8L, ts(5), 0.0, "click"),
+      (5L, 9L, ts(6), 40.0, "purchase"))   // different user
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double, String)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double, String)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "value", "event_type")
+    val q = graft.streaming.EventStreams
+      .attributionJoin(named(clicks.toDF()), named(purchases.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      clicks.addData(rows: _*)
+      purchases.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+      val batch = graft.streaming.EventStreams.attributionJoin(
+        named(rows.toDF()), named(rows.toDF()))
+      assert(streamed.count() == 1, "only purchase 2 attributes to click 1")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream-stream join must equal the batch twin")
+    } finally q.stop()
+  }
+
   test("scd2 sink restart: checkpoint resume works and a forced replay is a no-op (exactly-once)") {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types._
