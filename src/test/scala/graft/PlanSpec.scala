@@ -120,6 +120,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("x25 quantized topk: the query side broadcasts, corpus side stays partition-local") {
+    val plan = executed(SparkEntry.queries("x25_quantized_topk")(spark, dir))
+    assert(plan.contains("Broadcast"), "quantized queries must broadcast")
+  }
+
+  test("x27 attribution join: equi-keyed join, never a cartesian product") {
+    val plan = executed(SparkEntry.queries("x27_attribution_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "the user_id equi-key must drive the join; range conjuncts are post-filters")
+  }
+
+  test("x26 curation: the deduped canonical set is computed once and reused from cache") {
+    val plan = executed(SparkEntry.queries("x26_curation")(spark, dir))
+    assert(plan.contains("InMemoryTableScan"),
+      "exactCanon feeds pairs/clusters/output and must come from the persisted copy")
+  }
+
   test("multi-probe LSH topk: superset of single-probe results") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
