@@ -65,6 +65,38 @@ object AdvancedQueries {
     s.sql(WarehouseSql)
   }
 
+  // q38: explicit GROUPING SETS (beyond rollup q9 / cube q10) — one ANSI
+  // text submitted verbatim to both engines, like q24.
+  private val GroupingSetsSql =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 6) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY priority, status""".stripMargin
+
+  def q38GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(GroupingSetsSql)
+  }
+
+  // q39: value-RANGE window frame — trailing 90-day revenue per customer
+  // (rows-frames are q7; RANGE frames bound by the ORDER BY value are a
+  // distinct execution surface). Day numbers are integers so the frame
+  // semantics are engine-identical.
+  def q39RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("timestamp")).as("day_num"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-90, Window.currentRow)
+    o.select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w), 6)
+          .cast("double").as("trailing_90d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // q25: exact interpolated percentiles (Spark `percentile` == DuckDB
   // `quantile_cont`), rounded for cross-engine float stability.
   def q25Percentiles(s: SparkSession, dir: String): DataFrame =
@@ -94,7 +126,9 @@ object AdvancedQueries {
     "x15_salted_agg" -> x15SaltedAgg _,
     "q24_sql_warehouse" -> q24SqlWarehouse _,
     "q25_percentiles" -> q25Percentiles _,
-    "q26_approx" -> q26Approx _)
+    "q26_approx" -> q26Approx _,
+    "q38_grouping_sets" -> q38GroupingSets _,
+    "q39_range_frame" -> q39RangeFrame _)
 
   val oracles: Map[String, String] = Map(
     "x14_asof_join" ->
@@ -115,6 +149,17 @@ object AdvancedQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q24_sql_warehouse" -> WarehouseSql,
+    "q38_grouping_sets" -> GroupingSetsSql,
+    "q39_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day_num,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day_num
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS trailing_90d
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "q25_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
