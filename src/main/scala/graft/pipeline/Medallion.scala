@@ -137,7 +137,12 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String) {
         coalesce(col("li.l_discount"), lit(0.0)).cast("decimal(19,4)").as("sales_discount"),
         (coalesce(col("li.l_extendedprice"), lit(0.0)) * (lit(1.0) - coalesce(col("li.l_discount"), lit(0.0))))
           .cast("decimal(38,6)").as("sales_net_price"))
-    store.createOrReplace("gold.fact_sales", withAudit(fact, loadTs))
+    // fact snapshot sorted by its grain key inside each file: parquet
+    // row-group min/max stats on the key become selective, the file-level
+    // pruning lever after directory partitioning (reference facts rely on
+    // Delta data skipping for the same effect)
+    store.createOrReplace("gold.fact_sales", withAudit(fact, loadTs),
+      sortWithin = Seq("sales_order_key", "sales_line_number"))
   }
 
   def run(loadTs: Column): Unit = {

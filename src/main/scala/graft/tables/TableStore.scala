@@ -78,10 +78,16 @@ final class TableStore(spark: SparkSession, root: String) {
   /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot.
     * `partitionBy` lays the snapshot out hive-style so predicate columns
     * prune whole directories at the scan — at 100 TB this is what keeps a
-    * current-version SCD2 read from touching history files at all. */
-  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    * current-version SCD2 read from touching history files at all.
+    * `sortWithin` sorts rows inside each task before writing, so parquet
+    * row-group min/max statistics on those columns become selective — the
+    * file-level pruning lever once directory partitioning is exhausted. */
+  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Nil): Unit = {
     val next = currentVersion(name).getOrElse(0) + 1
-    val w = df.write.mode("overwrite")
+    val sorted =
+      if (sortWithin.nonEmpty) df.sortWithinPartitions(sortWithin.map(df(_)): _*) else df
+    val w = sorted.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tableDir(name).resolve(s"v_$next").toString)
     swapTo(name, next)

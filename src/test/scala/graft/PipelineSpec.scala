@@ -76,5 +76,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.comment.contains("test table"))
     assert(m.columnComments == Map("k" -> "the key"))
     assert(m.properties == Map("quality" -> "gold", "primary_key" -> "k"))
+
+    // sortWithin: every written file is internally sorted on the key, so
+    // parquet row-group min/max stats are selective
+    val shuffled = spark.range(0, 10000).select(
+      (col("id") * 48271 % 10007).as("k"), col("id").as("v"))
+    store.createOrReplace("db.sorted", shuffled, sortWithin = Seq("k"))
+    val dataFiles = Files.list(
+        java.nio.file.Paths.get(root, "db", "sorted", s"v_${store.versions("db.sorted").last}"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val ks = spark.read.parquet(f).select($"k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"file $f must be internally sorted")
+    }
   }
 }
