@@ -19,9 +19,14 @@ import graft.functions.{DotProductFloat, RollingHash}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    // SQL-text MERGE INTO / UPDATE / DELETE over TableStore tables — the
-    // reference's workhorse statement shape (22_ETL_Silver_PySpark.py:62).
+    // SQL-text MERGE INTO / UPDATE / DELETE / INSERT over TableStore
+    // tables — the reference's workhorse statement shape
+    // (22_ETL_Silver_PySpark.py:62).
     e.injectResolutionRule(new GraftSqlDml(_))
+    // CTAS / RTAS must be claimed at parse time (the analyzer's session-
+    // catalog conversion wins otherwise); non-store targets fall back to
+    // stock behavior at run time.
+    e.injectParser((_, parser) => new GraftSqlParser(parser))
     e.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

@@ -168,6 +168,50 @@ object SqlDml {
     }.map { case (name, _) =>
       GraftInsertCommand(name, i.query, i.userSpecifiedCols, i.overwrite, i.byName)
     }
+
+  /** CTAS / RTAS capture at PARSE time — the analyzer converts (or
+    * rejects) these nodes for the session catalog before an injected
+    * resolution rule can see them, so the parser wrapper claims candidate
+    * statements up front and the command decides at run time: a target
+    * inside an attached store's namespace executes as a snapshot write,
+    * anything else re-submits the untouched original plan to Spark. */
+  private[ext] def captureCtas(name: LogicalPlan, query: LogicalPlan,
+      orReplace: Boolean, orCreate: Boolean, ignoreIfExists: Boolean,
+      original: LogicalPlan): Option[LogicalPlan] =
+    (name match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier => Some(u.nameParts)
+      case _ => None
+    }).filter(_.length == 2).map { parts =>
+      GraftCtasCommand(parts.mkString("."), query, orReplace, orCreate,
+        ignoreIfExists, original)
+    }
+}
+
+/** Delegating parser that lowers CTAS / RTAS statements onto
+  * [[GraftCtasCommand]] (see [[SqlDml.captureCtas]]); everything else
+  * passes through untouched. */
+class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+  extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case c: CreateTableAsSelect =>
+        SqlDml.captureCtas(c.name, c.query, orReplace = false, orCreate = true,
+          c.ignoreIfExists, c).getOrElse(c)
+      case r: ReplaceTableAsSelect =>
+        SqlDml.captureCtas(r.name, r.query, orReplace = true, r.orCreate,
+          ignoreIfExists = false, r).getOrElse(r)
+      case other => other
+    }
+
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String) = delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String) = delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String) = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String) = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String) = delegate.parseTableSchema(s)
+  override def parseDataType(s: String) = delegate.parseDataType(s)
 }
 
 /** Analyzer rule: lower parsed SQL DML onto TableStore operators. Fires
@@ -227,6 +271,40 @@ final case class GraftMergeCommand(
     }
     store.merge(table, source, keys, extraOn, m, nm, bs)
     Seq.empty
+  }
+}
+
+/** Eagerly-executed `CREATE [OR REPLACE] TABLE db.t AS SELECT …`: targets
+  * inside an attached store's namespace snapshot-write (the reference's
+  * dim_calendar CTAS shape, 01_Init.py:180); anything else re-submits the
+  * captured original plan, preserving stock Spark behavior. */
+final case class GraftCtasCommand(
+    table: String,
+    queryPlan: LogicalPlan,
+    orReplace: Boolean,
+    orCreate: Boolean,
+    ignoreIfExists: Boolean,
+    original: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(queryPlan)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val db = table.split('.').head
+    TableStore.attached(spark).filter(_.dbExists(db)) match {
+      case None =>
+        // not a store namespace — run the untouched original statement
+        GraftShims.ofRows(spark, original).collect()
+        Seq.empty
+      case Some(store) =>
+        if (!orReplace && store.exists(table)) {
+          if (ignoreIfExists) return Seq.empty
+          throw new IllegalStateException(s"CREATE TABLE $table: table already exists")
+        }
+        if (orReplace && !orCreate && !store.exists(table))
+          throw new IllegalArgumentException(s"REPLACE TABLE $table: table not found")
+        store.createOrReplace(table, GraftShims.ofRows(spark, queryPlan))
+        Seq.empty
+    }
   }
 }
 

@@ -97,6 +97,21 @@ object AdvancedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  // q40: ranking-function window surface — ntile, percent_rank, cume_dist,
+  // dense_rank over one pass (complements q7's rank/lag/running frames).
+  def q40RankingWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        // ranks cast to BIGINT: DuckDB's NTILE/DENSE_RANK are 64-bit
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .orderBy(col("c_custkey"))
+  }
+
   // q25: exact interpolated percentiles (Spark `percentile` == DuckDB
   // `quantile_cont`), rounded for cross-engine float stability.
   def q25Percentiles(s: SparkSession, dir: String): DataFrame =
@@ -128,7 +143,8 @@ object AdvancedQueries {
     "q25_percentiles" -> q25Percentiles _,
     "q26_approx" -> q26Approx _,
     "q38_grouping_sets" -> q38GroupingSets _,
-    "q39_range_frame" -> q39RangeFrame _)
+    "q39_range_frame" -> q39RangeFrame _,
+    "q40_ranking_windows" -> q40RankingWindows _)
 
   val oracles: Map[String, String] = Map(
     "x14_asof_join" ->
@@ -150,6 +166,15 @@ object AdvancedQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q24_sql_warehouse" -> WarehouseSql,
     "q38_grouping_sets" -> GroupingSetsSql,
+    "q40_ranking_windows" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  DENSE_RANK() OVER w AS drank
+        |FROM customer WHERE c_custkey % 20 = 0
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q39_range_frame" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice,

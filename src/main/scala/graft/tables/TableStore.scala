@@ -68,6 +68,10 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = currentVersion(name).isDefined
 
+  /** Whether a database namespace exists under the store root (SQL CTAS
+    * lowers only into existing store namespaces). */
+  def dbExists(db: String): Boolean = Files.exists(Paths.get(root, db))
+
   /** K2: declare an empty table from an explicit schema (the reference's
     * CREATE OR REPLACE TABLE DDL, constraints recorded as metadata only —
     * Spark cannot enforce PK/FK, SURVEY.md §1.1). */

@@ -120,6 +120,37 @@ class SqlDmlSpec extends AnyFunSuite {
       Seq((7L, "only", "ROW")))
   }
 
+  test("CTAS lowers into existing store namespaces: create, IF NOT EXISTS, OR REPLACE") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec5").toString)
+    // the 'gold' namespace must pre-exist for the rule to claim the CTAS
+    store.createOrReplace("gold.seed", Seq((1, "a")).toDF("k", "v"))
+    Seq((1, 10.0), (2, 20.0)).toDF("k", "amount").createOrReplaceTempView("ctas_src")
+
+    spark.sql("CREATE TABLE gold.summary AS SELECT k, amount * 2 AS amount FROM ctas_src")
+    assert(store.read("gold.summary").as[(Int, Double)].collect().toSet ==
+      Set((1, 20.0), (2, 40.0)))
+
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gold.summary AS SELECT * FROM ctas_src")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // IF NOT EXISTS: silent no-op
+    spark.sql("CREATE TABLE IF NOT EXISTS gold.summary AS SELECT * FROM ctas_src")
+    assert(store.read("gold.summary").columns.toSeq == Seq("k", "amount"))
+    // OR REPLACE: reference dim_calendar shape (01_Init.py:180)
+    spark.sql("CREATE OR REPLACE TABLE gold.summary AS SELECT k FROM ctas_src WHERE k = 1")
+    assert(store.read("gold.summary").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("CTAS outside store namespaces falls back to the session catalog") {
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("ctas_fb_src")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ctasfb")
+    try {
+      spark.sql("CREATE TABLE ctasfb.t AS SELECT * FROM ctas_fb_src")
+      assert(spark.table("ctasfb.t").count() == 1, "stock Spark CTAS must still work")
+    } finally spark.sql("DROP DATABASE IF EXISTS ctasfb CASCADE")
+  }
+
   test("MERGE with no key equality in ON is rejected") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec3").toString)
     store.createOrReplace("db.t1", Seq((1, 2)).toDF("a", "b"))
