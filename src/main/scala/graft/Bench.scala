@@ -25,28 +25,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must fail the BENCH, not just stderr — otherwise a
+    // regression silently reports a fast "time" for a broken query. The
+    // error is carried per-query into the JSON and the process exits 1.
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] query failed: ${e.getMessage}")
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = runOnce(fn)
-      val warm = runOnce(fn) // may reuse the cold run's cached frames — the
-                             // steady-state a resident engine delivers
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      val (cold, coldErr) = runOnce(fn)
+      val (warm, warmErr) = runOnce(fn) // may reuse the cold run's cached
+                             // frames — the steady-state a resident engine delivers
       // then drop cached frames + checkpointed RDDs so queries don't degrade
       // each other under accumulated memory pressure across the 60+ entries
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      (name, cold, warm)
+      (name, cold, warm, coldErr.orElse(warmErr))
     }
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
+    // values rounded to ms so the single JSON line stays short enough for
+    // the driver's output-tail capture to parse in full
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, _, w, _) => "\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
-    println(s"""{"metric":"total_warm","value":$warmTotal,"unit":"sec","cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total_sec":${r3(coldTotal)}$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }

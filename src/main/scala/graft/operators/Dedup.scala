@@ -150,14 +150,21 @@ object Dedup {
   }
 
   /** Near-duplicate CLUSTERS: connected components over a pair list, by
-    * alternating min-label propagation — each round is one edge⋈label join
-    * plus a min-aggregation, both plain shuffles, and the loop runs
-    * O(component diameter) rounds with a convergence check (near-dup
-    * components are shallow — habitually 2-4 hops — so this terminates in
-    * a handful of rounds; `maxIter` caps pathological chains). Every doc
-    * appears in the output: singletons label themselves. The driver loop
-    * only sequences Spark jobs — per-round work is fully distributed, the
-    * same shape GraphX/GraphFrames connected components uses.
+    * min-label propagation with pointer doubling — each round propagates
+    * labels one hop along the edges AND jumps each label to its label's
+    * label (the hash-to-min shape), so long chains converge in
+    * O(log diameter) rounds instead of O(diameter). Every doc appears in
+    * the output: singletons label themselves. The driver loop only
+    * sequences Spark jobs — per-round work is fully distributed, the same
+    * shape GraphX/GraphFrames connected components uses.
+    *
+    * Per round there is exactly ONE materializing job (the localCheckpoint
+    * of the new labels); the convergence signal is a change flag computed
+    * inside the same plan and counted with a trivial scan of the
+    * checkpointed blocks — not a second join (that doubled the per-round
+    * job overhead and made this operator a third of the whole bench).
+    * If `maxIter` rounds don't converge the result would be silently
+    * wrong, so the loop throws instead of returning partial labels.
     *
     * cluster_id = min doc id of the component — the canonical document a
     * curation pipeline keeps (pair generators: [[ngramJaccardPairs]],
@@ -179,16 +186,31 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // 1-hop propagation: each vertex takes the min over its own label and
+      // its neighbors' labels; the previous label rides along as `old` so
+      // the change flag needs no join back against the previous state
       val neighborLabels = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(neighborLabels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(edges("src").as("id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("old"))
+      val hop = labels.select(col("id"), col("label"), col("label").as("old"))
+        .union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("l1"), max(col("old")).as("old"))
+      // pointer doubling: jump to the label's own (already-propagated)
+      // label — labels only decrease, so least() keeps monotonicity
+      val next = hop.alias("a")
+        .join(hop.alias("b"), col("a.l1") === col("b.id"), "left_outer")
+        .select(col("a.id").as("id"),
+          least(col("a.l1"), coalesce(col("b.l1"), col("a.l1"))).as("label"),
+          col("a.old").as("old"))
         .localCheckpoint()
-      changed = next.alias("n").join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      // tiny scan over the materialized blocks — no recompute, no join
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds ($changed labels still changing) — " +
+        "raise maxIter; returning partial labels would split components silently")
     docs.select(col(idCol))
       .join(labels, docs(idCol) === labels("id"), "left_outer")
       .select(docs(idCol), coalesce(col("label"), docs(idCol)).as("cluster_id"))

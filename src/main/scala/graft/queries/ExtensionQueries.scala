@@ -442,14 +442,13 @@ object ExtensionQueries {
          |FROM stats ORDER BY doc_id""".stripMargin,
     "x8_lang_id" ->
       s"""WITH d AS (
-         |  SELECT lang AS labeled, $Norm AS t, text FROM documents),
+         |  SELECT lang AS labeled, string_split($Norm, ' ') AS toks, text FROM documents),
          |scores AS (
          |  SELECT labeled,
          |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh,
-         |    len(regexp_extract_all(t, '\\b(the|and|of|to|is|was|that|with)\\b')) AS en,
-         |    len(regexp_extract_all(t, '\\b(el|la|los|las|de|que|y|en|un|una|por)\\b')) AS es,
-         |    len(regexp_extract_all(t, '\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS de,
-         |    len(regexp_extract_all(t, '\\b(le|la|les|de|et|est|dans|que|pour|une)\\b')) AS fr
+         |${graft.functions.TextFunctions.LangWords.map { case (lang, ws) =>
+             s"    len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS $lang"
+           }.mkString(",\n")}
          |  FROM d)
          |SELECT labeled,
          |  CASE WHEN zh > 0 THEN 'zh'

@@ -136,6 +136,24 @@ class ExtensionSpec extends AnyFunSuite {
     assert((4L to 9L).forall(d => out(d) == d) && (12L to 14L).forall(d => out(d) == d))
   }
 
+  test("dup clusters: pointer doubling converges a long chain well within maxIter") {
+    // a 48-hop chain needs 48 rounds under plain 1-hop propagation — far
+    // past the default maxIter of 20; the doubling rounds collapse it
+    val chain = (1L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = spark.range(1, 50).toDF("doc_id")
+    val out = Dedup.dupClusters(ids, chain, "doc_id").as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L), "entire chain joins component 1")
+  }
+
+  test("dup clusters: exhausting maxIter throws instead of returning split components") {
+    val chain = (1L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = spark.range(1, 50).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(ids, chain, "doc_id", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("exact dedup canonicalizes duplicated normalized text") {
     val withDups = docs.select($"doc_id", $"text")
       .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), upper($"text").as("text")))
