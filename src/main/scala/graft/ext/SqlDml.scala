@@ -106,9 +106,9 @@ object SqlDml {
     case other => throw new UnsupportedOperationException(s"unsupported assignment key: $other")
   }
 
-  private[ext] def lowerMerge(m: MergeIntoTable, store: TableStore): Option[LogicalPlan] =
+  private[ext] def lowerMerge(m: MergeIntoTable, spark: SparkSession): Option[LogicalPlan] =
     tableRef(m.targetTable).filter { case (name, _) =>
-      name.contains(".") && store.exists(name)
+      name.contains(".") && TableStore.resolve(spark, name).isDefined
     }.map { case (name, tQuals) =>
       if (m.withSchemaEvolution) throw new UnsupportedOperationException(
         s"MERGE INTO $name: WITH SCHEMA EVOLUTION is not supported by the snapshot store")
@@ -144,9 +144,9 @@ object SqlDml {
         m.notMatchedBySourceActions.map(act))
     }
 
-  private[ext] def lowerUpdate(u: UpdateTable, store: TableStore): Option[LogicalPlan] =
+  private[ext] def lowerUpdate(u: UpdateTable, spark: SparkSession): Option[LogicalPlan] =
     tableRef(u.table).filter { case (name, _) =>
-      name.contains(".") && store.exists(name)
+      name.contains(".") && TableStore.resolve(spark, name).isDefined
     }.map { case (name, tQuals) =>
       val set = u.assignments.map { case Assignment(k, v) =>
         assignKey(k) -> GraftShims.column(unqualify(v, tQuals))
@@ -155,16 +155,16 @@ object SqlDml {
       GraftUpdateCommand(name, cond, set)
     }
 
-  private[ext] def lowerDelete(d: DeleteFromTable, store: TableStore): Option[LogicalPlan] =
+  private[ext] def lowerDelete(d: DeleteFromTable, spark: SparkSession): Option[LogicalPlan] =
     tableRef(d.table).filter { case (name, _) =>
-      name.contains(".") && store.exists(name)
+      name.contains(".") && TableStore.resolve(spark, name).isDefined
     }.map { case (name, tQuals) =>
       GraftDeleteCommand(name, GraftShims.column(unqualify(d.condition, tQuals)))
     }
 
-  private[ext] def lowerInsert(i: InsertIntoStatement, store: TableStore): Option[LogicalPlan] =
+  private[ext] def lowerInsert(i: InsertIntoStatement, spark: SparkSession): Option[LogicalPlan] =
     tableRef(i.table).filter { case (name, _) =>
-      name.contains(".") && store.exists(name) && i.partitionSpec.isEmpty
+      name.contains(".") && TableStore.resolve(spark, name).isDefined && i.partitionSpec.isEmpty
     }.map { case (name, _) =>
       GraftInsertCommand(name, i.query, i.userSpecifiedCols, i.overwrite, i.byName)
     }
@@ -177,13 +177,32 @@ object SqlDml {
     * anything else re-submits the untouched original plan to Spark. */
   private[ext] def captureCtas(name: LogicalPlan, query: LogicalPlan,
       orReplace: Boolean, orCreate: Boolean, ignoreIfExists: Boolean,
-      original: LogicalPlan): Option[LogicalPlan] =
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      tableSpec: Object, original: LogicalPlan): Option[LogicalPlan] =
     (name match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier => Some(u.nameParts)
       case _ => None
     }).filter(_.length == 2).map { parts =>
+      // PARTITIONED BY / TBLPROPERTIES / COMMENT must be honored or
+      // rejected — silently dropping a user's partitioning writes an
+      // unpartitioned table with no warning
+      val (identityT, otherT) = partitioning.partition(t =>
+        t.name == "identity" && t.references.length == 1)
+      val partCols = identityT.map(_.references()(0).fieldNames.mkString("."))
+      val unsupported = scala.collection.mutable.ArrayBuffer.empty[String]
+      otherT.foreach(t => unsupported += s"partition transform $t")
+      val (props, comment) = tableSpec match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+          u.provider.filterNot(_.equalsIgnoreCase("parquet"))
+            .foreach(p => unsupported += s"USING $p")
+          u.location.foreach(l => unsupported += s"LOCATION $l")
+          if (u.external) unsupported += "EXTERNAL"
+          u.serde.foreach(_ => unsupported += "row-format/serde clause")
+          (u.properties, u.comment)
+        case _ => (Map.empty[String, String], None)
+      }
       GraftCtasCommand(parts.mkString("."), query, orReplace, orCreate,
-        ignoreIfExists, original)
+        ignoreIfExists, partCols, props, comment, unsupported.toSeq, original)
     }
 }
 
@@ -197,10 +216,10 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     delegate.parsePlan(sqlText) match {
       case c: CreateTableAsSelect =>
         SqlDml.captureCtas(c.name, c.query, orReplace = false, orCreate = true,
-          c.ignoreIfExists, c).getOrElse(c)
+          c.ignoreIfExists, c.partitioning, c.tableSpec, c).getOrElse(c)
       case r: ReplaceTableAsSelect =>
         SqlDml.captureCtas(r.name, r.query, orReplace = true, r.orCreate,
-          ignoreIfExists = false, r).getOrElse(r)
+          ignoreIfExists = false, r.partitioning, r.tableSpec, r).getOrElse(r)
       case other => other
     }
 
@@ -219,14 +238,11 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
   * in it; every other statement is left untouched for Spark to handle. */
 class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    TableStore.attached(spark) match {
-      case None => plan
-      case Some(st) => plan.resolveOperatorsDown {
-        case m: MergeIntoTable => SqlDml.lowerMerge(m, st).getOrElse(m)
-        case u: UpdateTable => SqlDml.lowerUpdate(u, st).getOrElse(u)
-        case d: DeleteFromTable => SqlDml.lowerDelete(d, st).getOrElse(d)
-        case i: InsertIntoStatement => SqlDml.lowerInsert(i, st).getOrElse(i)
-      }
+    plan.resolveOperatorsDown {
+      case m: MergeIntoTable => SqlDml.lowerMerge(m, spark).getOrElse(m)
+      case u: UpdateTable => SqlDml.lowerUpdate(u, spark).getOrElse(u)
+      case d: DeleteFromTable => SqlDml.lowerDelete(d, spark).getOrElse(d)
+      case i: InsertIntoStatement => SqlDml.lowerInsert(i, spark).getOrElse(i)
     }
 }
 
@@ -247,8 +263,8 @@ final case class GraftMergeCommand(
   override def innerChildren: Seq[QueryPlan[_]] = Seq(sourcePlan)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val store = TableStore.attached(spark).getOrElse(
-      throw new IllegalStateException(s"no TableStore attached for MERGE INTO $table"))
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for MERGE INTO"))
     val source = GraftShims.ofRows(spark, sourcePlan)
     val targetCols = store.read(table).columns.toSeq
     def star: Map[String, Column] = targetCols.map(c => c -> col(s"s.$c")).toMap
@@ -284,25 +300,36 @@ final case class GraftCtasCommand(
     orReplace: Boolean,
     orCreate: Boolean,
     ignoreIfExists: Boolean,
+    partitionCols: Seq[String],
+    properties: Map[String, String],
+    comment: Option[String],
+    unsupportedClauses: Seq[String],
     original: LogicalPlan) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(queryPlan)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val db = table.split('.').head
-    TableStore.attached(spark).filter(_.dbExists(db)) match {
+    TableStore.resolveDb(spark, db) match {
       case None =>
         // not a store namespace — run the untouched original statement
         GraftShims.ofRows(spark, original).collect()
         Seq.empty
       case Some(store) =>
+        if (unsupportedClauses.nonEmpty) throw new UnsupportedOperationException(
+          s"CREATE TABLE $table: the snapshot store cannot honor " +
+            unsupportedClauses.mkString(", "))
         if (!orReplace && store.exists(table)) {
           if (ignoreIfExists) return Seq.empty
           throw new IllegalStateException(s"CREATE TABLE $table: table already exists")
         }
         if (orReplace && !orCreate && !store.exists(table))
           throw new IllegalArgumentException(s"REPLACE TABLE $table: table not found")
-        store.createOrReplace(table, GraftShims.ofRows(spark, queryPlan))
+        store.createOrReplace(table, GraftShims.ofRows(spark, queryPlan),
+          partitionBy = partitionCols)
+        if (properties.nonEmpty || comment.isDefined)
+          store.setMeta(table, graft.tables.TableMeta(
+            comment = comment, properties = properties))
         Seq.empty
     }
   }
@@ -323,16 +350,29 @@ final case class GraftInsertCommand(
   override def innerChildren: Seq[QueryPlan[_]] = Seq(queryPlan)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val store = TableStore.attached(spark).getOrElse(
-      throw new IllegalStateException(s"no TableStore attached for INSERT INTO $table"))
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for INSERT INTO"))
     val target = store.read(table)
     val data = GraftShims.ofRows(spark, queryPlan)
+    // reject column names absent from the target — silently dropping a
+    // typo'd column (and NULL-filling the real one) loses data; ANSI
+    // INSERT raises an unresolved-column error here
+    val resolves: (String, String) => Boolean =
+      if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) _ == _
+      else _.equalsIgnoreCase(_)
+    def requireKnown(cols: Seq[String]): Unit = {
+      val unknown = cols.filterNot(c => target.columns.exists(resolves(c, _)))
+      require(unknown.isEmpty,
+        s"INSERT INTO $table: unknown column(s) ${unknown.mkString(", ")} — " +
+          s"target columns are ${target.columns.mkString(", ")}")
+    }
     val named =
       if (userCols.nonEmpty) {
         require(userCols.length == data.columns.length,
           s"INSERT INTO $table: ${userCols.length} columns specified, query returns ${data.columns.length}")
+        requireKnown(userCols)
         data.toDF(userCols: _*)
-      } else if (byName) data
+      } else if (byName) { requireKnown(data.columns.toSeq); data }
       else {
         require(data.columns.length == target.columns.length,
           s"INSERT INTO $table: target has ${target.columns.length} columns, query returns ${data.columns.length}")
@@ -353,8 +393,8 @@ final case class GraftInsertCommand(
 final case class GraftUpdateCommand(table: String, cond: Column, set: Map[String, Column])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val store = TableStore.attached(spark).getOrElse(
-      throw new IllegalStateException(s"no TableStore attached for UPDATE $table"))
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for UPDATE"))
     store.update(table, cond, set)
     Seq.empty
   }
@@ -364,8 +404,8 @@ final case class GraftUpdateCommand(table: String, cond: Column, set: Map[String
 final case class GraftDeleteCommand(table: String, cond: Column)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val store = TableStore.attached(spark).getOrElse(
-      throw new IllegalStateException(s"no TableStore attached for DELETE FROM $table"))
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for DELETE FROM"))
     store.delete(table, cond)
     Seq.empty
   }

@@ -46,6 +46,72 @@ object MergeInto {
   private val TMark = "__graft_t"
   private val SMark = "__graft_s"
 
+  /** Delta parity: error when a target row would match multiple source
+    * rows. Kept as an up-front check (one cheap extra job) rather than
+    * fused into the merge join — fusing needs a per-target-row window
+    * count, a second full-size shuffle on every merge, which is the
+    * wrong trade at scale for a skippable safety net. Also called
+    * standalone by the table store's file-pruned merge, whose rewrite
+    * subset may not contain every matched row. */
+  def checkMultipleMatches(target: DataFrame, source: DataFrame, keys: Seq[String],
+      extraOn: Option[Column]): Unit = {
+    val dup = extraOn match {
+      case None =>
+        // fast path: key-duplicated source rows that hit any target key
+        source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+          .join(target.select(keys.map(col): _*), keys, "left_semi")
+          .limit(1).count()
+      case Some(extra) =>
+        // extra ON conjuncts can disambiguate key-duplicated source rows,
+        // so count matches from the REAL join condition per target row
+        val tt = target.withColumn("__graft_tid", monotonically_increasing_id()).alias("t")
+        val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _) && extra
+        tt.join(source.alias("s"), cond)
+          .groupBy(col("__graft_tid")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count()
+    }
+    if (dup > 0) throw new IllegalStateException(
+      s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
+  }
+
+  /** Only the rows a merge would INSERT: source rows with no match under
+    * the full ON condition, projected through the first-matching
+    * `WHEN NOT MATCHED` clause (target schema). The anti-join needs just
+    * the ON-condition columns of the target, so Catalyst prunes the
+    * target scan to the keys — this is how the table store's file-pruned
+    * merge appends inserts without rewriting a single existing file. */
+  def insertedRows(target: DataFrame, source: DataFrame, keys: Seq[String],
+      extraOn: Option[Column], notMatched: Seq[NotMatchedInsert]): DataFrame = {
+    val outCols = target.columns.toSeq
+    val outTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (notMatched.isEmpty)
+      return target.filter(lit(false)) // no insert clauses → empty, target schema
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+    val anti = s.join(t, onCond, "left_anti").alias("s")
+    val insertSpecs = notMatched.map(i => (i.cond, Some(i.values)))
+    val insertKeeps = notMatched.map(i => (i.cond, true))
+    def chainValue(c: String, actions: Seq[(Option[Column], Option[Map[String, Column]])], default: Column): Column =
+      actions.foldLeft(Option.empty[Column]) { case (acc, (cond, set)) =>
+        val v = set.map(_.getOrElse(c, default)).getOrElse(default)
+        val w = cond.getOrElse(lit(true))
+        Some(acc.map(_.when(w, v)).getOrElse(when(w, v)))
+      }.map(_.otherwise(default)).getOrElse(default)
+    def chainKeep(actions: Seq[(Option[Column], Boolean)]): Column =
+      actions.foldLeft(Option.empty[Column]) { case (acc, (cond, keep)) =>
+        val w = cond.getOrElse(lit(true))
+        Some(acc.map(_.when(w, lit(keep))).getOrElse(when(w, lit(keep))))
+      }.map(_.otherwise(lit(false))).getOrElse(lit(false))
+    anti.select(
+        outCols.map(c => chainValue(c, insertSpecs, lit(null)).cast(outTypes(c)).as(c)) :+
+          chainKeep(insertKeeps).as("__graft_keep"): _*)
+      .filter(col("__graft_keep"))
+      .drop("__graft_keep")
+  }
+
   /** Returns the post-merge target state (target schema preserved). */
   def apply(
       target: DataFrame,
@@ -59,31 +125,7 @@ object MergeInto {
 
     require(keys.nonEmpty, "merge keys must be non-empty")
 
-    if (failOnMultipleMatches) {
-      // Delta parity: error when a target row would match multiple source
-      // rows. Kept as an up-front check (one cheap extra job) rather than
-      // fused into the merge join — fusing needs a per-target-row window
-      // count, a second full-size shuffle on every merge, which is the
-      // wrong trade at scale for a skippable safety net.
-      val dup = extraOn match {
-        case None =>
-          // fast path: key-duplicated source rows that hit any target key
-          source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > 1)
-            .join(target.select(keys.map(col): _*), keys, "left_semi")
-            .limit(1).count()
-        case Some(extra) =>
-          // extra ON conjuncts can disambiguate key-duplicated source rows,
-          // so count matches from the REAL join condition per target row
-          val tt = target.withColumn("__graft_tid", monotonically_increasing_id()).alias("t")
-          val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _) && extra
-          tt.join(source.alias("s"), cond)
-            .groupBy(col("__graft_tid")).agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > 1).limit(1).count()
-      }
-      if (dup > 0) throw new IllegalStateException(
-        s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
-    }
+    if (failOnMultipleMatches) checkMultipleMatches(target, source, keys, extraOn)
 
     val t = target.withColumn(TMark, lit(true)).alias("t")
     val s = source.withColumn(SMark, lit(true)).alias("s")

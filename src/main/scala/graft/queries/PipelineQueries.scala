@@ -20,6 +20,7 @@ object PipelineQueries {
     val root = Files.createTempDirectory("graft_pipeline_q").toString
     val store = new TableStore(s, root)
     new Medallion(s, store, dir).run(lit("2024-01-01 00:00:00"))
+    store.detach() // throwaway store: unregister from SQL-DML routing
     store.read("gold.fact_sales")
       .select(
         col("sales_order_key"), col("sales_line_number"),

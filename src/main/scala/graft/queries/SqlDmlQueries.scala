@@ -83,6 +83,7 @@ object SqlDmlQueries {
          |  )
          |""".stripMargin)
 
+    store.detach() // throwaway store: unregister from SQL-DML routing
     store.read("silver.customer").orderBy(col("c_custkey"), col("_tf_valid_from"))
   }
 
@@ -97,6 +98,7 @@ object SqlDmlQueries {
     s.sql("UPDATE silver.orders SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) WHERE o_orderstatus = 'O'")
     s.sql("DELETE FROM silver.orders WHERE o_totalprice < CAST(100000 AS DOUBLE)")
 
+    store.detach()
     store.read("silver.orders").orderBy(col("o_orderkey"))
   }
 
@@ -117,6 +119,7 @@ object SqlDmlQueries {
       """INSERT INTO gold.dim_customer (customer_key, customer_name, mktsegment)
         |SELECT c_custkey, c_name, c_mktsegment FROM ins_cust_src""".stripMargin)
 
+    store.detach()
     store.read("gold.dim_customer").orderBy(col("customer_key"))
   }
 

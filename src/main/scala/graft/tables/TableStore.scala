@@ -1,52 +1,110 @@
 package graft.tables
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
+import org.apache.spark.sql.types._
 import graft.operators.MergeInto
 
-/** Minimal managed-table layer over parquet with atomic snapshot swap — the
+/** Managed-table layer over parquet with file-level manifests — the
   * stand-in for Delta/Unity-Catalog managed tables (SURVEY.md §1.1, §7.1
-  * module 2; reference stores everything in Delta but never touches storage
-  * directly, so its DataFrame logic is storage-agnostic).
+  * module 2; the reference stores everything in Delta but never touches
+  * storage directly, so its DataFrame logic is storage-agnostic).
   *
-  * Layout: `root/<db>/<table>/v_<n>/` parquet snapshots + a `_CURRENT`
-  * pointer file naming the live version. Writes go to a fresh `v_<n+1>`
-  * directory, then the pointer is swapped via atomic file move — readers
-  * resolve the pointer at read time and never observe a partial snapshot.
-  * Old versions are retained (cheap time travel / debugging; `vacuum`
-  * drops them).
+  * Layout: `root/<db>/<table>/v_<n>/` data directories plus a
+  * `v_<n>/_MANIFEST` listing every data file (relative to the table dir —
+  * entries may reference files written by EARLIER versions) with optional
+  * per-file min/max column statistics; a `_CURRENT` pointer file names the
+  * live version and is swapped via atomic move, so readers never observe a
+  * partial commit. This is the Delta transaction-log shape reduced to one
+  * snapshot file per version:
   *
-  * Known limits vs Delta, by design (SURVEY.md §4 "transactional table
-  * replace"): single-writer (no commit protocol arbitration), snapshot
-  * granularity = whole table. UPDATE/DELETE (reference
-  * 23_Testing_SCD2.py:40-64) are full-snapshot rewrites — exactly how
-  * copy-on-write table formats behave without file-level pruning; at 100 TB
-  * the same API would sit over partitioned rewrites keyed by the predicate.
+  *  - MERGE/UPDATE/DELETE are **file-pruned copy-on-write**: a discovery
+  *    pass finds the files that actually contain affected rows
+  *    (`input_file_name` + the statement predicate / merge join), only
+  *    those files are rewritten, and the new manifest unions untouched +
+  *    rewritten files. A one-row UPDATE against a 100 TB table rewrites
+  *    one file, not 100 TB.
+  *  - Partition columns live IN the data files (the hive-style directory
+  *    layout uses duplicated `__p_<col>` columns purely for write
+  *    clustering), so partition pruning is manifest metadata pruning —
+  *    exactly Delta's model, with no directory-listing discovery.
+  *  - Per-file min/max stats are collected at write time for the partition
+  *    + sort columns and consulted by [[readWhere]] and the DML discovery
+  *    passes — data skipping for sorted/clustered tables.
+  *
+  * Known limits vs Delta, by design (SURVEY.md §4): single-writer (no
+  * commit-protocol arbitration); schema evolution rewrites the snapshot.
   */
-/** Non-enforced declarative table metadata (comments, properties, PK). */
 final case class TableMeta(
     comment: Option[String] = None,
     columnComments: Map[String, String] = Map.empty,
     properties: Map[String, String] = Map.empty)
 
 object TableStore {
-  private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, TableStore]()
+  // Weak session keys: a stopped/garbage-collected session drops its
+  // registry entry instead of being strongly retained forever.
+  private val sessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashSet[TableStore]]())
 
-  /** The store SQL-text DML statements resolve against (last attached wins). */
-  def attached(spark: SparkSession): Option[TableStore] = Option(sessions.get(spark))
+  def attach(spark: SparkSession, store: TableStore): Unit = sessions.synchronized {
+    sessions.computeIfAbsent(spark, _ => new java.util.LinkedHashSet[TableStore]()).add(store)
+  }
 
-  def attach(spark: SparkSession, store: TableStore): Unit = sessions.put(spark, store)
+  def detach(spark: SparkSession, store: TableStore): Unit = sessions.synchronized {
+    Option(sessions.get(spark)).foreach(_.remove(store))
+  }
+
+  private def stores(spark: SparkSession): Seq[TableStore] = sessions.synchronized {
+    Option(sessions.get(spark)).map(_.asScala.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** The attached store holding `table` — SQL-text DML routes through this.
+    * Two live stores holding the same table name is a real ambiguity (the
+    * statement would silently rewrite one of them), so it errors instead
+    * of last-attached-wins. */
+  def resolve(spark: SparkSession, table: String): Option[TableStore] =
+    stores(spark).filter(_.exists(table)) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalStateException(
+        s"table $table exists in ${many.size} attached TableStores (roots " +
+          s"${many.map(_.rootDir).mkString(", ")}) — detach the stale store " +
+          "(TableStore.detach) before issuing SQL DML against it")
+    }
+
+  /** The attached store owning database namespace `db` (SQL CTAS routing). */
+  def resolveDb(spark: SparkSession, db: String): Option[TableStore] =
+    stores(spark).filter(_.dbExists(db)) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalStateException(
+        s"database $db exists in ${many.size} attached TableStores (roots " +
+          s"${many.map(_.rootDir).mkString(", ")}) — detach the stale store first")
+    }
 }
 
 final class TableStore(spark: SparkSession, root: String) {
 
   // SQL-text DML (MERGE/UPDATE/DELETE via spark.sql) resolves table names
-  // against the session's most recently constructed store — single-writer
-  // by design, like the rest of the layer.
+  // against the session's attached stores, keyed by table name.
   TableStore.attach(spark, this)
 
-  private def tableDir(name: String) = {
+  def rootDir: String = root
+
+  /** Remove this store from the session's SQL-DML routing registry. */
+  def detach(): Unit = TableStore.detach(spark, this)
+
+  // ---------------------------------------------------------------- layout
+
+  private def tableDir(name: String): Path = {
     val parts = name.split('.')
     require(parts.length == 2, s"table name must be db.table, got $name")
     Paths.get(root, parts(0), parts(1))
@@ -72,52 +130,395 @@ final class TableStore(spark: SparkSession, root: String) {
     * lowers only into existing store namespaces). */
   def dbExists(db: String): Boolean = Files.exists(Paths.get(root, db))
 
+  // ------------------------------------------------------------- manifests
+
+  /** Per-file column statistics in canonical string form (numbers,
+    * booleans, dates and timestamps as decimal strings; strings raw) —
+    * comparable without re-reading the file. */
+  private[tables] final case class ColStats(min: String, max: String)
+  private[tables] final case class FileEntry(rel: String, stats: Map[String, ColStats])
+
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  private def manifestPath(name: String, version: Int): Path =
+    tableDir(name).resolve(s"v_$version").resolve("_MANIFEST")
+
+  private def writeManifest(name: String, version: Int, schema: StructType,
+      entries: Seq[FileEntry]): Unit = {
+    val dir = tableDir(name).resolve(s"v_$version")
+    Files.createDirectories(dir)
+    val lines = s"#schema\t${enc(schema.json)}" +: entries.map { e =>
+      (enc(e.rel) +: e.stats.toSeq.sortBy(_._1).flatMap { case (c, st) =>
+        Seq(enc(c), enc(st.min), enc(st.max))
+      }).mkString("\t")
+    }
+    Files.write(manifestPath(name, version),
+      lines.mkString("\n").getBytes(UTF_8))
+  }
+
+  private def readManifest(name: String, version: Int): (StructType, Seq[FileEntry]) = {
+    val lines = new String(Files.readAllBytes(manifestPath(name, version)), UTF_8)
+      .split('\n').toSeq.filter(_.nonEmpty)
+    val schema = lines.headOption.filter(_.startsWith("#schema\t")) match {
+      case Some(l) => DataType.fromJson(dec(l.split('\t')(1))).asInstanceOf[StructType]
+      case None => throw new IllegalStateException(s"manifest of $name v$version has no schema")
+    }
+    val entries = lines.tail.map { l =>
+      val parts = l.split('\t')
+      val stats = parts.tail.grouped(3).collect {
+        case Array(c, mn, mx) => dec(c) -> ColStats(dec(mn), dec(mx))
+      }.toMap
+      FileEntry(dec(parts(0)), stats)
+    }
+    (schema, entries)
+  }
+
+  private def currentManifest(name: String): (StructType, Seq[FileEntry]) = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    readManifest(name, v)
+  }
+
+  private def absPath(name: String, rel: String): String =
+    tableDir(name).resolve(rel).toString
+
+  /** input_file_name() → manifest-relative path. */
+  private def relOf(name: String, fileUri: String): String = {
+    val p = if (fileUri.startsWith("file:")) new java.net.URI(fileUri).getPath else fileUri
+    tableDir(name).toAbsolutePath.toString match {
+      case base if p.startsWith(base + "/") => p.stripPrefix(base + "/")
+      case _ => p
+    }
+  }
+
+  // ------------------------------------------------------- layout metadata
+
+  /** Write-layout config (partition/sort/stat columns), persisted beside
+    * the snapshots so DML rewrites preserve the table's layout. */
+  private def layoutPath(name: String): Path = tableDir(name).resolve("_LAYOUT")
+
+  private def writeLayout(name: String, partitionBy: Seq[String], sortWithin: Seq[String],
+      statsFor: Seq[String]): Unit = {
+    val p = new java.util.Properties()
+    if (partitionBy.nonEmpty) p.setProperty("partition_by", partitionBy.mkString(","))
+    if (sortWithin.nonEmpty) p.setProperty("sort_within", sortWithin.mkString(","))
+    if (statsFor.nonEmpty) p.setProperty("stats_for", statsFor.mkString(","))
+    Files.createDirectories(tableDir(name))
+    val out = Files.newOutputStream(layoutPath(name))
+    try p.store(out, null) finally out.close()
+  }
+
+  private def readLayout(name: String): (Seq[String], Seq[String], Seq[String]) = {
+    if (!Files.exists(layoutPath(name))) (Nil, Nil, Nil)
+    else {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(layoutPath(name))
+      try p.load(in) finally in.close()
+      def get(k: String) = Option(p.getProperty(k)).map(_.split(',').toSeq).getOrElse(Nil)
+      (get("partition_by"), get("sort_within"), get("stats_for"))
+    }
+  }
+
+  // ----------------------------------------------------------- stats canon
+
+  /** Canonicalize a Catalyst literal (internal representation). None when
+    * the literal type is not stats-comparable. */
+  private def canonLiteral(l: Literal): Option[(String, Boolean)] = {
+    if (l.value == null) return None
+    l.dataType match {
+      case BooleanType => Some(((if (l.value.asInstanceOf[Boolean]) "1" else "0"), true))
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType => Some((l.value.toString, true))
+      case _: DecimalType =>
+        Some((l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.toPlainString, true))
+      case DateType => Some((l.value.toString, true)) // internal = epoch days
+      case _: TimestampType | _: TimestampNTZType => Some((l.value.toString, true)) // micros
+      case StringType => Some((l.value.toString, false))
+      case _ => None
+    }
+  }
+
+  /** Whether a column's stats compare numerically (vs as raw strings). */
+  private def numericKind(dt: DataType): Option[Boolean] = dt match {
+    case BooleanType | DateType | _: TimestampType | _: TimestampNTZType |
+         _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => Some(true)
+    case StringType => Some(false)
+    case _ => None
+  }
+
+  private def cmp(a: String, b: String, numeric: Boolean): Int =
+    if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    else a.compareTo(b)
+
+  /** Per-file min/max from the parquet footer: driver-side metadata reads,
+    * no Spark job. Columns whose physical/logical type has no usable stats
+    * (INT96 timestamps, all-null blocks) are simply omitted — pruning is
+    * conservative about missing stats. */
+  private def footerStats(file: Path, cols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    // canonical string for one parquet-physical value, or None if the
+    // column's type cannot be canonicalized; Boolean = is-numeric kind
+    def canonValue(prim: PrimitiveType, v: Any): Option[(String, Boolean)] = {
+      val logical = prim.getLogicalTypeAnnotation
+      def decimalScale: Option[Int] = logical match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+        case _ => None
+      }
+      prim.getPrimitiveTypeName match {
+        case BOOLEAN => Some((if (v.asInstanceOf[Boolean]) "1" else "0", true))
+        case INT32 => decimalScale match {
+          case Some(s) => Some((java.math.BigDecimal.valueOf(
+            v.asInstanceOf[Integer].longValue, s).toPlainString, true))
+          case None => Some((v.toString, true)) // plain ints and DATE epoch days
+        }
+        case INT64 => logical match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val micros = t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[java.lang.Long] * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[java.lang.Long].longValue
+              case LogicalTypeAnnotation.TimeUnit.NANOS => v.asInstanceOf[java.lang.Long] / 1000L
+            }
+            Some((micros.toString, true))
+          case _ => decimalScale match {
+            case Some(s) => Some((java.math.BigDecimal.valueOf(
+              v.asInstanceOf[java.lang.Long], s).toPlainString, true))
+            case None => Some((v.toString, true))
+          }
+        }
+        case FLOAT | DOUBLE => Some((new java.math.BigDecimal(v.toString).toPlainString, true))
+        case BINARY | FIXED_LEN_BYTE_ARRAY => logical match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            Some((v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8, false))
+          case _ => decimalScale.map { s =>
+            (new java.math.BigDecimal(
+              new java.math.BigInteger(
+                v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), s)
+              .toPlainString, true)
+          }
+        }
+        case _ => None // INT96 has no (trustworthy) stats
+      }
+    }
+
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        // per-block stats; EVERY block must contribute or the column is
+        // skipped (a block without stats could hold out-of-range values)
+        val perBlock: Seq[Option[(String, String, Boolean)]] = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+            val st = cc.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else {
+              val prim = schema.getColumnDescription(cc.getPath.toArray).getPrimitiveType
+              (canonValue(prim, st.genericGetMin), canonValue(prim, st.genericGetMax)) match {
+                case (Some((mn, k)), Some((mx, _))) => Some((mn, mx, k))
+                case _ => None
+              }
+            }
+          }
+        }
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else {
+          val all = perBlock.flatten
+          val numeric = all.head._3
+          val mn = all.map(_._1).reduce((a, b) => if (cmp(a, b, numeric) <= 0) a else b)
+          val mx = all.map(_._2).reduce((a, b) => if (cmp(a, b, numeric) >= 0) a else b)
+          Some(c -> ColStats(mn, mx))
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Conservative file pruning: keep a file unless some conjunct of `pred`
+    * of the shape `col <op> literal` provably excludes its [min, max]
+    * range. Unanalyzable conjuncts prune nothing. */
+  private def pruneEntries(schema: StructType, entries: Seq[FileEntry],
+      pred: Column): Seq[FileEntry] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // Column-DSL comparisons arrive as unresolved FUNCTIONS ("=", "<", …)
+    // rather than the binary nodes the SQL parser builds — normalize both
+    // spellings to the same shapes before structural matching
+    def normalize(e: Expression): Expression = e.transformUp {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 && f.arguments.length == 2 =>
+        val Seq(l, r) = f.arguments
+        f.nameParts.head match {
+          case "=" | "==" => EqualTo(l, r)
+          case "<=>" => EqualNullSafe(l, r)
+          case "<" => LessThan(l, r)
+          case "<=" => LessThanOrEqual(l, r)
+          case ">" => GreaterThan(l, r)
+          case ">=" => GreaterThanOrEqual(l, r)
+          case "and" => And(l, r)
+          case _ => f
+        }
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // (column, op, literal) with op ∈ =, <, <=, >, >= in column-first form
+    val bounds: Seq[(String, String, String, Boolean)] =
+      conjuncts(normalize(org.apache.spark.sql.GraftShims.catalystExpr(pred))).flatMap {
+      case EqualTo(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
+      case EqualTo(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
+      case EqualNullSafe(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
+      case LessThan(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<", v._1, v._2))
+      case LessThan(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">", v._1, v._2))
+      case LessThanOrEqual(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<=", v._1, v._2))
+      case LessThanOrEqual(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">=", v._1, v._2))
+      case GreaterThan(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">", v._1, v._2))
+      case GreaterThan(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<", v._1, v._2))
+      case GreaterThanOrEqual(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">=", v._1, v._2))
+      case GreaterThanOrEqual(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<=", v._1, v._2))
+      case _ => None
+    }
+    if (bounds.isEmpty) entries
+    else entries.filter { e =>
+      bounds.forall { case (c, op, v, litNumeric) =>
+        (e.stats.get(c), schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)) match {
+          case (Some(st), Some(dt)) =>
+            numericKind(dt) match {
+              case Some(num) if num == litNumeric =>
+                op match {
+                  case "=" => cmp(st.min, v, num) <= 0 && cmp(st.max, v, num) >= 0
+                  case "<" => cmp(st.min, v, num) < 0
+                  case "<=" => cmp(st.min, v, num) <= 0
+                  case ">" => cmp(st.max, v, num) > 0
+                  case ">=" => cmp(st.max, v, num) >= 0
+                }
+              case _ => true // kind mismatch (e.g. string literal vs date col)
+            }
+          case _ => true // no stats for this column → cannot exclude
+        }
+      }
+    }
+  }
+
+  /** File list a predicate-bearing scan of `name` would open — exposed so
+    * tests and tooling can assert data skipping. */
+  def prunedFileList(name: String, pred: Option[Column]): Seq[String] = {
+    val (schema, entries) = currentManifest(name)
+    pred.map(p => pruneEntries(schema, entries, p)).getOrElse(entries).map(_.rel)
+  }
+
+  // ---------------------------------------------------------------- writes
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** K2: declare an empty table from an explicit schema (the reference's
     * CREATE OR REPLACE TABLE DDL, constraints recorded as metadata only —
     * Spark cannot enforce PK/FK, SURVEY.md §1.1). */
-  def createEmpty(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
-    createOrReplace(name, spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  def createEmpty(name: String, schema: StructType): Unit =
+    createOrReplace(name, emptyDf(schema))
 
-  /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot.
-    * `partitionBy` lays the snapshot out hive-style so predicate columns
-    * prune whole directories at the scan — at 100 TB this is what keeps a
-    * current-version SCD2 read from touching history files at all.
-    * `sortWithin` sorts rows inside each task before writing, so parquet
-    * row-group min/max statistics on those columns become selective — the
-    * file-level pruning lever once directory partitioning is exhausted. */
-  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-      sortWithin: Seq[String] = Nil): Unit = {
+  /** Write `df`'s files into `v_<next>` honoring the layout, collect their
+    * manifest entries (with stats), commit `carryOver ++ new`. */
+  private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
+      sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
+      schemaHint: Option[StructType] = None): Unit = {
     val next = currentVersion(name).getOrElse(0) + 1
+    val dir = tableDir(name).resolve(s"v_$next")
+    // partition columns are duplicated into __p_* for the directory layout
+    // so the REAL columns stay in the data files (manifest reads need no
+    // hive partition reconstruction)
+    val dupCols = partitionBy.map(c => s"__p_$c")
+    val withDups = partitionBy.zip(dupCols).foldLeft(df) { case (d, (c, p)) =>
+      d.withColumn(p, col(c))
+    }
     val sorted =
-      if (sortWithin.nonEmpty) df.sortWithinPartitions(sortWithin.map(df(_)): _*) else df
+      if (sortWithin.nonEmpty) withDups.sortWithinPartitions(sortWithin.map(col): _*)
+      else withDups
     val w = sorted.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(tableDir(name).resolve(s"v_$next").toString)
+    (if (dupCols.nonEmpty) w.partitionBy(dupCols: _*) else w).parquet(dir.toString)
+
+    // list the files this write produced
+    val newFilesAbs: Seq[Path] =
+      if (!Files.exists(dir)) Seq.empty
+      else Files.walk(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+
+    // per-file min/max stats for the partition + sort (+ requested)
+    // columns, read from the parquet FOOTERS the write just produced —
+    // driver-side metadata only, no Spark job, no data re-read (a 100 TB
+    // write would otherwise pay a second scan just to learn its own stats)
+    val statCols = (partitionBy ++ sortWithin ++ statsFor).distinct
+      .filter(df.columns.contains)
+    val newEntries = newFilesAbs.map { p =>
+      val rel = tableDir(name).relativize(p).toString
+      val stats =
+        if (statCols.isEmpty) Map.empty[String, ColStats]
+        else footerStats(p, statCols)
+      FileEntry(rel, stats)
+    }
+    writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries)
+    writeLayout(name, partitionBy, sortWithin, statsFor)
     swapTo(name, next)
   }
 
-  /** SCD2-layout write: partitions the history by a derived `is_current`
-    * flag so `_tf_valid_to IS NULL` readers never open closed-version
-    * files. */
-  def createOrReplaceScd2(name: String, df: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.col
+  /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot.
+    * `partitionBy` clusters rows into per-value directories (manifest
+    * metadata prunes them at read); `sortWithin` sorts rows inside each
+    * task before writing so the per-file min/max stats on those columns
+    * become selective — the data-skipping lever at 100 TB. Stats are
+    * always collected for partition + sort columns; `statsFor` adds more. */
+  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit =
+    commitVersion(name, df, partitionBy, sortWithin, statsFor, carryOver = Seq.empty)
+
+  /** SCD2-layout write: clusters the history by a derived `is_current`
+    * flag so current-version readers skip every closed-version file via
+    * manifest stats. */
+  def createOrReplaceScd2(name: String, df: DataFrame): Unit =
     createOrReplace(name,
       df.withColumn("is_current", col(graft.operators.Scd.ValidTo).isNull),
       partitionBy = Seq("is_current"))
-  }
+
+  // ----------------------------------------------------------------- reads
+
+  private def readEntries(name: String, schema: StructType, entries: Seq[FileEntry]): DataFrame =
+    if (entries.isEmpty) emptyDf(schema)
+    else spark.read.parquet(entries.map(e => absPath(name, e.rel)): _*)
 
   def read(name: String): DataFrame = {
-    val v = currentVersion(name).getOrElse(
-      throw new IllegalArgumentException(s"table not found: $name"))
-    readVersion(name, v)
+    val (schema, entries) = currentManifest(name)
+    readEntries(name, schema, entries)
+  }
+
+  /** Predicate-pruned read: files whose min/max stats provably exclude
+    * `pred` are never opened (manifest-level data skipping); the predicate
+    * is re-applied exactly, so this equals `read(name).filter(pred)`. */
+  def readWhere(name: String, pred: Column): DataFrame = {
+    val (schema, entries) = currentManifest(name)
+    readEntries(name, schema, pruneEntries(schema, entries, pred)).filter(pred)
   }
 
   /** Time travel: read a specific retained snapshot version. */
-  def readVersion(name: String, version: Int): DataFrame =
-    spark.read.parquet(tableDir(name).resolve(s"v_$version").toString)
+  def readVersion(name: String, version: Int): DataFrame = {
+    val (schema, entries) = readManifest(name, version)
+    readEntries(name, schema, entries)
+  }
 
-  /** All retained snapshot versions, oldest first. */
+  /** All retained snapshot versions (those whose manifest survives),
+    * oldest first. */
   def versions(name: String): Seq[Int] = {
     val dir = tableDir(name)
     if (!Files.exists(dir)) Seq.empty
@@ -125,27 +526,69 @@ final class TableStore(spark: SparkSession, root: String) {
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
       Files.list(dir).forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("v_")) out += n.stripPrefix("v_").toInt
+        if (n.startsWith("v_") && Files.exists(p.resolve("_MANIFEST")))
+          out += n.stripPrefix("v_").toInt
       }
       out.sorted.toSeq
     }
   }
 
-  /** K6: UPDATE … SET … WHERE — copy-on-write rewrite. */
-  def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
-    val cur = read(name)
-    import org.apache.spark.sql.functions.when
-    val updated = cur.columns.foldLeft(cur) { (df, c) =>
-      set.get(c).map(v => df.withColumn(c, when(cond, v).otherwise(df(c)))).getOrElse(df)
-    }
-    createOrReplace(name, updated)
+  // ------------------------------------------------------------ pruned DML
+
+  /** Manifest-relative paths of the files containing rows that satisfy
+    * `cond` — the copy-on-write discovery pass. Stats-pruned first, so a
+    * selective predicate over a sorted/partitioned table scans only the
+    * candidate files it could possibly touch. */
+  private def touchedFiles(name: String, schema: StructType, entries: Seq[FileEntry],
+      cond: Column): Set[String] = {
+    val candidates = pruneEntries(schema, entries, cond)
+    if (candidates.isEmpty) Set.empty
+    else readEntries(name, schema, candidates)
+      .filter(cond)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => relOf(name, r.getString(0))).toSet
   }
 
-  /** K6: DELETE FROM … WHERE — copy-on-write rewrite. */
-  def delete(name: String, cond: Column): Unit =
-    createOrReplace(name, read(name).filter(!cond || cond.isNull))
+  /** K6: UPDATE … SET … WHERE — file-pruned copy-on-write: only files
+    * containing matching rows are rewritten; everything else is carried
+    * into the new manifest untouched. */
+  def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
+    val (schema, entries) = currentManifest(name)
+    val touched = touchedFiles(name, schema, entries, cond)
+    if (touched.isEmpty) return // no matching rows anywhere — nothing to commit
+    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+    val updated = subset.columns.foldLeft(subset) { (df, c) =>
+      set.get(c).map(v => df.withColumn(c,
+        when(cond, v).otherwise(df(c)).cast(schema(c).dataType))).getOrElse(df)
+    }
+    val (pb, sw, sf) = readLayout(name)
+    commitVersion(name, updated, pb, sw, sf,
+      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema))
+  }
 
-  /** K5: MERGE INTO applied to a stored table. */
+  /** K6: DELETE FROM … WHERE — file-pruned copy-on-write. */
+  def delete(name: String, cond: Column): Unit = {
+    val (schema, entries) = currentManifest(name)
+    val touched = touchedFiles(name, schema, entries, cond)
+    if (touched.isEmpty) return
+    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+    val (pb, sw, sf) = readLayout(name)
+    commitVersion(name, subset.filter(!cond || cond.isNull), pb, sw, sf,
+      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema))
+  }
+
+  /** K5: MERGE INTO applied to a stored table — file-pruned copy-on-write:
+    *
+    *  - files holding MATCHED rows (semi-join on the full ON condition) are
+    *    rewritten only when matched clauses exist;
+    *  - files holding NOT-MATCHED-BY-SOURCE candidates are found by the
+    *    clause conditions (target-only predicates); an unconditioned
+    *    by-source clause touches everything, as it must;
+    *  - INSERT rows are computed against the full target (a column-pruned
+    *    key anti-join — never a rewrite) and simply appended as new files.
+    *
+    * An insert-only merge (the reference's SCD2 phase 2) therefore
+    * rewrites ZERO existing files. */
   def merge(
       name: String,
       source: DataFrame,
@@ -153,9 +596,70 @@ final class TableStore(spark: SparkSession, root: String) {
       extraOn: Option[Column] = None,
       matched: Seq[MergeInto.MatchedAction] = Nil,
       notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
-      notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil): Unit =
-    createOrReplace(name,
-      MergeInto(read(name), source, keys, extraOn, matched, notMatched, notMatchedBySource))
+      notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil): Unit = {
+    val (schema, entries) = currentManifest(name)
+    val target = readEntries(name, schema, entries)
+
+    // One discovery pass finds every file the merge could modify: files
+    // with matched rows (when matched clauses exist) and files with
+    // by-source candidates (when by-source clauses exist). The
+    // Delta-parity multiple-match check is FUSED into the same join (its
+    // per-target-row match count rides the discovery aggregation) and is
+    // only needed when matched clauses could modify an ambiguous row —
+    // merges without matched clauses never modify a matched target row,
+    // so, like Delta, they do not error on duplicate source keys. An
+    // unconditioned by-source clause touches everything, as it must.
+    val bySourceCond = notMatchedBySource.flatMap(_.cond).reduceOption(_ || _)
+    val bsUnconditioned = notMatchedBySource.exists(_.cond.isEmpty)
+    val touched: Set[String] =
+      if (matched.isEmpty && notMatchedBySource.isEmpty) Set.empty // insert-only: pure append
+      else if (matched.isEmpty && bsUnconditioned) entries.map(_.rel).toSet
+      else if (matched.isEmpty) {
+        // by-source only: plain predicate scan, no join, no check
+        target.withColumn("__graft_file", input_file_name()).alias("t")
+          .filter(bySourceCond.get)
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => relOf(name, r.getString(0))).toSet
+      } else if (bsUnconditioned) {
+        MergeInto.checkMultipleMatches(target, source, keys, extraOn)
+        entries.map(_.rel).toSet
+      } else {
+        val t = target.withColumn("__graft_file", input_file_name())
+          .withColumn("__graft_tid", org.apache.spark.sql.functions.monotonically_increasing_id())
+          .alias("t")
+        val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+        val s = source.withColumn("__graft_s", lit(true)).alias("s")
+        val perRow = t.join(s, onCond, "left_outer")
+          .groupBy(col("__graft_tid"))
+          .agg(
+            org.apache.spark.sql.functions.first(col("__graft_file")).as("__f"),
+            count(col("__graft_s")).as("__n"),
+            org.apache.spark.sql.functions.first(
+              bySourceCond.getOrElse(lit(false))).as("__bs"))
+        val perFile = perRow.groupBy(col("__f"))
+          .agg(max(col("__n")).as("__mx"),
+            max(when(col("__n") > 0 ||
+              org.apache.spark.sql.functions.coalesce(col("__bs"), lit(false)), 1)
+              .otherwise(0)).as("__rel"))
+          .collect()
+        if (perFile.exists(_.getAs[Long]("__mx") > 1))
+          throw new IllegalStateException(
+            s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
+        perFile.filter(_.getAs[Int]("__rel") == 1)
+          .map(r => relOf(name, r.getAs[String]("__f"))).toSet
+      }
+
+    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+    val rewritten = MergeInto(subset, source, keys, extraOn, matched,
+      notMatched = Nil, notMatchedBySource, failOnMultipleMatches = false)
+    val inserts = MergeInto.insertedRows(target, source, keys, extraOn, notMatched)
+    val (pb, sw, sf) = readLayout(name)
+    commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
+      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema))
+  }
+
+  // -------------------------------------------------------------- metadata
 
   /** Table-level metadata sidecar: the reference's COMMENT clauses and
     * TBLPROPERTIES/constraint DDL (01_Init.py:58-77, 236-241 — column
@@ -181,7 +685,6 @@ final class TableStore(spark: SparkSession, root: String) {
       val p = new java.util.Properties()
       val in = Files.newInputStream(f)
       try p.load(in) finally in.close()
-      import scala.jdk.CollectionConverters._
       val entries = p.asScala.toMap
       TableMeta(
         comment = entries.get("comment"),
@@ -196,16 +699,32 @@ final class TableStore(spark: SparkSession, root: String) {
     setMeta(name, meta(name).copy(properties =
       meta(name).properties + ("primary_key" -> cols.mkString(","))))
 
-  /** Drop all non-current snapshot versions. */
+  // ---------------------------------------------------------------- vacuum
+
+  /** Drop every data file the CURRENT manifest does not reference, and
+    * every non-current manifest (old versions stop being readable — the
+    * Delta VACUUM trade). Directories that still hold referenced files
+    * survive; emptied version directories are removed. */
   def vacuum(name: String): Unit = {
-    val keep = currentVersion(name)
+    val keepVersion = currentVersion(name)
+    if (keepVersion.isEmpty) return
+    val (_, entries) = currentManifest(name)
+    val referenced = entries.map(e =>
+      tableDir(name).resolve(e.rel).toAbsolutePath.normalize).toSet
     val dir = tableDir(name)
-    if (Files.exists(dir)) {
-      Files.list(dir).forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("v_") && keep.forall(v => n != s"v_$v")) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
+    Files.list(dir).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v_")) {
+        val isCurrent = keepVersion.contains(n.stripPrefix("v_").toInt)
+        // delete unreferenced files (and stale manifests) bottom-up
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach { f =>
+          val abs = f.toAbsolutePath.normalize
+          val isManifest = f.getFileName.toString == "_MANIFEST"
+          if (Files.isDirectory(f)) {
+            if (!Files.list(f).iterator().hasNext) Files.delete(f) // now empty
+          } else if (!referenced.contains(abs) && !(isManifest && isCurrent)) {
+            Files.delete(f)
+          }
         }
       }
     }

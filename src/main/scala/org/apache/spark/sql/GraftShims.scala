@@ -13,4 +13,13 @@ object GraftShims {
     * live catalog, temp views included). */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** Eagerly convert a Column to its resolved-at-the-leaves Catalyst tree
+    * (`expression` returns a lazy ColumnNode wrapper whose operators are
+    * still unresolved function names — useless for structural matching). */
+  def catalystExpr(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+  /** Drain the async listener bus — lets tests read SparkListener counters
+    * deterministically instead of sleeping. */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

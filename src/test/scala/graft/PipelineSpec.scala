@@ -39,6 +39,93 @@ class PipelineSpec extends AnyFunSuite {
     pipe.runSilver(lit("2024-02-01 00:00:00"))
     val closed = store.read("silver.customer").filter(col(Scd.ValidTo).isNotNull)
     assert(closed.count() == 0, "idempotent replay closes no versions")
+    store.detach()
+  }
+
+  test("file-pruned UPDATE/DELETE: only files holding matching rows are rewritten") {
+    val root = Files.createTempDirectory("graft_cow").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select((col("id") % 4).as("region"), col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+    store.createOrReplace("db.parted", df, partitionBy = Seq("region"))
+    val before = store.prunedFileList("db.parted", None).toSet
+    assert(before.size >= 4, "one file per partition value at least")
+
+    // update confined to one partition: every other partition's files must
+    // survive into the new manifest BY PATH — untouched, not rewritten
+    store.update("db.parted", col("region") === 2L, Map("v" -> lit("UPD")))
+    val after = store.prunedFileList("db.parted", None).toSet
+    val untouchedBefore = before.filter(!_.contains("__p_region=2"))
+    assert(untouchedBefore.subsetOf(after),
+      s"untouched partitions must carry over by path:\n$before\nvs\n$after")
+    assert(after.intersect(before.filter(_.contains("__p_region=2"))).isEmpty,
+      "touched partition files must be replaced")
+    assert(store.read("db.parted").filter($"v" === "UPD").count() == 250)
+    assert(store.read("db.parted").count() == 1000)
+
+    // delete likewise: only region=3 files rewritten (here: dropped)
+    val preDelete = store.prunedFileList("db.parted", None).toSet
+    store.delete("db.parted", col("region") === 3L)
+    val postDelete = store.prunedFileList("db.parted", None).toSet
+    assert(preDelete.filter(!_.contains("__p_region=3")).subsetOf(postDelete))
+    assert(store.read("db.parted").count() == 750)
+
+    // no-match DML is a metadata no-op: no new version committed
+    val vBefore = store.versions("db.parted").last
+    store.update("db.parted", col("region") === 99L, Map("v" -> lit("X")))
+    assert(store.versions("db.parted").last == vBefore, "no-op commits nothing")
+    store.detach()
+  }
+
+  test("insert-only MERGE appends new files and rewrites none (SCD2 phase-2 shape)") {
+    val root = Files.createTempDirectory("graft_cow2").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.m",
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val before = store.prunedFileList("db.m", None).toSet
+    store.merge("db.m", Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"),
+      notMatched = Seq(graft.operators.MergeInto.NotMatchedInsert(None,
+        Map("k" -> col("s.k"), "v" -> col("s.v")))))
+    val after = store.prunedFileList("db.m", None).toSet
+    assert(before.subsetOf(after), "insert-only merge must not rewrite existing files")
+    assert(store.read("db.m").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")), "matched source rows do not insert")
+
+    // a matched-update merge rewrites only the files holding matched rows
+    val pre = store.prunedFileList("db.m", None).toSet
+    store.merge("db.m", Seq((1, "A")).toDF("k", "v"), Seq("k"),
+      matched = Seq(graft.operators.MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))))
+    val post = store.prunedFileList("db.m", None).toSet
+    assert(pre.intersect(post).nonEmpty, "files without matched rows carry over")
+    assert(store.read("db.m").as[(Int, String)].collect().toSet ==
+      Set((1, "A"), (2, "b"), (3, "c")))
+    store.detach()
+  }
+
+  test("per-file min/max stats skip files on key-range reads of the sorted fact shape") {
+    val root = Files.createTempDirectory("graft_skip").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // sorted-within-file write over a pre-range-partitioned frame: each
+    // file covers a disjoint key range, like the medallion fact table
+    val df = spark.range(0, 100000).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .repartitionByRange(8, col("k"))
+    store.createOrReplace("db.fact", df, sortWithin = Seq("k"))
+    val all = store.prunedFileList("db.fact", None)
+    val pruned = store.prunedFileList("db.fact", Some($"k" >= 20000L && $"k" < 30000L))
+    assert(all.size >= 8)
+    assert(pruned.size < all.size / 2,
+      s"range read must skip most files: ${pruned.size} of ${all.size}")
+    // pruning is exact: same rows as the unpruned filtered read
+    val viaSkip = store.readWhere("db.fact", $"k" >= 20000L && $"k" < 30000L)
+    assert(viaSkip.count() == 10000)
+    assert(viaSkip.agg(sum($"v")).as[Long].head ==
+      store.read("db.fact").filter($"k" >= 20000L && $"k" < 30000L)
+        .agg(sum($"v")).as[Long].head)
+    store.detach()
   }
 
   test("table store: update/delete rewrite and snapshot swap") {
@@ -90,5 +177,6 @@ class PipelineSpec extends AnyFunSuite {
       val ks = spark.read.parquet(f).select($"k").as[Long].collect()
       assert(ks.sameElements(ks.sorted), s"file $f must be internally sorted")
     }
+    store.detach()
   }
 }

@@ -75,7 +75,7 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("partitioned SCD2 layout: current-version filter prunes history partitions") {
+  test("partitioned SCD2 layout: current-version reads never open history files") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_part").toString
     val store = new graft.tables.TableStore(spark, root)
@@ -86,14 +86,17 @@ class PlanSpec extends AnyFunSuite {
       src.withColumn("c_acctbal", col("c_acctbal") + 1.0),
       Seq("c_custkey"), lit("2024-02-01 00:00:00"))
     store.createOrReplaceScd2("silver.cust", merged)
-    // hive-style partition values come back as strings (booleans are not
-    // type-inferred) — filter on the literal
-    val cur = store.read("silver.cust").filter(col("is_current") === "true")
-    cur.collect()
-    val plan = Bucketing.finalPlanString(cur)
-    assert(plan.contains("PartitionFilters: [") && plan.contains("is_current"),
-      s"expected partition pruning on is_current, plan:\n${plan.take(1200)}")
+    // manifest-level data skipping replaces hive directory pruning: the
+    // is_current partition stats exclude every closed-version file
+    val all = store.prunedFileList("silver.cust", None)
+    val curFiles = store.prunedFileList("silver.cust", Some(col("is_current") === true))
+    assert(curFiles.nonEmpty && curFiles.size < all.size,
+      s"current-version read must skip history files: ${curFiles.size} of ${all.size}")
+    assert(curFiles.forall(_.contains("__p_is_current=true")),
+      s"only current-partition files survive pruning: $curFiles")
+    val cur = store.readWhere("silver.cust", col("is_current") === true)
     assert(cur.count() == src.count(), "current slice = one row per key")
+    store.detach()
   }
 
   test("q30: scalar threshold stays in the plan — no eager job during query construction") {
@@ -107,11 +110,13 @@ class PlanSpec extends AnyFunSuite {
       // baseline: constructing a plain one-table query costs some parquet
       // schema-inference jobs per source read, but no execution jobs
       SparkEntry.queries("q2_filter_project")(spark, dir)
-      Thread.sleep(500) // listener bus is async
+      // the listener bus is async — drain it instead of sleeping (a loaded
+      // machine can deliver events later than any fixed sleep)
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
       val perRead = counter.get()
       counter.set(0)
       val df = SparkEntry.queries("q30_country_code")(spark, dir) // two source reads
-      Thread.sleep(500)
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
       assert(counter.get() <= 2 * perRead,
         s"building q30 ran ${counter.get()} jobs vs $perRead per plain read — " +
           "an eager driver-side scalar is back in the construction path")

@@ -84,6 +84,7 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rows(silver.filter($"city" === "Dallas")) == Set(
       (3001, "Dallas", "75201", Ts1, null)))
     silver.unpersist()
+    store.detach()
   }
 
   test("MERGE star clauses and unaliased statements lower correctly") {
@@ -100,6 +101,7 @@ class SqlDmlSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(store.read("db.kv").as[(Int, String)].collect().toSet ==
       Set((1, "a"), (2, "B"), (3, "c")))
+    store.detach()
   }
 
   test("INSERT INTO: seed VALUES, column-list alignment with NULL fill, and OVERWRITE") {
@@ -118,6 +120,14 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql("INSERT OVERWRITE gold.dim VALUES (7, 'only', 'ROW')")
     assert(store.read("gold.dim").as[(Long, String, String)].collect().toSeq ==
       Seq((7L, "only", "ROW")))
+
+    // a typo'd column in the explicit list must error, not silently drop
+    // the value and NULL-fill the real column
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gold.dim (customer_key, wrong_col) VALUES (9, 'x')")
+    }
+    assert(e.getMessage.contains("wrong_col"))
+    store.detach()
   }
 
   test("CTAS lowers into existing store namespaces: create, IF NOT EXISTS, OR REPLACE") {
@@ -140,6 +150,39 @@ class SqlDmlSpec extends AnyFunSuite {
     // OR REPLACE: reference dim_calendar shape (01_Init.py:180)
     spark.sql("CREATE OR REPLACE TABLE gold.summary AS SELECT k FROM ctas_src WHERE k = 1")
     assert(store.read("gold.summary").as[Int].collect().toSeq == Seq(1))
+
+    // PARTITIONED BY is honored (manifest stats on the partition column),
+    // and clauses the snapshot store cannot honor error instead of being
+    // silently dropped
+    spark.sql(
+      "CREATE TABLE gold.parted PARTITIONED BY (k) AS SELECT k, amount FROM ctas_src")
+    assert(store.read("gold.parted").columns.toSet == Set("k", "amount"))
+    assert(store.prunedFileList("gold.parted", Some($"k" === 1)).size <
+      store.prunedFileList("gold.parted", None).size,
+      "partition column stats must prune files")
+    val u = intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE gold.nope USING json AS SELECT k FROM ctas_src")
+    }
+    assert(u.getMessage.contains("USING json"))
+    store.detach()
+  }
+
+  test("two stores holding the same table name make SQL DML error instead of guessing") {
+    val s1 = new TableStore(spark, Files.createTempDirectory("graft_amb1").toString)
+    val s2 = new TableStore(spark, Files.createTempDirectory("graft_amb2").toString)
+    try {
+      s1.createOrReplace("db.same", Seq((1, "a")).toDF("k", "v"))
+      s2.createOrReplace("db.same", Seq((2, "b")).toDF("k", "v"))
+      val e = intercept[IllegalStateException] {
+        spark.sql("DELETE FROM db.same WHERE k = 1")
+      }
+      assert(e.getMessage.contains("2 attached TableStores"))
+      // detaching the stale store resolves the route
+      s1.detach()
+      spark.sql("DELETE FROM db.same WHERE k = 2")
+      assert(s2.read("db.same").count() == 0)
+      assert(s1.read("db.same").count() == 1, "detached store untouched")
+    } finally { s1.detach(); s2.detach() }
   }
 
   test("CTAS outside store namespaces falls back to the session catalog") {
@@ -161,5 +204,6 @@ class SqlDmlSpec extends AnyFunSuite {
           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(e.getMessage.contains("equality"))
+    store.detach()
   }
 }
