@@ -110,8 +110,6 @@ object SqlDml {
     tableRef(m.targetTable).filter { case (name, _) =>
       name.contains(".") && TableStore.resolve(spark, name).isDefined
     }.map { case (name, tQuals) =>
-      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-        s"MERGE INTO $name: WITH SCHEMA EVOLUTION is not supported by the snapshot store")
       val sQuals = sourceQuals(m.sourceTable)
       def cv(e: Expression): Column = GraftShims.column(requalify(e, tQuals, sQuals))
 
@@ -141,7 +139,7 @@ object SqlDml {
 
       GraftMergeCommand(name, m.sourceTable, keys, extraOn,
         m.matchedActions.map(act), m.notMatchedActions.map(act),
-        m.notMatchedBySourceActions.map(act))
+        m.notMatchedBySourceActions.map(act), m.withSchemaEvolution)
     }
 
   private[ext] def lowerUpdate(u: UpdateTable, spark: SparkSession): Option[LogicalPlan] =
@@ -256,7 +254,8 @@ final case class GraftMergeCommand(
     extraOn: Option[Column],
     matched: Seq[SqlDml.SqlAction],
     notMatched: Seq[SqlDml.SqlAction],
-    bySource: Seq[SqlDml.SqlAction]) extends LeafRunnableCommand {
+    bySource: Seq[SqlDml.SqlAction],
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
 
   import SqlDml._
 
@@ -266,8 +265,15 @@ final case class GraftMergeCommand(
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for MERGE INTO"))
     val source = GraftShims.ofRows(spark, sourcePlan)
-    val targetCols = store.read(table).columns.toSeq
-    def star: Map[String, Column] = targetCols.map(c => c -> col(s"s.$c")).toMap
+    // WITH SCHEMA EVOLUTION: star clauses expand over the widened column
+    // set (target + new source columns), matching the store's widening
+    val targetCols = store.read(table).columns.toSeq ++
+      (if (schemaEvolution) source.columns.toSeq.filterNot(store.read(table).columns.contains)
+       else Nil)
+    // Delta star semantics: only columns the source actually carries are
+    // assigned; UPDATE keeps the target value for the rest, INSERT NULLs
+    def star: Map[String, Column] =
+      targetCols.filter(source.columns.contains).map(c => c -> col(s"s.$c")).toMap
 
     val m = matched.map {
       case SqlUpdate(c, set) => MergeInto.MatchedUpdate(c, set)
@@ -285,7 +291,7 @@ final case class GraftMergeCommand(
       case SqlDelete(c) => MergeInto.BySourceDelete(c)
       case a => throw new UnsupportedOperationException(s"WHEN NOT MATCHED BY SOURCE does not allow $a")
     }
-    store.merge(table, source, keys, extraOn, m, nm, bs)
+    store.merge(table, source, keys, extraOn, m, nm, bs, schemaEvolution)
     Seq.empty
   }
 }

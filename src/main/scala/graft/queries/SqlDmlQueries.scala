@@ -123,10 +123,36 @@ object SqlDmlQueries {
     store.read("gold.dim_customer").orderBy(col("customer_key"))
   }
 
+  // q41: MERGE WITH SCHEMA EVOLUTION — the source carries a column the
+  // target lacks (c_acctbal); the merge widens the schema, NULL-backfills
+  // unmatched target history, and star clauses expand over the widened set.
+  def q41MergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("gold.cust_profile",
+      t(s, dir, "customer").filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), col("c_name")))
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 8 === 0 || col("c_custkey") % 4 === 2)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"), col("c_acctbal"))
+      .createOrReplaceTempView("evo_src")
+
+    s.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gold.cust_profile AS tgt
+        |USING evo_src AS src
+        |ON tgt.c_custkey = src.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+
+    store.detach()
+    store.read("gold.cust_profile").orderBy(col("c_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
     "q35_sql_update_delete" -> q35SqlUpdateDelete _,
-    "q37_sql_insert" -> q37SqlInsert _)
+    "q37_sql_insert" -> q37SqlInsert _,
+    "q41_merge_evolution" -> q41MergeEvolution _)
 
   private val B1 = "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 < 8"
   private val B2 =
@@ -174,6 +200,15 @@ object SqlDmlQueries {
         |  UNION ALL
         |  SELECT CAST(-9 AS BIGINT), 'N/A', 'N/A')
         |ORDER BY customer_key""".stripMargin,
+    "q41_merge_evolution" ->
+      """WITH t AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 4 = 0),
+        |s AS (SELECT c_custkey, upper(c_name) AS c_name, c_acctbal
+        |      FROM customer WHERE c_custkey % 8 = 0 OR c_custkey % 4 = 2)
+        |SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+        |       COALESCE(s.c_name, t.c_name) AS c_name,
+        |       s.c_acctbal AS c_acctbal
+        |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q35_sql_update_delete" ->
       """WITH updated AS (
         |  SELECT o_orderkey, o_orderstatus,

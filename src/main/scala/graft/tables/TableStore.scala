@@ -588,7 +588,12 @@ final class TableStore(spark: SparkSession, root: String) {
     *    key anti-join — never a rewrite) and simply appended as new files.
     *
     * An insert-only merge (the reference's SCD2 phase 2) therefore
-    * rewrites ZERO existing files. */
+    * rewrites ZERO existing files.
+    *
+    * `schemaEvolution` = Delta's MERGE WITH SCHEMA EVOLUTION: source
+    * columns absent from the target are added (existing history
+    * NULL-backfilled). A widened schema invalidates every existing file,
+    * so an evolving merge is a full rewrite by design. */
   def merge(
       name: String,
       source: DataFrame,
@@ -596,9 +601,17 @@ final class TableStore(spark: SparkSession, root: String) {
       extraOn: Option[Column] = None,
       matched: Seq[MergeInto.MatchedAction] = Nil,
       notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
-      notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil): Unit = {
-    val (schema, entries) = currentManifest(name)
-    val target = readEntries(name, schema, entries)
+      notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil,
+      schemaEvolution: Boolean = false): Unit = {
+    val (schema0, entries) = currentManifest(name)
+    val newCols =
+      if (schemaEvolution)
+        source.schema.fields.toSeq.filterNot(f => schema0.fieldNames.contains(f.name))
+      else Seq.empty
+    val widen: DataFrame => DataFrame = df => newCols.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val schema = StructType(schema0.fields ++ newCols)
+    val target = widen(readEntries(name, schema0, entries))
 
     // One discovery pass finds every file the merge could modify: files
     // with matched rows (when matched clauses exist) and files with
@@ -612,7 +625,13 @@ final class TableStore(spark: SparkSession, root: String) {
     val bySourceCond = notMatchedBySource.flatMap(_.cond).reduceOption(_ || _)
     val bsUnconditioned = notMatchedBySource.exists(_.cond.isEmpty)
     val touched: Set[String] =
-      if (matched.isEmpty && notMatchedBySource.isEmpty) Set.empty // insert-only: pure append
+      if (newCols.nonEmpty) {
+        // widened schema: every existing file lacks the new columns and
+        // must be rewritten
+        if (matched.nonEmpty) MergeInto.checkMultipleMatches(target, source, keys, extraOn)
+        entries.map(_.rel).toSet
+      }
+      else if (matched.isEmpty && notMatchedBySource.isEmpty) Set.empty // insert-only: pure append
       else if (matched.isEmpty && bsUnconditioned) entries.map(_.rel).toSet
       else if (matched.isEmpty) {
         // by-source only: plain predicate scan, no join, no check
@@ -650,7 +669,7 @@ final class TableStore(spark: SparkSession, root: String) {
           .map(r => relOf(name, r.getAs[String]("__f"))).toSet
       }
 
-    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+    val subset = widen(readEntries(name, schema0, entries.filter(e => touched(e.rel))))
     val rewritten = MergeInto(subset, source, keys, extraOn, matched,
       notMatched = Nil, notMatchedBySource, failOnMultipleMatches = false)
     val inserts = MergeInto.insertedRows(target, source, keys, extraOn, notMatched)

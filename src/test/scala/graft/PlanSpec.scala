@@ -99,6 +99,30 @@ class PlanSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("medallion fact build: header/detail join over bucketed silver is shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_bktfact").toString
+    val store = new graft.tables.TableStore(spark, root)
+    val pipe = new graft.pipeline.Medallion(spark, store, dir, bucketedFact = true)
+    val ts = lit("2024-01-01 00:00:00")
+    pipe.runBronze(); pipe.runSilver(ts); pipe.runGoldDims(ts)
+    // force the sort-merge path for the fact-side join: a broadcast would
+    // hide whether the bucketed layout actually removed the shuffle (the
+    // dimension joins keep their explicit broadcast hints)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = pipe.buildFact(ts)
+      assert(Bucketing.isShuffleFree(fact),
+        s"fact assembly must not shuffle the fact side:\n${Bucketing.finalPlanString(fact).take(1800)}")
+      assert(Bucketing.finalPlanString(fact).contains("SortMergeJoin"),
+        "header/detail must sort-merge over co-located buckets")
+      assert(fact.count() == spark.read.parquet(s"$dir/lineitem.parquet").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      store.detach()
+    }
+  }
+
   test("q30: scalar threshold stays in the plan — no eager job during query construction") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {

@@ -167,6 +167,35 @@ class SqlDmlSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target and NULL-backfills history") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_evo").toString)
+    try {
+      store.createOrReplace("db.evo", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+      Seq((2, "B", 20.0), (3, "c", 30.0)).toDF("k", "v", "score")
+        .createOrReplaceTempView("evo_spec_src")
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO db.evo AS t
+          |USING evo_spec_src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      assert(store.read("db.evo").columns.toSeq == Seq("k", "v", "score"))
+      assert(store.read("db.evo").as[(Int, String, Option[Double])].collect().toSet ==
+        Set((1, "a", None), (2, "B", Some(20.0)), (3, "c", Some(30.0))))
+
+      // API path: scd-style widened merge via store.merge
+      store.merge("db.evo", Seq((1, "A", 10.0, "x")).toDF("k", "v", "score", "tag"), Seq("k"),
+        matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
+          Map("v" -> col("s.v"), "score" -> col("s.score"), "tag" -> col("s.tag")))),
+        schemaEvolution = true)
+      assert(store.read("db.evo").columns.toSeq == Seq("k", "v", "score", "tag"))
+      assert(store.read("db.evo").filter($"k" === 1).as[(Int, String, Double, String)].head() ==
+        ((1, "A", 10.0, "x")))
+      assert(store.read("db.evo").filter($"k" === 2).select($"tag").as[Option[String]].head().isEmpty,
+        "untouched rows NULL-backfill the new column")
+    } finally store.detach()
+  }
+
   test("two stores holding the same table name make SQL DML error instead of guessing") {
     val s1 = new TableStore(spark, Files.createTempDirectory("graft_amb1").toString)
     val s2 = new TableStore(spark, Files.createTempDirectory("graft_amb2").toString)
