@@ -131,6 +131,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** LSH band keys per document: (doc, band, key) where key concatenates
+    * the band's MinHash rows — the bucket identity two near-duplicate
+    * documents collide on. Shared by [[minhashLsh]], [[firstSeenDedup]]
+    * and the streaming dedup sink. */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
+    val sig = minhashSignatures(shingles(docs, idCol, textCol, n), bands, rows)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("key")))
+    sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** First-seen near-dup dedup: keep a document iff NO document with a
+    * smaller id shares any LSH band key — the batch twin of the streaming
+    * dedup sink (a dropped document still blocks later collisions, which
+    * is what makes the result independent of batch boundaries). Documents
+    * too short to shingle never collide and are always kept. */
+  def firstSeenDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
+    val bk = bandKeys(docs, idCol, textCol, n, bands, rows)
+    val dropped = bk.alias("a").join(bk.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.doc") < col("a.doc"), "left_semi")
+      .select(col("a.doc")).distinct()
+    docs.join(dropped, docs(idCol) === dropped("doc"), "left_anti")
+  }
+
   /** 32-bit SimHash per doc: token hash bits vote ±1, fingerprint = sign
     * vector. One groupBy(doc) with 32 conditional sums. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

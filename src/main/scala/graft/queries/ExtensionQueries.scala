@@ -102,6 +102,17 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x28: first-seen near-dup dedup — keep a document iff nothing with a
+  // smaller id shares an LSH band key. The batch twin of the streaming
+  // dedup sink (StreamingDedup.minhashDedupSink); batch-boundary
+  // independence is what makes this oracle also verify the stream's
+  // semantics (StreamingSpec proves stream == this on sliced batches).
+  def x28FirstSeenDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.firstSeenDedup(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, rows = 2)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // x23: PII/noise scrub — URLs, e-mails and long digit runs replaced by
   // placeholder tokens, with per-document hit counts (the cheap pre-filter
   // pass every crawl corpus goes through before tokenization).
@@ -189,6 +200,7 @@ object ExtensionQueries {
     "x23_text_clean" -> x23TextClean _,
     "x24_repetition" -> x24Repetition _,
     "x20_dataset_split" -> x20DatasetSplit _,
+    "x28_firstseen_dedup" -> x28FirstSeenDedup _,
     "x1_dedup_exact" -> x1DedupExact _,
     "x2_ngram_jaccard" -> x2NgramJaccard _,
     "x3_minhash_lsh" -> x3MinhashLsh _,
@@ -371,6 +383,14 @@ object ExtensionQueries {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, MIN(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "x28_firstseen_dedup" ->
+      s"""WITH $MinhashCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+         |  WHERE a.doc = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "x4_simhash_pairs" ->
       s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
          |tok AS (

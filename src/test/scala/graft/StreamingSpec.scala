@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -155,6 +156,54 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
     runToCompletion(startQ())
     assert(state() == afterRestart, "replayed micro-batch must not change the table")
+  }
+
+  test("streaming minhash dedup == batch first-seen dedup; replayed batch is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_store").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sdedup_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val store = new graft.tables.TableStore(spark, root)
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text", $"lang")
+      val schema = docs.schema
+
+      def startQ() = graft.streaming.StreamingDedup.minhashDedupSink(
+          spark.readStream.schema(schema).parquet(srcDir),
+          store, "bronze.docs_kept", "bronze.doc_sigs")
+        .option("checkpointLocation", ckpt)
+        .start()
+      def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+
+      // three id-ordered slices arrive as separate micro-batches
+      val cut1 = 150L; val cut2 = 300L
+      docs.filter($"doc_id" < cut1).write.mode("append").parquet(srcDir)
+      runToCompletion(startQ())
+      docs.filter($"doc_id" >= cut1 && $"doc_id" < cut2).write.mode("append").parquet(srcDir)
+      docs.filter($"doc_id" >= cut2).write.mode("append").parquet(srcDir)
+      runToCompletion(startQ())
+
+      val streamed = store.read("bronze.docs_kept")
+      val batchTwin = graft.operators.Dedup.firstSeenDedup(docs, "doc_id", "text")
+      assert(streamed.count() > 0 && streamed.count() < docs.count(),
+        "some documents deduplicated, some kept")
+      assert(streamed.exceptAll(batchTwin).isEmpty && batchTwin.exceptAll(streamed).isEmpty,
+        "kept set must be independent of micro-batch boundaries")
+
+      // force an at-least-once replay of the final micro-batch: the
+      // insert-only merges must re-derive identical rows and insert nothing
+      val lastBatch = java.nio.file.Files.list(java.nio.file.Paths.get(ckpt, "commits"))
+        .iterator().asScala.map(_.getFileName.toString).filterNot(_.startsWith("."))
+        .map(_.toInt).max
+      java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", s"$lastBatch"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(ckpt, "commits", s".$lastBatch.crc"))
+      runToCompletion(startQ())
+      val replayed = store.read("bronze.docs_kept")
+      assert(replayed.exceptAll(streamed).isEmpty && streamed.exceptAll(replayed).isEmpty,
+        "replayed micro-batch must not change the kept table")
+    } finally store.detach()
   }
 
   test("streaming SCD2 upsert sink: micro-batches merge into the table store") {
