@@ -213,6 +213,78 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Product quantization codebooks: the vector is split into `m`
+    * contiguous subspaces and each subspace gets its own deterministic
+    * k-means codebook ([[trainCentroids]] over the slice). Returns
+    * (subspace → codebook) pairs; codebooks are small (m × nCentroids
+    * short vectors) and broadcast everywhere they are used. */
+  def pqTrain(corpus: DataFrame, m: Int, dim: Int, nCentroids: Int, iterations: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, DataFrame)] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
+      s -> trainCentroids(sliced, nCentroids, iterations, idCol, vecCol)
+    }
+  }
+
+  /** PQ encode: one (id, subspace, code) row per vector and subspace —
+    * the narrow relational spelling of the packed code array (m bytes per
+    * vector at nCentroids ≤ 256: a 64-float embedding compresses 64×). */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[(Int, DataFrame)], m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    codebooks.map { case (s, cents) =>
+      nearestCentroids(
+          corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+          cents, probes = 1, idCol, vecCol)
+        .select(col(idCol), lit(s).as("subspace"), col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): each query
+    * precomputes one partial-dot entry per (subspace, centroid) — an
+    * m×nCentroids lookup table, broadcast — and a candidate's score is the
+    * SUM of its codes' table entries, normalized by the query norm and the
+    * reconstructed-vector norm (Σ‖c‖²). Per-subspace partial dots are
+    * scaled to BIGINT micro-units before the sum, so the aggregation is
+    * exact and order-independent — the same determinism device as the
+    * k-means training, which is what lets DuckDB replay the entire
+    * pipeline (training + encoding + ADC) bit-for-bit.
+    *
+    * Scale shape: training/encoding is the IVF cost paid once; a query
+    * then never touches the float vectors — the scan reads m small ints
+    * per candidate (the memory-bandwidth win PQ exists for), one
+    * partial-aggregated shuffle of (query, vec) sums, top-k window. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int, dim: Int,
+      nCentroids: Int = 16, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val codebooks = pqTrain(corpus, m, dim, nCentroids, iterations, idCol, vecCol)
+      .map { case (s, c) => s -> c.persist() } // reused: encode + ADC tables
+    val codes = pqEncode(corpus, codebooks, m, dim, idCol, vecCol)
+    val tables = codebooks.map { case (s, cents) =>
+      queries.select(col(idCol).as("query_id"),
+          slice(col(vecCol), s * sub + 1, sub).as("qsub"))
+        .crossJoin(cents)
+        .select(col("query_id"), lit(s).as("subspace"), col("centroid_id").as("code"),
+          round(dot(col("qsub"), col("cvec")) * 1e6).cast("long").as("pdot_micro"),
+          round(dot(col("cvec"), col("cvec")) * 1e6).cast("long").as("c2_micro"))
+    }.reduce(_ unionByName _)
+    val qn = queries.select(col(idCol).as("query_id"), norm(col(vecCol)).as("qnrm"))
+    val scored = codes.join(broadcast(tables), Seq("subspace", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("pdot_micro")).as("pd"), sum(col("c2_micro")).as("c2"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round((col("pd").cast("double") / 1e6) /
+          (col("qnrm") * sqrt(col("c2").cast("double") / 1e6)), 6).as("pq_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact quadratic
     * form for oracle duty; bucket with [[lshBucket]] first at scale.
     * Norms are computed once per vector (n rows), not once per pair (n²):

@@ -132,7 +132,19 @@ object TpchExtraQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // x29: product-quantization ANN (4 subspaces × 8 centroids, ADC
+  // scoring). The oracle replays per-subspace k-means training, encoding
+  // AND the ADC table lookups exactly — every sum is BIGINT micro-units.
+  def x29PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        m = 4, dim = 64, nCentroids = 8, iterations = 2)
+      .select(col("query_id"), col("neighbor_id"), col("pq_sim"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x29_pq_topk" -> x29PqTopK _,
     "x21_lsh_topk" -> x21LshTopK _,
     "x25_quantized_topk" -> x25QuantizedTopK _,
     "q27_disjunctive" -> q27Disjunctive _,
@@ -210,7 +222,85 @@ object TpchExtraQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** DuckDB replay of Similarity.pqTopK: per subspace, the ivfOracle
+    * training trio over the vector SLICE, then first-centroid encoding, a
+    * per-query ADC table of BIGINT micro-unit partial dots, and the summed
+    * ADC score. Exact in both engines for the same reasons as x17. */
+  private def pqOracle(m: Int, dim: Int, nCentroids: Int, iterations: Int, k: Int): String = {
+    val sub = dim / m
+    def dotL(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a)+1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def cnrm(c: String): String = s"sqrt(${dotL(c, c)})"
+
+    val subCtes = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      val iterCtes = (1 to iterations).map { j =>
+        val prev = if (j == 1) s"c0_$s" else s"c${j - 1}_$s"
+        s"""a${j}_$s AS (
+           |  SELECT vec_id, sv, cluster FROM (
+           |    SELECT e.vec_id, e.sv, c.centroid_id AS cluster,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ROUND(${dotL("e.sv", "c.cvec")} / (e.snrm * ${cnrm("c.cvec")}), 6) DESC,
+           |        c.centroid_id) AS rk
+           |    FROM n_$s e CROSS JOIN $prev c) WHERE rk = 1),
+           |s${j}_$s AS (
+           |  SELECT cluster, u.i AS pos,
+           |    SUM(CAST(ROUND(CAST(sv[u.i] AS DOUBLE) * 1e6) AS BIGINT)) AS sm,
+           |    COUNT(*) AS cnt
+           |  FROM a${j}_$s, UNNEST(range(1, len(sv)+1)) AS u(i)
+           |  GROUP BY cluster, u.i),
+           |c${j}_$s AS (
+           |  SELECT cluster AS centroid_id,
+           |    list(CAST(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1e6) AS FLOAT) ORDER BY pos) AS cvec
+           |  FROM s${j}_$s GROUP BY cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""n_$s AS (
+         |  SELECT vec_id, embedding[$lo:$hi] AS sv, ${cnrm(s"embedding[$lo:$hi]")} AS snrm
+         |  FROM embeddings),
+         |c0_$s AS (
+         |  SELECT vec_id AS centroid_id, sv AS cvec FROM n_$s ORDER BY vec_id LIMIT $nCentroids),
+         |$iterCtes,
+         |codes_$s AS (
+         |  SELECT vec_id, $s AS subspace, cluster AS code FROM (
+         |    SELECT e.vec_id, c.centroid_id AS cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ROUND(${dotL("e.sv", "c.cvec")} / (e.snrm * ${cnrm("c.cvec")}), 6) DESC,
+         |        c.centroid_id) AS rk
+         |    FROM n_$s e CROSS JOIN c${iterations}_$s c) WHERE rk = 1),
+         |tab_$s AS (
+         |  SELECT q.vec_id AS query_id, $s AS subspace, c.centroid_id AS code,
+         |    CAST(ROUND(${dotL("q.sv", "c.cvec")} * 1e6) AS BIGINT) AS pdot_micro,
+         |    CAST(ROUND(${dotL("c.cvec", "c.cvec")} * 1e6) AS BIGINT) AS c2_micro
+         |  FROM n_$s q CROSS JOIN c${iterations}_$s c WHERE q.vec_id < 10)""".stripMargin
+    }.mkString(",\n")
+
+    s"""WITH $subCtes,
+       |codes AS (${(0 until m).map(s => s"SELECT * FROM codes_$s").mkString(" UNION ALL ")}),
+       |tabs AS (${(0 until m).map(s => s"SELECT * FROM tab_$s").mkString(" UNION ALL ")}),
+       |qn AS (
+       |  SELECT vec_id AS query_id, ${cnrm("embedding")} AS qnrm
+       |  FROM embeddings WHERE vec_id < 10),
+       |summed AS (
+       |  SELECT t.query_id, c.vec_id,
+       |    CAST(SUM(t.pdot_micro) AS BIGINT) AS pd, CAST(SUM(t.c2_micro) AS BIGINT) AS c2
+       |  FROM codes c JOIN tabs t ON c.subspace = t.subspace AND c.code = t.code
+       |  GROUP BY t.query_id, c.vec_id),
+       |scored AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    ROUND((CAST(pd AS DOUBLE) / 1e6) /
+       |      (q.qnrm * sqrt(CAST(c2 AS DOUBLE) / 1e6)), 6) AS pq_sim
+       |  FROM summed s JOIN qn q ON s.query_id = q.query_id
+       |  WHERE s.query_id <> s.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pq_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, pq_sim, rk FROM ranked WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x29_pq_topk" -> pqOracle(m = 4, dim = 64, nCentroids = 8, iterations = 2, k = 5),
     "x21_lsh_topk" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding,
