@@ -430,13 +430,34 @@ final class TableStore(spark: SparkSession, root: String) {
   def createEmpty(name: String, schema: StructType): Unit =
     createOrReplace(name, emptyDf(schema))
 
-  /** Write `df`'s files into `v_<next>` honoring the layout, collect their
-    * manifest entries (with stats), commit `carryOver ++ new`. */
+  /** Allocate the next version number by atomically creating its
+    * directory — the allocation doubles as the writer mutex: two
+    * concurrent writers can never claim the same version. */
+  private def allocateVersion(name: String): (Int, Path) = {
+    Files.createDirectories(tableDir(name))
+    var v = currentVersion(name).getOrElse(0) + 1
+    while (true) {
+      try {
+        val dir = tableDir(name).resolve(s"v_$v")
+        Files.createDirectory(dir)
+        return (v, dir)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Write `df`'s files into an atomically-allocated `v_<next>` honoring
+    * the layout, collect their manifest entries (with stats), commit
+    * `carryOver ++ new`. Optimistic concurrency: when `expectedBase` is
+    * set, the commit verifies (under the table's commit lock) that the
+    * current version is still the one the writer derived its changes
+    * from — a lost-update conflict raises instead of silently clobbering
+    * the other writer (Delta's conflict-detection shape, reduced to one
+    * pointer). */
   private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
-      schemaHint: Option[StructType] = None): Unit = {
-    val next = currentVersion(name).getOrElse(0) + 1
-    val dir = tableDir(name).resolve(s"v_$next")
+      schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None): Unit = {
+    val (next, dir) = allocateVersion(name)
     // partition columns are duplicated into __p_* for the directory layout
     // so the REAL columns stay in the data files (manifest reads need no
     // hive partition reconstruction)
@@ -471,7 +492,69 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries)
     writeLayout(name, partitionBy, sortWithin, statsFor)
-    swapTo(name, next)
+    withCommitLock(name) {
+      expectedBase.foreach { base =>
+        val cur = currentVersion(name)
+        if (cur != base) throw new java.util.ConcurrentModificationException(
+          s"$name moved from version $base to $cur since this writer read it — " +
+            "re-derive the change from the current snapshot and retry")
+      }
+      swapTo(name, next)
+    }
+  }
+
+  /** File-based commit mutex: held only for the pointer check+swap (the
+    * expensive data writes happen outside it). Works cross-process on a
+    * shared filesystem; an object-store deployment would use a
+    * conditional PUT for the same window. */
+  private def withCommitLock[T](name: String)(f: => T): T = {
+    val lock = tableDir(name).resolve("_COMMIT_LOCK")
+    var tries = 0
+    while (true) {
+      try {
+        Files.createFile(lock)
+        try return f finally Files.deleteIfExists(lock)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          if (tries > 600) throw new IllegalStateException(
+            s"commit lock $lock held for >6s — crashed writer? delete it to recover")
+          Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The table's current committed version (the optimistic-concurrency
+    * token for [[replaceIfUnchanged]]). */
+  def version(name: String): Option[Int] = currentVersion(name)
+
+  /** Compare-and-swap snapshot write: commits `df` only if the table is
+    * still at `baseVersion` (what this writer read); otherwise raises
+    * `ConcurrentModificationException` — the lost-update protection the
+    * internal DML paths get automatically. */
+  def replaceIfUnchanged(name: String, df: DataFrame, baseVersion: Int): Unit = {
+    val (pb, sw, sf) = readLayout(name)
+    commitVersion(name, df, pb, sw, sf, carryOver = Seq.empty,
+      expectedBase = Some(Some(baseVersion)))
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the current manifest's files into
+    * `targetFiles` consolidated files (per partition directory when the
+    * table is partitioned), preserving layout, sort and stats. The
+    * antidote to the small-file accumulation that append-only merges —
+    * e.g. a streaming ingest — produce; committed with conflict detection
+    * so a compaction never clobbers a concurrent writer. */
+  def compact(name: String, targetFiles: Int = 1): Unit = {
+    val base = currentVersion(name)
+    val (schema, entries) = currentManifest(name)
+    val (pb, sw, sf) = readLayout(name)
+    val df0 = readEntries(name, schema, entries)
+    val df =
+      if (pb.nonEmpty) df0.repartition(pb.map(col): _*)
+      else df0.repartition(math.max(1, targetFiles))
+    commitVersion(name, df, pb, sw, sf, carryOver = Seq.empty,
+      schemaHint = Some(schema), expectedBase = Some(base))
   }
 
   /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot.
@@ -553,7 +636,9 @@ final class TableStore(spark: SparkSession, root: String) {
     * containing matching rows are rewritten; everything else is carried
     * into the new manifest untouched. */
   def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
-    val (schema, entries) = currentManifest(name)
+    val base = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema, entries) = readManifest(name, base)
     val touched = touchedFiles(name, schema, entries, cond)
     if (touched.isEmpty) return // no matching rows anywhere — nothing to commit
     val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
@@ -563,18 +648,22 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     val (pb, sw, sf) = readLayout(name)
     commitVersion(name, updated, pb, sw, sf,
-      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema))
+      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
+      expectedBase = Some(Some(base)))
   }
 
   /** K6: DELETE FROM … WHERE — file-pruned copy-on-write. */
   def delete(name: String, cond: Column): Unit = {
-    val (schema, entries) = currentManifest(name)
+    val base = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema, entries) = readManifest(name, base)
     val touched = touchedFiles(name, schema, entries, cond)
     if (touched.isEmpty) return
     val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
     val (pb, sw, sf) = readLayout(name)
     commitVersion(name, subset.filter(!cond || cond.isNull), pb, sw, sf,
-      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema))
+      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
+      expectedBase = Some(Some(base)))
   }
 
   /** K5: MERGE INTO applied to a stored table — file-pruned copy-on-write:
@@ -603,7 +692,9 @@ final class TableStore(spark: SparkSession, root: String) {
       notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
       notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil,
       schemaEvolution: Boolean = false): Unit = {
-    val (schema0, entries) = currentManifest(name)
+    val base = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema0, entries) = readManifest(name, base)
     val newCols =
       if (schemaEvolution)
         source.schema.fields.toSeq.filterNot(f => schema0.fieldNames.contains(f.name))
@@ -675,7 +766,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val inserts = MergeInto.insertedRows(target, source, keys, extraOn, notMatched)
     val (pb, sw, sf) = readLayout(name)
     commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
-      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema))
+      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
+      expectedBase = Some(Some(base)))
   }
 
   // -------------------------------------------------------------- metadata

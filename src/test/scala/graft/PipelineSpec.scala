@@ -105,6 +105,52 @@ class PipelineSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("compaction folds append-accumulated small files; stats and rows survive") {
+    val root = Files.createTempDirectory("graft_compact").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.appends", Seq((1, "a")).toDF("k", "v"), sortWithin = Seq("k"))
+    // three insert-only merges = three file appends (the streaming-ingest shape)
+    (2 to 4).foreach { i =>
+      store.merge("db.appends", Seq((i, "x")).toDF("k", "v"), Seq("k"),
+        notMatched = Seq(graft.operators.MergeInto.NotMatchedInsert(None,
+          Map("k" -> org.apache.spark.sql.functions.col("s.k"),
+            "v" -> org.apache.spark.sql.functions.col("s.v")))))
+    }
+    val before = store.prunedFileList("db.appends", None)
+    assert(before.size >= 4, s"appends accumulate files: $before")
+    store.compact("db.appends")
+    val after = store.prunedFileList("db.appends", None)
+    assert(after.size == 1, s"compacted to one file: $after")
+    assert(store.read("db.appends").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "x"), (3, "x"), (4, "x")))
+    assert(store.prunedFileList("db.appends", Some($"k" === 99)).isEmpty
+      || store.prunedFileList("db.appends", Some($"k" === 99)).size <= after.size,
+      "stats still collected on the compacted file")
+    store.detach()
+  }
+
+  test("optimistic concurrency: a stale writer's commit raises instead of clobbering") {
+    val root = Files.createTempDirectory("graft_cas").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.cc", Seq((1, 10)).toDF("k", "n"))
+    val base = store.version("db.cc").get
+    // another writer lands an update after this writer read its snapshot
+    store.update("db.cc", col("k") === 1, Map("n" -> lit(11)))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.replaceIfUnchanged("db.cc", Seq((1, 99)).toDF("k", "n"), base)
+    }
+    assert(e.getMessage.contains("moved from version"))
+    assert(store.read("db.cc").as[(Int, Int)].head() == ((1, 11)),
+      "the concurrent writer's update survives")
+    // retry from the current version succeeds
+    store.replaceIfUnchanged("db.cc", Seq((1, 99)).toDF("k", "n"),
+      store.version("db.cc").get)
+    assert(store.read("db.cc").as[(Int, Int)].head() == ((1, 99)))
+    store.detach()
+  }
+
   test("per-file min/max stats skip files on key-range reads of the sorted fact shape") {
     val root = Files.createTempDirectory("graft_skip").toString
     val store = new TableStore(spark, root)
