@@ -160,6 +160,28 @@ object SqlDml {
       GraftDeleteCommand(name, GraftShims.column(unqualify(d.condition, tQuals)))
     }
 
+  /** `SELECT … FROM db.t VERSION AS OF n` over a store table resolves to
+    * that retained snapshot version (Delta's time-travel surface; the
+    * store keeps every version until vacuum). Timestamp travel is not
+    * offered — snapshots are versioned, not timestamped. */
+  private[ext] def lowerTimeTravel(
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel,
+      spark: SparkSession): Option[LogicalPlan] =
+    (tt.relation match {
+      case u: UnresolvedRelation => Some(u.multipartIdentifier.mkString("."))
+      case _ => None
+    }).filter(_.contains("."))
+      .flatMap(name => TableStore.resolve(spark, name).map(name -> _))
+      .flatMap { case (name, store) =>
+        tt.version.map { v =>
+          val version = v.toString.toInt
+          require(store.versions(name).contains(version),
+            s"$name VERSION AS OF $version: no such retained version " +
+              s"(have ${store.versions(name).mkString(", ")})")
+          GraftShims.analyzedPlan(store.readVersion(name, version))
+        }
+      }
+
   private[ext] def lowerInsert(i: InsertIntoStatement, spark: SparkSession): Option[LogicalPlan] =
     tableRef(i.table).filter { case (name, _) =>
       name.contains(".") && TableStore.resolve(spark, name).isDefined && i.partitionSpec.isEmpty
@@ -241,6 +263,8 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UpdateTable => SqlDml.lowerUpdate(u, spark).getOrElse(u)
       case d: DeleteFromTable => SqlDml.lowerDelete(d, spark).getOrElse(d)
       case i: InsertIntoStatement => SqlDml.lowerInsert(i, spark).getOrElse(i)
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        SqlDml.lowerTimeTravel(tt, spark).getOrElse(tt)
     }
 }
 

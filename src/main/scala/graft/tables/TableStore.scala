@@ -600,6 +600,14 @@ final class TableStore(spark: SparkSession, root: String) {
     readEntries(name, schema, entries)
   }
 
+  /** Commit history, newest first: (version, commit time, file count) —
+    * the DESCRIBE HISTORY surface over the retained manifests. */
+  def history(name: String): Seq[(Int, java.time.Instant, Int)] =
+    versions(name).reverse.map { v =>
+      (v, Files.getLastModifiedTime(manifestPath(name, v)).toInstant,
+        readManifest(name, v)._2.size)
+    }
+
   /** All retained snapshot versions (those whose manifest survives),
     * oldest first. */
   def versions(name: String): Seq[Int] = {

@@ -13,6 +13,9 @@ object GraftShims {
     * live catalog, temp views included). */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** The analyzed logical plan of a DataFrame — for splicing a
+    * library-built relation into an analyzer rule's output. */
+  def analyzedPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
   /** Eagerly convert a Column to its resolved-at-the-leaves Catalyst tree
     * (`expression` returns a lazy ColumnNode wrapper whose operators are
     * still unresolved function names — useless for structural matching). */

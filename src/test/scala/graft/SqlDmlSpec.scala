@@ -196,6 +196,27 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("SQL time travel: VERSION AS OF reads retained snapshots; history lists commits") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_tt").toString)
+    try {
+      store.createOrReplace("db.tt", Seq((1, "a")).toDF("k", "v"))        // v1
+      spark.sql("UPDATE db.tt SET v = 'b' WHERE k = 1")                   // v2
+      spark.sql("INSERT INTO db.tt VALUES (2, 'c')")                      // v3
+      assert(spark.sql("SELECT v FROM db.tt VERSION AS OF 1").as[String].collect().toSeq
+        == Seq("a"))
+      assert(spark.sql("SELECT v FROM db.tt VERSION AS OF 2").as[String].collect().toSeq
+        == Seq("b"))
+      assert(spark.sql("SELECT count(*) FROM db.tt VERSION AS OF 3").as[Long].head() == 2)
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM db.tt VERSION AS OF 9").collect()
+      }
+      assert(e.getMessage.contains("no such retained version"))
+      val h = store.history("db.tt")
+      assert(h.map(_._1) == Seq(3, 2, 1), "history newest first")
+      assert(h.forall(_._3 >= 1), "every commit lists its files")
+    } finally store.detach()
+  }
+
   test("two stores holding the same table name make SQL DML error instead of guessing") {
     val s1 = new TableStore(spark, Files.createTempDirectory("graft_amb1").toString)
     val s2 = new TableStore(spark, Files.createTempDirectory("graft_amb2").toString)
