@@ -222,6 +222,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, DataFrame)] = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val sub = dim / m
+    // lazy: each codebook is a (small) plan over the corpus slice; the m
+    // sub-plans evaluate concurrently as broadcast exchanges when consumed
     (0 until m).map { s =>
       val sliced = corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as(vecCol))
       s -> trainCentroids(sliced, nCentroids, iterations, idCol, vecCol)

@@ -144,4 +144,57 @@ class SqlMergePropertySpec extends AnyFunSuite {
       assert(result.passed, s"property failed: ${result.status}")
     } finally store.detach()
   }
+
+  test("random SQL UPDATE/DELETE spellings equal their DataFrame twins") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_udprop").toString)
+    try {
+      // (render(qual), equivalent Column) condition variants; None = no WHERE
+      val conds: Gen[Option[(String => String, org.apache.spark.sql.Column)]] = Gen.oneOf(
+        Some(((q: String) => s"${q}w > 50", col("w") > 50)),
+        Some(((q: String) => s"${q}v = 'a'", col("v") === "a")),
+        Some(((q: String) => s"${q}w <= 30 AND ${q}v <> 'b'", col("w") <= 30 && col("v") =!= "b")),
+        None)
+      val sets: Gen[(String => String, DataFrame => org.apache.spark.sql.Column => DataFrame)] =
+        Gen.oneOf[(String => String, DataFrame => org.apache.spark.sql.Column => DataFrame)](
+          ((q: String) => s"${q}v = upper(v)",
+            (df: DataFrame) => (c: org.apache.spark.sql.Column) =>
+              df.withColumn("v", when(c, upper(col("v"))).otherwise(col("v")))),
+          ((q: String) => s"v = 'Z', ${q}w = w + 1.5",
+            (df: DataFrame) => (c: org.apache.spark.sql.Column) =>
+              df.withColumn("v", when(c, lit("Z")).otherwise(col("v")))
+                .withColumn("w", when(c, col("w") + 1.5).otherwise(col("w")))))
+      val gen = for {
+        alias <- Gen.oneOf(Some("u"), None)
+        fullQual <- Gen.oneOf(true, false)
+        isUpdate <- Gen.oneOf(true, false)
+        cond <- conds
+        set <- sets
+        keys <- Gen.someOf(1 to 8)
+        vals <- Gen.listOfN(keys.size, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 100)))
+      } yield (alias, fullQual, isUpdate, cond, set,
+        keys.toList.zip(vals).map { case (k, (v, w)) => (k, v, w.toDouble) })
+
+      val prop = Prop.forAll(gen) { case (alias, fullQual, isUpdate, cond, set, rows) =>
+        store.createOrReplace("db.ud", df(rows))
+        val qual = alias.getOrElse(if (fullQual) "db.ud" else "ud") + "."
+        val aliasSql = alias.map(a => s" AS $a").getOrElse("")
+        val whereSql = cond.map(c => s" WHERE ${c._1(qual)}").getOrElse("")
+        val condCol = cond.map(_._2).getOrElse(lit(true))
+        val expected =
+          if (isUpdate) set._2(df(rows))(condCol)
+          else df(rows).filter(!condCol || condCol.isNull)
+        if (isUpdate) spark.sql(s"UPDATE db.ud$aliasSql SET ${set._1(qual)}$whereSql")
+        else spark.sql(s"DELETE FROM db.ud$aliasSql$whereSql")
+        val got = store.read("db.ud")
+        val same = got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty
+        if (!same) System.err.println(
+          s"MISMATCH alias=$alias fullQual=$fullQual upd=$isUpdate where=$whereSql rows=$rows\n" +
+            s"got: ${got.collect().toSeq}\nexp: ${expected.collect().toSeq}")
+        same
+      }
+      val result = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(25).withInitialSeed(11L), prop)
+      assert(result.passed, s"property failed: ${result.status}")
+    } finally store.detach()
+  }
 }
