@@ -148,7 +148,29 @@ object SqlDmlQueries {
     store.read("gold.cust_profile").orderBy(col("c_custkey"))
   }
 
+  // q42: row-level change feed from the manifest diff — the q35 flow
+  // (UPDATE then DELETE), then changesBetween(initial, current): updates
+  // surface as delete+insert pairs, deletions as deletes, untouched rows
+  // (and untouched FILES, which are never even opened) cancel out.
+  def q42ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.orders",
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    val v0 = store.version("silver.orders").get
+
+    s.sql("UPDATE silver.orders SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) WHERE o_orderstatus = 'O'")
+    s.sql("DELETE FROM silver.orders WHERE o_totalprice < CAST(100000 AS DOUBLE)")
+
+    val out = store.changesBetween("silver.orders", v0, store.version("silver.orders").get)
+      .orderBy(col("o_orderkey"), col("_change_type"))
+    store.detach()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_change_feed" -> q42ChangeFeed _,
     "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
     "q35_sql_update_delete" -> q35SqlUpdateDelete _,
     "q37_sql_insert" -> q37SqlInsert _,
@@ -209,6 +231,22 @@ object SqlDmlQueries {
         |       s.c_acctbal AS c_acctbal
         |FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q42_change_feed" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v0
+        |  WHERE NOT (CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |                  ELSE o_totalprice END < CAST(100000 AS DOUBLE)))
+        |SELECT * FROM (
+        |  SELECT *, 'insert' AS _change_type FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v0)
+        |  UNION ALL
+        |  SELECT *, 'delete' AS _change_type FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v2))
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
     "q35_sql_update_delete" ->
       """WITH updated AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -105,6 +105,26 @@ class PipelineSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("change feed: updates appear as delete+insert pairs; untouched partitions cancel") {
+    val root = Files.createTempDirectory("graft_cdf").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    val df = spark.range(0, 400)
+      .select((col("id") % 4).as("region"), col("id").as("k"), lit("old").as("v"))
+    store.createOrReplace("db.cdf", df, partitionBy = Seq("region"))
+    val v0 = store.version("db.cdf").get
+    store.update("db.cdf", col("region") === 2L && col("k") < 100L, Map("v" -> lit("new")))
+    val changes = store.changesBetween("db.cdf", v0, store.version("db.cdf").get)
+    val byType = changes.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    // 25 rows match (k<100 ∧ region=2): each update = one delete + one insert
+    assert(byType == Map("insert" -> 25L, "delete" -> 25L), s"got $byType")
+    assert(changes.filter($"region" =!= 2L).count() == 0,
+      "rows of untouched partitions cancel out of the diff")
+    assert(changes.filter($"_change_type" === "insert" && $"v" =!= "new").count() == 0)
+    store.detach()
+  }
+
   test("compaction folds append-accumulated small files; stats and rows survive") {
     val root = Files.createTempDirectory("graft_compact").toString
     val store = new TableStore(spark, root)
