@@ -160,13 +160,26 @@ object SqlDml {
       GraftDeleteCommand(name, GraftShims.column(unqualify(d.condition, tQuals)))
     }
 
-  /** `SELECT … FROM db.t VERSION AS OF n` over a store table resolves to
-    * that retained snapshot version (Delta's time-travel surface; the
-    * store keeps every version until vacuum). Timestamp travel is not
-    * offered — snapshots are versioned, not timestamped. */
+  /** `SELECT … FROM db.t VERSION AS OF n` / `TIMESTAMP AS OF ts` over a
+    * store table resolves to the matching retained snapshot (Delta's
+    * time-travel surface; the store keeps every version until vacuum).
+    * Timestamps resolve against manifest commit times, interpreted UTC. */
   private[ext] def lowerTimeTravel(
       tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel,
-      spark: SparkSession): Option[LogicalPlan] =
+      spark: SparkSession): Option[LogicalPlan] = {
+    def tsInstant(e: Expression): Option[java.time.Instant] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, t) => t match {
+        case org.apache.spark.sql.types.StringType =>
+          scala.util.Try(java.time.LocalDateTime
+            .parse(v.toString.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)).toOption
+        case _: org.apache.spark.sql.types.TimestampType =>
+          Some(java.time.Instant.EPOCH.plusNanos(v.asInstanceOf[Long] * 1000L))
+        case _ => None
+      }
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => tsInstant(c.child)
+      case _ => None
+    }
     (tt.relation match {
       case u: UnresolvedRelation => Some(u.multipartIdentifier.mkString("."))
       case _ => None
@@ -178,9 +191,11 @@ object SqlDml {
           require(store.versions(name).contains(version),
             s"$name VERSION AS OF $version: no such retained version " +
               s"(have ${store.versions(name).mkString(", ")})")
-          GraftShims.analyzedPlan(store.readVersion(name, version))
-        }
+          version
+        }.orElse(tt.timestamp.flatMap(tsInstant).map(store.versionAsOf(name, _)))
+          .map(v => GraftShims.analyzedPlan(store.readVersion(name, v)))
       }
+  }
 
   private[ext] def lowerInsert(i: InsertIntoStatement, spark: SparkSession): Option[LogicalPlan] =
     tableRef(i.table).filter { case (name, _) =>

@@ -183,13 +183,13 @@ final class TableStore(spark: SparkSession, root: String) {
   private def absPath(name: String, rel: String): String =
     tableDir(name).resolve(rel).toString
 
-  /** input_file_name() → manifest-relative path. */
+  /** input_file_name() → manifest-relative path. Paths outside the table
+    * directory (shallow-clone entries) relativize through `..` segments,
+    * matching how [[cloneTo]] anchors them. */
   private def relOf(name: String, fileUri: String): String = {
     val p = if (fileUri.startsWith("file:")) new java.net.URI(fileUri).getPath else fileUri
-    tableDir(name).toAbsolutePath.toString match {
-      case base if p.startsWith(base + "/") => p.stripPrefix(base + "/")
-      case _ => p
-    }
+    tableDir(name).toAbsolutePath.normalize
+      .relativize(Paths.get(p).toAbsolutePath.normalize).toString
   }
 
   // ------------------------------------------------------- layout metadata
@@ -631,6 +631,49 @@ final class TableStore(spark: SparkSession, root: String) {
       (v, Files.getLastModifiedTime(manifestPath(name, v)).toInstant,
         readManifest(name, v)._2.size)
     }
+
+  /** The latest version committed at or before `ts` (timestamp travel). */
+  def versionAsOf(name: String, ts: java.time.Instant): Int =
+    history(name).collectFirst { case (v, t, _) if !t.isAfter(ts) => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name TIMESTAMP AS OF $ts precedes the oldest retained commit " +
+          s"(${history(name).lastOption.map(_._2).getOrElse("none")})"))
+
+  /** Metadata-only commit of an existing entry list as the next version —
+    * the primitive behind [[restore]] and [[cloneTo]]: no data moves. */
+  private def commitManifestOnly(name: String, schema: StructType,
+      entries: Seq[FileEntry]): Unit = {
+    val (next, _) = allocateVersion(name)
+    writeManifest(name, next, schema, entries)
+    withCommitLock(name)(swapTo(name, next))
+  }
+
+  /** Delta RESTORE: make `version`'s content the table's new CURRENT
+    * version, as a fresh commit (history is preserved; the restore itself
+    * appears in it). Metadata-only — the old manifest is re-pointed, no
+    * data is rewritten. */
+  def restore(name: String, version: Int): Unit = {
+    val (schema, entries) = readManifest(name, version)
+    commitManifestOnly(name, schema, entries)
+  }
+
+  /** Delta SHALLOW CLONE: create `dst` referencing `src`'s CURRENT files
+    * by path — an instant, zero-copy fork. The clone's own DML rewrites
+    * only what it touches (copy-on-write), never the source's files; a
+    * later vacuum of the clone leaves files outside its directory alone. */
+  def cloneTo(src: String, dst: String): Unit = {
+    val (schema, entries) = currentManifest(src)
+    require(!exists(dst), s"clone target $dst already exists")
+    // re-anchor entries relative to the clone's table dir
+    val srcDir = tableDir(src).toAbsolutePath
+    val dstDir = tableDir(dst).toAbsolutePath
+    Files.createDirectories(dstDir)
+    val reanchored = entries.map(e =>
+      e.copy(rel = dstDir.relativize(srcDir.resolve(e.rel)).toString))
+    commitManifestOnly(dst, schema, reanchored)
+    val (pb, sw, sf) = readLayout(src)
+    writeLayout(dst, pb, sw, sf)
+  }
 
   /** All retained snapshot versions (those whose manifest survives),
     * oldest first. */

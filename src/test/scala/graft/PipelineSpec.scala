@@ -105,6 +105,36 @@ class PipelineSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("restore re-points an old manifest; shallow clone forks zero-copy and diverges safely") {
+    val root = Files.createTempDirectory("graft_restore").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.r", Seq((1, "a"), (2, "b")).toDF("k", "v"))   // v1
+    store.delete("db.r", col("k") === 2)                                    // v2
+    assert(store.read("db.r").count() == 1)
+    store.restore("db.r", 1)                                                // v3 = v1's content
+    assert(store.read("db.r").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")), "restore brings the deleted row back")
+    assert(store.version("db.r").get == 3, "restore is a fresh commit, history preserved")
+
+    // shallow clone: instant fork referencing the source's files
+    store.cloneTo("db.r", "db.rclone")
+    assert(store.read("db.rclone").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    // clone DML rewrites only clone-local state — the source never moves
+    val srcVersion = store.version("db.r").get
+    store.update("db.rclone", col("k") === 1, Map("v" -> lit("CLONE")))
+    assert(store.version("db.r").get == srcVersion, "source version untouched")
+    assert(store.read("db.r").filter($"v" === "CLONE").count() == 0,
+      "source rows untouched by clone DML")
+    assert(store.read("db.rclone").filter($"v" === "CLONE").count() == 1)
+    // vacuuming the clone never reaches outside its own directory
+    store.vacuum("db.rclone")
+    assert(store.read("db.r").count() == 2, "source files survive clone vacuum")
+    assert(store.read("db.rclone").count() == 2)
+    store.detach()
+  }
+
   test("change feed: updates appear as delete+insert pairs; untouched partitions cancel") {
     val root = Files.createTempDirectory("graft_cdf").toString
     val store = new TableStore(spark, root)

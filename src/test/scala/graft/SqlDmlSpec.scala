@@ -214,6 +214,13 @@ class SqlDmlSpec extends AnyFunSuite {
       val h = store.history("db.tt")
       assert(h.map(_._1) == Seq(3, 2, 1), "history newest first")
       assert(h.forall(_._3 >= 1), "every commit lists its files")
+
+      // TIMESTAMP AS OF resolves through commit times (UTC)
+      val afterV2 = h.find(_._1 == 2).get._2.plusMillis(1)
+      val lit = java.time.LocalDateTime.ofInstant(afterV2, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ')
+      assert(spark.sql(s"SELECT v FROM db.tt TIMESTAMP AS OF '$lit'")
+        .as[String].collect().toSeq == Seq("b"), "timestamp lands on v2")
     } finally store.detach()
   }
 
