@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED: the bench/verify drivers
+// parse the single JSON result line from the process output, and sbt's
+// default "[info] " logger prefix breaks a `line.startsWith("{")` /
+// json.loads extraction (BENCH_r0{1,2,3}.json all captured `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -305,14 +305,24 @@ final case class GraftMergeCommand(
       throw new IllegalStateException(s"no attached TableStore holds $table for MERGE INTO"))
     val source = GraftShims.ofRows(spark, sourcePlan)
     // WITH SCHEMA EVOLUTION: star clauses expand over the widened column
-    // set (target + new source columns), matching the store's widening
-    val targetCols = store.read(table).columns.toSeq ++
-      (if (schemaEvolution) source.columns.toSeq.filterNot(store.read(table).columns.contains)
+    // set (target + new source columns), matching the store's widening.
+    // Source↔target column matching uses the session's resolver (Spark SQL
+    // is case-insensitive unless spark.sql.caseSensitive): an exact
+    // `contains` would silently skip a source column differing only in
+    // case — UPDATE SET * would keep the stale value and INSERT * write
+    // NULL instead of assigning.
+    val resolves: (String, String) => Boolean =
+      if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) _ == _
+      else _.equalsIgnoreCase(_)
+    val baseCols = store.read(table).columns.toSeq
+    val targetCols = baseCols ++
+      (if (schemaEvolution) source.columns.toSeq.filterNot(sc => baseCols.exists(resolves(sc, _)))
        else Nil)
     // Delta star semantics: only columns the source actually carries are
     // assigned; UPDATE keeps the target value for the rest, INSERT NULLs
     def star: Map[String, Column] =
-      targetCols.filter(source.columns.contains).map(c => c -> col(s"s.$c")).toMap
+      targetCols.flatMap(c =>
+        source.columns.find(resolves(c, _)).map(sc => c -> col(s"s.$sc"))).toMap
 
     val m = matched.map {
       case SqlUpdate(c, set) => MergeInto.MatchedUpdate(c, set)

@@ -84,9 +84,14 @@ object TextFunctions {
     * struct accumulator — the previous shape ran 5 independent
     * normalize+regex passes over every document and was the slowest
     * linear-time operator in the bench (4.3 s at sf0.1). The only other
-    * scan is the CJK code-point regex, which cannot tokenize. */
+    * scan is the CJK code-point regex, which cannot tokenize.
+    *
+    * Tokenization splits on NON-LETTER runs, not whitespace, so a stopword
+    * adjacent to punctuation ("the," / "une.") still counts — the
+    * word-boundary semantics of the original per-language `\b` regexes,
+    * which a plain whitespace split silently dropped. */
   def langId(c: Column): Column = {
-    val toks = split(normalizeText(c), " ")
+    val toks = split(lower(c), "[^\\p{L}]+")
     def hit(t: Column, words: Seq[String]): Column =
       when(t.isInCollection(words), 1).otherwise(0)
     aggregate(

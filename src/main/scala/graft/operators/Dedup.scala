@@ -152,7 +152,10 @@ object Dedup {
     * too short to shingle never collide and are always kept. */
   def firstSeenDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
+    // both sides of the smaller-id semi-join scan the band keys — persist
+    // so the shingle→signature pipeline runs once, not twice
     val bk = bandKeys(docs, idCol, textCol, n, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = bk.alias("a").join(bk.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("b.doc") < col("a.doc"), "left_semi")

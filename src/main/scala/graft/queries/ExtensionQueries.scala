@@ -462,7 +462,8 @@ object ExtensionQueries {
          |FROM stats ORDER BY doc_id""".stripMargin,
     "x8_lang_id" ->
       s"""WITH d AS (
-         |  SELECT lang AS labeled, string_split($Norm, ' ') AS toks, text FROM documents),
+         |  SELECT lang AS labeled,
+         |    string_split_regex(lower(text), '[^\\p{L}]+') AS toks, text FROM documents),
          |scores AS (
          |  SELECT labeled,
          |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh,

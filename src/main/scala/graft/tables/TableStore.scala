@@ -251,7 +251,13 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def cmp(a: String, b: String, numeric: Boolean): Int =
     if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    else a.compareTo(b)
+    // parquet BINARY/UTF8 footer stats are min/max under UNSIGNED UTF-8
+    // byte order; java.lang.String.compareTo orders by UTF-16 code units,
+    // and the two disagree for supplementary code points (≥ U+10000 sorts
+    // below U+E000..U+FFFF in UTF-16 but above in UTF-8). Comparing under
+    // any other order than the one the stats were computed under could
+    // prune a file that actually contains the value.
+    else java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
   /** Per-file min/max from the parquet footer: driver-side metadata reads,
     * no Spark job. Columns whose physical/logical type has no usable stats
@@ -292,7 +298,18 @@ final class TableStore(spark: SparkSession, root: String) {
             case None => Some((v.toString, true))
           }
         }
-        case FLOAT | DOUBLE => Some((new java.math.BigDecimal(v.toString).toPlainString, true))
+        case FLOAT | DOUBLE =>
+          // NaN/±Infinity have no decimal form (BigDecimal throws); omit
+          // the value so the column simply contributes no stats — pruning
+          // stays conservative instead of the whole commit failing after
+          // the data files are already written
+          val d = v match {
+            case f: java.lang.Float => f.doubleValue
+            case x: java.lang.Double => x.doubleValue
+          }
+          if (java.lang.Double.isFinite(d))
+            Some((new java.math.BigDecimal(v.toString).toPlainString, true))
+          else None
         case BINARY | FIXED_LEN_BYTE_ARRAY => logical match {
           case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
             Some((v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8, false))
@@ -446,6 +463,18 @@ final class TableStore(spark: SparkSession, root: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Delete an allocated-but-never-committed version directory. Every
+    * reader treats manifest existence as "committed" (versions(), history,
+    * VERSION/TIMESTAMP AS OF, changesBetween, restore), so a commit that
+    * fails AFTER writing its manifest — e.g. an optimistic-concurrency
+    * conflict — must remove the directory or the losing writer's
+    * uncommitted data becomes readable via time travel. carryOver entries
+    * live in OTHER version directories and are untouched. */
+  private def dropAbortedVersion(dir: Path): Unit =
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(Files.deleteIfExists(_))
+
   /** Write `df`'s files into an atomically-allocated `v_<next>` honoring
     * the layout, collect their manifest entries (with stats), commit
     * `carryOver ++ new`. Optimistic concurrency: when `expectedBase` is
@@ -453,54 +482,69 @@ final class TableStore(spark: SparkSession, root: String) {
     * current version is still the one the writer derived its changes
     * from — a lost-update conflict raises instead of silently clobbering
     * the other writer (Delta's conflict-detection shape, reduced to one
-    * pointer). */
+    * pointer); the loser's allocated version directory is dropped so it
+    * never surfaces as a phantom committed version. */
   private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
       schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None): Unit = {
     val (next, dir) = allocateVersion(name)
-    // partition columns are duplicated into __p_* for the directory layout
-    // so the REAL columns stay in the data files (manifest reads need no
-    // hive partition reconstruction)
-    val dupCols = partitionBy.map(c => s"__p_$c")
-    val withDups = partitionBy.zip(dupCols).foldLeft(df) { case (d, (c, p)) =>
-      d.withColumn(p, col(c))
-    }
-    val sorted =
-      if (sortWithin.nonEmpty) withDups.sortWithinPartitions(sortWithin.map(col): _*)
-      else withDups
-    val w = sorted.write.mode("overwrite")
-    (if (dupCols.nonEmpty) w.partitionBy(dupCols: _*) else w).parquet(dir.toString)
-
-    // list the files this write produced
-    val newFilesAbs: Seq[Path] =
-      if (!Files.exists(dir)) Seq.empty
-      else Files.walk(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-
-    // per-file min/max stats for the partition + sort (+ requested)
-    // columns, read from the parquet FOOTERS the write just produced —
-    // driver-side metadata only, no Spark job, no data re-read (a 100 TB
-    // write would otherwise pay a second scan just to learn its own stats)
-    val statCols = (partitionBy ++ sortWithin ++ statsFor).distinct
-      .filter(df.columns.contains)
-    val newEntries = newFilesAbs.map { p =>
-      val rel = tableDir(name).relativize(p).toString
-      val stats =
-        if (statCols.isEmpty) Map.empty[String, ColStats]
-        else footerStats(p, statCols)
-      FileEntry(rel, stats)
-    }
-    writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries)
-    writeLayout(name, partitionBy, sortWithin, statsFor)
-    withCommitLock(name) {
-      expectedBase.foreach { base =>
-        val cur = currentVersion(name)
-        if (cur != base) throw new java.util.ConcurrentModificationException(
-          s"$name moved from version $base to $cur since this writer read it — " +
-            "re-derive the change from the current snapshot and retry")
+    try {
+      // partition columns are duplicated into __p_* for the directory layout
+      // so the REAL columns stay in the data files (manifest reads need no
+      // hive partition reconstruction)
+      val dupCols = partitionBy.map(c => s"__p_$c")
+      val withDups = partitionBy.zip(dupCols).foldLeft(df) { case (d, (c, p)) =>
+        d.withColumn(p, col(c))
       }
-      swapTo(name, next)
+      val sorted =
+        if (sortWithin.nonEmpty) withDups.sortWithinPartitions(sortWithin.map(col): _*)
+        else withDups
+      val w = sorted.write.mode("overwrite")
+      (if (dupCols.nonEmpty) w.partitionBy(dupCols: _*) else w).parquet(dir.toString)
+
+      // list the files this write produced
+      val newFilesAbs: Seq[Path] =
+        if (!Files.exists(dir)) Seq.empty
+        else Files.walk(dir).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+
+      // per-file min/max stats for the partition + sort (+ requested)
+      // columns, read from the parquet FOOTERS the write just produced —
+      // driver-side metadata only, no Spark job, no data re-read (a 100 TB
+      // write would otherwise pay a second scan just to learn its own stats)
+      val statCols = (partitionBy ++ sortWithin ++ statsFor).distinct
+        .filter(df.columns.contains)
+      val newEntries = footerEntries(name, newFilesAbs, statCols)
+      writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries)
+      writeLayout(name, partitionBy, sortWithin, statsFor)
+      withCommitLock(name) {
+        expectedBase.foreach { base =>
+          val cur = currentVersion(name)
+          if (cur != base) throw new java.util.ConcurrentModificationException(
+            s"$name moved from version $base to $cur since this writer read it — " +
+              "re-derive the change from the current snapshot and retry")
+        }
+        swapTo(name, next)
+      }
+    } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
+  }
+
+  /** Manifest entries for freshly-written files. Footer reads are
+    * independent per file and dominated by filesystem latency, so they run
+    * in parallel on the driver — a commit producing hundreds of files
+    * (every medallion load does) would otherwise serialize hundreds of
+    * metadata round-trips. */
+  private def footerEntries(name: String, files: Seq[Path],
+      statCols: Seq[String]): Seq[FileEntry] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = files.map { p =>
+      val rel = tableDir(name).relativize(p).toString
+      if (statCols.isEmpty) Future.successful(FileEntry(rel, Map.empty[String, ColStats]))
+      else Future(FileEntry(rel, footerStats(p, statCols)))
     }
+    Await.result(Future.sequence(fs), Duration.Inf)
   }
 
   /** File-based commit mutex: held only for the pointer check+swap (the
@@ -643,9 +687,11 @@ final class TableStore(spark: SparkSession, root: String) {
     * the primitive behind [[restore]] and [[cloneTo]]: no data moves. */
   private def commitManifestOnly(name: String, schema: StructType,
       entries: Seq[FileEntry]): Unit = {
-    val (next, _) = allocateVersion(name)
-    writeManifest(name, next, schema, entries)
-    withCommitLock(name)(swapTo(name, next))
+    val (next, dir) = allocateVersion(name)
+    try {
+      writeManifest(name, next, schema, entries)
+      withCommitLock(name)(swapTo(name, next))
+    } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
   }
 
   /** Delta RESTORE: make `version`'s content the table's new CURRENT
@@ -770,9 +816,16 @@ final class TableStore(spark: SparkSession, root: String) {
     val base = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema0, entries) = readManifest(name, base)
+    // match source to target columns under the session's resolver (Spark
+    // SQL resolution is case-insensitive unless spark.sql.caseSensitive) —
+    // a source column differing only in case is the SAME column, not a
+    // schema-evolution addition
+    val resolves: (String, String) => Boolean =
+      if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) _ == _
+      else _.equalsIgnoreCase(_)
     val newCols =
       if (schemaEvolution)
-        source.schema.fields.toSeq.filterNot(f => schema0.fieldNames.contains(f.name))
+        source.schema.fields.toSeq.filterNot(f => schema0.fieldNames.exists(resolves(f.name, _)))
       else Seq.empty
     val widen: DataFrame => DataFrame = df => newCols.foldLeft(df)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))

@@ -194,10 +194,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("moved from version"))
     assert(store.read("db.cc").as[(Int, Int)].head() == ((1, 11)),
       "the concurrent writer's update survives")
+    // the losing writer's aborted commit must NOT surface as a committed
+    // version: versions()/history/time travel all treat manifest existence
+    // as committed, so a surviving phantom manifest would make the
+    // uncommitted (1, 99) data readable via VERSION/TIMESTAMP AS OF
+    assert(store.versions("db.cc") == Seq(1, 2),
+      s"aborted commit left a phantom version: ${store.versions("db.cc")}")
+    assert(store.readVersion("db.cc", store.versions("db.cc").max)
+      .as[(Int, Int)].head() == ((1, 11)),
+      "newest retained version is the winning writer's commit")
     // retry from the current version succeeds
     store.replaceIfUnchanged("db.cc", Seq((1, 99)).toDF("k", "n"),
       store.version("db.cc").get)
     assert(store.read("db.cc").as[(Int, Int)].head() == ((1, 99)))
+    store.detach()
+  }
+
+  test("string stats prune under UTF-8 byte order; non-finite doubles don't break commits") {
+    val root = Files.createTempDirectory("graft_stats_edge").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // U+E000 (private use, BMP) sorts ABOVE U+1F600 (emoji, supplementary)
+    // in UTF-16 code units but BELOW it in UTF-8 bytes — parquet stats use
+    // unsigned UTF-8 order, so comparing them UTF-16 would wrongly prune
+    // the file for an equality on the emoji
+    val bmpHigh = "x"
+    val emoji = new String(Character.toChars(0x1F600)) + "x"
+    store.createOrReplace("db.uni",
+      Seq((1, bmpHigh), (2, emoji), (3, "plain")).toDF("k", "s"),
+      sortWithin = Seq("s"), statsFor = Seq("s"))
+    assert(store.readWhere("db.uni", $"s" === emoji).count() == 1,
+      "supplementary-code-point equality must not be pruned away")
+    assert(store.readWhere("db.uni", $"s" === bmpHigh).count() == 1)
+    assert(store.readWhere("db.uni", $"s" === "plain").count() == 1)
+
+    // Infinity/NaN in a stats column: the footer read must skip the value
+    // (no stats for that column) instead of crashing the commit after the
+    // data files are written
+    store.createOrReplace("db.inf",
+      Seq((1, Double.PositiveInfinity), (2, 1.5), (3, Double.NaN)).toDF("k", "d"),
+      sortWithin = Seq("d"), statsFor = Seq("d"))
+    assert(store.read("db.inf").count() == 3)
+    assert(store.readWhere("db.inf", $"d" === 1.5).count() == 1,
+      "reads over a stats-less column stay conservative, not empty")
     store.detach()
   }
 
