@@ -204,6 +204,25 @@ object SqlDml {
       GraftInsertCommand(name, i.query, i.userSpecifiedCols, i.overwrite, i.byName)
     }
 
+  /** `ALTER TABLE db.t ADD COLUMNS (…)` on a store table lowers to the
+    * metadata-only schema widening ([[graft.tables.TableStore.addColumns]]
+    * — no file is rewritten). Nested fields / explicit positions are left
+    * to Spark (which will reject them for a non-catalog table). */
+  private[ext] def lowerAddColumns(a: AddColumns, spark: SparkSession): Option[LogicalPlan] =
+    (a.table match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(u.multipartIdentifier.mkString("."))
+      case _ => None
+    }).filter(n => n.contains(".") && TableStore.resolve(spark, n).isDefined)
+      .filter(_ => a.columnsToAdd.forall(c => c.name.length == 1 && c.position.isEmpty))
+      .map { name =>
+        val fields = a.columnsToAdd.map(c =>
+          org.apache.spark.sql.types.StructField(c.name.head, c.dataType,
+            nullable = true))
+        GraftAddColumnsCommand(name,
+          org.apache.spark.sql.types.StructType(fields))
+      }
+
   /** CTAS / RTAS capture at PARSE time — the analyzer converts (or
     * rejects) these nodes for the session catalog before an injected
     * resolution rule can see them, so the parser wrapper claims candidate
@@ -241,14 +260,27 @@ object SqlDml {
     }
 }
 
-/** Delegating parser that lowers CTAS / RTAS statements onto
-  * [[GraftCtasCommand]] (see [[SqlDml.captureCtas]]); everything else
-  * passes through untouched. */
+/** Delegating parser that (a) recognizes the maintenance statements Spark
+  * has no grammar for — `DESCRIBE HISTORY t`, `OPTIMIZE t [ZORDER BY
+  * (c, …)]`, `VACUUM t` (Delta's surface) — and (b) lowers CTAS / RTAS
+  * statements onto [[GraftCtasCommand]] (see [[SqlDml.captureCtas]]);
+  * everything else passes through untouched. */
 class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
   extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(?\s*([\w.\s,]+?)\s*\)?)?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)\s*;?\s*$""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case HistoryRe(t) => GraftDescribeHistoryCommand(t)
+    case OptimizeRe(t, z) => GraftOptimizeCommand(t,
+      Option(z).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    case VacuumRe(t) => GraftVacuumCommand(t)
+    case _ => delegate.parsePlan(sqlText) match {
       case c: CreateTableAsSelect =>
         SqlDml.captureCtas(c.name, c.query, orReplace = false, orCreate = true,
           c.ignoreIfExists, c.partitioning, c.tableSpec, c).getOrElse(c)
@@ -257,6 +289,7 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
           ignoreIfExists = false, r.partitioning, r.tableSpec, r).getOrElse(r)
       case other => other
     }
+  }
 
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
@@ -278,6 +311,7 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UpdateTable => SqlDml.lowerUpdate(u, spark).getOrElse(u)
       case d: DeleteFromTable => SqlDml.lowerDelete(d, spark).getOrElse(d)
       case i: InsertIntoStatement => SqlDml.lowerInsert(i, spark).getOrElse(i)
+      case a: AddColumns => SqlDml.lowerAddColumns(a, spark).getOrElse(a)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         SqlDml.lowerTimeTravel(tt, spark).getOrElse(tt)
     }
@@ -440,6 +474,73 @@ final case class GraftInsertCommand(
     }: _*)
     store.createOrReplace(table,
       if (overwrite) aligned else target.unionByName(aligned))
+    Seq.empty
+  }
+}
+
+/** `DESCRIBE HISTORY db.table`: one row per retained commit, newest
+  * first — version, commit timestamp, operation, file count (the Delta
+  * DESCRIBE HISTORY shape over the manifest store). */
+final case class GraftDescribeHistoryCommand(table: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for DESCRIBE HISTORY"))
+    store.history(table).map { case (v, t, op, n) =>
+      Row(v, java.sql.Timestamp.from(t), op, n)
+    }
+  }
+}
+
+/** `OPTIMIZE db.table [ZORDER BY (c, …)]`: compaction (deletion vectors
+  * folded in, small files consolidated), optionally re-clustering rows
+  * along a Z-order curve; reports file counts before/after. */
+final case class GraftOptimizeCommand(table: String, zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for OPTIMIZE"))
+    val before = store.history(table).headOption.map(_._4).getOrElse(0)
+    // ZORDER keeps the file count (clustering, not consolidation: the
+    // curve needs multiple files to give every column selective ranges);
+    // plain OPTIMIZE consolidates per partition
+    if (zorderBy.nonEmpty) store.compact(table, targetFiles = math.max(1, before), zorderBy)
+    else store.compact(table)
+    val after = store.history(table).headOption.map(_._4).getOrElse(0)
+    Seq(Row(table, before, after))
+  }
+}
+
+/** `VACUUM db.table`: drop data files unreferenced by the current
+  * manifest and retire non-current versions. */
+final case class GraftVacuumCommand(table: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for VACUUM"))
+    store.vacuum(table)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.table ADD COLUMNS (…)` — metadata-only widening. */
+final case class GraftAddColumnsCommand(table: String,
+    cols: org.apache.spark.sql.types.StructType) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for ADD COLUMNS"))
+    store.addColumns(table, cols)
     Seq.empty
   }
 }

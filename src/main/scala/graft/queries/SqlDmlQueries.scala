@@ -169,12 +169,79 @@ object SqlDmlQueries {
     out
   }
 
+  // q43: the q35 statement shapes executed in MERGE-ON-READ mode — the
+  // UPDATE/DELETEs commit deletion vectors (plus appended rewrites)
+  // instead of rewriting files; the stacked second DELETE layers a second
+  // DV onto files already carrying one. Same SQL in, same rows out — the
+  // mode changes the file-level cost, never the answer.
+  def q43MorDml(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.orders_mor",
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    store.setDmlMode("silver.orders_mor", "mor")
+
+    s.sql("UPDATE silver.orders_mor SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) WHERE o_orderstatus = 'O'")
+    s.sql("DELETE FROM silver.orders_mor WHERE o_totalprice < CAST(100000 AS DOUBLE)")
+    s.sql("DELETE FROM silver.orders_mor WHERE o_orderkey % 7 = 0")
+
+    store.detach()
+    store.read("silver.orders_mor").orderBy(col("o_orderkey"))
+  }
+
+  // q44: OPTIMIZE … ZORDER BY re-clusters lineitem along a 2-D Z-curve
+  // (orderkey × partkey), then a partkey-range read — served by manifest
+  // stats pruning over the curve's per-file ranges — aggregates per part.
+  // The oracle sees only the final relation: Z-ordering must be purely a
+  // layout change.
+  def q44ZorderRead(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.li_z",
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")))
+    store.compact("silver.li_z", targetFiles = 16,
+      zorderBy = Seq("l_orderkey", "l_partkey"))
+
+    val out = store.readWhere("silver.li_z", col("l_partkey") <= 100)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).cast("long").as("sum_ok"))
+      .orderBy(col("l_partkey"))
+    store.detach()
+    out
+  }
+
+  // q45: metadata-only ALTER TABLE ADD COLUMNS, then INSERT and UPDATE
+  // over the widened schema — pre-widening files NULL-fill the new
+  // columns at read time and are never rewritten by the widening itself.
+  def q45AddColumns(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("gold.cust_tier",
+      t(s, dir, "customer").filter(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey"), col("c_name")))
+
+    s.sql("ALTER TABLE gold.cust_tier ADD COLUMNS (loyalty_tier STRING, score DOUBLE)")
+    t(s, dir, "customer").filter(col("c_custkey") % 6 === 3)
+      .select(col("c_custkey"), col("c_name"))
+      .createOrReplaceTempView("tier_src")
+    s.sql(
+      """INSERT INTO gold.cust_tier (c_custkey, c_name, loyalty_tier)
+        |SELECT c_custkey, c_name, 'member' FROM tier_src""".stripMargin)
+    s.sql("UPDATE gold.cust_tier SET score = CAST(c_custkey AS DOUBLE) / 100 WHERE c_custkey % 2 = 0")
+
+    store.detach()
+    store.read("gold.cust_tier").orderBy(col("c_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_change_feed" -> q42ChangeFeed _,
     "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
     "q35_sql_update_delete" -> q35SqlUpdateDelete _,
     "q37_sql_insert" -> q37SqlInsert _,
-    "q41_merge_evolution" -> q41MergeEvolution _)
+    "q41_merge_evolution" -> q41MergeEvolution _,
+    "q43_mor_dml" -> q43MorDml _,
+    "q44_zorder_read" -> q44ZorderRead _,
+    "q45_add_columns" -> q45AddColumns _)
 
   private val B1 = "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 < 8"
   private val B2 =
@@ -256,5 +323,33 @@ object SqlDmlQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM updated
         |WHERE NOT (o_totalprice < CAST(100000 AS DOUBLE))
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q43_mor_dml" ->
+      """WITH updated AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM updated
+        |WHERE NOT (o_totalprice < CAST(100000 AS DOUBLE))
+        |  AND NOT (o_orderkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q44_zorder_read" ->
+      """SELECT l_partkey, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+        |FROM lineitem WHERE l_partkey <= 100
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q45_add_columns" ->
+      """WITH widened AS (
+        |  SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS loyalty_tier,
+        |         CAST(NULL AS DOUBLE) AS score
+        |  FROM customer WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'member', CAST(NULL AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 6 = 3)
+        |SELECT c_custkey, c_name, loyalty_tier,
+        |  CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS DOUBLE) / 100
+        |       ELSE score END AS score
+        |FROM widened
+        |ORDER BY c_custkey""".stripMargin)
 }

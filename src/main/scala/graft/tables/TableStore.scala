@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, regexp_replace, when}
 import org.apache.spark.sql.types._
 import graft.operators.MergeInto
 
@@ -136,7 +136,16 @@ final class TableStore(spark: SparkSession, root: String) {
     * booleans, dates and timestamps as decimal strings; strings raw) —
     * comparable without re-reading the file. */
   private[tables] final case class ColStats(min: String, max: String)
-  private[tables] final case class FileEntry(rel: String, stats: Map[String, ColStats])
+
+  /** One data file in a snapshot. `dvs` lists deletion-vector sidecars
+    * (manifest-relative parquet directories of `(file, pos)` row positions)
+    * that suppress rows of THIS file at read time — the merge-on-read
+    * representation a DELETE/UPDATE in `mor` mode commits instead of
+    * rewriting the file (Delta's deletion vectors). Min/max stats remain
+    * valid with DVs attached: deletion only narrows a file's true range,
+    * so stats-based pruning stays conservative. */
+  private[tables] final case class FileEntry(rel: String, stats: Map[String, ColStats],
+      dvs: Seq[String] = Nil)
 
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
@@ -145,10 +154,13 @@ final class TableStore(spark: SparkSession, root: String) {
     tableDir(name).resolve(s"v_$version").resolve("_MANIFEST")
 
   private def writeManifest(name: String, version: Int, schema: StructType,
-      entries: Seq[FileEntry]): Unit = {
+      entries: Seq[FileEntry], op: String = "write"): Unit = {
     val dir = tableDir(name).resolve(s"v_$version")
     Files.createDirectories(dir)
-    val lines = s"#schema\t${enc(schema.json)}" +: entries.map { e =>
+    val dvLines = entries.filter(_.dvs.nonEmpty).map(e =>
+      s"#dv\t${enc(e.rel)}\t${enc(e.dvs.mkString(","))}")
+    val lines = Seq(s"#schema\t${enc(schema.json)}", s"#op\t${enc(op)}") ++
+      dvLines ++ entries.map { e =>
       (enc(e.rel) +: e.stats.toSeq.sortBy(_._1).flatMap { case (c, st) =>
         Seq(enc(c), enc(st.min), enc(st.max))
       }).mkString("\t")
@@ -164,15 +176,31 @@ final class TableStore(spark: SparkSession, root: String) {
       case Some(l) => DataType.fromJson(dec(l.split('\t')(1))).asInstanceOf[StructType]
       case None => throw new IllegalStateException(s"manifest of $name v$version has no schema")
     }
-    val entries = lines.tail.map { l =>
+    val dvByFile: Map[String, Seq[String]] = lines.collect {
+      case l if l.startsWith("#dv\t") =>
+        val parts = l.split('\t')
+        dec(parts(1)) -> dec(parts(2)).split(',').toSeq
+    }.toMap
+    val entries = lines.filterNot(_.startsWith("#")).map { l =>
       val parts = l.split('\t')
       val stats = parts.tail.grouped(3).collect {
         case Array(c, mn, mx) => dec(c) -> ColStats(dec(mn), dec(mx))
       }.toMap
-      FileEntry(dec(parts(0)), stats)
+      val rel = dec(parts(0))
+      FileEntry(rel, stats, dvByFile.getOrElse(rel, Nil))
     }
     (schema, entries)
   }
+
+  /** The operation string a version's manifest was committed with
+    * (`write`, `merge`, `update`, `delete`, `restore`, `clone`, `optimize`,
+    * …) — surfaced by [[history]] / DESCRIBE HISTORY. Manifests written
+    * before operation tracking read as `write`. */
+  private def manifestOp(name: String, version: Int): String =
+    new String(Files.readAllBytes(manifestPath(name, version)), UTF_8)
+      .split('\n').collectFirst {
+        case l if l.startsWith("#op\t") => dec(l.split('\t')(1))
+      }.getOrElse("write")
 
   private def currentManifest(name: String): (StructType, Seq[FileEntry]) = {
     val v = currentVersion(name).getOrElse(
@@ -486,7 +514,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * never surfaces as a phantom committed version. */
   private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
-      schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None): Unit = {
+      schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None,
+      op: String = "write"): Unit = {
     val (next, dir) = allocateVersion(name)
     try {
       // partition columns are duplicated into __p_* for the directory layout
@@ -515,7 +544,7 @@ final class TableStore(spark: SparkSession, root: String) {
       val statCols = (partitionBy ++ sortWithin ++ statsFor).distinct
         .filter(df.columns.contains)
       val newEntries = footerEntries(name, newFilesAbs, statCols)
-      writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries)
+      writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries, op)
       writeLayout(name, partitionBy, sortWithin, statsFor)
       withCommitLock(name) {
         expectedBase.foreach { base =>
@@ -585,20 +614,68 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** OPTIMIZE-style compaction: rewrite the current manifest's files into
     * `targetFiles` consolidated files (per partition directory when the
-    * table is partitioned), preserving layout, sort and stats. The
-    * antidote to the small-file accumulation that append-only merges —
-    * e.g. a streaming ingest — produce; committed with conflict detection
-    * so a compaction never clobbers a concurrent writer. */
-  def compact(name: String, targetFiles: Int = 1): Unit = {
+    * table is partitioned), preserving layout, sort and stats; any
+    * deletion vectors are folded in (the rewrite reads DV-applied rows)
+    * and disappear from the new manifest. The antidote to the small-file
+    * accumulation that append-only merges — e.g. a streaming ingest —
+    * produce; committed with conflict detection so a compaction never
+    * clobbers a concurrent writer.
+    *
+    * `zorderBy` (OPTIMIZE … ZORDER BY): instead of the layout sort, rows
+    * are clustered along a Z-order space-filling curve over the given
+    * numeric columns — each column is quantile-bucketed (sampling sketch,
+    * one job), the bucket bits are interleaved into a z-value, and the
+    * rewrite range-partitions + sorts by it. Every z-ordered column's
+    * min/max then spans only a fraction of its range per file, so
+    * single-column predicates on ANY of the curve's columns skip files —
+    * the multi-dimensional version of the sort-based data skipping a
+    * single sort column gives. */
+  def compact(name: String, targetFiles: Int = 1, zorderBy: Seq[String] = Nil): Unit = {
     val base = currentVersion(name)
     val (schema, entries) = currentManifest(name)
     val (pb, sw, sf) = readLayout(name)
     val df0 = readEntries(name, schema, entries)
-    val df =
-      if (pb.nonEmpty) df0.repartition(pb.map(col): _*)
-      else df0.repartition(math.max(1, targetFiles))
-    commitVersion(name, df, pb, sw, sf, carryOver = Seq.empty,
-      schemaHint = Some(schema), expectedBase = Some(base))
+    if (zorderBy.isEmpty) {
+      val df =
+        if (pb.nonEmpty) df0.repartition(pb.map(col): _*)
+        else df0.repartition(math.max(1, targetFiles))
+      commitVersion(name, df, pb, sw, sf, carryOver = Seq.empty,
+        schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
+    } else {
+      import org.apache.spark.sql.functions.{aggregate, array, shiftleft, shiftright}
+      zorderBy.foreach { c =>
+        val dt = schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        require(dt.exists(_.isInstanceOf[NumericType]),
+          s"ZORDER BY $c: need a numeric column, got ${dt.getOrElse("missing")}")
+      }
+      val bits = 8 // 256 quantile buckets per dimension
+      // per-column bucket boundaries from a quantile sketch — ONE pass,
+      // sampling-based, the same trick range partitioning uses; an even
+      // VALUE split would collapse under skew, an even QUANTILE split
+      // cannot
+      val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val quantiles = df0.stat.approxQuantile(zorderBy.toArray, probes, 0.01)
+      val n = zorderBy.length
+      val buckets = zorderBy.zip(quantiles.toSeq).map { case (c, bs) =>
+        // bucket = #boundaries ≤ value, via a fold over the 255 literal
+        // boundaries (codegen-friendly arithmetic, no UDF); NULLs land in
+        // bucket 0
+        aggregate(array(bs.toSeq.map(lit): _*), lit(0),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      }
+      // interleave: bit k of column ci lands at position k*n + ci, so all
+      // columns' high bits dominate the ordering together
+      val zval = (for { k <- 0 until bits; ci <- 0 until n } yield
+        shiftleft(shiftright(buckets(ci), k).bitwiseAND(lit(1)).cast("long"), k * n + ci))
+        .reduce(_ + _)
+      val prepared = df0.withColumn("__graft_z", zval)
+        .repartitionByRange(math.max(1, targetFiles), col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z") // projection after sort — intra-partition order survives
+      commitVersion(name, prepared, pb, sortWithin = Nil,
+        statsFor = (sf ++ sw ++ zorderBy).distinct, carryOver = Seq.empty,
+        schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
+    }
   }
 
   /** K1/K2/K3: overwrite-create a table from a DataFrame snapshot.
@@ -621,9 +698,69 @@ final class TableStore(spark: SparkSession, root: String) {
 
   // ----------------------------------------------------------------- reads
 
+  /** Read a set of manifest entries as one DataFrame.
+    *
+    *  - The read uses the MANIFEST schema explicitly (never inference), so
+    *    files written before a metadata-only column addition simply
+    *    NULL-fill the new columns — schema evolution needs no rewrite.
+    *  - Entries carrying deletion vectors are read with the parquet
+    *    `_metadata` (file, row-position) columns and anti-joined against
+    *    their DV rows; plain entries take the unadorned scan. The DV side
+    *    is the deleted-row set only — at 100 TB that is the DML's touched
+    *    rows, not the table — and the anti-join keys are (file, pos), so
+    *    AQE broadcasts it whenever it is small. */
+  /** Scan `entries` with row identity: every row carries `__graft_file`
+    * (absolute data-file path, URI spelling normalized) and `__graft_pos`
+    * (row position within the file, from the parquet `_metadata` column),
+    * with deletion vectors already applied. The identity pair is what DVs
+    * address rows by — this scan backs both the DV read path and the
+    * merge-on-read DML discovery pass. */
+  private def scanWithPos(name: String, schema: StructType, entries: Seq[FileEntry]): DataFrame = {
+    val scan0 = spark.read.schema(schema)
+      .parquet(entries.map(e => absPath(name, e.rel)): _*)
+      .withColumn("__graft_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val withDv = entries.filter(_.dvs.nonEmpty)
+    if (withDv.isEmpty) scan0
+    else {
+      // DV rows address files by manifest-relative path — resolve to
+      // absolute via a driver-built (rel → abs) map, then anti-join on
+      // (file, pos). The DV side holds deleted positions only (the DML's
+      // touched rows, not the table), so AQE broadcasts it when small.
+      val relToAbs = withDv.map(e =>
+        e.rel -> Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString)
+      val dvDirs = withDv.flatMap(_.dvs).distinct.map(d => absPath(name, d))
+      val dv = spark.read.parquet(dvDirs: _*)
+        .join(spark.createDataFrame(relToAbs).toDF("__rel", "__abs"),
+          col("file") === col("__rel"), "inner")
+        .select(col("__abs").as("__dv_file"), col("pos").as("__dv_pos"))
+      scan0.join(dv,
+        scan0("__graft_file") === dv("__dv_file") &&
+          scan0("__graft_pos") === dv("__dv_pos"), "left_anti")
+    }
+  }
+
+  /** Read a set of manifest entries as one DataFrame.
+    *
+    *  - The read uses the MANIFEST schema explicitly (never inference), so
+    *    files written before a metadata-only column addition simply
+    *    NULL-fill the new columns — schema evolution needs no rewrite.
+    *  - Entries carrying deletion vectors are read through [[scanWithPos]]
+    *    (row-position anti-join); plain entries take the unadorned scan. */
   private def readEntries(name: String, schema: StructType, entries: Seq[FileEntry]): DataFrame =
     if (entries.isEmpty) emptyDf(schema)
-    else spark.read.parquet(entries.map(e => absPath(name, e.rel)): _*)
+    else {
+      val (withDv, plain) = entries.partition(_.dvs.nonEmpty)
+      val fields = schema.fieldNames.map(col).toSeq
+      val parts = Seq(
+        if (plain.isEmpty) None
+        else Some(spark.read.schema(schema).parquet(plain.map(e => absPath(name, e.rel)): _*)
+          .select(fields: _*)),
+        if (withDv.isEmpty) None
+        else Some(scanWithPos(name, schema, withDv).select(fields: _*))).flatten
+      parts.reduce(_ unionByName _)
+    }
 
   def read(name: String): DataFrame = {
     val (schema, entries) = currentManifest(name)
@@ -659,37 +796,41 @@ final class TableStore(spark: SparkSession, root: String) {
     require(schemaA.fieldNames.sameElements(schemaB.fieldNames),
       s"$name: schema changed between v$fromVersion and v$toVersion — " +
         "diff the versions on their common columns explicitly")
-    val aRels = a.map(_.rel).toSet
-    val bRels = b.map(_.rel).toSet
-    val onlyA = readEntries(name, schemaA, a.filterNot(e => bRels(e.rel)))
-    val onlyB = readEntries(name, schemaB, b.filterNot(e => aRels(e.rel)))
+    // entry identity includes the deletion-vector set: a file whose DVs
+    // changed between versions contributes its row-level delta (the file
+    // is re-read on both sides and the unchanged rows cancel in exceptAll)
+    val aKeys = a.map(e => (e.rel, e.dvs)).toSet
+    val bKeys = b.map(e => (e.rel, e.dvs)).toSet
+    val onlyA = readEntries(name, schemaA, a.filterNot(e => bKeys((e.rel, e.dvs))))
+    val onlyB = readEntries(name, schemaB, b.filterNot(e => aKeys((e.rel, e.dvs))))
     import org.apache.spark.sql.functions.lit
     onlyB.exceptAll(onlyA).withColumn("_change_type", lit("insert"))
       .unionByName(onlyA.exceptAll(onlyB).withColumn("_change_type", lit("delete")))
   }
 
-  /** Commit history, newest first: (version, commit time, file count) —
-    * the DESCRIBE HISTORY surface over the retained manifests. */
-  def history(name: String): Seq[(Int, java.time.Instant, Int)] =
+  /** Commit history, newest first: (version, commit time, operation, file
+    * count) — the DESCRIBE HISTORY surface over the retained manifests. */
+  def history(name: String): Seq[(Int, java.time.Instant, String, Int)] =
     versions(name).reverse.map { v =>
       (v, Files.getLastModifiedTime(manifestPath(name, v)).toInstant,
-        readManifest(name, v)._2.size)
+        manifestOp(name, v), readManifest(name, v)._2.size)
     }
 
   /** The latest version committed at or before `ts` (timestamp travel). */
   def versionAsOf(name: String, ts: java.time.Instant): Int =
-    history(name).collectFirst { case (v, t, _) if !t.isAfter(ts) => v }
+    history(name).collectFirst { case (v, t, _, _) if !t.isAfter(ts) => v }
       .getOrElse(throw new IllegalArgumentException(
         s"$name TIMESTAMP AS OF $ts precedes the oldest retained commit " +
           s"(${history(name).lastOption.map(_._2).getOrElse("none")})"))
 
   /** Metadata-only commit of an existing entry list as the next version —
-    * the primitive behind [[restore]] and [[cloneTo]]: no data moves. */
+    * the primitive behind [[restore]], [[cloneTo]] and [[addColumns]]: no
+    * data moves. */
   private def commitManifestOnly(name: String, schema: StructType,
-      entries: Seq[FileEntry]): Unit = {
+      entries: Seq[FileEntry], op: String): Unit = {
     val (next, dir) = allocateVersion(name)
     try {
-      writeManifest(name, next, schema, entries)
+      writeManifest(name, next, schema, entries, op)
       withCommitLock(name)(swapTo(name, next))
     } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
   }
@@ -700,7 +841,19 @@ final class TableStore(spark: SparkSession, root: String) {
     * data is rewritten. */
   def restore(name: String, version: Int): Unit = {
     val (schema, entries) = readManifest(name, version)
-    commitManifestOnly(name, schema, entries)
+    commitManifestOnly(name, schema, entries, "restore")
+  }
+
+  /** ALTER TABLE … ADD COLUMNS: **metadata-only** schema widening — the
+    * new columns are appended to the manifest schema and every existing
+    * file NULL-fills them at read time (explicit-schema scans). A column
+    * addition on a 100 TB table commits in milliseconds and rewrites
+    * nothing — Delta's schema-evolution model. */
+  def addColumns(name: String, cols: StructType): Unit = {
+    val (schema, entries) = currentManifest(name)
+    val dup = cols.fieldNames.filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(dup.isEmpty, s"$name ADD COLUMNS: column(s) already exist: ${dup.mkString(", ")}")
+    commitManifestOnly(name, StructType(schema.fields ++ cols.fields), entries, "add_columns")
   }
 
   /** Delta SHALLOW CLONE: create `dst` referencing `src`'s CURRENT files
@@ -714,9 +867,10 @@ final class TableStore(spark: SparkSession, root: String) {
     val srcDir = tableDir(src).toAbsolutePath
     val dstDir = tableDir(dst).toAbsolutePath
     Files.createDirectories(dstDir)
-    val reanchored = entries.map(e =>
-      e.copy(rel = dstDir.relativize(srcDir.resolve(e.rel)).toString))
-    commitManifestOnly(dst, schema, reanchored)
+    val reanchored = entries.map(e => e.copy(
+      rel = dstDir.relativize(srcDir.resolve(e.rel)).toString,
+      dvs = e.dvs.map(d => dstDir.relativize(srcDir.resolve(d)).toString)))
+    commitManifestOnly(dst, schema, reanchored, "clone")
     val (pb, sw, sf) = readLayout(src)
     writeLayout(dst, pb, sw, sf)
   }
@@ -737,6 +891,85 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  // ------------------------------------------------------- merge-on-read
+
+  /** Set the table's DML execution mode:
+    *
+    *  - `cow` (default): DELETE/UPDATE rewrite the files containing
+    *    matched rows (file-pruned copy-on-write) — best when DML is rare
+    *    or touches a large fraction of its files;
+    *  - `mor` (merge-on-read): DELETE/UPDATE commit *deletion vectors* —
+    *    parquet sidecars of deleted (file, row-position) pairs — and, for
+    *    UPDATE, append the rewritten rows as new files. **No data file is
+    *    rewritten**: a one-row DELETE on a 100 TB table writes a one-row
+    *    sidecar (Delta's deletion-vector mode). Reads anti-join the DV
+    *    rows by position; [[compact]] (OPTIMIZE) folds DVs back into
+    *    clean files.
+    */
+  def setDmlMode(name: String, mode: String): Unit = {
+    require(Set("cow", "mor")(mode), s"dml mode must be cow or mor, got $mode")
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + ("dml_mode" -> mode)))
+  }
+
+  private def dmlMode(name: String): String =
+    meta(name).properties.getOrElse("dml_mode", "cow")
+
+  /** Merge-on-read DELETE (`set` = None) / UPDATE (`set` = Some):
+    * discovery scans only stats-pruned candidate files, the matching rows'
+    * (file, position) pairs are written as this version's deletion vector,
+    * and UPDATE appends the rewritten rows as new files. Existing data
+    * files are never modified or rewritten. */
+  private def commitMorDml(name: String, cond: Column,
+      set: Option[Map[String, Column]], op: String): Unit = {
+    val base = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema, entries) = readManifest(name, base)
+    val candidates = pruneEntries(schema, entries, cond)
+    if (candidates.isEmpty) return
+    val (next, dir) = allocateVersion(name)
+    try {
+      val dvRel = s"v_$next/dv"
+      val absToRel = candidates.map(e =>
+        Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString -> e.rel)
+      val live = scanWithPos(name, schema, candidates)
+      val matches = live.filter(cond)
+        .join(spark.createDataFrame(absToRel).toDF("__abs", "__rel"),
+          col("__graft_file") === col("__abs"), "inner")
+      // the written DV parquet IS the discovery result — one scan job;
+      // the touched-file list is then a metadata-cheap read of the tiny DV
+      matches.select(col("__rel").as("file"), col("__graft_pos").as("pos"))
+        .write.parquet(tableDir(name).resolve(dvRel).toString)
+      val touched = spark.read.parquet(tableDir(name).resolve(dvRel).toString)
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+      if (touched.isEmpty) { dropAbortedVersion(dir); return } // no matching rows
+      val appended: Seq[FileEntry] = set match {
+        case None => Nil
+        case Some(s) =>
+          val updated = schema.fields.foldLeft(live.filter(cond)) { (df, f) =>
+            s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
+          }.select(schema.fieldNames.map(col).toSeq: _*)
+          val dataDir = dir.resolve("data")
+          updated.write.parquet(dataDir.toString)
+          val files = Files.walk(dataDir).iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+          val (pb, sw, sf) = readLayout(name)
+          footerEntries(name, files,
+            (pb ++ sw ++ sf).distinct.filter(schema.fieldNames.contains))
+      }
+      val newEntries = entries.map(e =>
+        if (touched(e.rel)) e.copy(dvs = e.dvs :+ dvRel) else e) ++ appended
+      writeManifest(name, next, schema, newEntries, op)
+      withCommitLock(name) {
+        val cur = currentVersion(name)
+        if (cur != Some(base)) throw new java.util.ConcurrentModificationException(
+          s"$name moved from version ${Some(base)} to $cur since this writer read it — " +
+            "re-derive the change from the current snapshot and retry")
+        swapTo(name, next)
+      }
+    } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
+  }
+
   // ------------------------------------------------------------ pruned DML
 
   /** Manifest-relative paths of the files containing rows that satisfy
@@ -747,45 +980,56 @@ final class TableStore(spark: SparkSession, root: String) {
       cond: Column): Set[String] = {
     val candidates = pruneEntries(schema, entries, cond)
     if (candidates.isEmpty) Set.empty
-    else readEntries(name, schema, candidates)
+    // scanWithPos (not readEntries + input_file_name): the DV-applied read
+    // is a UNION of plain and anti-joined branches, where
+    // input_file_name() is undefined — the scan's own __graft_file column
+    // is the per-branch file identity
+    else scanWithPos(name, schema, candidates)
       .filter(cond)
-      .select(input_file_name().as("__f")).distinct()
+      .select(col("__graft_file")).distinct()
       .collect().map(r => relOf(name, r.getString(0))).toSet
   }
 
-  /** K6: UPDATE … SET … WHERE — file-pruned copy-on-write: only files
+  /** K6: UPDATE … SET … WHERE. In `cow` mode (default) only files
     * containing matching rows are rewritten; everything else is carried
-    * into the new manifest untouched. */
-  def update(name: String, cond: Column, set: Map[String, Column]): Unit = {
-    val base = currentVersion(name).getOrElse(
-      throw new IllegalArgumentException(s"table not found: $name"))
-    val (schema, entries) = readManifest(name, base)
-    val touched = touchedFiles(name, schema, entries, cond)
-    if (touched.isEmpty) return // no matching rows anywhere — nothing to commit
-    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
-    val updated = subset.columns.foldLeft(subset) { (df, c) =>
-      set.get(c).map(v => df.withColumn(c,
-        when(cond, v).otherwise(df(c)).cast(schema(c).dataType))).getOrElse(df)
+    * into the new manifest untouched. In `mor` mode ([[setDmlMode]]) the
+    * matched positions are deletion-vectored and the rewritten rows
+    * appended — no existing file is rewritten at all. */
+  def update(name: String, cond: Column, set: Map[String, Column]): Unit =
+    if (dmlMode(name) == "mor") commitMorDml(name, cond, Some(set), "update")
+    else {
+      val base = currentVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"table not found: $name"))
+      val (schema, entries) = readManifest(name, base)
+      val touched = touchedFiles(name, schema, entries, cond)
+      if (touched.isEmpty) return // no matching rows anywhere — nothing to commit
+      val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val updated = subset.columns.foldLeft(subset) { (df, c) =>
+        set.get(c).map(v => df.withColumn(c,
+          when(cond, v).otherwise(df(c)).cast(schema(c).dataType))).getOrElse(df)
+      }
+      val (pb, sw, sf) = readLayout(name)
+      commitVersion(name, updated, pb, sw, sf,
+        carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
+        expectedBase = Some(Some(base)), op = "update")
     }
-    val (pb, sw, sf) = readLayout(name)
-    commitVersion(name, updated, pb, sw, sf,
-      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-      expectedBase = Some(Some(base)))
-  }
 
-  /** K6: DELETE FROM … WHERE — file-pruned copy-on-write. */
-  def delete(name: String, cond: Column): Unit = {
-    val base = currentVersion(name).getOrElse(
-      throw new IllegalArgumentException(s"table not found: $name"))
-    val (schema, entries) = readManifest(name, base)
-    val touched = touchedFiles(name, schema, entries, cond)
-    if (touched.isEmpty) return
-    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
-    val (pb, sw, sf) = readLayout(name)
-    commitVersion(name, subset.filter(!cond || cond.isNull), pb, sw, sf,
-      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-      expectedBase = Some(Some(base)))
-  }
+  /** K6: DELETE FROM … WHERE — file-pruned copy-on-write, or a pure
+    * deletion-vector commit in `mor` mode. */
+  def delete(name: String, cond: Column): Unit =
+    if (dmlMode(name) == "mor") commitMorDml(name, cond, None, "delete")
+    else {
+      val base = currentVersion(name).getOrElse(
+        throw new IllegalArgumentException(s"table not found: $name"))
+      val (schema, entries) = readManifest(name, base)
+      val touched = touchedFiles(name, schema, entries, cond)
+      if (touched.isEmpty) return
+      val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val (pb, sw, sf) = readLayout(name)
+      commitVersion(name, subset.filter(!cond || cond.isNull), pb, sw, sf,
+        carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
+        expectedBase = Some(Some(base)), op = "delete")
+    }
 
   /** K5: MERGE INTO applied to a stored table — file-pruned copy-on-write:
     *
@@ -801,9 +1045,11 @@ final class TableStore(spark: SparkSession, root: String) {
     * rewrites ZERO existing files.
     *
     * `schemaEvolution` = Delta's MERGE WITH SCHEMA EVOLUTION: source
-    * columns absent from the target are added (existing history
-    * NULL-backfilled). A widened schema invalidates every existing file,
-    * so an evolving merge is a full rewrite by design. */
+    * columns absent from the target are added to the manifest schema.
+    * Because reads use the manifest schema explicitly, files written
+    * before the widening NULL-fill the new columns at scan time — the
+    * widening itself is **metadata-only**, and the merge still rewrites
+    * only the files it actually touches. */
   def merge(
       name: String,
       source: DataFrame,
@@ -827,10 +1073,10 @@ final class TableStore(spark: SparkSession, root: String) {
       if (schemaEvolution)
         source.schema.fields.toSeq.filterNot(f => schema0.fieldNames.exists(resolves(f.name, _)))
       else Seq.empty
-    val widen: DataFrame => DataFrame = df => newCols.foldLeft(df)((d, f) =>
-      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // reading with the WIDENED schema NULL-fills the new columns for every
+    // existing file — no explicit widening projection, no rewrite
     val schema = StructType(schema0.fields ++ newCols)
-    val target = widen(readEntries(name, schema0, entries))
+    val target = readEntries(name, schema, entries)
 
     // One discovery pass finds every file the merge could modify: files
     // with matched rows (when matched clauses exist) and files with
@@ -844,17 +1090,11 @@ final class TableStore(spark: SparkSession, root: String) {
     val bySourceCond = notMatchedBySource.flatMap(_.cond).reduceOption(_ || _)
     val bsUnconditioned = notMatchedBySource.exists(_.cond.isEmpty)
     val touched: Set[String] =
-      if (newCols.nonEmpty) {
-        // widened schema: every existing file lacks the new columns and
-        // must be rewritten
-        if (matched.nonEmpty) MergeInto.checkMultipleMatches(target, source, keys, extraOn)
-        entries.map(_.rel).toSet
-      }
-      else if (matched.isEmpty && notMatchedBySource.isEmpty) Set.empty // insert-only: pure append
+      if (matched.isEmpty && notMatchedBySource.isEmpty) Set.empty // insert-only: pure append
       else if (matched.isEmpty && bsUnconditioned) entries.map(_.rel).toSet
       else if (matched.isEmpty) {
         // by-source only: plain predicate scan, no join, no check
-        target.withColumn("__graft_file", input_file_name()).alias("t")
+        scanWithPos(name, schema, entries).alias("t")
           .filter(bySourceCond.get)
           .select(col("__graft_file")).distinct()
           .collect().map(r => relOf(name, r.getString(0))).toSet
@@ -862,7 +1102,7 @@ final class TableStore(spark: SparkSession, root: String) {
         MergeInto.checkMultipleMatches(target, source, keys, extraOn)
         entries.map(_.rel).toSet
       } else {
-        val t = target.withColumn("__graft_file", input_file_name())
+        val t = scanWithPos(name, schema, entries)
           .withColumn("__graft_tid", org.apache.spark.sql.functions.monotonically_increasing_id())
           .alias("t")
         val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -888,14 +1128,14 @@ final class TableStore(spark: SparkSession, root: String) {
           .map(r => relOf(name, r.getAs[String]("__f"))).toSet
       }
 
-    val subset = widen(readEntries(name, schema0, entries.filter(e => touched(e.rel))))
+    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
     val rewritten = MergeInto(subset, source, keys, extraOn, matched,
       notMatched = Nil, notMatchedBySource, failOnMultipleMatches = false)
     val inserts = MergeInto.insertedRows(target, source, keys, extraOn, notMatched)
     val (pb, sw, sf) = readLayout(name)
     commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
       carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-      expectedBase = Some(Some(base)))
+      expectedBase = Some(Some(base)), op = "merge")
   }
 
   // -------------------------------------------------------------- metadata
@@ -950,6 +1190,10 @@ final class TableStore(spark: SparkSession, root: String) {
     val (_, entries) = currentManifest(name)
     val referenced = entries.map(e =>
       tableDir(name).resolve(e.rel).toAbsolutePath.normalize).toSet
+    // deletion-vector sidecars are parquet DIRECTORIES — everything under
+    // a referenced DV dir stays
+    val dvDirs = entries.flatMap(_.dvs).distinct.map(d =>
+      tableDir(name).resolve(d).toAbsolutePath.normalize)
     val dir = tableDir(name)
     Files.list(dir).forEach { p =>
       val n = p.getFileName.toString
@@ -961,7 +1205,8 @@ final class TableStore(spark: SparkSession, root: String) {
           val isManifest = f.getFileName.toString == "_MANIFEST"
           if (Files.isDirectory(f)) {
             if (!Files.list(f).iterator().hasNext) Files.delete(f) // now empty
-          } else if (!referenced.contains(abs) && !(isManifest && isCurrent)) {
+          } else if (!referenced.contains(abs) && !dvDirs.exists(abs.startsWith) &&
+              !(isManifest && isCurrent)) {
             Files.delete(f)
           }
         }

@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tables.TableStore
+
+/** Round-4 lake-layer features: merge-on-read DML via deletion vectors,
+  * metadata-only schema widening, the DESCRIBE HISTORY / OPTIMIZE /
+  * VACUUM SQL surface, and Z-order clustering. Each test pins the
+  * file-level behavior (what was and wasn't rewritten), not just the
+  * row-level result — the file behavior IS the 100 TB design claim. */
+class LakeFeaturesSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+
+  private def dataFiles(root: String, db: String, table: String): Map[String, Long] = {
+    val dir = java.nio.file.Paths.get(root, db, table)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    Files.walk(dir).forEach { p: Path =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        out += (dir.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+    }
+    out.toMap
+  }
+
+  test("mor DELETE commits a deletion vector and rewrites no data file") {
+    val root = Files.createTempDirectory("graft_mor").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("grp"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartition(4)
+    store.createOrReplace("db.t", df, sortWithin = Seq("k"))
+    store.setDmlMode("db.t", "mor")
+    val before = dataFiles(root, "db", "t")
+
+    store.delete("db.t", col("k") % 10 === 3)
+    val after = dataFiles(root, "db", "t")
+    // every pre-existing data file survives bit-identically (same mtime);
+    // the only new parquet is the DV sidecar under the new version
+    before.foreach { case (rel, mtime) =>
+      assert(after.contains(rel), s"mor delete removed data file $rel")
+      assert(after(rel) == mtime, s"mor delete rewrote data file $rel")
+    }
+    assert(store.read("db.t").count() == 900)
+    assert(store.read("db.t").filter(col("k") % 10 === 3).count() == 0)
+    // time travel still sees the pre-delete rows
+    assert(store.readVersion("db.t", 1).count() == 1000)
+
+    // a second DV on the same files stacks
+    store.delete("db.t", col("k") % 10 === 4)
+    assert(store.read("db.t").count() == 800)
+    assert(store.read("db.t").agg(sum(col("k"))).as[Long].head() ==
+      (0L until 1000L).filter(k => k % 10 != 3 && k % 10 != 4).sum)
+    store.detach()
+  }
+
+  test("mor UPDATE deletion-vectors old rows and appends rewritten ones") {
+    val root = Files.createTempDirectory("graft_mor_upd").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    val df = spark.range(0, 500).select(col("id").as("k"), lit("old").as("v"))
+      .repartition(3)
+    store.createOrReplace("db.u", df)
+    store.setDmlMode("db.u", "mor")
+    val before = dataFiles(root, "db", "u")
+
+    store.update("db.u", col("k") < 50, Map("v" -> lit("new")))
+    val after = dataFiles(root, "db", "u")
+    before.foreach { case (rel, mtime) =>
+      assert(after.contains(rel) && after(rel) == mtime,
+        s"mor update rewrote pre-existing file $rel")
+    }
+    val t = store.read("db.u")
+    assert(t.count() == 500, "row count preserved")
+    assert(t.filter(col("v") === "new").count() == 50)
+    assert(t.filter(col("k") < 50 && col("v") === "old").count() == 0)
+
+    // CoW semantics parity: a cow twin updated the same way matches
+    store.setDmlMode("db.u", "cow")
+    store.update("db.u", col("k") >= 450, Map("v" -> lit("new")))
+    assert(store.read("db.u").filter(col("v") === "new").count() == 100)
+
+    // change feed across the mor commit shows the update as delete+insert
+    val cf = store.changesBetween("db.u", 1, 2)
+    assert(cf.filter(col("_change_type") === "delete").count() == 50)
+    assert(cf.filter(col("_change_type") === "insert").count() == 50)
+    store.detach()
+  }
+
+  test("OPTIMIZE folds deletion vectors in; VACUUM keeps live DVs") {
+    val root = Files.createTempDirectory("graft_mor_opt").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.c",
+      spark.range(0, 300).select(col("id").as("k")).repartition(3))
+    store.setDmlMode("db.c", "mor")
+    store.delete("db.c", col("k") < 100)
+    assert(store.read("db.c").count() == 200)
+
+    // vacuum of the DV'd table: old versions retire, current stays
+    // readable — the DV sidecar must survive (it's referenced)
+    store.vacuum("db.c")
+    assert(store.read("db.c").count() == 200, "DV survives vacuum")
+
+    store.compact("db.c")
+    assert(store.read("db.c").count() == 200)
+    // after compaction no manifest entry carries DVs: a fresh write of the
+    // survivors; and the file count is consolidated
+    assert(store.prunedFileList("db.c", None).size == 1)
+    store.detach()
+  }
+
+  test("ALTER TABLE ADD COLUMNS is metadata-only; old files NULL-fill") {
+    val root = Files.createTempDirectory("graft_addcol").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.w", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val before = dataFiles(root, "db", "w")
+
+    spark.sql("ALTER TABLE db.w ADD COLUMNS (score DOUBLE, tag STRING)")
+    val after = dataFiles(root, "db", "w")
+    assert(before == after, "column addition rewrote data files")
+    val t = store.read("db.w").orderBy("k")
+    assert(t.columns.toSeq == Seq("k", "v", "score", "tag"))
+    assert(t.select("score").as[Option[Double]].collect().forall(_.isEmpty),
+      "pre-widening rows NULL-fill the new column")
+
+    // new writes carry the column; old files still NULL-fill beside them
+    spark.sql("INSERT INTO db.w VALUES (3, 'c', 1.5, 'x')")
+    val rows = store.read("db.w").orderBy("k")
+      .select("k", "score").as[(Int, Option[Double])].collect().toSeq
+    assert(rows == Seq((1, None), (2, None), (3, Some(1.5))))
+
+    // duplicate add errors
+    val e = intercept[Exception](store.addColumns("db.w",
+      StructType(Seq(StructField("TAG", StringType)))))
+    assert(e.getMessage.contains("already exist"))
+    store.detach()
+  }
+
+  test("DESCRIBE HISTORY reports version, operation and file counts") {
+    val root = Files.createTempDirectory("graft_hist").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.h", Seq((1, "a")).toDF("k", "v"))
+    store.setDmlMode("db.h", "mor")
+    spark.sql("UPDATE db.h SET v = 'b' WHERE k = 1")
+    spark.sql("ALTER TABLE db.h ADD COLUMNS (x INT)")
+    spark.sql("OPTIMIZE db.h")
+
+    val h = spark.sql("DESCRIBE HISTORY db.h")
+      .select("version", "operation").as[(Int, String)].collect().toSeq
+    assert(h == Seq((4, "optimize"), (3, "add_columns"), (2, "update"), (1, "write")),
+      s"unexpected history: $h")
+    // timestamps are non-decreasing oldest→newest
+    val ts = spark.sql("DESCRIBE HISTORY db.h")
+      .select("timestamp").collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts == ts.sorted.reverse)
+
+    spark.sql("VACUUM db.h")
+    assert(store.versions("db.h") == Seq(4), "vacuum retires old versions")
+    assert(store.read("db.h").count() == 1)
+    store.detach()
+  }
+
+  test("OPTIMIZE ZORDER BY gives file skipping on every curve column") {
+    val root = Files.createTempDirectory("graft_zorder").toString
+    val store = new TableStore(spark, root)
+    // two independent uniform dimensions — sorted by a alone, pruning on b
+    // would keep every file
+    val df = spark.range(0, 40000).select(
+      (col("id") % 200).as("a"), ((col("id") * 7919) % 200).as("b"))
+    store.createOrReplace("db.z", df, sortWithin = Seq("a"), statsFor = Seq("a", "b"))
+    store.compact("db.z", targetFiles = 16, zorderBy = Seq("a", "b"))
+
+    val total = store.prunedFileList("db.z", None).size
+    assert(total >= 8, s"zorder kept multiple files, got $total")
+    val prunedA = store.prunedFileList("db.z", Some(col("a") === 7L)).size
+    val prunedB = store.prunedFileList("db.z", Some(col("b") === 7L)).size
+    assert(prunedA < total, s"a-predicate skips files ($prunedA/$total)")
+    assert(prunedB < total, s"b-predicate skips files ($prunedB/$total)")
+
+    // the rewrite is content-preserving
+    assert(store.read("db.z").count() == 40000)
+    assert(store.readWhere("db.z", col("a") === 7L).count() == 200)
+    assert(store.readWhere("db.z", col("b") === 7L).count() ==
+      (0L until 40000L).count(i => (i * 7919) % 200 == 7))
+
+    // the SQL spelling executes and reports file counts
+    val r = spark.sql("OPTIMIZE db.z ZORDER BY (a, b)").collect()(0)
+    assert(r.getInt(1) == total && r.getInt(2) >= 1)
+    assert(store.read("db.z").count() == 40000)
+    store.detach()
+  }
+}

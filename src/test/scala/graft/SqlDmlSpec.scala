@@ -213,7 +213,7 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(e.getMessage.contains("no such retained version"))
       val h = store.history("db.tt")
       assert(h.map(_._1) == Seq(3, 2, 1), "history newest first")
-      assert(h.forall(_._3 >= 1), "every commit lists its files")
+      assert(h.forall(_._4 >= 1), "every commit lists its files")
 
       // TIMESTAMP AS OF resolves through commit times (UTC)
       val afterV2 = h.find(_._1 == 2).get._2.plusMillis(1)
