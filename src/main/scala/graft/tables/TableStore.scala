@@ -91,6 +91,38 @@ object TableStore {
     }
 }
 
+/** Writer handle inside a [[TableStore.transaction]]: collects staged
+  * single-visibility writes. Each table may be written at most once per
+  * transaction, and staged writes are invisible until the transaction's
+  * all-or-nothing commit. */
+final class Txn private[tables] (store: TableStore) {
+  private val staged =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Int, Path, Option[Int])]
+
+  private def stage(name: String, df: DataFrame, partitionBy: Seq[String],
+      sortWithin: Seq[String], statsFor: Seq[String], append: Boolean): Unit = {
+    require(!staged.exists(_._1 == name),
+      s"transaction already wrote $name — one write per table per transaction " +
+        "(writes see pre-transaction state, so a second write would silently " +
+        "discard the first)")
+    staged += { val (v, d, b) = store.txnStage(name, df, partitionBy, sortWithin,
+      statsFor, append, if (append) "txn_append" else "txn_write"); (name, v, d, b) }
+  }
+
+  /** Stage a full-snapshot write (createOrReplace semantics). */
+  def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit =
+    stage(name, df, partitionBy, sortWithin, statsFor, append = false)
+
+  /** Stage an append to an existing table (its current files carry over,
+    * the new rows become new files — layout preserved). */
+  def append(name: String, df: DataFrame): Unit =
+    stage(name, df, Nil, Nil, Nil, append = true)
+
+  private[tables] def commitAll(): Unit = store.txnCommit(staged.toSeq)
+  private[tables] def abort(): Unit = store.txnAbort(staged.map(_._3).toSeq)
+}
+
 final class TableStore(spark: SparkSession, root: String) {
 
   // SQL-text DML (MERGE/UPDATE/DELETE via spark.sql) resolves table names
@@ -512,10 +544,13 @@ final class TableStore(spark: SparkSession, root: String) {
     * the other writer (Delta's conflict-detection shape, reduced to one
     * pointer); the loser's allocated version directory is dropped so it
     * never surfaces as a phantom committed version. */
-  private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
+  /** Write `df`'s files and manifest into an atomically-allocated
+    * `v_<next>` WITHOUT making it current — the expensive half of a
+    * commit, shared by [[commitVersion]] and multi-table [[transaction]]s
+    * (which stage every table first and swap all pointers together). */
+  private def stageVersion(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
-      schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None,
-      op: String = "write"): Unit = {
+      schemaHint: Option[StructType], op: String): (Int, Path) = {
     val (next, dir) = allocateVersion(name)
     try {
       // partition columns are duplicated into __p_* for the directory layout
@@ -546,6 +581,17 @@ final class TableStore(spark: SparkSession, root: String) {
       val newEntries = footerEntries(name, newFilesAbs, statCols)
       writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries, op)
       writeLayout(name, partitionBy, sortWithin, statsFor)
+      (next, dir)
+    } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
+  }
+
+  private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
+      sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
+      schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None,
+      op: String = "write"): Unit = {
+    val (next, dir) = stageVersion(name, df, partitionBy, sortWithin, statsFor,
+      carryOver, schemaHint, op)
+    try {
       withCommitLock(name) {
         expectedBase.foreach { base =>
           val cur = currentVersion(name)
@@ -1137,6 +1183,74 @@ final class TableStore(spark: SparkSession, root: String) {
       carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
       expectedBase = Some(Some(base)), op = "merge")
   }
+
+  // ---------------------------------------------------------- transactions
+
+  /** Multi-table transaction: every write staged inside `f` becomes
+    * visible together, or not at all.
+    *
+    *  - All data/manifest writes happen while staging, with no pointer
+    *    moved — a failure anywhere (including a mid-transaction crash)
+    *    leaves every table exactly as it was, and the aborted version
+    *    directories are dropped.
+    *  - Commit takes the per-table commit locks in sorted name order
+    *    (deadlock-free against other transactions doing the same), then
+    *    verifies each table is still at the version staging observed —
+    *    any concurrent writer aborts the WHOLE transaction with
+    *    `ConcurrentModificationException` — and only then swaps all
+    *    pointers.
+    *
+    * This is the all-or-nothing multi-table publish a medallion load
+    * wants (fact + dims changing together). Visibility caveat, stated
+    * honestly: pointer swaps are per-table atomic renames issued
+    * back-to-back, so a reader racing the commit can observe table A's
+    * new version microseconds before table B's — there is no cross-table
+    * snapshot isolation, only all-or-nothing durability and conflict
+    * detection. Writes inside the transaction see the PRE-transaction
+    * state of every table (no read-your-writes); each table may be
+    * written at most once. */
+  def transaction(f: Txn => Unit): Unit = {
+    val txn = new Txn(this)
+    try {
+      f(txn)
+      txn.commitAll()
+    } catch { case t: Throwable => txn.abort(); throw t }
+  }
+
+  private[tables] def txnStage(name: String, df: DataFrame, partitionBy: Seq[String],
+      sortWithin: Seq[String], statsFor: Seq[String], append: Boolean,
+      op: String): (Int, Path, Option[Int]) = {
+    val base = currentVersion(name)
+    val (carryOver, schemaHint, pb, sw, sf) =
+      if (!append) (Seq.empty[FileEntry], None, partitionBy, sortWithin, statsFor)
+      else {
+        val (schema, entries) = currentManifest(name)
+        val (pb0, sw0, sf0) = readLayout(name)
+        (entries, Some(schema), pb0, sw0, sf0)
+      }
+    val (v, dir) = stageVersion(name, df, pb, sw, sf, carryOver, schemaHint, op)
+    (v, dir, base)
+  }
+
+  private[tables] def txnCommit(staged: Seq[(String, Int, Path, Option[Int])]): Unit = {
+    val names = staged.map(_._1).sorted
+    def lockAll(ns: Seq[String])(body: => Unit): Unit = ns match {
+      case Seq() => body
+      case head +: tail => withCommitLock(head)(lockAll(tail)(body))
+    }
+    lockAll(names) {
+      staged.foreach { case (name, _, _, base) =>
+        val cur = currentVersion(name)
+        if (cur != base) throw new java.util.ConcurrentModificationException(
+          s"transaction: $name moved from version $base to $cur since staging — " +
+            "the whole transaction is rolled back")
+      }
+      staged.foreach { case (name, v, _, _) => swapTo(name, v) }
+    }
+  }
+
+  private[tables] def txnAbort(dirs: Seq[Path]): Unit =
+    dirs.foreach(dropAbortedVersion)
 
   // -------------------------------------------------------------- metadata
 

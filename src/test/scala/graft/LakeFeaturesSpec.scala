@@ -167,6 +167,53 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("multi-table transaction commits all writes together or none") {
+    val root = Files.createTempDirectory("graft_txn").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("gold.fact", Seq((1, 10.0)).toDF("k", "amt"))
+    store.createOrReplace("gold.dim", Seq((1, "a")).toDF("k", "nm"))
+
+    // happy path: both tables move together
+    store.transaction { txn =>
+      txn.createOrReplace("gold.fact", Seq((1, 20.0), (2, 30.0)).toDF("k", "amt"))
+      txn.append("gold.dim", Seq((2, "b")).toDF("k", "nm"))
+    }
+    assert(store.read("gold.fact").count() == 2)
+    assert(store.read("gold.dim").count() == 2)
+
+    // failure mid-transaction: the already-staged first write must vanish
+    val boom = intercept[RuntimeException](store.transaction { txn =>
+      txn.createOrReplace("gold.fact", Seq((9, 99.0)).toDF("k", "amt"))
+      throw new RuntimeException("boom")
+    })
+    assert(boom.getMessage == "boom")
+    assert(store.read("gold.fact").as[(Int, Double)].collect().toSet ==
+      Set((1, 20.0), (2, 30.0)), "aborted transaction leaked a write")
+    assert(store.versions("gold.fact").size == 2, "no phantom staged version")
+
+    // concurrent writer between staging and commit: whole txn rolls back
+    val cme = intercept[java.util.ConcurrentModificationException](
+      store.transaction { txn =>
+        txn.createOrReplace("gold.fact", Seq((7, 70.0)).toDF("k", "amt"))
+        txn.createOrReplace("gold.dim", Seq((6, "f")).toDF("k", "nm"))
+        // a non-transactional writer sneaks in AFTER the txn staged dim
+        store.createOrReplace("gold.dim", Seq((5, "e")).toDF("k", "nm"))
+      })
+    assert(cme.getMessage.contains("rolled back"))
+    assert(store.read("gold.fact").count() == 2, "fact write rolled back with the txn")
+    assert(store.read("gold.dim").as[(Int, String)].collect().toSet == Set((5, "e")),
+      "the concurrent writer's state survives")
+
+    // double-write of one table is rejected up front
+    val dup = intercept[IllegalArgumentException](store.transaction { txn =>
+      txn.createOrReplace("gold.fact", Seq((1, 1.0)).toDF("k", "amt"))
+      txn.createOrReplace("gold.fact", Seq((2, 2.0)).toDF("k", "amt"))
+    })
+    assert(dup.getMessage.contains("one write per table"))
+    store.detach()
+  }
+
   test("OPTIMIZE ZORDER BY gives file skipping on every curve column") {
     val root = Files.createTempDirectory("graft_zorder").toString
     val store = new TableStore(spark, root)
