@@ -43,7 +43,7 @@ object Scd {
   val CreateDate = "_tf_create_date"
   val UpdateDate = "_tf_update_date"
 
-  private def hasAudit(df: DataFrame): Boolean =
+  private[graft] def hasAudit(df: DataFrame): Boolean =
     df.columns.contains(CreateDate) && df.columns.contains(UpdateDate)
 
   /** Initial SCD2 load: every source row becomes a current version. */
@@ -57,7 +57,7 @@ object Scd {
     else base
   }
 
-  private def changePredicate(payload: Seq[String], nullSafe: Boolean): Column =
+  private[graft] def changePredicate(payload: Seq[String], nullSafe: Boolean): Column =
     payload
       .map(c => if (nullSafe) !(col(s"t.$c") <=> col(s"s.$c")) else col(s"t.$c") =!= col(s"s.$c"))
       .reduceOption(_ || _)

@@ -734,6 +734,33 @@ final class TableStore(spark: SparkSession, root: String) {
       sortWithin: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit =
     commitVersion(name, df, partitionBy, sortWithin, statsFor, carryOver = Seq.empty)
 
+  /** Append `df` as new files — the current files carry over untouched
+    * (layout preserved), so an append to a 100 TB table costs only the new
+    * data's write. Committed with conflict detection. `op` surfaces in
+    * DESCRIBE HISTORY; the streaming sink encodes its micro-batch id there
+    * to make replays detectable ([[lastStreamBatch]]). */
+  def append(name: String, df: DataFrame, op: String = "append"): Unit = {
+    val base = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema, entries) = readManifest(name, base)
+    val (pb, sw, sf) = readLayout(name)
+    commitVersion(name, df, pb, sw, sf, carryOver = entries,
+      schemaHint = Some(schema), expectedBase = Some(Some(base)), op = op)
+  }
+
+  /** Highest micro-batch id a streaming append has committed to `name`
+    * (encoded in manifest operation labels `stream_append:<id>`), or None
+    * if no streaming append ever committed. The exactly-once gate:
+    * a foreachBatch replay of batch ≤ this id is a duplicate delivery and
+    * must be skipped — the commit it would redo is already durable. */
+  def lastStreamBatch(name: String): Option[Long] =
+    if (!exists(name)) None
+    else versions(name).flatMap { v =>
+      val op = manifestOp(name, v)
+      if (op.startsWith("stream_append:")) Some(op.stripPrefix("stream_append:").toLong)
+      else None
+    }.maxOption
+
   /** SCD2-layout write: clusters the history by a derived `is_current`
     * flag so current-version readers skip every closed-version file via
     * manifest stats. */

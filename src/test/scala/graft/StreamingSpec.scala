@@ -158,6 +158,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() == afterRestart, "replayed micro-batch must not change the table")
   }
 
+  test("streaming append sink: batch id rides the commit, replays are skipped (exactly-once)") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_store").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val store = new graft.tables.TableStore(spark, root)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    val table = "bronze.ingest"
+
+    def startQ() = graft.streaming.StreamingIngest.appendSink(
+        spark.readStream.schema(schema).parquet(srcDir), store, table)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.mode("append").parquet(srcDir)
+    runToCompletion(startQ())
+    Seq((3, "c")).toDF("id", "v").write.mode("append").parquet(srcDir)
+    runToCompletion(startQ())
+    assert(store.read(table).count() == 3)
+    assert(store.lastStreamBatch(table).contains(1L))
+
+    // force an at-least-once replay of the last micro-batch: the batch id
+    // recorded in the table's own commit makes the duplicate delivery a
+    // detected no-op
+    val commit = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(java.nio.file.Files.deleteIfExists(commit))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    runToCompletion(startQ())
+    assert(store.read(table).count() == 3, "replayed micro-batch duplicated rows")
+
+    // driving the batch function directly: stale and fresh ids
+    graft.streaming.StreamingIngest.appendBatch(store, table)(
+      Seq((9, "dup")).toDF("id", "v"), 0L) // stale id → skipped
+    assert(store.read(table).count() == 3)
+    graft.streaming.StreamingIngest.appendBatch(store, table)(
+      Seq((4, "d")).toDF("id", "v"), 2L) // fresh id → committed
+    assert(store.read(table).count() == 4)
+    assert(store.lastStreamBatch(table).contains(2L))
+    store.detach()
+  }
+
   test("streaming minhash dedup == batch first-seen dedup; replayed batch is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_store").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sdedup_src").toString
