@@ -223,6 +223,33 @@ object SqlDml {
           org.apache.spark.sql.types.StructType(fields))
       }
 
+  /** First store-table leaf under `plan` — the constraint nodes wrap the
+    * target in helper operators (AddCheckConstraint's child is
+    * `Filter(NOT cond, UnresolvedRelation)`, Spark's own existing-row
+    * validation scan), so the table is found by walking, not matching the
+    * root. */
+  private def storeTableOf(plan: LogicalPlan, spark: SparkSession): Option[String] =
+    plan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        u.multipartIdentifier.mkString(".")
+      case u: UnresolvedRelation => u.multipartIdentifier.mkString(".")
+    }.filter(n => n.contains(".") && TableStore.resolve(spark, n).isDefined)
+
+  /** `ALTER TABLE db.t ADD CONSTRAINT c CHECK (…)` on a store table lowers
+    * to the enforced check ([[graft.tables.TableStore.addCheckConstraint]]).
+    * The constraint's condition is carried as its SQL text — re-parsed at
+    * each write, like Delta stores `delta.constraints.*` properties. */
+  private[ext] def lowerAddConstraint(a: AddCheckConstraint,
+      spark: SparkSession): Option[LogicalPlan] =
+    storeTableOf(a.child, spark).map(name =>
+      GraftAddConstraintCommand(name, a.checkConstraint.userProvidedName,
+        a.checkConstraint.condition))
+
+  private[ext] def lowerDropConstraint(d: DropConstraint,
+      spark: SparkSession): Option[LogicalPlan] =
+    storeTableOf(d.child, spark).map(name =>
+      GraftDropConstraintCommand(name, d.name))
+
   /** CTAS / RTAS capture at PARSE time — the analyzer converts (or
     * rejects) these nodes for the session catalog before an injected
     * resolution rule can see them, so the parser wrapper claims candidate
@@ -312,6 +339,8 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => SqlDml.lowerDelete(d, spark).getOrElse(d)
       case i: InsertIntoStatement => SqlDml.lowerInsert(i, spark).getOrElse(i)
       case a: AddColumns => SqlDml.lowerAddColumns(a, spark).getOrElse(a)
+      case c: AddCheckConstraint => SqlDml.lowerAddConstraint(c, spark).getOrElse(c)
+      case d: DropConstraint => SqlDml.lowerDropConstraint(d, spark).getOrElse(d)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         SqlDml.lowerTimeTravel(tt, spark).getOrElse(tt)
     }
@@ -530,6 +559,28 @@ final case class GraftVacuumCommand(table: String) extends LeafRunnableCommand {
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for VACUUM"))
     store.vacuum(table)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.table ADD CONSTRAINT c CHECK (…)` — enforced check. */
+final case class GraftAddConstraintCommand(table: String, cname: String,
+    conditionSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for ADD CONSTRAINT"))
+    store.addCheckConstraint(table, cname, conditionSql)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.table DROP CONSTRAINT c`. */
+final case class GraftDropConstraintCommand(table: String, cname: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for DROP CONSTRAINT"))
+    store.dropCheckConstraint(table, cname)
     Seq.empty
   }
 }

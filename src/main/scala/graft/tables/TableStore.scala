@@ -553,11 +553,14 @@ final class TableStore(spark: SparkSession, root: String) {
       schemaHint: Option[StructType], op: String): (Int, Path) = {
     val (next, dir) = allocateVersion(name)
     try {
+      // CHECK constraints ride the write plan (single pass, raise on
+      // violation) — every path that stages data validates what it writes
+      val checked = enforceChecks(name, df)
       // partition columns are duplicated into __p_* for the directory layout
       // so the REAL columns stay in the data files (manifest reads need no
       // hive partition reconstruction)
       val dupCols = partitionBy.map(c => s"__p_$c")
-      val withDups = partitionBy.zip(dupCols).foldLeft(df) { case (d, (c, p)) =>
+      val withDups = partitionBy.zip(dupCols).foldLeft(checked) { case (d, (c, p)) =>
         d.withColumn(p, col(c))
       }
       val sorted =
@@ -1023,7 +1026,7 @@ final class TableStore(spark: SparkSession, root: String) {
             s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
           }.select(schema.fieldNames.map(col).toSeq: _*)
           val dataDir = dir.resolve("data")
-          updated.write.parquet(dataDir.toString)
+          enforceChecks(name, updated).write.parquet(dataDir.toString)
           val files = Files.walk(dataDir).iterator().asScala
             .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
           val (pb, sw, sf) = readLayout(name)
@@ -1318,6 +1321,52 @@ final class TableStore(spark: SparkSession, root: String) {
   def setPrimaryKey(name: String, cols: Seq[String]): Unit =
     setMeta(name, meta(name).copy(properties =
       meta(name).properties + ("primary_key" -> cols.mkString(","))))
+
+  // ------------------------------------------------------------ constraints
+
+  /** ALTER TABLE … ADD CONSTRAINT … CHECK: an ENFORCED row predicate.
+    * Existing rows are validated once at add time (like Delta, the
+    * statement fails if any row violates); every subsequent write
+    * validates the rows it writes IN the write pass itself — the check
+    * rides the write plan as a `raise_error` branch, so enforcement costs
+    * zero extra scans and a violating DML aborts (the staged version is
+    * dropped, the table unchanged). SQL semantics: NULL condition results
+    * pass (violation = provably FALSE), per the standard and Delta. */
+  def addCheckConstraint(name: String, cname: String, conditionSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr}
+    val violations = read(name).filter(!coalesce(expr(conditionSql), lit(true))).count()
+    require(violations == 0,
+      s"cannot add CHECK constraint $cname on $name: $violations existing row(s) " +
+        s"violate ($conditionSql)")
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + (s"check.$cname" -> conditionSql)))
+  }
+
+  def dropCheckConstraint(name: String, cname: String): Unit =
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties - s"check.$cname"))
+
+  /** The table's CHECK constraints: name → condition SQL. */
+  def checkConstraints(name: String): Map[String, String] =
+    meta(name).properties.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }
+
+  /** Thread every CHECK constraint into `df`'s plan as a pass-through
+    * filter whose false branch raises — single-pass enforcement during
+    * the write job. */
+  private def enforceChecks(name: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat, expr, raise_error, struct, to_json}
+    val checks = checkConstraints(name)
+    if (checks.isEmpty) df
+    else checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cname, sql)) =>
+      d.filter(
+        when(coalesce(expr(sql), lit(true)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint $cname ($sql) violated by row: "),
+            to_json(struct(d.columns.toSeq.map(col): _*)))).cast("boolean")))
+    }
+  }
 
   // ---------------------------------------------------------------- vacuum
 

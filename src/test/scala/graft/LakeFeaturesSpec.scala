@@ -167,6 +167,54 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("CHECK constraints: enforced in the write pass across every DML path") {
+    val root = Files.createTempDirectory("graft_check").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.acc", Seq((1, 100.0), (2, 50.0)).toDF("k", "bal"))
+
+    spark.sql("ALTER TABLE db.acc ADD CONSTRAINT bal_nonneg CHECK (bal >= 0)")
+    assert(store.checkConstraints("db.acc") == Map("bal_nonneg" -> "bal >= 0"))
+
+    // adding a constraint existing rows violate fails up front
+    val bad = intercept[Exception](
+      spark.sql("ALTER TABLE db.acc ADD CONSTRAINT bal_big CHECK (bal > 60)"))
+    assert(bad.getMessage.contains("existing row"))
+
+    // violating writes abort on every path; the table never changes
+    def stateUnchanged(): Unit =
+      assert(store.read("db.acc").as[(Int, Double)].collect().toSet ==
+        Set((1, 100.0), (2, 50.0)))
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO db.acc VALUES (3, -5.0)"))
+    assert(e1.getMessage.contains("bal_nonneg")); stateUnchanged()
+    val e2 = intercept[Exception](
+      spark.sql("UPDATE db.acc SET bal = bal - 200 WHERE k = 2"))
+    assert(e2.getMessage.contains("bal_nonneg")); stateUnchanged()
+    val e3 = intercept[Exception](
+      store.merge("db.acc", Seq((9, -1.0)).toDF("k", "bal"), Seq("k"),
+        notMatched = Seq(graft.operators.MergeInto.NotMatchedInsert(None,
+          Map("k" -> col("s.k"), "bal" -> col("s.bal"))))))
+    assert(e3.getMessage.contains("bal_nonneg")); stateUnchanged()
+    assert(store.versions("db.acc") == Seq(1), "aborted writes left no version")
+
+    // passing writes go through; mor DML enforces too
+    spark.sql("UPDATE db.acc SET bal = bal + 10 WHERE k = 1")
+    store.setDmlMode("db.acc", "mor")
+    val e4 = intercept[Exception](
+      spark.sql("UPDATE db.acc SET bal = -1.0 WHERE k = 2"))
+    assert(e4.getMessage.contains("bal_nonneg"))
+    assert(store.read("db.acc").as[(Int, Double)].collect().toSet ==
+      Set((1, 110.0), (2, 50.0)))
+
+    // NULL condition results pass (SQL semantics), and DROP lifts the gate
+    spark.sql("ALTER TABLE db.acc DROP CONSTRAINT bal_nonneg")
+    store.setDmlMode("db.acc", "cow")
+    spark.sql("INSERT INTO db.acc VALUES (3, -5.0)")
+    assert(store.read("db.acc").count() == 3)
+    store.detach()
+  }
+
   test("multi-table transaction commits all writes together or none") {
     val root = Files.createTempDirectory("graft_txn").toString
     val store = new TableStore(spark, root)
