@@ -262,6 +262,30 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("auto-compaction bounds small-file accumulation under streaming appends") {
+    val root = Files.createTempDirectory("graft_autocompact").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("bronze.feed", Seq((0, "seed")).toDF("id", "v"))
+    store.setAutoCompact("bronze.feed", smallFiles = 4)
+
+    (1 to 12).foreach { i =>
+      store.append("bronze.feed", Seq((i, s"v$i")).toDF("id", "v"))
+    }
+    assert(store.read("bronze.feed").count() == 13, "all appended rows survive")
+    val files = store.prunedFileList("bronze.feed", None).size
+    assert(files < 13, s"auto-compaction never fired: $files files")
+    assert(store.history("bronze.feed").exists(_._3 == "optimize"),
+      "history records the inline compactions")
+    // the streaming sink's exactly-once marker survives compaction commits
+    graft.streaming.StreamingIngest.appendBatch(store, "bronze.feed")(
+      Seq((100, "s")).toDF("id", "v"), 5L)
+    graft.streaming.StreamingIngest.appendBatch(store, "bronze.feed")(
+      Seq((101, "dup")).toDF("id", "v"), 5L)
+    assert(store.read("bronze.feed").count() == 14, "replayed stream batch skipped")
+    store.detach()
+  }
+
   test("OPTIMIZE ZORDER BY gives file skipping on every curve column") {
     val root = Files.createTempDirectory("graft_zorder").toString
     val store = new TableStore(spark, root)
