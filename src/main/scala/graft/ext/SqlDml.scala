@@ -297,6 +297,8 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
 
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(?\s*([\w.\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val VacuumRe =
@@ -304,6 +306,7 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(t) => GraftDescribeHistoryCommand(t)
+    case DetailRe(t) => GraftDescribeDetailCommand(t)
     case OptimizeRe(t, z) => GraftOptimizeCommand(t,
       Option(z).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     case VacuumRe(t) => GraftVacuumCommand(t)
@@ -524,6 +527,21 @@ final case class GraftDescribeHistoryCommand(table: String) extends LeafRunnable
     store.history(table).map { case (v, t, op, n) =>
       Row(v, java.sql.Timestamp.from(t), op, n)
     }
+  }
+}
+
+/** `DESCRIBE DETAIL db.table`: current-snapshot facts as (property,
+  * value) rows — driver-side metadata only. */
+final case class GraftDescribeDetailCommand(table: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("property", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for DESCRIBE DETAIL"))
+    store.detail(table).toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }
 

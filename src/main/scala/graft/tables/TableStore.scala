@@ -1368,6 +1368,24 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** DESCRIBE DETAIL surface: current snapshot facts, driver-side
+    * metadata only (manifest + file sizes — no Spark job). */
+  def detail(name: String): Map[String, String] = {
+    val (schema, entries) = currentManifest(name)
+    val (pb, sw, _) = readLayout(name)
+    val bytes = entries.map(e => Files.size(Paths.get(absPath(name, e.rel)))).sum
+    Map(
+      "location" -> tableDir(name).toString,
+      "version" -> currentVersion(name).get.toString,
+      "num_files" -> entries.size.toString,
+      "size_bytes" -> bytes.toString,
+      "num_dv_files" -> entries.count(_.dvs.nonEmpty).toString,
+      "partition_columns" -> pb.mkString(","),
+      "sort_columns" -> sw.mkString(","),
+      "dml_mode" -> dmlMode(name),
+      "num_columns" -> schema.fields.length.toString)
+  }
+
   /** Record a (non-enforced) primary key, like the reference's
     * `ALTER TABLE … ADD PRIMARY KEY` (01_Init.py:239-241). */
   def setPrimaryKey(name: String, cols: Seq[String]): Unit =

@@ -47,6 +47,11 @@ class LakeFeaturesSpec extends AnyFunSuite {
     }
     assert(store.read("db.t").count() == 900)
     assert(store.read("db.t").filter(col("k") % 10 === 3).count() == 0)
+    // plan shape: the DV side is BROADCAST into a left-anti hash join —
+    // the main scan stays codegen'd and shuffle-free
+    val plan = store.read("db.t").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV read should broadcast-anti-join, got:\n${plan.linesIterator.take(8).mkString("\n")}")
     // time travel still sees the pre-delete rows
     assert(store.readVersion("db.t", 1).count() == 1000)
 
@@ -164,6 +169,12 @@ class LakeFeaturesSpec extends AnyFunSuite {
     spark.sql("VACUUM db.h")
     assert(store.versions("db.h") == Seq(4), "vacuum retires old versions")
     assert(store.read("db.h").count() == 1)
+
+    val detail = spark.sql("DESCRIBE DETAIL db.h")
+      .as[(String, String)].collect().toMap
+    assert(detail("version") == "4" && detail("dml_mode") == "mor")
+    assert(detail("num_files").toInt >= 1 && detail("size_bytes").toLong > 0)
+    assert(detail("num_columns") == "3", s"k, v, x after widening: $detail")
     store.detach()
   }
 
