@@ -163,6 +163,29 @@ object Dedup {
     docs.join(dropped, docs(idCol) === dropped("doc"), "left_anti")
   }
 
+  /** Cross-corpus contamination check: for every corpus document, how
+    * many of its word n-grams appear ANYWHERE in `benchmark` — the
+    * train/eval decontamination pass every serious training pipeline runs
+    * (a benchmark document leaking into the training set inflates evals).
+    *
+    * Scale shape: the benchmark's distinct-shingle set is the join's
+    * build side; benchmarks are small relative to a training corpus, so
+    * the join broadcasts and the corpus-side cost is one shingle explode —
+    * linear, no corpus self-join. Corpus documents with zero overlap are
+    * kept with `n_overlap` 0 (left join), so the output is a complete
+    * per-document audit, not just the hits. */
+  def crossCorpusOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol, n)
+    val bs = shingles(benchmark, idCol, textCol, n).select(col("shingle")).distinct()
+    val hits = cs.join(bs, Seq("shingle"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(hits, corpus(idCol) === hits("doc"), "left_outer")
+      .select(corpus(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
   /** 32-bit SimHash per doc: token hash bits vote ±1, fingerprint = sign
     * vector. One groupBy(doc) with 32 conditional sums. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

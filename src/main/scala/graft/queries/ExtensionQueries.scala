@@ -194,7 +194,63 @@ object ExtensionQueries {
       .orderBy(col("split"), col("shuffle_pos"))
   }
 
+  // x30: train/eval decontamination — treat every 13th document as a held
+  // -out benchmark and audit the remaining corpus for 3-gram overlap with
+  // it. The benchmark shingle set broadcasts; corpus cost is one explode.
+  def x30Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+    Dedup.crossCorpusOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .withColumn("contaminated", col("n_overlap") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  // x31: deterministic stratified sampling — per-language keep fractions
+  // via a salted md5 bucket, the reproducible downsampling/rebalancing
+  // step of corpus mixing (no RNG: the sample survives re-partitioning,
+  // re-runs, and engines; sampling a 100 TB corpus is one codegen'd
+  // filter, no shuffle).
+  def x31StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val pct = Map("en" -> 20, "de" -> 50, "fr" -> 80) // percent kept; others 100
+    val bucket = conv(substring(md5(concat(lit("strat|"), col("lang"), lit("|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+    val keepPct = pct.foldLeft(lit(100)) { case (e, (l, p)) =>
+      when(col("lang") === l, p).otherwise(e)
+    }
+    t(s, dir, "documents")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < keepPct)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  // x32: per-document distinguishing terms from an inverted index — term
+  // frequency joined with corpus document frequency, top-3 terms per doc
+  // ranked (tf desc, docfreq asc, term asc). Integer-only scoring keeps
+  // the oracle exact where a float tf-idf would be at the mercy of libm.
+  // One explode + two partial-agg groupBys + a per-doc top-k window.
+  def x32TopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextFunctions.normalizeText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("n_docs").asc, col("term").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("n_docs"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_decontaminate" -> x30Decontaminate _,
+    "x31_stratified_sample" -> x31StratifiedSample _,
+    "x32_top_terms" -> x32TopTerms _,
     "x22_dup_clusters" -> x22DupClusters _,
     "x26_curation" -> x26Curation _,
     "x23_text_clean" -> x23TextClean _,
@@ -358,6 +414,46 @@ object ExtensionQueries {
         |SELECT doc_id, split, shuffle_key,
         |  ROW_NUMBER() OVER (PARTITION BY split ORDER BY shuffle_key) AS shuffle_pos
         |FROM s ORDER BY split, shuffle_pos""".stripMargin,
+    "x30_decontaminate" ->
+      s"""WITH c AS (SELECT doc_id AS doc, $Norm AS t FROM documents WHERE doc_id % 13 <> 0),
+         |b AS (SELECT doc_id AS doc, $Norm AS t FROM documents WHERE doc_id % 13 = 0),
+         |cw AS (SELECT doc, string_split(t, ' ') AS w FROM c),
+         |csh AS (SELECT DISTINCT doc, array_to_string(w[i:i+2], ' ') AS shingle
+         |        FROM cw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
+         |bw AS (SELECT doc, string_split(t, ' ') AS w FROM b),
+         |bsh AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+         |        FROM bw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
+         |hits AS (SELECT doc, COUNT(*) AS n_overlap FROM csh
+         |         WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc)
+         |SELECT c.doc AS doc_id,
+         |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  COALESCE(h.n_overlap, 0) >= 3 AS contaminated
+         |FROM c LEFT JOIN hits h ON c.doc = h.doc
+         |ORDER BY doc_id""".stripMargin,
+    "x31_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5('strat|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'fr' THEN 80 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+    "x32_top_terms" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, u.term FROM (
+         |    SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) d,
+         |    UNNEST(d.ws) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY 1),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.n_docs,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, dfreq.n_docs ASC, tf.term ASC) AS rank
+         |  FROM tf JOIN dfreq USING (term))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, n_docs
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     "x1_dedup_exact" ->
       s"""SELECT md5($Norm) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
