@@ -303,6 +303,8 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(?\s*([\w.\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(t) => GraftDescribeHistoryCommand(t)
@@ -310,6 +312,7 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     case OptimizeRe(t, z) => GraftOptimizeCommand(t,
       Option(z).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     case VacuumRe(t) => GraftVacuumCommand(t)
+    case RestoreRe(t, v) => GraftRestoreCommand(t, v.toInt)
     case _ => delegate.parsePlan(sqlText) match {
       case c: CreateTableAsSelect =>
         SqlDml.captureCtas(c.name, c.query, orReplace = false, orCreate = true,
@@ -567,6 +570,21 @@ final case class GraftOptimizeCommand(table: String, zorderBy: Seq[String])
     else store.compact(table)
     val after = store.history(table).headOption.map(_._4).getOrElse(0)
     Seq(Row(table, before, after))
+  }
+}
+
+/** `RESTORE TABLE db.table TO VERSION AS OF n`: metadata-only re-point of
+  * a retained snapshot as the new current version (the restore itself
+  * becomes a history entry). */
+final case class GraftRestoreCommand(table: String, version: Int)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for RESTORE"))
+    require(store.versions(table).contains(version),
+      s"RESTORE $table: no retained version $version (have ${store.versions(table).mkString(", ")})")
+    store.restore(table, version)
+    Seq.empty
   }
 }
 

@@ -793,13 +793,28 @@ final class TableStore(spark: SparkSession, root: String) {
     * data's write. Committed with conflict detection. `op` surfaces in
     * DESCRIBE HISTORY; the streaming sink encodes its micro-batch id there
     * to make replays detectable ([[lastStreamBatch]]). */
+  /** Schema enforcement for appends: explicit-schema reads would silently
+    * NULL-fill a missing column and drop an extra one — a typo'd append
+    * must error, not lose data (Delta's append schema check). Matching is
+    * case-insensitive; columns are reordered and cast to target types. */
+  private def alignedForAppend(name: String, schema: StructType, df: DataFrame): DataFrame = {
+    val missing = schema.fieldNames.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    val extra = df.columns.filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty && extra.isEmpty,
+      s"append to $name: schema mismatch — missing ${missing.mkString(",")}; " +
+        s"unexpected ${extra.mkString(",")}; target columns are ${schema.fieldNames.mkString(",")}")
+    df.select(schema.fields.toSeq.map(f =>
+      col(df.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
+  }
+
   def append(name: String, df: DataFrame, op: String = "append"): Unit = {
     val base = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema, entries) = readManifest(name, base)
     val (pb, sw, sf) = readLayout(name)
-    commitVersion(name, df, pb, sw, sf, carryOver = entries,
-      schemaHint = Some(schema), expectedBase = Some(Some(base)), op = op)
+    commitVersion(name, alignedForAppend(name, schema, df), pb, sw, sf,
+      carryOver = entries, schemaHint = Some(schema),
+      expectedBase = Some(Some(base)), op = op)
     maybeAutoCompact(name)
   }
 
@@ -1303,14 +1318,14 @@ final class TableStore(spark: SparkSession, root: String) {
       sortWithin: Seq[String], statsFor: Seq[String], append: Boolean,
       op: String): (Int, Path, Option[Int]) = {
     val base = currentVersion(name)
-    val (carryOver, schemaHint, pb, sw, sf) =
-      if (!append) (Seq.empty[FileEntry], None, partitionBy, sortWithin, statsFor)
+    val (df1, carryOver, schemaHint, pb, sw, sf) =
+      if (!append) (df, Seq.empty[FileEntry], None, partitionBy, sortWithin, statsFor)
       else {
         val (schema, entries) = currentManifest(name)
         val (pb0, sw0, sf0) = readLayout(name)
-        (entries, Some(schema), pb0, sw0, sf0)
+        (alignedForAppend(name, schema, df), entries, Some(schema), pb0, sw0, sf0)
       }
-    val (v, dir) = stageVersion(name, df, pb, sw, sf, carryOver, schemaHint, op)
+    val (v, dir) = stageVersion(name, df1, pb, sw, sf, carryOver, schemaHint, op)
     (v, dir, base)
   }
 

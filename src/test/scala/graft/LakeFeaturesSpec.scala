@@ -297,6 +297,65 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("append enforces the table schema; RESTORE SQL re-points a version") {
+    val root = Files.createTempDirectory("graft_append_schema").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.s", Seq((1, "a")).toDF("k", "v"))
+
+    val missing = intercept[IllegalArgumentException](
+      store.append("db.s", Seq(2).toDF("k")))
+    assert(missing.getMessage.contains("missing v"))
+    val extra = intercept[IllegalArgumentException](
+      store.append("db.s", Seq((2, "b", 1.0)).toDF("k", "v", "w")))
+    assert(extra.getMessage.contains("unexpected w"))
+    // case/order-insensitive append aligns and casts
+    store.append("db.s", Seq(("b", 2L)).toDF("V", "K"))
+    assert(store.read("db.s").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+
+    spark.sql("RESTORE TABLE db.s TO VERSION AS OF 1")
+    assert(store.read("db.s").as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(store.history("db.s").head._3 == "restore")
+    val gone = intercept[Exception](spark.sql("RESTORE db.s TO VERSION AS OF 99"))
+    assert(gone.getMessage.contains("no retained version"))
+    store.detach()
+  }
+
+  test("two racing transactions on the same tables: exactly one commits") {
+    val root = Files.createTempDirectory("graft_txn_race").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("gold.a", Seq((0, "init")).toDF("k", "v"))
+    store.createOrReplace("gold.b", Seq((0, "init")).toDF("k", "v"))
+
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val staged = new CountDownLatch(2) // both txns staged before either commits
+    def runner(tag: String) = pool.submit(new java.util.concurrent.Callable[Option[String]] {
+      def call(): Option[String] =
+        try {
+          store.transaction { txn =>
+            txn.createOrReplace("gold.a", Seq((1, tag)).toDF("k", "v"))
+            txn.createOrReplace("gold.b", Seq((1, tag)).toDF("k", "v"))
+            staged.countDown()
+            // hold the commit until the other txn staged too — guarantees a
+            // genuine write-write race on both tables
+            staged.await(30, TimeUnit.SECONDS)
+          }
+          Some(tag)
+        } catch { case _: java.util.ConcurrentModificationException => None }
+    })
+    val (r1, r2) = (runner("t1"), runner("t2"))
+    val winners = Seq(r1.get(60, TimeUnit.SECONDS), r2.get(60, TimeUnit.SECONDS)).flatten
+    pool.shutdown()
+    assert(winners.size == 1, s"exactly one transaction must win, got $winners")
+    val tag = winners.head
+    // both tables hold the SAME winner — no torn cross-table state
+    assert(store.read("gold.a").as[(Int, String)].head() == ((1, tag)))
+    assert(store.read("gold.b").as[(Int, String)].head() == ((1, tag)))
+    store.detach()
+  }
+
   test("OPTIMIZE ZORDER BY gives file skipping on every curve column") {
     val root = Files.createTempDirectory("graft_zorder").toString
     val store = new TableStore(spark, root)
