@@ -55,6 +55,11 @@ class LakeFeaturesSpec extends AnyFunSuite {
     // time travel still sees the pre-delete rows
     assert(store.readVersion("db.t", 1).count() == 1000)
 
+    // a no-match delete commits nothing (no phantom version, no DV)
+    val vBefore = store.versions("db.t")
+    store.delete("db.t", col("k") === -1L)
+    assert(store.versions("db.t") == vBefore, "no-match mor delete committed a version")
+
     // a second DV on the same files stacks
     store.delete("db.t", col("k") % 10 === 4)
     assert(store.read("db.t").count() == 800)
