@@ -232,6 +232,8 @@ object SqlDml {
     plan.collectFirst {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
         u.multipartIdentifier.mkString(".")
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        u.multipartIdentifier.mkString(".")
       case u: UnresolvedRelation => u.multipartIdentifier.mkString(".")
     }.filter(n => n.contains(".") && TableStore.resolve(spark, n).isDefined)
 
@@ -249,6 +251,7 @@ object SqlDml {
       spark: SparkSession): Option[LogicalPlan] =
     storeTableOf(d.child, spark).map(name =>
       GraftDropConstraintCommand(name, d.name))
+
 
   /** CTAS / RTAS capture at PARSE time — the analyzer converts (or
     * rejects) these nodes for the session catalog before an injected
@@ -305,6 +308,12 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     """(?is)^\s*VACUUM\s+([\w.]+)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // DROP TABLE must be claimed at PARSE time: the analyzer resolves the
+  // identifier against the session catalog before extension rules fire
+  // (unlike DML on an unresolvable relation). The command falls back to
+  // the stock plan at run time when the target is not a store table.
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(t) => GraftDescribeHistoryCommand(t)
@@ -313,6 +322,8 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
       Option(z).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     case VacuumRe(t) => GraftVacuumCommand(t)
     case RestoreRe(t, v) => GraftRestoreCommand(t, v.toInt)
+    case DropTableRe(ifE, t) if t.contains(".") =>
+      GraftDropTableCommand(t, ifE != null, delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText) match {
       case c: CreateTableAsSelect =>
         SqlDml.captureCtas(c.name, c.query, orReplace = false, orCreate = true,
@@ -617,6 +628,20 @@ final case class GraftDropConstraintCommand(table: String, cname: String)
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for DROP CONSTRAINT"))
     store.dropCheckConstraint(table, cname)
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] db.table`: a store table drops its versions
+  * wholesale; any other target re-submits the captured stock plan,
+  * preserving session-catalog behavior exactly. */
+final case class GraftDropTableCommand(table: String, ifExists: Boolean,
+    original: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TableStore.resolve(spark, table) match {
+      case Some(store) => store.dropTable(table)
+      case None => GraftShims.ofRows(spark, original).collect()
+    }
     Seq.empty
   }
 }

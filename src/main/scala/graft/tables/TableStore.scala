@@ -1453,6 +1453,16 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** DROP TABLE: remove every version, manifest and sidecar of `name`.
+    * Shallow clones of the table break (their manifests reference these
+    * files by path) — same trade Delta documents for cloned sources. */
+  def dropTable(name: String): Unit = {
+    val dir = tableDir(name)
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(Files.deleteIfExists(_))
+  }
+
   // ---------------------------------------------------------------- vacuum
 
   /** Drop every data file the CURRENT manifest does not reference, and

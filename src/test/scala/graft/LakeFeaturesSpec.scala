@@ -323,6 +323,12 @@ class LakeFeaturesSpec extends AnyFunSuite {
     assert(store.history("db.s").head._3 == "restore")
     val gone = intercept[Exception](spark.sql("RESTORE db.s TO VERSION AS OF 99"))
     assert(gone.getMessage.contains("no retained version"))
+
+    // DROP TABLE removes the store table wholesale
+    spark.sql("DROP TABLE db.s")
+    assert(!store.exists("db.s"))
+    val resolveGone = intercept[Exception](spark.sql("SELECT * FROM db.s").collect())
+    assert(resolveGone.getMessage.toLowerCase.contains("table"), "table truly gone")
     store.detach()
   }
 
