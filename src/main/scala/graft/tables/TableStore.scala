@@ -566,13 +566,19 @@ final class TableStore(spark: SparkSession, root: String) {
       val sorted =
         if (sortWithin.nonEmpty) withDups.sortWithinPartitions(sortWithin.map(col): _*)
         else withDups
-      val w = sorted.write.mode("overwrite")
-      (if (dupCols.nonEmpty) w.partitionBy(dupCols: _*) else w).parquet(dir.toString)
+      // Write into a data/ SUBDIRECTORY with the default error-if-exists
+      // mode — never mode("overwrite") on the version dir itself: the
+      // allocated directory IS the writer mutex, and overwrite's
+      // delete-then-write window would let a concurrent allocator claim
+      // the same version number and clobber this in-flight write.
+      val dataDir = dir.resolve("data")
+      val w = sorted.write
+      (if (dupCols.nonEmpty) w.partitionBy(dupCols: _*) else w).parquet(dataDir.toString)
 
       // list the files this write produced
       val newFilesAbs: Seq[Path] =
-        if (!Files.exists(dir)) Seq.empty
-        else Files.walk(dir).iterator().asScala
+        if (!Files.exists(dataDir)) Seq.empty
+        else Files.walk(dataDir).iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
 
       // per-file min/max stats for the partition + sort (+ requested)
@@ -822,14 +828,19 @@ final class TableStore(spark: SparkSession, root: String) {
     * (encoded in manifest operation labels `stream_append:<id>`), or None
     * if no streaming append ever committed. The exactly-once gate:
     * a foreachBatch replay of batch ≤ this id is a duplicate delivery and
-    * must be skipped — the commit it would redo is already durable. */
+    * must be skipped — the commit it would redo is already durable.
+    *
+    * [[vacuum]] retires old manifests, so the marker is ALSO rolled into
+    * the `_META` sidecar before retirement (stream_high_water) — the gate
+    * is the max of both, and a replay arriving after a vacuum still sees
+    * it. */
   def lastStreamBatch(name: String): Option[Long] =
     if (!exists(name)) None
-    else versions(name).flatMap { v =>
+    else (versions(name).flatMap { v =>
       val op = manifestOp(name, v)
       if (op.startsWith("stream_append:")) Some(op.stripPrefix("stream_append:").toLong)
       else None
-    }.maxOption
+    } ++ meta(name).properties.get("stream_high_water").map(_.toLong)).maxOption
 
   /** SCD2-layout write: clusters the history by a derived `is_current`
     * flag so current-version readers skip every closed-version file via
@@ -1472,6 +1483,14 @@ final class TableStore(spark: SparkSession, root: String) {
   def vacuum(name: String): Unit = {
     val keepVersion = currentVersion(name)
     if (keepVersion.isEmpty) return
+    // the streaming exactly-once marker lives in manifest op labels this
+    // vacuum is about to retire — persist the high-water mark FIRST (if
+    // the vacuum crashes in between, the manifests still exist and the
+    // gate is unchanged)
+    lastStreamBatch(name).foreach { hw =>
+      setMeta(name, meta(name).copy(properties =
+        meta(name).properties + ("stream_high_water" -> hw.toString)))
+    }
     val (_, entries) = currentManifest(name)
     val referenced = entries.map(e =>
       tableDir(name).resolve(e.rel).toAbsolutePath.normalize).toSet

@@ -299,6 +299,15 @@ class LakeFeaturesSpec extends AnyFunSuite {
     graft.streaming.StreamingIngest.appendBatch(store, "bronze.feed")(
       Seq((101, "dup")).toDF("id", "v"), 5L)
     assert(store.read("bronze.feed").count() == 14, "replayed stream batch skipped")
+
+    // ...and survives VACUUM retiring the manifests that carried it: a
+    // replay arriving after a vacuum must still be detected
+    store.vacuum("bronze.feed")
+    assert(store.lastStreamBatch("bronze.feed").contains(5L),
+      "vacuum erased the exactly-once high-water mark")
+    graft.streaming.StreamingIngest.appendBatch(store, "bronze.feed")(
+      Seq((102, "dup2")).toDF("id", "v"), 5L)
+    assert(store.read("bronze.feed").count() == 14, "post-vacuum replay duplicated rows")
     store.detach()
   }
 

@@ -304,7 +304,7 @@ class PipelineSpec extends AnyFunSuite {
     val shuffled = spark.range(0, 10000).select(
       (col("id") * 48271 % 10007).as("k"), col("id").as("v"))
     store.createOrReplace("db.sorted", shuffled, sortWithin = Seq("k"))
-    val dataFiles = Files.list(
+    val dataFiles = Files.walk(
         java.nio.file.Paths.get(root, "db", "sorted", s"v_${store.versions("db.sorted").last}"))
       .toArray.map(_.toString).filter(_.endsWith(".parquet"))
     assert(dataFiles.nonEmpty)
