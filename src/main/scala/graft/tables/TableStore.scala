@@ -185,6 +185,16 @@ final class TableStore(spark: SparkSession, root: String) {
   private def manifestPath(name: String, version: Int): Path =
     tableDir(name).resolve(s"v_$version").resolve("_MANIFEST")
 
+  private def stagedManifestPath(name: String, version: Int): Path =
+    tableDir(name).resolve(s"v_$version").resolve("_MANIFEST.staged")
+
+  /** Manifests are STAGED under a temp name and atomically renamed to
+    * `_MANIFEST` only inside the locked commit — every reader treats
+    * manifest existence as "committed" (versions(), history, time travel,
+    * [[lastStreamBatch]]), so during the staging window (arbitrarily long
+    * for [[transaction]]s) uncommitted data must not be reachable, and an
+    * in-flight `stream_append:<id>` label must not advance the
+    * exactly-once gate before its commit is durable. */
   private def writeManifest(name: String, version: Int, schema: StructType,
       entries: Seq[FileEntry], op: String = "write"): Unit = {
     val dir = tableDir(name).resolve(s"v_$version")
@@ -197,8 +207,21 @@ final class TableStore(spark: SparkSession, root: String) {
         Seq(enc(c), enc(st.min), enc(st.max))
       }).mkString("\t")
     }
-    Files.write(manifestPath(name, version),
+    Files.write(stagedManifestPath(name, version),
       lines.mkString("\n").getBytes(UTF_8))
+  }
+
+  /** Commit a staged manifest: atomic rename to the name readers look for.
+    * Must run inside the table's commit lock, before the pointer swap. The
+    * mtime is refreshed so [[history]]/[[versionAsOf]] see the COMMIT time,
+    * not the stage time — a transaction may stage long before it swaps, and
+    * timestamp travel needs commit times monotone in the version order. */
+  private def promoteManifest(name: String, version: Int): Unit = {
+    val committed = manifestPath(name, version)
+    Files.move(stagedManifestPath(name, version), committed,
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.setLastModifiedTime(committed,
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now()))
   }
 
   private def readManifest(name: String, version: Int): (StructType, Seq[FileEntry]) = {
@@ -608,6 +631,7 @@ final class TableStore(spark: SparkSession, root: String) {
             s"$name moved from version $base to $cur since this writer read it — " +
               "re-derive the change from the current snapshot and retry")
         }
+        promoteManifest(name, next)
         swapTo(name, next)
       }
     } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
@@ -703,7 +727,12 @@ final class TableStore(spark: SparkSession, root: String) {
         require(dt.exists(_.isInstanceOf[NumericType]),
           s"ZORDER BY $c: need a numeric column, got ${dt.getOrElse("missing")}")
       }
-      val bits = 8 // 256 quantile buckets per dimension
+      // interleaved bit positions must stay below the long sign bit (63):
+      // at 8 bits × 8 columns position 63 would flip the sort order of the
+      // top bucket, and ≥9 columns would wrap shiftleft mod 64 — so
+      // bits-per-dimension shrinks as columns are added (256 buckets up to
+      // 7 columns, then 63/n)
+      val bits = math.max(1, math.min(8, 63 / zorderBy.length))
       // per-column bucket boundaries from a quantile sketch — ONE pass,
       // sampling-based, the same trick range partitioning uses; an even
       // VALUE split would collapse under skew, an even QUANTILE split
@@ -985,7 +1014,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val (next, dir) = allocateVersion(name)
     try {
       writeManifest(name, next, schema, entries, op)
-      withCommitLock(name)(swapTo(name, next))
+      withCommitLock(name) { promoteManifest(name, next); swapTo(name, next) }
     } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
   }
 
@@ -1119,6 +1148,7 @@ final class TableStore(spark: SparkSession, root: String) {
         if (cur != Some(base)) throw new java.util.ConcurrentModificationException(
           s"$name moved from version ${Some(base)} to $cur since this writer read it — " +
             "re-derive the change from the current snapshot and retry")
+        promoteManifest(name, next)
         swapTo(name, next)
       }
     } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
@@ -1353,7 +1383,7 @@ final class TableStore(spark: SparkSession, root: String) {
           s"transaction: $name moved from version $base to $cur since staging — " +
             "the whole transaction is rolled back")
       }
-      staged.foreach { case (name, v, _, _) => swapTo(name, v) }
+      staged.foreach { case (name, v, _, _) => promoteManifest(name, v); swapTo(name, v) }
     }
   }
 
@@ -1479,8 +1509,19 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Drop every data file the CURRENT manifest does not reference, and
     * every non-current manifest (old versions stop being readable — the
     * Delta VACUUM trade). Directories that still hold referenced files
-    * survive; emptied version directories are removed. */
-  def vacuum(name: String): Unit = {
+    * survive; emptied version directories are removed.
+    *
+    * Runs under the table's commit lock so the CURRENT pointer cannot move
+    * mid-sweep, and SKIPS in-flight stages: a `v_N` directory without a
+    * committed `_MANIFEST` belongs to a writer between [[stageVersion]]
+    * and its locked promote+swap (arbitrarily long during
+    * [[transaction]]s) — deleting its files would let that writer pass
+    * its conflict check and swap `_CURRENT` to a gutted directory.
+    * Manifests are only promoted under the same lock, so the distinction
+    * is race-free. Stages older than `staleStagingMs` (default 24 h) are
+    * treated as crashed writers and removed — Delta's retention-gate
+    * shape. */
+  def vacuum(name: String, staleStagingMs: Long = 24L * 3600 * 1000): Unit = {
     val keepVersion = currentVersion(name)
     if (keepVersion.isEmpty) return
     // the streaming exactly-once marker lives in manifest op labels this
@@ -1491,27 +1532,36 @@ final class TableStore(spark: SparkSession, root: String) {
       setMeta(name, meta(name).copy(properties =
         meta(name).properties + ("stream_high_water" -> hw.toString)))
     }
-    val (_, entries) = currentManifest(name)
-    val referenced = entries.map(e =>
-      tableDir(name).resolve(e.rel).toAbsolutePath.normalize).toSet
-    // deletion-vector sidecars are parquet DIRECTORIES — everything under
-    // a referenced DV dir stays
-    val dvDirs = entries.flatMap(_.dvs).distinct.map(d =>
-      tableDir(name).resolve(d).toAbsolutePath.normalize)
-    val dir = tableDir(name)
-    Files.list(dir).forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("v_")) {
-        val isCurrent = keepVersion.contains(n.stripPrefix("v_").toInt)
-        // delete unreferenced files (and stale manifests) bottom-up
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach { f =>
-          val abs = f.toAbsolutePath.normalize
-          val isManifest = f.getFileName.toString == "_MANIFEST"
-          if (Files.isDirectory(f)) {
-            if (!Files.list(f).iterator().hasNext) Files.delete(f) // now empty
-          } else if (!referenced.contains(abs) && !dvDirs.exists(abs.startsWith) &&
-              !(isManifest && isCurrent)) {
-            Files.delete(f)
+    withCommitLock(name) {
+      val (_, entries) = currentManifest(name)
+      val referenced = entries.map(e =>
+        tableDir(name).resolve(e.rel).toAbsolutePath.normalize).toSet
+      // deletion-vector sidecars are parquet DIRECTORIES — everything under
+      // a referenced DV dir stays
+      val dvDirs = entries.flatMap(_.dvs).distinct.map(d =>
+        tableDir(name).resolve(d).toAbsolutePath.normalize)
+      val dir = tableDir(name)
+      val now = System.currentTimeMillis()
+      Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_")) {
+          val isCurrent = keepVersion.contains(n.stripPrefix("v_").toInt)
+          val committed = Files.exists(p.resolve("_MANIFEST"))
+          val ageMs = now - Files.getLastModifiedTime(p).toMillis
+          // uncommitted = in-flight stage (or crashed writer): untouchable
+          // until it ages past the retention gate
+          if (committed || ageMs > staleStagingMs) {
+            // delete unreferenced files (and stale manifests) bottom-up
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach { f =>
+              val abs = f.toAbsolutePath.normalize
+              val isManifest = f.getFileName.toString == "_MANIFEST"
+              if (Files.isDirectory(f)) {
+                if (!Files.list(f).iterator().hasNext) Files.delete(f) // now empty
+              } else if (!referenced.contains(abs) && !dvDirs.exists(abs.startsWith) &&
+                  !(isManifest && isCurrent)) {
+                Files.delete(f)
+              }
+            }
           }
         }
       }

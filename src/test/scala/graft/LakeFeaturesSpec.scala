@@ -405,4 +405,69 @@ class LakeFeaturesSpec extends AnyFunSuite {
     assert(store.read("db.z").count() == 40000)
     store.detach()
   }
+
+  test("staged versions are invisible to every reader until the commit swaps") {
+    val root = Files.createTempDirectory("graft_stage").toString
+    val store = new TableStore(spark, root)
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    store.createOrReplace("db.s", df)
+    store.transaction { txn =>
+      txn.append("db.s", spark.range(100, 150).select(col("id").as("k")))
+      // the staged version's files + manifest exist on disk at this point,
+      // but manifest-existence IS the commit signal — nothing may show it
+      assert(store.versions("db.s") == Seq(1),
+        "staged version leaked into versions()")
+      assert(store.read("db.s").count() == 100,
+        "staged rows readable before commit")
+      assert(store.history("db.s").map(_._1) == Seq(1),
+        "staged version leaked into DESCRIBE HISTORY")
+    }
+    assert(store.versions("db.s") == Seq(1, 2))
+    assert(store.read("db.s").count() == 150)
+    store.detach()
+  }
+
+  test("vacuum during a staging window leaves the in-flight commit intact") {
+    val root = Files.createTempDirectory("graft_vacstage").toString
+    val store = new TableStore(spark, root)
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    store.createOrReplace("db.v", df)
+    store.createOrReplace("db.v", df.withColumn("k", col("k") + 1000)) // v2
+    store.transaction { txn =>
+      txn.append("db.v", spark.range(0, 50).select(col("id").as("k")))
+      // ADVICE scenario: a vacuum racing the (arbitrarily long) staging
+      // window must not gut the staged directory — its data files carry
+      // no committed manifest yet
+      store.vacuum("db.v")
+      assert(store.versions("db.v") == Seq(2), "vacuum kept only CURRENT")
+    }
+    assert(store.read("db.v").count() == 150,
+      "vacuum deleted the in-flight staged files")
+    // while crashed-writer junk past the retention gate is still collected
+    val junk = java.nio.file.Paths.get(root, "db", "v", "v_99")
+    Files.createDirectories(junk.resolve("data"))
+    Files.write(junk.resolve("data").resolve("orphan.parquet"), Array[Byte](1))
+    Files.setLastModifiedTime(junk,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 1))
+    store.vacuum("db.v", staleStagingMs = 0L)
+    assert(!Files.exists(junk), "aged-out crashed stage survived vacuum")
+    assert(store.read("db.v").count() == 150)
+    store.detach()
+  }
+
+  test("zorder caps interleaved bits below the long sign bit for wide keys") {
+    val root = Files.createTempDirectory("graft_zwide").toString
+    val store = new TableStore(spark, root)
+    // 9 numeric columns: 8-bit interleave would wrap shiftleft mod 64 and
+    // put bit 63 (the sign) in play — the cap shrinks bits to 63/9 = 7
+    val cols = (0 until 9).map(i => ((col("id") * (i + 3)) % 97).as(s"c$i"))
+    val df = spark.range(0, 20000).select(cols: _*)
+    store.createOrReplace("db.w", df, statsFor = (0 until 9).map(i => s"c$i"))
+    store.compact("db.w", targetFiles = 8, zorderBy = (0 until 9).map(i => s"c$i"))
+    assert(store.read("db.w").count() == 20000)
+    val total = store.prunedFileList("db.w", None).size
+    val pruned = store.prunedFileList("db.w", Some(col("c0") === 7L)).size
+    assert(pruned < total, s"9-col zorder still skips files ($pruned/$total)")
+    store.detach()
+  }
 }
