@@ -144,6 +144,11 @@ class StreamingSpec extends AnyFunSuite {
     val afterRestart = state()
     assert(afterRestart.size == 4, s"alice v1+v2, bob closed, carol: $afterRestart")
     assert(afterRestart.contains((1, "alice", 15.0, "2024-01-02 00:00:00", null)))
+    // per-batch atomicity: each micro-batch is ONE snapshot commit (init,
+    // then a single merge per batch) — no reader-visible window where a
+    // key's current row is closed but its replacement not yet inserted
+    assert(store.versions(table).size == 2,
+      s"each micro-batch must commit exactly once, got ${store.versions(table)}")
 
     // force an at-least-once replay of the last micro-batch: drop its
     // commit marker so the restarted query re-runs batch 1 from the offset
