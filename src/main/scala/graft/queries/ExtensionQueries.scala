@@ -247,7 +247,40 @@ object ExtensionQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  // x33: the store as a streaming SOURCE, driven end-to-end — documents
+  // load into a store table over two commits, the DSv2 `graft-table`
+  // source streams it (initial snapshot + append increment) into a
+  // parquet file sink (distributed, exactly-once; no driver collect), and
+  // the result aggregates per language. The oracle sees only the input
+  // table, so any row the source dropped, duplicated, or mangled across
+  // the two micro-batches breaks the hash.
+  def x33TableStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_x33_store").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_x33_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_x33_ckpt").toString
+    val store = new graft.tables.TableStore(s, root)
+    try {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      store.createOrReplace("stream.docs", docs.filter(col("doc_id") % 2 === 0))
+      store.append("stream.docs", docs.filter(col("doc_id") % 2 === 1))
+      val q = s.readStream.format("graft-table")
+        .option("root", root).option("table", "stream.docs").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally store.detach()
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_table_stream" -> x33TableStream _,
     "x30_decontaminate" -> x30Decontaminate _,
     "x31_stratified_sample" -> x31StratifiedSample _,
     "x32_top_terms" -> x32TopTerms _,
@@ -313,6 +346,11 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x33_table_stream" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x9_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $Norm AS t FROM documents),
          |f AS (

@@ -991,6 +991,20 @@ final class TableStore(spark: SparkSession, root: String) {
       .unionByName(onlyA.exceptAll(onlyB).withColumn("_change_type", lit("delete")))
   }
 
+  /** Committed snapshot inventory of one version: (schema, op label, files
+    * as (absolutePath, byteSize, hasDeletionVectors)) — the driver-side
+    * surface the DSv2 streaming source plans micro-batches from. Byte
+    * sizes come from the filesystem at plan time (local metadata). */
+  private[graft] def snapshotInventory(name: String, version: Int)
+      : (StructType, String, Seq[(String, Long, Boolean)]) = {
+    val (schema, entries) = readManifest(name, version)
+    val files = entries.map { e =>
+      val abs = absPath(name, e.rel)
+      (abs, Files.size(Paths.get(abs)), e.dvs.nonEmpty)
+    }
+    (schema, manifestOp(name, version), files)
+  }
+
   /** Commit history, newest first: (version, commit time, operation, file
     * count) — the DESCRIBE HISTORY surface over the retained manifests. */
   def history(name: String): Seq[(Int, java.time.Instant, String, Int)] =

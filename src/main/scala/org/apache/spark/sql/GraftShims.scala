@@ -25,4 +25,36 @@ object GraftShims {
     * deterministically instead of sleeping. */
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Executor-shippable parquet file reader over a fixed schema — the
+    * bridge a DSv2 `PartitionReaderFactory` needs to read the store's data
+    * files with Spark's own parquet machinery (predicate/NULL-fill
+    * semantics identical to `spark.read.schema(...).parquet(...)`: a file
+    * missing one of `schema`'s columns NULL-fills it, which is what makes
+    * the streaming source read correctly across metadata-only schema
+    * evolution). Built on `FileFormat.buildReaderWithPartitionValues`, the
+    * same `private[sql]` entry point `FileSourceScanExec` uses; row-based
+    * output is forced (`OPTION_RETURNING_BATCH -> false`) because the DSv2
+    * row contract wants `InternalRow`s, not disguised `ColumnarBatch`es. */
+  def parquetFileReader(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType):
+      (String, Long) => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val fmt = new ParquetFileFormat()
+    val readFn = fmt.buildReaderWithPartitionValues(
+      sparkSession = classicSpark,
+      dataSchema = schema,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      requiredSchema = schema,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = classicSpark.sessionState.newHadoopConfWithOptions(Map.empty))
+    (path: String, length: Long) => readFn(PartitionedFile(
+      partitionValues = org.apache.spark.sql.catalyst.InternalRow.empty,
+      filePath = org.apache.spark.paths.SparkPath.fromPathString(path),
+      start = 0L,
+      length = length))
+  }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tables.TableStore
+
+/** The store as a Structured Streaming SOURCE (DSv2 micro-batch): offsets
+  * are committed snapshot versions, batches are manifest diffs. Pins the
+  * Delta-parity semantics — initial snapshot, append increments,
+  * layout-only commits skipped, non-append commits refused — and the
+  * batch-read twin. */
+class TableStreamSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  import spark.implicits._
+
+  private def readTableStream(root: String, table: String,
+      extra: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.readStream.format("graft-table")
+      .option("root", root).option("table", table)
+    extra.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  /** Drain the stream once (AvailableNow) into a fresh local buffer —
+    * foreachBatch (checkpoint-recoverable, unlike the memory sink), so the
+    * same checkpoint can resume across runs while each run observes only
+    * its own delivered rows. */
+  private def runOnce(df: DataFrame, ckpt: String): Seq[org.apache.spark.sql.Row] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(buf.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq
+  }
+
+  test("initial snapshot + append increments, exactly once across restarts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_ckpt").toString
+    val store = new TableStore(spark, root)
+    // arrays + timestamps in the schema prove the DSv2 reader handles the
+    // store's real column types, not just flat primitives
+    def rows(a: Int, b: Int) = spark.range(a, b).select(
+      col("id").as("k"),
+      concat(lit("d"), col("id")).as("txt"),
+      array(col("id").cast("float"), lit(0.5f)).as("vec"),
+      to_timestamp(lit("2024-03-01 10:00:00")).as("ts"))
+    store.createOrReplace("db.docs", rows(0, 100))
+    store.append("db.docs", rows(100, 150))
+
+    val got = runOnce(readTableStream(root, "db.docs"), ckpt)
+    assert(got.size == 150, "initial snapshot = full current table")
+    val gotDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(got), store.read("db.docs").schema)
+    val want = store.read("db.docs")
+    assert(gotDf.exceptAll(want).isEmpty && want.exceptAll(gotDf).isEmpty,
+      "streamed rows must equal the table, arrays and timestamps included")
+
+    // append while the stream is down; restart resumes from the checkpoint
+    // version offset — ONLY the new files arrive (each run's buffer is
+    // fresh, so any replayed old rows would show up here)
+    store.append("db.docs", rows(150, 170))
+    val inc = runOnce(readTableStream(root, "db.docs"), ckpt)
+    assert(inc.size == 20, s"restart must deliver only the appended rows, got ${inc.size}")
+    val ks = inc.map(_.getLong(0))
+    assert(ks.min == 150L && ks.max == 169L)
+    store.detach()
+  }
+
+  test("layout-only OPTIMIZE commits are skipped (dataChange=false)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsrc_opt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_opt_ckpt").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", spark.range(0, 50).toDF("k"))
+    assert(runOnce(readTableStream(root, "db.t"), ckpt).size == 50)
+
+    store.compact("db.t", targetFiles = 1) // rewrites every file, moves no data
+    store.append("db.t", spark.range(50, 60).toDF("k"))
+    val inc = runOnce(readTableStream(root, "db.t"), ckpt)
+    assert(inc.size == 10,
+      s"optimize must not re-deliver compacted rows, got ${inc.size}")
+    store.detach()
+  }
+
+  test("a non-append commit fails the stream; ignoreChanges streams added files only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsrc_del").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_del_ckpt").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", spark.range(0, 50).toDF("k"))
+    assert(runOnce(readTableStream(root, "db.t"), ckpt).size == 50)
+
+    store.delete("db.t", col("k") < 10) // copy-on-write file rewrite
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(readTableStream(root, "db.t"), ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("not append-only")),
+      s"expected the append-only refusal, got: ${ex.getMessage}")
+
+    // opting in: the delete's only ADDED file is the rewrite of the one
+    // file that held matching rows (file-pruned CoW) — its surviving rows
+    // re-deliver, the documented ignoreChanges trade, same as Delta's
+    val inc = runOnce(readTableStream(root, "db.t", Map("ignoreChanges" -> "true")), ckpt)
+    assert(inc.nonEmpty && inc.size < 50,
+      s"only the touched file's rewrite should arrive, got ${inc.size}")
+    assert(inc.forall(_.getLong(0) >= 10),
+      s"no deleted row may re-deliver: ${inc.map(_.getLong(0)).sorted}")
+    store.detach()
+  }
+
+  test("startingVersion=latest streams only future commits; batch read matches store.read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsrc_sv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_sv_ckpt").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", spark.range(0, 30).toDF("k"))
+
+    val q = readTableStream(root, "db.t", Map("startingVersion" -> "latest"))
+      .writeStream.format("memory").queryName("tsv")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsv").count() == 0, "latest skips the existing snapshot")
+      store.append("db.t", spark.range(30, 45).toDF("k"))
+      q.processAllAvailable()
+      assert(spark.table("tsv").count() == 15, "the live stream picks up the append")
+    } finally q.stop()
+
+    val batch = spark.read.format("graft-table")
+      .option("root", root).option("table", "db.t").load()
+    assert(batch.count() == 45)
+    assert(batch.exceptAll(store.read("db.t")).isEmpty &&
+      store.read("db.t").exceptAll(batch).isEmpty)
+    store.detach()
+  }
+}
