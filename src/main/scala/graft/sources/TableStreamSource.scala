@@ -6,7 +6,7 @@ import org.apache.spark.sql.{GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -65,7 +65,7 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
     new GraftStreamTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
-private[sources] object GraftTableSource {
+private[graft] object GraftTableSource {
   /** Open the store named by the options for one driver-side metadata
     * call. The constructor self-registers for SQL-DML routing, which
     * would make the user's own attached store ambiguous — detach
@@ -80,53 +80,144 @@ private[sources] object GraftTableSource {
   }
 }
 
-private[sources] class GraftStreamTable(schema: StructType,
+private[graft] class GraftStreamTable(schema: StructType,
     options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   override def name(): String = s"graft-table:${options.get("table")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftTableScan(schema, options)
-    }
+    new GraftScanBuilder(schema, options)
 }
 
-private[sources] class GraftTableScan(schema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = schema
-  override def description(): String = s"GraftTableScan(${options.get("table")})"
+/** Column pruning and filter pushdown for the DSv2 scans: a projection
+  * reaches the parquet reader as `requiredSchema` (unread columns never
+  * decode), and pushed filters both skip row groups inside the reader and
+  * stats-prune whole FILES at batch-plan time through the store's
+  * manifest min/max ranges — the same skipping `store.readWhere` gets.
+  * `pushFilters` returns its input unchanged (Spark re-evaluates every
+  * filter post-scan), so the pushdown is a pure I/O reduction and can
+  * never change results. */
+private[graft] class GraftScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
-  override def toBatch: Batch = new Batch {
-    private val files = GraftTableSource.withStore(options) { (store, table) =>
-      val v = store.version(table).getOrElse(
-        throw new IllegalArgumentException(s"table not found: $table"))
-      val (_, _, fs) = store.snapshotInventory(table, v)
-      require(fs.forall(!_._3),
-        s"$table carries deletion vectors — the direct file source cannot " +
-          "apply them; read through the store (store.read) or OPTIMIZE first")
-      fs
-    }
-    override def planInputPartitions(): Array[InputPartition] =
-      files.map { case (p, len, _) => GraftFilePartition(p, len) }.toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      new GraftFileReaderFactory(GraftShims.parquetFileReader(SparkSession.active, schema))
-  }
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = { pushed = filters; filters }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new GraftTableScan(fullSchema, required, pushed.toSeq, options)
+}
+
+private[graft] class GraftTableScan(fullSchema: StructType, required: StructType,
+    pushed: Seq[org.apache.spark.sql.sources.Filter],
+    options: CaseInsensitiveStringMap) extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftTableScan(${options.get("table")}, PushedFilters: ${pushed.mkString("[", ", ", "]")})"
+
+  private def readerFactory(): PartitionReaderFactory =
+    new GraftFileReaderFactory(GraftShims.parquetFileReader(
+      SparkSession.active, fullSchema, required, pushed))
+
+  private lazy val batch = new GraftTableBatch(options, pushed, readerFactory())
+  override def toBatch: Batch = batch
+
+  /** Planned-scan size from the (pruned) manifest — lets Spark make sane
+    * broadcast/join decisions for `spark.read.format("graft-table")`. */
+  override def estimateStatistics(): Statistics = batch.stats
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftTableMicroBatchStream(schema, options)
+    new GraftTableMicroBatchStream(options, readerFactory())
+}
+
+private[graft] class GraftTableBatch(options: CaseInsensitiveStringMap,
+    pushed: Seq[org.apache.spark.sql.sources.Filter],
+    factory: PartitionReaderFactory)
+    extends Batch {
+
+  /** Pushed filters re-expressed as a Column for the store's manifest
+    * min/max pruning; untranslatable filters prune nothing (conservative —
+    * Spark re-evaluates everything post-scan anyway). */
+  private def pruningPredicate: Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.{functions => F, Column}
+    def toCol(f: Filter): Option[Column] = f match {
+      case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+      case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+      case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+      case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+      case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+      case In(a, vs) if vs.nonEmpty =>
+        Some(vs.map(v => F.col(a) === F.lit(v)).reduce(_ || _))
+      case And(l, r) => (toCol(l), toCol(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other) // a provable conjunct alone still prunes
+      }
+      case Or(l, r) => for { a <- toCol(l); b <- toCol(r) } yield a || b
+      case _ => None
+    }
+    pushed.flatMap(toCol(_)).reduceOption(_ && _)
+  }
+
+  private lazy val files = GraftTableSource.withStore(options) { (store, table) =>
+    val fs = store.prunedInventory(table, pruningPredicate)
+    require(fs.forall(!_._3),
+      s"$table carries deletion vectors — the direct file source cannot " +
+        "apply them; read through the store (store.read) or OPTIMIZE first")
+    fs
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (p, len, _) => GraftFilePartition(p, len) }.toArray
+  override def createReaderFactory(): PartitionReaderFactory = factory
+
+  private[graft] def stats: Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
 }
 
 /** Offset = committed snapshot version; version 0 = "before the first
   * commit" (its successor batch is the full initial snapshot). */
-private[sources] case class GraftVersionOffset(version: Int) extends Offset {
-  override def json(): String = version.toString
+/** Stream position, file-granular so admission control (maxFilesPerTrigger
+  * / maxBytesPerTrigger) can split a huge commit — or the initial snapshot
+  * of a 100 TB table — across micro-batches:
+  *
+  *  - `snapshot = true`: the initial snapshot is PINNED at `version`;
+  *    `index` of its files are delivered (appends racing the snapshot
+  *    arrive later as ordinary log increments);
+  *  - `snapshot = false, index = -1`: every commit ≤ `version` fully
+  *    delivered (the canonical caught-up form);
+  *  - `snapshot = false, index ≥ 0`: commits < `version` delivered,
+  *    plus the first `index` files `version` ADDED.
+  */
+private[graft] case class GraftStreamOffset(version: Int, index: Int,
+    snapshot: Boolean) extends Offset {
+  override def json(): String = s"""{"version":$version,"index":$index,"snapshot":$snapshot}"""
 }
 
-private[sources] case class GraftFilePartition(path: String, length: Long)
+private[graft] object GraftStreamOffset {
+  private val Re = """\{"version":(-?\d+),"index":(-?\d+),"snapshot":(true|false)\}""".r
+  def parse(json: String): GraftStreamOffset = json.trim match {
+    case Re(v, i, s) => GraftStreamOffset(v.toInt, i.toInt, s.toBoolean)
+    case bare if bare.matches("-?\\d+") => // pre-admission-control checkpoints
+      GraftStreamOffset(bare.toInt, -1, snapshot = false)
+    case other => throw new IllegalArgumentException(s"bad graft-table offset: $other")
+  }
+  def of(o: Offset): GraftStreamOffset = o match {
+    case g: GraftStreamOffset => g
+    case other => parse(other.json())
+  }
+}
+
+private[graft] case class GraftFilePartition(path: String, length: Long)
   extends InputPartition
 
-private[sources] class GraftFileReaderFactory(
+private[graft] class GraftFileReaderFactory(
     readerFor: (String, Long) => Iterator[InternalRow]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
@@ -140,11 +231,23 @@ private[sources] class GraftFileReaderFactory(
   }
 }
 
-private[sources] class GraftTableMicroBatchStream(schema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+private[graft] class GraftTableMicroBatchStream(
+    options: CaseInsensitiveStringMap,
+    factory: PartitionReaderFactory) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private val table = options.get("table")
   private val ignoreChanges = options.getBoolean("ignoreChanges", false)
+
+  /** Trigger.AvailableNow: pin the catch-up target when the query starts;
+    * rate limits still apply per batch, the stream just stops once the
+    * target is reached instead of tailing new commits. */
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftStreamOffset.of(reportLatestOffset()).version)
 
   private def withStore[T](f: (TableStore, String) => T): T =
     GraftTableSource.withStore(options)(f)
@@ -153,59 +256,142 @@ private[sources] class GraftTableMicroBatchStream(schema: StructType,
     val cur = store.version(t).getOrElse(
       throw new IllegalArgumentException(s"table not found: $t"))
     Option(options.get("startingVersion")) match {
-      case None => GraftVersionOffset(0) // first batch = full current snapshot
-      case Some("latest") => GraftVersionOffset(cur)
-      case Some(v) => GraftVersionOffset(v.toInt - 1) // stream changes OF version v on
+      // pin the initial snapshot at the CURRENT version; appends racing
+      // the (possibly many-batch) snapshot delivery arrive afterwards as
+      // ordinary log increments
+      case None => GraftStreamOffset(cur, 0, snapshot = true)
+      case Some("latest") => GraftStreamOffset(cur, -1, snapshot = false)
+      case Some(v) => GraftStreamOffset(v.toInt - 1, -1, snapshot = false)
     }
   }
 
-  override def latestOffset(): Offset = withStore { (store, t) =>
-    GraftVersionOffset(store.version(t).getOrElse(0))
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option(options.get("maxFilesPerTrigger")).map(n => ReadLimit.maxFiles(n.toInt)),
+      Option(options.get("maxBytesPerTrigger")).map(n => ReadLimit.maxBytes(n.toLong))
+    ).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
   }
 
-  override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.trim.toInt)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GraftVersionOffset].version
-    val to = end.asInstanceOf[GraftVersionOffset].version
-    if (to <= from) return Array.empty
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    def budgets(l: ReadLimit): (Int, Long) = l match {
+      case f: ReadMaxFiles => (f.maxFiles(), Long.MaxValue)
+      case b: ReadMaxBytes => (Int.MaxValue, b.maxBytes())
+      case _: ReadAllAvailable => (Int.MaxValue, Long.MaxValue)
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(budgets).reduce((a, b) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2)))
+      case _ => (Int.MaxValue, Long.MaxValue) // rows-based limits: file granularity can't honor them
+    }
+    val (maxFiles, maxBytes) = budgets(limit)
     withStore { (store, t) =>
-      val adds: Seq[(String, Long)] =
-        if (from == 0) {
-          // initial snapshot: the CURRENT file set, no diffing (older
-          // versions may be vacuumed; the snapshot needs only `to`)
-          val (_, _, fs) = store.snapshotInventory(t, to)
-          val dv = fs.filter(_._3)
-          require(dv.isEmpty || ignoreChanges,
-            s"$t's snapshot carries deletion vectors the file-level source cannot " +
-              "apply — OPTIMIZE the table to fold them, or set ignoreChanges=true " +
-              "to stream the DV'd files as-written (deleted rows reappear)")
-          fs.map { case (p, len, _) => (p, len) }
-        } else (from + 1 to to).flatMap { v =>
-          val (_, op, cur) = store.snapshotInventory(t, v)
-          if (op == "optimize") Nil // layout-only rewrite: dataChange=false
-          else {
-            val (_, _, prev) = store.snapshotInventory(t, v - 1)
-            val prevByPath = prev.map(f => f._1 -> f._3).toMap
-            val added = cur.filterNot(f => prevByPath.contains(f._1))
-            val removed = prev.map(_._1).filterNot(cur.map(_._1).toSet)
-            val dvChanged = cur.exists(f => prevByPath.get(f._1).exists(_ != f._3))
-            if ((removed.nonEmpty || dvChanged || added.exists(_._3)) && !ignoreChanges)
-              throw new IllegalStateException(
-                s"$t version $v is not append-only (files removed/rewritten or deletion " +
-                  "vectors attached) — a streaming source over it would miss or duplicate " +
-                  "rows. Set ignoreChanges=true to stream only the added files, or " +
-                  "restart the stream from a fresh snapshot (drop startingVersion).")
-            added.filterNot(_._3).map { case (p, len, _) => (p, len) }
-          }
-        }
-      adds.map { case (p, len) => GraftFilePartition(p, len) }.toArray[InputPartition]
+      walk(store, t, GraftStreamOffset.of(start), None, maxFiles, maxBytes)._2
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFileReaderFactory(GraftShims.parquetFileReader(SparkSession.active, schema))
+  override def reportLatestOffset(): Offset = withStore { (store, t) =>
+    GraftStreamOffset(store.version(t).getOrElse(0), -1, snapshot = false)
+  }
+
+  override def deserializeOffset(json: String): Offset = GraftStreamOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    withStore { (store, t) =>
+      walk(store, t, GraftStreamOffset.of(start), Some(GraftStreamOffset.of(end)),
+        Int.MaxValue, Long.MaxValue)
+        ._1.map { case (p, len) => GraftFilePartition(p, len) }.toArray[InputPartition]
+    }
+
+  /** Deterministic file enumeration from `start` (exclusive) forward —
+    * shared by offset computation (budget-bounded, `endAt` = None) and
+    * batch planning (exact replay to `endAt`). Returns the files and the
+    * final position, canonicalized to `(v, -1, false)` whenever a version
+    * is fully consumed so repeated catch-up calls converge on the same
+    * offset [[reportLatestOffset]] reports. At least one file is always
+    * admitted per call (a single file larger than maxBytes must not stall
+    * the stream). */
+  private def walk(store: TableStore, t: String, start: GraftStreamOffset,
+      endAt: Option[GraftStreamOffset], maxFiles: Int, maxBytes: Long)
+      : (Seq[(String, Long)], GraftStreamOffset) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var bytes = 0L
+    def admit(f: (String, Long)): Boolean = {
+      if (out.nonEmpty && (out.size >= maxFiles || bytes + f._2 > maxBytes)) false
+      else { out += f; bytes += f._2; true }
+    }
+    val cap = endAt.map(_.version).getOrElse(
+      availableNowCap.getOrElse(store.version(t).getOrElse(0)))
+
+    var pos = start
+    if (pos.snapshot) {
+      val snap = snapshotFilesClean(store, t, pos.version)
+      val until = endAt.filter(_.snapshot).map(_.index).getOrElse(snap.size)
+      var i = pos.index
+      while (i < until && (i >= snap.size || admit(snap(i)))) i += 1
+      if (i < snap.size && (endAt.isEmpty || endAt.exists(_.snapshot)))
+        return (out.toSeq, GraftStreamOffset(pos.version, i, snapshot = true))
+      pos = GraftStreamOffset(pos.version, -1, snapshot = false)
+    }
+
+    var v = if (pos.index >= 0) pos.version else pos.version + 1
+    var fromIdx = if (pos.index >= 0) pos.index else 0
+    while (v <= cap) {
+      val adds = addedFiles(store, t, v)
+      val until = endAt.filter(e => !e.snapshot && e.version == v && e.index >= 0)
+        .map(_.index).getOrElse(adds.size)
+      var i = fromIdx
+      while (i < until && admit(adds(i))) i += 1
+      if (i < adds.size && until == adds.size)
+        return (out.toSeq, GraftStreamOffset(v, i, snapshot = false)) // budget ran out
+      if (until < adds.size)
+        return (out.toSeq, GraftStreamOffset(v, until, snapshot = false)) // endAt mid-version
+      pos = GraftStreamOffset(v, -1, snapshot = false)
+      v += 1; fromIdx = 0
+    }
+    (out.toSeq, pos)
+  }
+
+  /** The CURRENT file set of `version` — the pinned initial snapshot. */
+  private def snapshotFilesClean(store: TableStore, t: String,
+      version: Int): Seq[(String, Long)] = {
+    val (_, _, fs) = store.snapshotInventory(t, version)
+    require(fs.forall(!_._3) || ignoreChanges,
+      s"$t's snapshot carries deletion vectors the file-level source cannot " +
+        "apply — OPTIMIZE the table to fold them, or set ignoreChanges=true " +
+        "to stream the DV'd files as-written (deleted rows reappear)")
+    fs.filterNot(_._3 && !ignoreChanges).map { case (p, len, _) => (p, len) }
+  }
+
+  /** Files ADDED by `version` (manifest diff vs its predecessor), empty
+    * for layout-only commits (op `optimize` — dataChange=false). */
+  private def addedFiles(store: TableStore, t: String, v: Int): Seq[(String, Long)] = {
+    val (_, op, cur) = store.snapshotInventory(t, v)
+    if (op == "optimize") Nil
+    else {
+      val (_, _, prev) = store.snapshotInventory(t, v - 1)
+      val prevByPath = prev.map(f => f._1 -> f._3).toMap
+      val added = cur.filterNot(f => prevByPath.contains(f._1))
+      val removed = prev.map(_._1).filterNot(cur.map(_._1).toSet)
+      val dvChanged = cur.exists(f => prevByPath.get(f._1).exists(_ != f._3))
+      if ((removed.nonEmpty || dvChanged || added.exists(_._3)) && !ignoreChanges)
+        throw new IllegalStateException(
+          s"$t version $v is not append-only (files removed/rewritten or deletion " +
+            "vectors attached) — a streaming source over it would miss or duplicate " +
+            "rows. Set ignoreChanges=true to stream only the added files, or " +
+            "restart the stream from a fresh snapshot (drop startingVersion).")
+      added.filterNot(_._3).map { case (p, len, _) => (p, len) }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

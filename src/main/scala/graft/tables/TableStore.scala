@@ -991,6 +991,22 @@ final class TableStore(spark: SparkSession, root: String) {
       .unionByName(onlyA.exceptAll(onlyB).withColumn("_change_type", lit("delete")))
   }
 
+  /** CURRENT snapshot inventory, stats-pruned by `pred` when given — the
+    * DSv2 batch scan's planning surface: only files whose min/max ranges
+    * could satisfy the pushed predicate are planned (same pruning the
+    * store's own reads use). */
+  private[graft] def prunedInventory(name: String, pred: Option[Column])
+      : Seq[(String, Long, Boolean)] = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema, entries) = readManifest(name, v)
+    val kept = pred.map(p => pruneEntries(schema, entries, p)).getOrElse(entries)
+    kept.map { e =>
+      val abs = absPath(name, e.rel)
+      (abs, Files.size(Paths.get(abs)), e.dvs.nonEmpty)
+    }
+  }
+
   /** Committed snapshot inventory of one version: (schema, op label, files
     * as (absolutePath, byteSize, hasDeletionVectors)) — the driver-side
     * surface the DSv2 streaming source plans micro-batches from. Byte

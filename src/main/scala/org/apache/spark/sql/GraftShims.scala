@@ -37,7 +37,9 @@ object GraftShims {
     * output is forced (`OPTION_RETURNING_BATCH -> false`) because the DSv2
     * row contract wants `InternalRow`s, not disguised `ColumnarBatch`es. */
   def parquetFileReader(spark: SparkSession,
-      schema: org.apache.spark.sql.types.StructType):
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil):
       (String, Long) => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -45,10 +47,10 @@ object GraftShims {
     val fmt = new ParquetFileFormat()
     val readFn = fmt.buildReaderWithPartitionValues(
       sparkSession = classicSpark,
-      dataSchema = schema,
+      dataSchema = dataSchema,
       partitionSchema = new org.apache.spark.sql.types.StructType(),
-      requiredSchema = schema,
-      filters = Nil,
+      requiredSchema = requiredSchema,
+      filters = filters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = classicSpark.sessionState.newHadoopConfWithOptions(Map.empty))
     (path: String, length: Long) => readFn(PartitionedFile(

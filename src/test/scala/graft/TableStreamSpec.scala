@@ -140,4 +140,82 @@ class TableStreamSpec extends AnyFunSuite {
       store.read("db.t").exceptAll(batch).isEmpty)
     store.detach()
   }
+
+  test("maxFilesPerTrigger splits the initial snapshot into bounded micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_admit").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_admit_ckpt").toString
+    val store = new TableStore(spark, root)
+    // 8 data files + one append = a snapshot a 100 TB table can't deliver
+    // in one batch — the limit must carve it into ≤3-file micro-batches
+    store.createOrReplace("db.big", spark.range(0, 800).toDF("k").repartition(8))
+    store.append("db.big", spark.range(800, 900).toDF("k"))
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("table", "db.big")
+      .option("maxFilesPerTrigger", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batchSizes.add((id, batch.count())); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes.sum == 900, s"every row exactly once across batches: $sizes")
+    assert(sizes.length >= 3, s"8 snapshot files + 1 append at 3/trigger needs ≥3 batches: $sizes")
+    assert(sizes.forall(_ <= 400), s"no batch may exceed ~3 files of rows: $sizes")
+    store.detach()
+  }
+
+  test("batch scan prunes columns and stats-prunes files from pushed filters") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import graft.sources.{GraftScanBuilder, GraftFilePartition}
+    val root = java.nio.file.Files.createTempDirectory("graft_push").toString
+    val store = new TableStore(spark, root)
+    // sorted by k with per-file stats → a selective k-predicate must skip files
+    store.createOrReplace("db.t",
+      spark.range(0, 10000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"), (col("id") % 7).as("g"))
+        .repartition(8, col("k")),
+      sortWithin = Seq("k"), statsFor = Seq("k"))
+    // files don't overlap on k ranges only if partitioned BY RANGE; hash
+    // repartition spreads k everywhere — rewrite clustered instead
+    store.compact("db.t", targetFiles = 8, zorderBy = Seq("k"))
+
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("root", root, "table", "db.t"))
+    val full = store.read("db.t").schema
+
+    def plan(b: GraftScanBuilder) =
+      b.build().toBatch.planInputPartitions()
+
+    val unfiltered = plan(new GraftScanBuilder(full, opts))
+    val fb = new GraftScanBuilder(full, opts)
+    fb.pushFilters(Array(EqualTo("k", 17L)))
+    val filtered = plan(fb)
+    assert(filtered.length < unfiltered.length,
+      s"pushed k=17 must stats-prune files (${filtered.length}/${unfiltered.length})")
+
+    // column pruning reaches the reader: the pruned scan decodes only (g)
+    val pb = new GraftScanBuilder(full, opts)
+    pb.pruneColumns(org.apache.spark.sql.types.StructType(full.filter(_.name == "g")))
+    val scan = pb.build()
+    assert(scan.readSchema().fieldNames.toSeq == Seq("g"))
+
+    // end-to-end through the public API: result parity under filter+project
+    val viaSource = spark.read.format("graft-table")
+      .option("root", root).option("table", "db.t").load()
+      .filter(col("k") > 9000).select(col("v"))
+    val viaStore = store.read("db.t").filter(col("k") > 9000).select(col("v"))
+    assert(viaSource.exceptAll(viaStore).isEmpty && viaStore.exceptAll(viaSource).isEmpty)
+    // and the DSv2 explain carries the pushed filter into the scan node
+    val planStr = viaSource.queryExecution.executedPlan.toString
+    assert(planStr.contains("GraftTableScan"), s"expected our scan in:\n$planStr")
+    store.detach()
+  }
 }
