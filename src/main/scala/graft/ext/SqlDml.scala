@@ -534,12 +534,13 @@ final case class GraftDescribeHistoryCommand(table: String) extends LeafRunnable
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("timestamp", TimestampType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)(),
-    AttributeReference("num_files", IntegerType, nullable = false)())
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for DESCRIBE HISTORY"))
-    store.history(table).map { case (v, t, op, n) =>
-      Row(v, java.sql.Timestamp.from(t), op, n)
+    store.history(table).map { case (v, t, op, n, rows) =>
+      Row(v, java.sql.Timestamp.from(t), op, n, if (rows < 0) null else rows)
     }
   }
 }

@@ -171,13 +171,16 @@ private[graft] class GraftTableBatch(options: CaseInsensitiveStringMap,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (p, len, _) => GraftFilePartition(p, len) }.toArray
+    files.map { case (p, len, _, _) => GraftFilePartition(p, len) }.toArray
   override def createReaderFactory(): PartitionReaderFactory = factory
 
   private[graft] def stats: Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(files.map(_._2).sum)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    // exact when every planned file carries its footer row count
+    override def numRows(): util.OptionalLong =
+      if (files.forall(_._4 >= 0)) util.OptionalLong.of(files.map(_._4).sum)
+      else util.OptionalLong.empty()
   }
 }
 

@@ -177,7 +177,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * valid with DVs attached: deletion only narrows a file's true range,
     * so stats-based pruning stays conservative. */
   private[tables] final case class FileEntry(rel: String, stats: Map[String, ColStats],
-      dvs: Seq[String] = Nil)
+      dvs: Seq[String] = Nil, rows: Long = -1L)
 
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
@@ -201,8 +201,10 @@ final class TableStore(spark: SparkSession, root: String) {
     Files.createDirectories(dir)
     val dvLines = entries.filter(_.dvs.nonEmpty).map(e =>
       s"#dv\t${enc(e.rel)}\t${enc(e.dvs.mkString(","))}")
+    val rowLines = entries.filter(_.rows >= 0).map(e =>
+      s"#rows\t${enc(e.rel)}\t${e.rows}")
     val lines = Seq(s"#schema\t${enc(schema.json)}", s"#op\t${enc(op)}") ++
-      dvLines ++ entries.map { e =>
+      dvLines ++ rowLines ++ entries.map { e =>
       (enc(e.rel) +: e.stats.toSeq.sortBy(_._1).flatMap { case (c, st) =>
         Seq(enc(c), enc(st.min), enc(st.max))
       }).mkString("\t")
@@ -236,13 +238,19 @@ final class TableStore(spark: SparkSession, root: String) {
         val parts = l.split('\t')
         dec(parts(1)) -> dec(parts(2)).split(',').toSeq
     }.toMap
+    val rowsByFile: Map[String, Long] = lines.collect {
+      case l if l.startsWith("#rows\t") =>
+        val parts = l.split('\t')
+        dec(parts(1)) -> parts(2).toLong
+    }.toMap
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       val parts = l.split('\t')
       val stats = parts.tail.grouped(3).collect {
         case Array(c, mn, mx) => dec(c) -> ColStats(dec(mn), dec(mx))
       }.toMap
       val rel = dec(parts(0))
-      FileEntry(rel, stats, dvByFile.getOrElse(rel, Nil))
+      FileEntry(rel, stats, dvByFile.getOrElse(rel, Nil),
+        rowsByFile.getOrElse(rel, -1L))
     }
     (schema, entries)
   }
@@ -342,11 +350,11 @@ final class TableStore(spark: SparkSession, root: String) {
     // prune a file that actually contains the value.
     else java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
-  /** Per-file min/max from the parquet footer: driver-side metadata reads,
-    * no Spark job. Columns whose physical/logical type has no usable stats
-    * (INT96 timestamps, all-null blocks) are simply omitted — pruning is
-    * conservative about missing stats. */
-  private def footerStats(file: Path, cols: Seq[String]): Map[String, ColStats] = {
+  /** Per-file min/max and row count from the parquet footer: driver-side
+    * metadata reads, no Spark job. Columns whose physical/logical type has
+    * no usable stats (INT96 timestamps, all-null blocks) are simply
+    * omitted — pruning is conservative about missing stats. */
+  private def footerStats(file: Path, cols: Seq[String]): (Map[String, ColStats], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
@@ -414,7 +422,8 @@ final class TableStore(spark: SparkSession, root: String) {
       val footer = reader.getFooter
       val schema = footer.getFileMetaData.getSchema
       val blocks = footer.getBlocks.asScala.toSeq
-      cols.flatMap { c =>
+      val rowCount = blocks.map(_.getRowCount).sum
+      val stats = cols.flatMap { c =>
         // per-block stats; EVERY block must contribute or the column is
         // skipped (a block without stats could hold out-of-range values)
         val perBlock: Seq[Option[(String, String, Boolean)]] = blocks.map { b =>
@@ -439,6 +448,7 @@ final class TableStore(spark: SparkSession, root: String) {
           Some(c -> ColStats(mn, mx))
         }
       }.toMap
+      (stats, rowCount)
     } finally reader.close()
   }
 
@@ -649,8 +659,10 @@ final class TableStore(spark: SparkSession, root: String) {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fs = files.map { p =>
       val rel = tableDir(name).relativize(p).toString
-      if (statCols.isEmpty) Future.successful(FileEntry(rel, Map.empty[String, ColStats]))
-      else Future(FileEntry(rel, footerStats(p, statCols)))
+      Future { // the footer also carries the row count DESCRIBE HISTORY reports
+        val (stats, rows) = footerStats(p, statCols)
+        FileEntry(rel, stats, Nil, rows)
+      }
     }
     Await.result(Future.sequence(fs), Duration.Inf)
   }
@@ -996,14 +1008,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * could satisfy the pushed predicate are planned (same pruning the
     * store's own reads use). */
   private[graft] def prunedInventory(name: String, pred: Option[Column])
-      : Seq[(String, Long, Boolean)] = {
+      : Seq[(String, Long, Boolean, Long)] = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema, entries) = readManifest(name, v)
     val kept = pred.map(p => pruneEntries(schema, entries, p)).getOrElse(entries)
     kept.map { e =>
       val abs = absPath(name, e.rel)
-      (abs, Files.size(Paths.get(abs)), e.dvs.nonEmpty)
+      (abs, Files.size(Paths.get(abs)), e.dvs.nonEmpty, e.rows)
     }
   }
 
@@ -1022,16 +1034,25 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Commit history, newest first: (version, commit time, operation, file
-    * count) — the DESCRIBE HISTORY surface over the retained manifests. */
-  def history(name: String): Seq[(Int, java.time.Instant, String, Int)] =
+    * count, row count) — the DESCRIBE HISTORY surface over the retained
+    * manifests. Row counts come from the parquet footers recorded at write
+    * time (`#rows` manifest lines); a snapshot holding files written
+    * before row tracking, or files with deletion vectors attached (whose
+    * live count differs from the physical count), reports -1 — unknown,
+    * never wrong. */
+  def history(name: String): Seq[(Int, java.time.Instant, String, Int, Long)] =
     versions(name).reverse.map { v =>
+      val entries = readManifest(name, v)._2
+      val rows =
+        if (entries.exists(e => e.rows < 0 || e.dvs.nonEmpty)) -1L
+        else entries.map(_.rows).sum
       (v, Files.getLastModifiedTime(manifestPath(name, v)).toInstant,
-        manifestOp(name, v), readManifest(name, v)._2.size)
+        manifestOp(name, v), entries.size, rows)
     }
 
   /** The latest version committed at or before `ts` (timestamp travel). */
   def versionAsOf(name: String, ts: java.time.Instant): Int =
-    history(name).collectFirst { case (v, t, _, _) if !t.isAfter(ts) => v }
+    history(name).collectFirst { case (v, t, _, _, _) if !t.isAfter(ts) => v }
       .getOrElse(throw new IllegalArgumentException(
         s"$name TIMESTAMP AS OF $ts precedes the oldest retained commit " +
           s"(${history(name).lastOption.map(_._2).getOrElse("none")})"))

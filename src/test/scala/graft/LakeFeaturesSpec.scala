@@ -170,6 +170,13 @@ class LakeFeaturesSpec extends AnyFunSuite {
     val ts = spark.sql("DESCRIBE HISTORY db.h")
       .select("timestamp").collect().map(_.getTimestamp(0).getTime).toSeq
     assert(ts == ts.sorted.reverse)
+    // num_rows: exact from footer counts on clean snapshots, null (never
+    // wrong) while deletion vectors make physical ≠ live counts
+    val nr = spark.sql("DESCRIBE HISTORY db.h")
+      .select("version", "num_rows").as[(Int, Option[Long])].collect().toMap
+    assert(nr(1) == Some(1L), s"v1 is one clean row: $nr")
+    assert(nr(2).isEmpty && nr(3).isEmpty, s"DV'd snapshots report unknown: $nr")
+    assert(nr(4) == Some(1L), s"OPTIMIZE folds DVs, count exact again: $nr")
 
     spark.sql("VACUUM db.h")
     assert(store.versions("db.h") == Seq(4), "vacuum retires old versions")
