@@ -962,6 +962,19 @@ final class TableStore(spark: SparkSession, root: String) {
     readEntries(name, schema, entries)
   }
 
+  /** The table as a STREAMING source (Delta's `spark.readStream.table`):
+    * sugar over the `graft-table` DSv2 source — see
+    * [[graft.sources.GraftTableSource]] for offset/admission semantics.
+    * Options (`startingVersion`, `maxFilesPerTrigger`, `ignoreChanges`,
+    * …) pass through. */
+  def readStream(name: String, options: Map[String, String] = Map.empty): DataFrame = {
+    require(exists(name), s"table not found: $name")
+    val r = spark.readStream.format("graft-table")
+      .option("root", root).option("table", name)
+    options.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
   /** Predicate-pruned read: files whose min/max stats provably exclude
     * `pred` are never opened (manifest-level data skipping); the predicate
     * is re-applied exactly, so this equals `read(name).filter(pred)`. */

@@ -171,6 +171,51 @@ class TableStreamSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("offset walk: exactly-once, in-order, budget-bounded over random commit histories") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{GraftFilePartition, GraftTableMicroBatchStream}
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_walk$trial").toString
+      val store = new TableStore(spark, root)
+      store.createOrReplace("db.w",
+        spark.range(0, 50).toDF("k").repartition(1 + rnd.nextInt(4)))
+      for (c <- 1 to 4) {
+        store.append("db.w",
+          spark.range(c * 100, c * 100 + 30).toDF("k").repartition(1 + rnd.nextInt(3)))
+        if (rnd.nextBoolean()) store.compact("db.w", targetFiles = 2) // must not re-deliver
+      }
+      // ground truth: files the stream must deliver = pinned snapshot at
+      // stream start (no later commits exist here)
+      val stream = new GraftTableMicroBatchStream(
+        new CaseInsensitiveStringMap(java.util.Map.of("root", root, "table", "db.w")),
+        factory = null)
+      val maxFiles = 1 + rnd.nextInt(3)
+      var start = stream.initialOffset()
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+      var steps = 0
+      var done = false
+      while (!done && steps < 100) {
+        val end = stream.latestOffset(start, ReadLimit.maxFiles(maxFiles))
+        val parts = stream.planInputPartitions(start, end)
+        // replay determinism: the same offset pair plans the same files
+        assert(stream.planInputPartitions(start, end).toSeq == parts.toSeq)
+        assert(parts.length <= maxFiles, s"budget $maxFiles exceeded: ${parts.length}")
+        delivered ++= parts.map(_.asInstanceOf[GraftFilePartition].path)
+        if (end.json == start.json) done = true
+        start = end
+        steps += 1
+      }
+      assert(done, s"walk did not converge in 100 steps (maxFiles=$maxFiles)")
+      assert(delivered.distinct.size == delivered.size, "a file was delivered twice")
+      val expected = spark.read.parquet(delivered.toSeq: _*).count()
+      assert(expected == store.read("db.w").count(),
+        s"delivered files must hold exactly the table's rows (trial $trial)")
+      store.detach()
+    }
+  }
+
   test("batch scan prunes columns and stats-prunes files from pushed filters") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
