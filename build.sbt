@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs all 32 executor threads in this one JVM; at 8g the
+  // 80-query bench run accumulated enough old-gen pressure that unrelated
+  // queries late in the run measured 4-8x their isolated time (r04: q4
+  // 0.89->4.07, x25 0.73->5.91 purely from heap churn). The box has
+  // 128 GiB; give the fork a heap sized like a real executor set.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -52,16 +52,31 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       (name, cold, warm, coldErr.orElse(warmErr))
     }
-    // values rounded to ms so the single JSON line stays short enough for
-    // the driver's output-tail capture to parse in full
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, _, w, _) => "\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
+    // The driver keeps only the last ~2000 bytes of process output, so the
+    // single JSON line must stay well under that or it is clipped at the
+    // front and unparseable (BENCH_r01..r04 all captured `parsed: null`).
+    // Two measures: (a) full-name per-query lines print first, for the
+    // human-readable log; (b) the machine line uses the short id prefix of
+    // each query name ("q44_zorder_read" -> "q44") and 2-decimal seconds,
+    // keeping the line ~1.1 KB even at 100 queries.
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    results.foreach { case (k, c, w, e) =>
+      println(f"[bench] $k%-26s cold=${r2(c)}%-8s warm=${r2(w)}%-8s${e.fold("")("ERR " + _)}")
+    }
+    val shortIds = {
+      val pref = results.map { case (k, _, _, _) => k -> k.takeWhile(_ != '_') }
+      val collide = pref.groupBy(_._2).filter(_._2.size > 1).keySet
+      pref.map { case (full, p) => full -> (if (collide(p)) full else p) }.toMap
+    }
+    val qs = results.map { case (k, _, w, _) => "\"" + shortIds(k) + "\":" + r2(w) }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
+      "\"" + shortIds(k) + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ").take(60) + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
-    println(s"""{"metric":"total_warm","value":${r3(warmTotal)},"unit":"sec","cold_total_sec":${r3(coldTotal)}$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    val sfShort = sfDir.split('/').last
+    println(s"""{"metric":"total_warm","value":${r2(warmTotal)},"unit":"sec","cold_total_sec":${r2(coldTotal)}$errJson,"queries":$qs,"sf":"$sfShort"}""")
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)
   }
