@@ -742,9 +742,18 @@ final class TableStore(spark: SparkSession, root: String) {
       // interleaved bit positions must stay below the long sign bit (63):
       // at 8 bits × 8 columns position 63 would flip the sort order of the
       // top bucket, and ≥9 columns would wrap shiftleft mod 64 — so
-      // bits-per-dimension shrinks as columns are added (256 buckets up to
-      // 7 columns, then 63/n)
-      val bits = math.max(1, math.min(8, 63 / zorderBy.length))
+      // bits-per-dimension is capped at 63/n. Within that cap, resolution
+      // adapts to the file count: enough bits that the z-cells outnumber
+      // target files ~16× per dimension (finer buckets only grow the
+      // bucket-assignment when() tree the planner must analyze — at 8 bits
+      // the 255-node tree, duplicated per interleaved bit, cost more
+      // driver planning time than the whole rewrite ran).
+      val targetParts = math.max(1, targetFiles)
+      val ceilLog2T = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1, targetParts - 1).toLong).toInt
+      val bits = {
+        val cap = math.min(8, 63 / zorderBy.length)
+        math.max(1, math.min(cap, ceilLog2T / zorderBy.length + 4))
+      }
       // per-column bucket boundaries from a quantile sketch — ONE pass,
       // sampling-based, the same trick range partitioning uses; an even
       // VALUE split would collapse under skew, an even QUANTILE split
@@ -775,10 +784,32 @@ final class TableStore(spark: SparkSession, root: String) {
       val zval = (for { k <- 0 until bits; ci <- 0 until n } yield
         shiftleft(shiftright(buckets(ci), k).bitwiseAND(lit(1)).cast("long"), k * n + ci))
         .reduce(_ + _)
-      val prepared = df0.withColumn("__graft_z", zval)
-        .repartitionByRange(math.max(1, targetFiles), col("__graft_z"))
+      // Range-partition by z WITHOUT repartitionByRange: its RangePartitioner
+      // reservoir-samples the input, which is a second full scan of the
+      // table being optimized. The quantile bucketing already makes each
+      // dimension's buckets even-mass, so contiguous spans of the z-cell
+      // grid are even-mass too (up to cross-column correlation, which can
+      // skew file sizes but never correctness) — the partition boundaries
+      // are KNOWN and the shuffle routes rows by cell id directly.
+      // cellBits gives ~8 cells per output file, so the contiguous
+      // cell→partition mapping stays within ~12% of even spans.
+      val zBits = bits * n
+      val cellBits = math.min(zBits, ceilLog2T + 3)
+      val cell = shiftright(zval, zBits - cellBits)
+      val pid = shiftright(cell * lit(targetParts.toLong), cellBits).cast("int")
+      val withZ = df0.withColumn("__graft_z", zval).withColumn("__graft_p", pid)
+      val zSchema = withZ.schema
+      val pIdx = zSchema.fieldIndex("__graft_p")
+      val routed = withZ.rdd
+        .map(r => (r.getInt(pIdx), r))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = targetParts
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+        .map(_._2)
+      val prepared = spark.createDataFrame(routed, zSchema)
         .sortWithinPartitions(col("__graft_z"))
-        .drop("__graft_z") // projection after sort — intra-partition order survives
+        .drop("__graft_z", "__graft_p") // projection after sort — intra-partition order survives
       commitVersion(name, prepared, pb, sortWithin = Nil,
         statsFor = (sf ++ sw ++ zorderBy).distinct, carryOver = Seq.empty,
         schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
