@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Keyword retrieval over a document corpus — the ranked-search primitive a
+  * training-data pipeline uses for targeted curation (pull every document
+  * about X), decontamination audits (find the docs matching an eval probe)
+  * and quality forensics. Extends the reference's query surface (its SQL
+  * warehouse exposes full-text LIKE search at best) with a proper
+  * relevance ranking built entirely from codegen'd relational ops: one
+  * tokenize pass, two partial-agg shuffles, a broadcast of the (tiny)
+  * query set, and a per-query top-k window.
+  *
+  * Scoring is BM25 with two exactness twists so a cross-engine oracle can
+  * reproduce every bit:
+  *
+  *   - the idf factor is the LOG-FREE rational form
+  *     `(N - df + 0.5) / (df + 0.5)` — monotone in the classic
+  *     `ln((N - df + 0.5)/(df + 0.5) + 1)`, so rankings agree, but free of
+  *     the libm transcendentals whose last-ulp behavior differs between
+  *     engines;
+  *   - per-term contributions are truncated to integer micro-units and
+  *     summed as BIGINT, so the per-document score is exact and
+  *     independent of float reduction order across partitions.
+  *
+  * All remaining arithmetic is IEEE-754 double +,*,/ over integer-valued
+  * inputs, which every engine rounds identically.
+  */
+object Retrieval {
+
+  /** k1 = 1.2, b = 0.75 — the standard BM25 constants. K1Plus1 is a
+    * LITERAL 2.2, not `K1 + 1.0` computed at build time: 1.2 + 1.0 in
+    * binary lands exactly between two doubles, so the computed sum and the
+    * oracle's parsed literal could legally disagree by one ulp. Every
+    * constant here appears as the same decimal literal in the oracle SQL. */
+  val K1 = 1.2
+  val K1Plus1 = 2.2
+  val B = 0.75
+  val OneMinusB = 0.25
+
+  /** Top-`k` documents per query for a literal `(queryId, terms)` set.
+    * Matching is OR-semantics over normalized whitespace tokens; score is
+    * the BIGINT micro-unit BM25 described on the object. Returns
+    * (query_id, doc_id, score_micro, rk). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val tokens = docs
+      .select(col(idCol), explode(split(TextFunctions.normalizeText(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val lens = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
+    // corpus constants stay IN the plan (one-row frame, broadcast by the
+    // planner) — no eager driver-side collect
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
+
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    // candidate terms ≤ the query vocabulary, so both the query set and the
+    // filtered document frequencies broadcast; only tf (corpus-sized)
+    // stays distributed
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+
+    val idf = (lit(2.0) * col("n_docs") - lit(2.0) * col("dfreq") + lit(1.0)) /
+      (lit(2.0) * col("dfreq") + lit(1.0))
+    val tfNorm = (col("tf") * lit(K1Plus1)) /
+      (col("tf") + lit(K1) * (lit(OneMinusB) +
+        lit(B) * ((col("len") * col("n_docs")).cast("double") / col("total_tokens").cast("double"))))
+    val contrib = floor((idf * tfNorm) * lit(1e6)).cast("long")
+
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(contrib).as("score_micro"), count(lit(1)).as("n_hit_terms"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol), col("score_micro"), col("n_hit_terms"), col("rk"))
+  }
+}

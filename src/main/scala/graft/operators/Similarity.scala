@@ -181,6 +181,28 @@ object Similarity {
     deduped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Semantic (embedding-space) dedup: cluster the corpus with the
+    * deterministic k-means of [[trainCentroids]], keep one canonical
+    * representative per cluster (lowest id — stable across runs and
+    * engines), and flag the rest as semantic duplicates. This is the
+    * coarse-grained companion to the pairwise near-dup operators: where
+    * [[nearDupPairsLsh]] finds near-identical vectors, cluster-canonical
+    * dedup thins REDUNDANT REGIONS of embedding space — the diversity
+    * lever of corpus curation (SemDeDup-style). Cost at scale: train on a
+    * sample, then one broadcast-assign pass over the corpus and a
+    * cluster-keyed window — no pairwise joins anywhere. Returns
+    * (idCol, cluster, canonical_id, is_kept) — one row per vector. */
+  def semanticDedup(corpus: DataFrame, nCentroids: Int, iterations: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nCentroids, iterations, idCol, vecCol)
+    val assigned = nearestCentroids(corpus, centroids, probes = 1, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    assigned
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .select(col(idCol), col("cluster"),
+        col("canonical_id"), (col(idCol) === col("canonical_id")).as("is_kept"))
+  }
+
   /** Symmetric per-vector int8 quantization: each component maps to
     * round(x / max|x| · 127) ∈ [-127, 127]. 4× smaller vectors — at
     * 100 TB the scan is memory-bandwidth-bound, so quantization is the

@@ -279,7 +279,32 @@ object ExtensionQueries {
       .orderBy(col("lang"))
   }
 
+  /** The literal query set for x34 — shared with the oracle text. */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "join"),
+    1 -> Seq("table", "scan", "fast"),
+    2 -> Seq("vector", "stream"))
+
+  // x34: BM25 keyword retrieval (top-10 per query) — ranked search for
+  // targeted curation and decontamination audits. Log-free rational idf +
+  // BIGINT micro-unit scores make the ranking bit-exact cross-engine; see
+  // operators/Retrieval.scala.
+  def x34Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), Bm25Queries, k = 10)
+      .orderBy(col("query_id"), col("rk"))
+
+  // x35: concat-and-chunk sequence packing (budget 512 tokens, bucket =
+  // 100 ids) — the corpus-to-training-sequence layout step. Pure integer
+  // window arithmetic; packs never span buckets so every bucket packs in
+  // parallel. See operators/Packing.scala.
+  def x35SeqPacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(t(s, dir, "documents"),
+        TextFunctions.tokenCount(col("text")), budget = 512L, bucketRows = 100L)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_bm25_topk" -> x34Bm25TopK _,
+    "x35_seq_packing" -> x35SeqPacking _,
     "x33_table_stream" -> x33TableStream _,
     "x30_decontaminate" -> x30Decontaminate _,
     "x31_stratified_sample" -> x31StratifiedSample _,
@@ -346,6 +371,60 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x34_bm25_topk" -> {
+      val qvals = Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      // the score expression mirrors the Spark side operation-for-operation:
+      // every op is IEEE double +,*,/ over integer-valued inputs (engine-
+      // identical), the idf is the log-free rational form, and the final
+      // per-term contribution is floored to BIGINT micro-units so the SUM
+      // is exact and order-independent.
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.term FROM (
+         |    SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) d,
+         |    UNNEST(d.ws) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_tokens FROM lens),
+         |q AS (SELECT * FROM (VALUES $qvals) AS t(query_id, term)),
+         |dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf
+         |          WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(SUM(CAST(FLOOR(
+         |      (((2.0 * s.n_docs - 2.0 * d.dfreq + 1.0) / (2.0 * d.dfreq + 1.0)) *
+         |       ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 +
+         |         0.75 * (CAST(l.len * s.n_docs AS DOUBLE) / CAST(s.total_tokens AS DOUBLE))))))
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro,
+         |    COUNT(*) AS n_hit_terms
+         |  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+         |       JOIN lens l ON tf.doc_id = l.doc_id CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score_micro DESC, doc_id) AS rk FROM scored)
+         |SELECT query_id, doc_id, score_micro, n_hit_terms, rk
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    },
+    "x35_seq_packing" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |    CAST(FLOOR(doc_id / 100) AS BIGINT) AS bucket
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |  FROM sized)
+        |SELECT doc_id, n_tokens, bucket,
+        |  CAST(FLOOR((e - n_tokens) / 512) AS BIGINT) AS pack,
+        |  CAST((e - n_tokens) % 512 AS BIGINT) AS pack_offset,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE CAST(FLOOR((e - 1) / 512) AS BIGINT)
+        |          - CAST(FLOOR((e - n_tokens) / 512) AS BIGINT) + 1 END AS n_packs
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "x33_table_stream" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,

@@ -143,7 +143,17 @@ object TpchExtraQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // x36: semantic (embedding-space) dedup — k-means cluster the corpus
+  // (8 centroids, 2 deterministic Lloyd iterations), keep the lowest id
+  // per cluster as canonical, flag the rest as redundant. The SemDeDup-
+  // style diversity pass of corpus curation; the oracle replays training
+  // bit-for-bit like x17.
+  def x36SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), nCentroids = 8, iterations = 2)
+      .orderBy(col("vec_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_semantic_dedup" -> x36SemanticDedup _,
     "x29_pq_topk" -> x29PqTopK _,
     "x21_lsh_topk" -> x21LshTopK _,
     "x25_quantized_topk" -> x25QuantizedTopK _,
@@ -168,12 +178,16 @@ object TpchExtraQueries {
     * trio per Lloyd iteration, then probe-1 search over the final
     * centroids. Sums are BIGINT micro-units, so they are exact and
     * order-independent in both engines. */
-  private def ivfOracle(nCentroids: Int, iterations: Int, k: Int): String = {
-    def dotL(a: String, b: String): String =
-      s"""list_sum(list_transform(range(1, len($a)+1),
-         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
-    def cnrm(c: String): String = s"sqrt(${dotL(c, c)})"
+  private def dotL(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+  private def cnrm(c: String): String = s"sqrt(${dotL(c, c)})"
 
+  /** The shared k-means replay: CTE list (no WITH) ending in an
+    * `assigned` CTE of (vec_id, embedding, nrm, cluster) — the training
+    * prefix of [[ivfOracle]], also reused by the x36 semantic-dedup
+    * oracle. */
+  private def kmeansCtes(nCentroids: Int, iterations: Int): String = {
     val iterCtes = (1 to iterations).map { j =>
       val prev = s"cent${j - 1}"
       s"""a$j AS (
@@ -195,7 +209,7 @@ object TpchExtraQueries {
          |  FROM s$j GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
 
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, embedding, ${cnrm("embedding")} AS nrm
        |  FROM embeddings),
        |cent0 AS (
@@ -208,7 +222,11 @@ object TpchExtraQueries {
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |        ROUND(${dotL("e.embedding", "c.cvec")}
        |          / (e.nrm * ${cnrm("c.cvec")}), 6) DESC, c.centroid_id) AS rk
-       |    FROM n e CROSS JOIN cent$iterations c) WHERE rk = 1),
+       |    FROM n e CROSS JOIN cent$iterations c) WHERE rk = 1)""".stripMargin
+  }
+
+  private def ivfOracle(nCentroids: Int, iterations: Int, k: Int): String = {
+    s"""WITH ${kmeansCtes(nCentroids, iterations)},
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ROUND(${dotL("q.embedding", "c.embedding")}
@@ -365,6 +383,15 @@ object TpchExtraQueries {
         |  ON CAST(o_orderdate AS DATE) BETWEEN week_start AND week_end
         |GROUP BY week_start ORDER BY week_start""".stripMargin,
     "x17_ivf_topk" -> ivfOracle(nCentroids = 8, iterations = 2, k = 5),
+    "x36_semantic_dedup" ->
+      s"""WITH ${kmeansCtes(nCentroids = 8, iterations = 2)},
+         |canon AS (
+         |  SELECT vec_id, cluster,
+         |    MIN(vec_id) OVER (PARTITION BY cluster) AS canonical_id
+         |  FROM assigned)
+         |SELECT vec_id, cluster, canonical_id,
+         |  vec_id = canonical_id AS is_kept
+         |FROM canon ORDER BY vec_id""".stripMargin,
     "x25_quantized_topk" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.RollingHash.rolling_hash
@@ -200,5 +201,56 @@ class ExtensionSpec extends AnyFunSuite {
     // normalization lowercases, so every group has exactly 2 members
     assert(out.filter($"n_dups" =!= 2).count() == 0)
     assert(out.filter($"canonical_id" >= 100000).count() == 0, "canonical id is the min")
+  }
+
+  test("bm25: every hit contains a query term; ranks are dense and ordered by score") {
+    val qs = Seq(0 -> Seq("spark", "join"), 1 -> Seq("vector", "stream"))
+    val out = graft.operators.Retrieval.bm25TopK(docs, qs, k = 5).cache()
+    val hits = out.join(docs, "doc_id")
+      .withColumn("norm", TextFunctions.normalizeText($"text"))
+    val termMiss = hits.filter($"query_id" === 0)
+      .filter(!($"norm".contains("spark") || $"norm".contains("join")))
+    assert(termMiss.count() == 0, "a retrieved doc must contain a query term")
+    // within a query, rk is 1..n and score_micro is non-increasing in rk
+    val bad = out.alias("a").join(out.alias("b"),
+        col("a.query_id") === col("b.query_id") && col("a.rk") === col("b.rk") - 1)
+      .filter(col("a.score_micro") < col("b.score_micro"))
+    assert(bad.count() == 0, "scores must be non-increasing in rank")
+    // a doc with MORE matched terms at similar tf should outrank: the top
+    // hit for a 2-term query matches at least as many terms as the last
+    val perQ = out.groupBy($"query_id").agg(
+      max(when($"rk" === 1, $"n_hit_terms")).as("first_terms"))
+    assert(perQ.filter($"first_terms" < 1).count() == 0)
+  }
+
+  test("packing: offsets stay under budget, packs tile the bucket token stream exactly") {
+    val out = graft.operators.Packing.packSequences(
+      docs, TextFunctions.tokenCount($"text"), budget = 256L, bucketRows = 50L).cache()
+    assert(out.filter($"pack_offset" < 0 || $"pack_offset" >= 256).count() == 0)
+    assert(out.filter($"n_tokens" > 0 && $"n_packs" < 1).count() == 0)
+    // reconstruction: within a bucket, doc starts (pack*budget+offset) are
+    // the exclusive running sum of token counts in id order — i.e. the
+    // packed stream has no gaps and no overlaps
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val recon = out.withColumn("expected_start",
+        coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"pack" * 256 + $"pack_offset" =!= $"expected_start")
+    assert(recon.count() == 0, "packed stream must tile the bucket exactly")
+    // a document never touches more packs than its token count allows
+    val span = out.filter($"n_packs" > ($"n_tokens" / 256) + 2)
+    assert(span.count() == 0)
+  }
+
+  test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
+    val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
+    assert(out.count() == emb.count(), "one row per vector")
+    val perCluster = out.groupBy($"cluster").agg(
+      sum(when($"is_kept", 1).otherwise(0)).as("kept"),
+      min($"vec_id").as("min_id"),
+      max(when($"is_kept", $"vec_id")).as("kept_id"))
+    assert(perCluster.filter($"kept" =!= 1).count() == 0, "exactly one canonical per cluster")
+    assert(perCluster.filter($"min_id" =!= $"kept_id").count() == 0, "canonical is the min id")
+    assert(out.filter($"canonical_id" > $"vec_id").count() == 0)
   }
 }
