@@ -223,6 +223,30 @@ object SqlDml {
           org.apache.spark.sql.types.StructType(fields))
       }
 
+  /** `ALTER TABLE db.t RENAME COLUMN a TO b` / `DROP COLUMN c` on a store
+    * table lower to the metadata-only column-mapping operations
+    * ([[graft.tables.TableStore.renameColumn]]/[[graft.tables.TableStore.dropColumn]]).
+    * Nested fields stay with Spark. */
+  private[ext] def lowerRenameColumn(r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn,
+      spark: SparkSession): Option[LogicalPlan] =
+    (r.table match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(u.multipartIdentifier.mkString("."))
+      case _ => None
+    }).filter(n => n.contains(".") && TableStore.resolve(spark, n).isDefined)
+      .filter(_ => r.column.name.length == 1)
+      .map(name => GraftRenameColumnCommand(name, r.column.name.head, r.newName))
+
+  private[ext] def lowerDropColumns(d: org.apache.spark.sql.catalyst.plans.logical.DropColumns,
+      spark: SparkSession): Option[LogicalPlan] =
+    (d.table match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(u.multipartIdentifier.mkString("."))
+      case _ => None
+    }).filter(n => n.contains(".") && TableStore.resolve(spark, n).isDefined)
+      .filter(_ => d.columnsToDrop.forall(_.name.length == 1))
+      .map(name => GraftDropColumnsCommand(name, d.columnsToDrop.map(_.name.head)))
+
   /** First store-table leaf under `plan` — the constraint nodes wrap the
     * target in helper operators (AddCheckConstraint's child is
     * `Filter(NOT cond, UnresolvedRelation)`, Spark's own existing-row
@@ -356,6 +380,10 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => SqlDml.lowerDelete(d, spark).getOrElse(d)
       case i: InsertIntoStatement => SqlDml.lowerInsert(i, spark).getOrElse(i)
       case a: AddColumns => SqlDml.lowerAddColumns(a, spark).getOrElse(a)
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        SqlDml.lowerRenameColumn(r, spark).getOrElse(r)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        SqlDml.lowerDropColumns(d, spark).getOrElse(d)
       case c: AddCheckConstraint => SqlDml.lowerAddConstraint(c, spark).getOrElse(c)
       case d: DropConstraint => SqlDml.lowerDropConstraint(d, spark).getOrElse(d)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
@@ -654,6 +682,29 @@ final case class GraftAddColumnsCommand(table: String,
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for ADD COLUMNS"))
     store.addColumns(table, cols)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.table RENAME COLUMN a TO b` — metadata-only (column
+  * mapping; no rewrite). */
+final case class GraftRenameColumnCommand(table: String, from: String, to: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for RENAME COLUMN"))
+    store.renameColumn(table, from, to)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.table DROP COLUMN c` — metadata-only (column mapping). */
+final case class GraftDropColumnsCommand(table: String, cols: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for DROP COLUMN"))
+    cols.foreach(store.dropColumn(table, _))
     Seq.empty
   }
 }

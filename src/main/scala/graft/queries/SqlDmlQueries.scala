@@ -233,7 +233,28 @@ object SqlDmlQueries {
     store.read("gold.cust_tier").orderBy(col("c_custkey"))
   }
 
+  // q46: metadata-only column mapping — SQL RENAME COLUMN + DROP COLUMN
+  // never rewrite a data file (old files keep the physical name; the
+  // sidecar maps it to the visible one); reads, SQL UPDATE and appends
+  // all speak the new names. The oracle replays the same dataflow over
+  // the reference names — mapping must be invisible in the result.
+  def q46ColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("gold.cust_cm",
+      t(s, dir, "customer").filter(col("c_custkey") % 4 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment")))
+    s.sql("ALTER TABLE gold.cust_cm RENAME COLUMN c_custkey TO customer_id")
+    s.sql("ALTER TABLE gold.cust_cm DROP COLUMN c_mktsegment")
+    s.sql("UPDATE gold.cust_cm SET c_acctbal = c_acctbal + CAST(50 AS DOUBLE) WHERE customer_id % 3 = 0")
+    store.append("gold.cust_cm",
+      t(s, dir, "customer").filter(col("c_custkey") % 4 === 2)
+        .select(col("c_custkey").as("customer_id"), col("c_name"), col("c_acctbal")))
+    store.detach()
+    store.read("gold.cust_cm").orderBy(col("customer_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_column_mapping" -> q46ColumnMapping _,
     "q42_change_feed" -> q42ChangeFeed _,
     "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
     "q35_sql_update_delete" -> q35SqlUpdateDelete _,
@@ -250,6 +271,16 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q46_column_mapping" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS customer_id, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + CAST(50 AS DOUBLE)
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 4 = 2)
+        |ORDER BY customer_id""".stripMargin,
     "q34_sql_merge_scd2" ->
       s"""WITH b1 AS ($B1), b2 AS ($B2)
          |SELECT * FROM (

@@ -119,8 +119,21 @@ private[graft] class GraftTableScan(fullSchema: StructType, required: StructType
     s"GraftTableScan(${options.get("table")}, PushedFilters: ${pushed.mkString("[", ", ", "]")})"
 
   private def readerFactory(): PartitionReaderFactory =
-    new GraftFileReaderFactory(GraftShims.parquetFileReader(
-      SparkSession.active, fullSchema, required, pushed))
+    GraftTableSource.withStore(options) { (store, table) =>
+      // column mapping: the scan's schemas carry LOGICAL names; the data
+      // files store PHYSICAL ones. The physicalized schemas are the same
+      // fields at the same positions, so emitting the physical-read
+      // InternalRows under the logical readSchema is exact. Row-group
+      // filter pushdown is skipped for mapped tables (the filters name
+      // logical columns) — Spark re-evaluates every filter post-scan, and
+      // manifest-level file pruning still applies via prunedInventory.
+      val mapped = store.hasColumnMapping(table)
+      new GraftFileReaderFactory(GraftShims.parquetFileReader(
+        SparkSession.active,
+        store.physicalizeSchema(table, fullSchema),
+        store.physicalizeSchema(table, required),
+        if (mapped) Nil else pushed))
+    }
 
   private lazy val batch = new GraftTableBatch(options, pushed, readerFactory())
   override def toBatch: Batch = batch

@@ -455,8 +455,15 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Conservative file pruning: keep a file unless some conjunct of `pred`
     * of the shape `col <op> literal` provably excludes its [min, max]
     * range. Unanalyzable conjuncts prune nothing. */
-  private def pruneEntries(schema: StructType, entries: Seq[FileEntry],
+  private def pruneEntries(name: String, schema: StructType, entries: Seq[FileEntry],
       pred: Column): Seq[FileEntry] = {
+    // predicates speak logical names; per-file stats are keyed by the
+    // physical names the footers carry — remap the lookup, not the entries
+    val rn = renames(name)
+    def statsOf(e: FileEntry): Map[String, ColStats] =
+      if (rn.isEmpty) e.stats
+      else e.stats.map { case (k, v) => (rn.getOrElse(k, k), v) }
+    val lschema = logicalizeSchema(name, schema)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -502,8 +509,9 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     if (bounds.isEmpty) entries
     else entries.filter { e =>
+      val st = statsOf(e)
       bounds.forall { case (c, op, v, litNumeric) =>
-        (e.stats.get(c), schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)) match {
+        (st.get(c), lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)) match {
           case (Some(st), Some(dt)) =>
             numericKind(dt) match {
               case Some(num) if num == litNumeric =>
@@ -526,7 +534,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * tests and tooling can assert data skipping. */
   def prunedFileList(name: String, pred: Option[Column]): Seq[String] = {
     val (schema, entries) = currentManifest(name)
-    pred.map(p => pruneEntries(schema, entries, p)).getOrElse(entries).map(_.rel)
+    pred.map(p => pruneEntries(name, schema, entries, p)).getOrElse(entries).map(_.rel)
   }
 
   // ---------------------------------------------------------------- writes
@@ -587,17 +595,22 @@ final class TableStore(spark: SparkSession, root: String) {
     val (next, dir) = allocateVersion(name)
     try {
       // CHECK constraints ride the write plan (single pass, raise on
-      // violation) — every path that stages data validates what it writes
-      val checked = enforceChecks(name, df)
+      // violation) — every path that stages data validates what it writes.
+      // Constraints speak logical names, so they apply BEFORE the
+      // column-mapping translation to the physical names files store.
+      val checked = toPhysicalDf(name, enforceChecks(name, df))
+      val physName = { val rev = renames(name).map(_.swap); (c: String) => rev.getOrElse(c, c) }
+      val (pbP, swP, sfP) = (partitionBy.map(physName), sortWithin.map(physName),
+        statsFor.map(physName))
       // partition columns are duplicated into __p_* for the directory layout
       // so the REAL columns stay in the data files (manifest reads need no
       // hive partition reconstruction)
-      val dupCols = partitionBy.map(c => s"__p_$c")
-      val withDups = partitionBy.zip(dupCols).foldLeft(checked) { case (d, (c, p)) =>
+      val dupCols = pbP.map(c => s"__p_$c")
+      val withDups = pbP.zip(dupCols).foldLeft(checked) { case (d, (c, p)) =>
         d.withColumn(p, col(c))
       }
       val sorted =
-        if (sortWithin.nonEmpty) withDups.sortWithinPartitions(sortWithin.map(col): _*)
+        if (swP.nonEmpty) withDups.sortWithinPartitions(swP.map(col): _*)
         else withDups
       // Write into a data/ SUBDIRECTORY with the default error-if-exists
       // mode — never mode("overwrite") on the version dir itself: the
@@ -618,11 +631,11 @@ final class TableStore(spark: SparkSession, root: String) {
       // columns, read from the parquet FOOTERS the write just produced —
       // driver-side metadata only, no Spark job, no data re-read (a 100 TB
       // write would otherwise pay a second scan just to learn its own stats)
-      val statCols = (partitionBy ++ sortWithin ++ statsFor).distinct
-        .filter(df.columns.contains)
+      val statCols = (pbP ++ swP ++ sfP).distinct
+        .filter(checked.columns.contains)
       val newEntries = footerEntries(name, newFilesAbs, statCols)
-      writeManifest(name, next, schemaHint.getOrElse(df.schema), carryOver ++ newEntries, op)
-      writeLayout(name, partitionBy, sortWithin, statsFor)
+      writeManifest(name, next, schemaHint.getOrElse(checked.schema), carryOver ++ newEntries, op)
+      writeLayout(name, pbP, swP, sfP)
       (next, dir)
     } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
   }
@@ -726,16 +739,21 @@ final class TableStore(spark: SparkSession, root: String) {
     val (schema, entries) = currentManifest(name)
     val (pb, sw, sf) = readLayout(name)
     val df0 = readEntries(name, schema, entries)
+    // readEntries yields the LOGICAL view; layout names from the sidecar
+    // are physical — translate for the frame-side operations below
+    val logicalOf = { val rn = renames(name); (c: String) => rn.getOrElse(c, c) }
+    val lpb = pb.map(logicalOf)
     if (zorderBy.isEmpty) {
       val df =
-        if (pb.nonEmpty) df0.repartition(pb.map(col): _*)
+        if (lpb.nonEmpty) df0.repartition(lpb.map(col): _*)
         else df0.repartition(math.max(1, targetFiles))
-      commitVersion(name, df, pb, sw, sf, carryOver = Seq.empty,
+      commitVersion(name, df, lpb, sw.map(logicalOf), sf.map(logicalOf), carryOver = Seq.empty,
         schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
     } else {
       import org.apache.spark.sql.functions.{shiftleft, shiftright}
+      val lschema = logicalizeSchema(name, schema)
       zorderBy.foreach { c =>
-        val dt = schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        val dt = lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         require(dt.exists(_.isInstanceOf[NumericType]),
           s"ZORDER BY $c: need a numeric column, got ${dt.getOrElse("missing")}")
       }
@@ -831,7 +849,9 @@ final class TableStore(spark: SparkSession, root: String) {
     if (small.size <= 1) return
     val (pb, sw, sf) = readLayout(name)
     val df0 = readEntries(name, schema, small)
-    val df = if (pb.nonEmpty) df0.repartition(pb.map(col): _*) else df0.repartition(1)
+    val logicalOf = { val rn = renames(name); (c: String) => rn.getOrElse(c, c) }
+    val lpb = pb.map(logicalOf)
+    val df = if (lpb.nonEmpty) df0.repartition(lpb.map(col): _*) else df0.repartition(1)
     commitVersion(name, df, pb, sw, sf, carryOver = big,
       schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
   }
@@ -876,12 +896,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * must error, not lose data (Delta's append schema check). Matching is
     * case-insensitive; columns are reordered and cast to target types. */
   private def alignedForAppend(name: String, schema: StructType, df: DataFrame): DataFrame = {
-    val missing = schema.fieldNames.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
-    val extra = df.columns.filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    // appended frames speak logical names — align against the visible view
+    val lschema = logicalizeSchema(name, schema)
+    val missing = lschema.fieldNames.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    val extra = df.columns.filterNot(c => lschema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty && extra.isEmpty,
       s"append to $name: schema mismatch — missing ${missing.mkString(",")}; " +
-        s"unexpected ${extra.mkString(",")}; target columns are ${schema.fieldNames.mkString(",")}")
-    df.select(schema.fields.toSeq.map(f =>
+        s"unexpected ${extra.mkString(",")}; target columns are ${lschema.fieldNames.mkString(",")}")
+    df.select(lschema.fields.toSeq.map(f =>
       col(df.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
   }
 
@@ -947,8 +969,15 @@ final class TableStore(spark: SparkSession, root: String) {
       .withColumn("__graft_file",
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
       .withColumn("__graft_pos", col("_metadata.row_index"))
+    // column mapping: expose logical names (the extra __graft_* identity
+    // columns and any dropped-column bytes ride along untouched — DML
+    // discovery filters by logical predicates over this scan)
+    val rn = renames(name)
+    val scan1 = rn.foldLeft(scan0) { case (d, (phys, logical)) =>
+      if (d.columns.contains(phys)) d.withColumnRenamed(phys, logical) else d
+    }
     val withDv = entries.filter(_.dvs.nonEmpty)
-    if (withDv.isEmpty) scan0
+    if (withDv.isEmpty) scan1
     else {
       // DV rows address files by manifest-relative path — resolve to
       // absolute via a driver-built (rel → abs) map, then anti-join on
@@ -961,9 +990,9 @@ final class TableStore(spark: SparkSession, root: String) {
         .join(spark.createDataFrame(relToAbs).toDF("__rel", "__abs"),
           col("file") === col("__rel"), "inner")
         .select(col("__abs").as("__dv_file"), col("pos").as("__dv_pos"))
-      scan0.join(dv,
-        scan0("__graft_file") === dv("__dv_file") &&
-          scan0("__graft_pos") === dv("__dv_pos"), "left_anti")
+      scan1.join(dv,
+        scan1("__graft_file") === dv("__dv_file") &&
+          scan1("__graft_pos") === dv("__dv_pos"), "left_anti")
     }
   }
 
@@ -975,16 +1004,18 @@ final class TableStore(spark: SparkSession, root: String) {
     *  - Entries carrying deletion vectors are read through [[scanWithPos]]
     *    (row-position anti-join); plain entries take the unadorned scan. */
   private def readEntries(name: String, schema: StructType, entries: Seq[FileEntry]): DataFrame =
-    if (entries.isEmpty) emptyDf(schema)
+    if (entries.isEmpty) emptyDf(logicalizeSchema(name, schema))
     else {
       val (withDv, plain) = entries.partition(_.dvs.nonEmpty)
-      val fields = schema.fieldNames.map(col).toSeq
+      // logical (visible) projection — scanWithPos already renamed, the
+      // plain scan is projected through the mapping here
+      val lfields = logicalizeSchema(name, schema).fieldNames.map(col).toSeq
       val parts = Seq(
         if (plain.isEmpty) None
-        else Some(spark.read.schema(schema).parquet(plain.map(e => absPath(name, e.rel)): _*)
-          .select(fields: _*)),
+        else Some(toLogical(name, schema,
+          spark.read.schema(schema).parquet(plain.map(e => absPath(name, e.rel)): _*))),
         if (withDv.isEmpty) None
-        else Some(scanWithPos(name, schema, withDv).select(fields: _*))).flatten
+        else Some(scanWithPos(name, schema, withDv).select(lfields: _*))).flatten
       parts.reduce(_ unionByName _)
     }
 
@@ -1011,7 +1042,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * is re-applied exactly, so this equals `read(name).filter(pred)`. */
   def readWhere(name: String, pred: Column): DataFrame = {
     val (schema, entries) = currentManifest(name)
-    readEntries(name, schema, pruneEntries(schema, entries, pred)).filter(pred)
+    readEntries(name, schema, pruneEntries(name, schema, entries, pred)).filter(pred)
   }
 
   /** Time travel: read a specific retained snapshot version. */
@@ -1056,7 +1087,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema, entries) = readManifest(name, v)
-    val kept = pred.map(p => pruneEntries(schema, entries, p)).getOrElse(entries)
+    val kept = pred.map(p => pruneEntries(name, schema, entries, p)).getOrElse(entries)
     kept.map { e =>
       val abs = absPath(name, e.rel)
       (abs, Files.size(Paths.get(abs)), e.dvs.nonEmpty, e.rows)
@@ -1129,9 +1160,153 @@ final class TableStore(spark: SparkSession, root: String) {
     * nothing — Delta's schema-evolution model. */
   def addColumns(name: String, cols: StructType): Unit = {
     val (schema, entries) = currentManifest(name)
-    val dup = cols.fieldNames.filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    // collide against BOTH name spaces: visible logical names and on-disk
+    // physical names (incl. renamed/dropped columns still in old files)
+    val taken = schema.fieldNames ++ logicalizeSchema(name, schema).fieldNames
+    val dup = cols.fieldNames.filter(c => taken.exists(_.equalsIgnoreCase(c)))
     require(dup.isEmpty, s"$name ADD COLUMNS: column(s) already exist: ${dup.mkString(", ")}")
     commitManifestOnly(name, StructType(schema.fields ++ cols.fields), entries, "add_columns")
+  }
+
+  // ------------------------------------------- column mapping (rename/drop)
+  //
+  // Delta's column-mapping model, name-based: data files keep the column
+  // name they were WRITTEN with (the "physical" name) forever; RENAME and
+  // DROP are pure sidecar-metadata commits that change only the table's
+  // visible ("logical") view. Internally every DataFrame — reads, DML
+  // inputs, merge sources — speaks logical names; translation happens at
+  // exactly two boundaries: parquet writes ([[stageVersion]] and the
+  // merge-on-read append) rename logical→physical, and parquet reads
+  // ([[readEntries]]/[[scanWithPos]]) rename physical→logical. Manifests,
+  // layout sidecars and per-file stats always store physical names.
+  //
+  // Name-based mapping (vs Delta's id-based) carries one restriction,
+  // enforced by [[renameColumn]]: a new logical name may not collide with
+  // any other visible name NOR any on-disk physical name — that keeps
+  // both translation maps injective and makes translating an
+  // already-physical name a safe no-op.
+
+  /** physical → logical renames currently in force. */
+  private def renames(name: String): Map[String, String] =
+    meta(name).properties.collect {
+      case (k, v) if k.startsWith("colmap.") => k.stripPrefix("colmap.") -> v
+    }
+
+  /** physical names of dropped columns (still present in old files). */
+  private def droppedPhysical(name: String): Set[String] =
+    meta(name).properties.keysIterator
+      .filter(_.startsWith("coldrop.")).map(_.stripPrefix("coldrop.")).toSet
+
+  private[graft] def hasColumnMapping(name: String): Boolean =
+    meta(name).properties.keysIterator
+      .exists(k => k.startsWith("colmap.") || k.startsWith("coldrop."))
+
+  /** The logical (visible) view of a physical manifest schema. */
+  private[graft] def logicalizeSchema(name: String, physical: StructType): StructType = {
+    val rn = renames(name); val dp = droppedPhysical(name)
+    if (rn.isEmpty && dp.isEmpty) physical
+    else StructType(physical.fields.toSeq.filterNot(f => dp(f.name))
+      .map(f => f.copy(name = rn.getOrElse(f.name, f.name))))
+  }
+
+  /** Rename a logical schema's fields back to their physical names
+    * (positions and types untouched) — what a file reader must ask the
+    * parquet files for. */
+  private[graft] def physicalizeSchema(name: String, logical: StructType): StructType = {
+    val rev = renames(name).map(_.swap)
+    if (rev.isEmpty) logical
+    else StructType(logical.fields.toSeq.map(f => f.copy(name = rev.getOrElse(f.name, f.name))))
+  }
+
+  /** Project a physical-named frame to the logical view (drops dropped
+    * columns, renames renamed ones). Field order follows the manifest. */
+  private def toLogical(name: String, schema: StructType, df: DataFrame): DataFrame = {
+    val rn = renames(name); val dp = droppedPhysical(name)
+    if (rn.isEmpty && dp.isEmpty) df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else df.select(schema.fields.toSeq.filterNot(f => dp(f.name))
+      .map(f => col(f.name).as(rn.getOrElse(f.name, f.name))): _*)
+  }
+
+  /** Rename a logical-named frame's columns to physical for writing;
+    * names without a mapping entry (including genuinely new columns)
+    * pass through. */
+  private def toPhysicalDf(name: String, df: DataFrame): DataFrame = {
+    val rev = renames(name).map(_.swap)
+    if (rev.isEmpty) df
+    else df.select(df.columns.toSeq.map(c => col(c).as(rev.getOrElse(c, c))): _*)
+  }
+
+  private def physicalName(name: String, logical: String): String = {
+    val rev = renames(name).map(_.swap)
+    rev.getOrElse(logical,
+      rev.find(_._1.equalsIgnoreCase(logical)).map(_._2).getOrElse(logical))
+  }
+
+  /** Columns a rename/drop must not touch: CHECK constraint conditions and
+    * the recorded primary key reference columns by bare text. */
+  private def referencedInMeta(name: String, colName: String): Option[String] = {
+    val word = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(colName) + "\\b")
+    val pk = meta(name).properties.get("primary_key").toSeq
+      .flatMap(_.split(',')).map(_.trim)
+    if (pk.exists(_.equalsIgnoreCase(colName))) Some("primary key")
+    else checkConstraints(name).collectFirst {
+      case (cname, sql) if word.matcher(sql).find() => s"CHECK constraint $cname"
+    }
+  }
+
+  /** ALTER TABLE … RENAME COLUMN — **metadata-only** (column mapping): no
+    * file is rewritten at any scale; the rename is one sidecar write plus
+    * a manifest-only commit for DESCRIBE HISTORY. */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val (schema, entries) = currentManifest(name)
+    val visible = logicalizeSchema(name, schema)
+    val field = visible.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name RENAME COLUMN: no column ${from} (columns: ${visible.fieldNames.mkString(", ")})"))
+    val physical = physicalName(name, field.name)
+    referencedInMeta(name, field.name).foreach(ref => throw new IllegalArgumentException(
+      s"$name RENAME COLUMN $from: referenced by $ref — drop/re-add it around the rename"))
+    require(!visible.fieldNames.exists(v => v.equalsIgnoreCase(to) && v != field.name),
+      s"$name RENAME COLUMN: target name $to already exists")
+    require(to.equalsIgnoreCase(physical) ||
+      !schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"$name RENAME COLUMN: $to is the on-disk (physical) name of another column — " +
+        "name-based column mapping cannot reuse physical names; pick a fresh name")
+    val m = meta(name)
+    val props =
+      if (to == physical) m.properties - s"colmap.$physical"
+      else m.properties + (s"colmap.$physical" -> to)
+    val comments = m.columnComments.get(field.name) match {
+      case Some(c) => m.columnComments - field.name + (to -> c)
+      case None => m.columnComments
+    }
+    setMeta(name, m.copy(properties = props, columnComments = comments))
+    commitManifestOnly(name, schema, entries, "rename_column")
+  }
+
+  /** ALTER TABLE … DROP COLUMN — **metadata-only** (column mapping): old
+    * files keep the column's bytes but no read ever selects it; new files
+    * simply omit it. */
+  def dropColumn(name: String, colName: String): Unit = {
+    val (schema, entries) = currentManifest(name)
+    val visible = logicalizeSchema(name, schema)
+    val field = visible.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name DROP COLUMN: no column $colName (columns: ${visible.fieldNames.mkString(", ")})"))
+    require(visible.fields.length > 1, s"$name DROP COLUMN: cannot drop the only column")
+    val physical = physicalName(name, field.name)
+    referencedInMeta(name, field.name).foreach(ref => throw new IllegalArgumentException(
+      s"$name DROP COLUMN $colName: referenced by $ref — drop it first"))
+    val (pb, sw, _) = readLayout(name)
+    require(!(pb ++ sw).exists(_.equalsIgnoreCase(physical)),
+      s"$name DROP COLUMN $colName: the table is partitioned/sorted by it — " +
+        "rewrite the layout (createOrReplace) instead")
+    val m = meta(name)
+    setMeta(name, m.copy(
+      properties = m.properties - s"colmap.$physical" + (s"coldrop.$physical" -> "1"),
+      columnComments = m.columnComments - field.name))
+    commitManifestOnly(name, schema, entries, "drop_column")
   }
 
   /** Delta SHALLOW CLONE: create `dst` referencing `src`'s CURRENT files
@@ -1151,6 +1326,13 @@ final class TableStore(spark: SparkSession, root: String) {
     commitManifestOnly(dst, schema, reanchored, "clone")
     val (pb, sw, sf) = readLayout(src)
     writeLayout(dst, pb, sw, sf)
+    // table metadata travels with the clone — without the column-mapping
+    // entries a clone of a renamed table would resurface physical names.
+    // The streaming high-water marker does NOT: it certifies batches
+    // committed to the SOURCE's sink, and inheriting it would make a new
+    // sink on the clone silently skip those batch ids.
+    val m = meta(src)
+    setMeta(dst, m.copy(properties = m.properties - "stream_high_water"))
   }
 
   /** All retained snapshot versions (those whose manifest survives),
@@ -1203,7 +1385,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val base = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema, entries) = readManifest(name, base)
-    val candidates = pruneEntries(schema, entries, cond)
+    val candidates = pruneEntries(name, schema, entries, cond)
     if (candidates.isEmpty) return
     val (next, dir) = allocateVersion(name)
     try {
@@ -1224,11 +1406,14 @@ final class TableStore(spark: SparkSession, root: String) {
       val appended: Seq[FileEntry] = set match {
         case None => Nil
         case Some(s) =>
-          val updated = schema.fields.foldLeft(live.filter(cond)) { (df, f) =>
+          // `live` and `set` speak logical names; the appended files store
+          // physical ones (same boundary stageVersion applies)
+          val lschema = logicalizeSchema(name, schema)
+          val updated = lschema.fields.foldLeft(live.filter(cond)) { (df, f) =>
             s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
-          }.select(schema.fieldNames.map(col).toSeq: _*)
+          }.select(lschema.fieldNames.map(col).toSeq: _*)
           val dataDir = dir.resolve("data")
-          enforceChecks(name, updated).write.parquet(dataDir.toString)
+          toPhysicalDf(name, enforceChecks(name, updated)).write.parquet(dataDir.toString)
           val files = Files.walk(dataDir).iterator().asScala
             .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
           val (pb, sw, sf) = readLayout(name)
@@ -1257,7 +1442,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * candidate files it could possibly touch. */
   private def touchedFiles(name: String, schema: StructType, entries: Seq[FileEntry],
       cond: Column): Set[String] = {
-    val candidates = pruneEntries(schema, entries, cond)
+    val candidates = pruneEntries(name, schema, entries, cond)
     if (candidates.isEmpty) Set.empty
     // scanWithPos (not readEntries + input_file_name): the DV-applied read
     // is a UNION of plain and anti-joined branches, where
@@ -1283,9 +1468,10 @@ final class TableStore(spark: SparkSession, root: String) {
       val touched = touchedFiles(name, schema, entries, cond)
       if (touched.isEmpty) return // no matching rows anywhere — nothing to commit
       val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val lschema = logicalizeSchema(name, schema)
       val updated = subset.columns.foldLeft(subset) { (df, c) =>
         set.get(c).map(v => df.withColumn(c,
-          when(cond, v).otherwise(df(c)).cast(schema(c).dataType))).getOrElse(df)
+          when(cond, v).otherwise(df(c)).cast(lschema(c).dataType))).getOrElse(df)
       }
       val (pb, sw, sf) = readLayout(name)
       commitVersion(name, updated, pb, sw, sf,
@@ -1350,7 +1536,17 @@ final class TableStore(spark: SparkSession, root: String) {
       else _.equalsIgnoreCase(_)
     val newCols =
       if (schemaEvolution)
-        source.schema.fields.toSeq.filterNot(f => schema0.fieldNames.exists(resolves(f.name, _)))
+        // a source column matching a VISIBLE (logical) name is the same
+        // column; matching a physical name of a renamed/dropped column is
+        // rejected by the same no-reuse rule renames follow
+        source.schema.fields.toSeq
+          .filterNot(f => logicalizeSchema(name, schema0).fieldNames.exists(resolves(f.name, _)))
+          .map { f =>
+            require(!schema0.fieldNames.exists(resolves(f.name, _)),
+              s"MERGE schema evolution: ${f.name} collides with the on-disk name of a " +
+                "renamed or dropped column")
+            f
+          }
       else Seq.empty
     // reading with the WIDENED schema NULL-fills the new columns for every
     // existing file — no explicit widening projection, no rewrite

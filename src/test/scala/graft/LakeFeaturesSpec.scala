@@ -477,4 +477,119 @@ class LakeFeaturesSpec extends AnyFunSuite {
     assert(pruned < total, s"9-col zorder still skips files ($pruned/$total)")
     store.detach()
   }
+
+  test("RENAME COLUMN is metadata-only: no file touched, reads/pruning/DML speak the new name") {
+    val root = Files.createTempDirectory("graft_colmap").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("grp"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartition(4)
+    store.createOrReplace("db.r", df, sortWithin = Seq("k"), statsFor = Seq("k"))
+    val before = dataFiles(root, "db", "r")
+
+    store.renameColumn("db.r", "k", "key_id")
+    val after = dataFiles(root, "db", "r")
+    assert(before == after, "rename rewrote or added data files")
+    assert(store.read("db.r").columns.toSeq == Seq("key_id", "grp", "v"))
+    assert(store.read("db.r").agg(sum(col("key_id"))).as[Long].head() == (0L until 1000).sum)
+
+    // stats pruning works through the mapping: a selective predicate on
+    // the NEW name opens fewer files than the table has
+    val total = store.prunedFileList("db.r", None).size
+    val pruned = store.prunedFileList("db.r", Some(col("key_id") === 3L)).size
+    assert(pruned < total, s"pruning through rename ($pruned/$total)")
+    assert(store.readWhere("db.r", col("key_id") === 3L).count() == 1)
+
+    // DML in the new name space: pruned-CoW update, append, merge key
+    store.update("db.r", col("key_id") === 3L, Map("v" -> lit("updated")))
+    assert(store.read("db.r").filter(col("key_id") === 3L)
+      .select(col("v")).as[String].head() == "updated")
+    store.append("db.r", Seq((1000L, 1L, "v1000")).toDF("key_id", "grp", "v"))
+    assert(store.read("db.r").count() == 1001)
+    store.merge("db.r",
+      Seq((1000L, 99L, "merged")).toDF("key_id", "grp", "v"),
+      keys = Seq("key_id"),
+      matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
+        Map("grp" -> col("s.grp"), "v" -> col("s.v")))))
+    assert(store.read("db.r").filter(col("key_id") === 1000L)
+      .select(col("grp")).as[Long].head() == 99L)
+
+    // appends using the OLD name must fail (it no longer exists)
+    intercept[IllegalArgumentException] {
+      store.append("db.r", Seq((2000L, 1L, "x")).toDF("k", "grp", "v"))
+    }
+    // the physical name cannot be reused while old files carry it
+    intercept[IllegalArgumentException] {
+      store.renameColumn("db.r", "grp", "k")
+    }
+    // renaming BACK to the physical name clears the mapping entry
+    store.renameColumn("db.r", "key_id", "k")
+    assert(store.read("db.r").columns.head == "k")
+
+    // history records the renames as commits
+    val ops = store.history("db.r").map(_._3)
+    assert(ops.count(_ == "rename_column") == 2, s"ops were $ops")
+    store.detach()
+  }
+
+  test("DROP COLUMN is metadata-only; SQL ALTER rename/drop route through the store") {
+    val root = Files.createTempDirectory("graft_colmap2").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.d",
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("twice"),
+        concat(lit("v"), col("id")).as("v")))
+    val before = dataFiles(root, "db", "d")
+
+    spark.sql("ALTER TABLE db.d DROP COLUMN twice")
+    assert(dataFiles(root, "db", "d") == before, "drop rewrote data files")
+    assert(store.read("db.d").columns.toSeq == Seq("k", "v"))
+
+    // a dropped column's physical name stays reserved (old files carry it)
+    intercept[IllegalArgumentException] {
+      store.addColumns("db.d", StructType(Seq(StructField("twice", LongType))))
+    }
+
+    // SQL rename over the mapped table; reads + SQL DML use the new name
+    spark.sql("ALTER TABLE db.d RENAME COLUMN v TO label")
+    assert(store.read("db.d").columns.toSeq == Seq("k", "label"))
+    spark.sql("UPDATE db.d SET label = 'x' WHERE k < 10")
+    assert(store.read("db.d").filter(col("label") === "x").count() == 10)
+
+    // appends NULL-fill nothing and never resurrect the dropped column
+    store.append("db.d", Seq((100L, "v100")).toDF("k", "label"))
+    assert(store.read("db.d").count() == 101)
+
+    // a shallow clone carries the mapping
+    store.cloneTo("db.d", "db.d2")
+    assert(store.read("db.d2").columns.toSeq == Seq("k", "label"))
+
+    // the DSv2 batch source reads the logical view (positional mapping)
+    val viaSource = spark.read.format("graft-table")
+      .option("root", root).option("table", "db.d").load()
+    assert(viaSource.columns.toSeq == Seq("k", "label"))
+    assert(viaSource.agg(sum(col("k"))).as[Long].head() ==
+      store.read("db.d").agg(sum(col("k"))).as[Long].head())
+    store.detach()
+  }
+
+  test("rename refuses constraint/PK-referenced and colliding names") {
+    val root = Files.createTempDirectory("graft_colmap3").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.g",
+      spark.range(0, 10).select(col("id").as("a"), col("id").as("b")))
+    store.addCheckConstraint("db.g", "pos_a", "a >= 0")
+    intercept[IllegalArgumentException] { store.renameColumn("db.g", "a", "a2") }
+    intercept[IllegalArgumentException] { store.renameColumn("db.g", "b", "a") }
+    intercept[IllegalArgumentException] { store.renameColumn("db.g", "nope", "x") }
+    store.dropCheckConstraint("db.g", "pos_a")
+    store.renameColumn("db.g", "a", "a2") // now allowed
+    assert(store.read("db.g").columns.toSeq == Seq("a2", "b"))
+    intercept[IllegalArgumentException] { store.dropColumn("db.g", "a2");
+      store.dropColumn("db.g", "b") } // cannot drop the last column
+    store.detach()
+  }
 }
