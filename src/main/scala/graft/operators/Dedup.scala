@@ -229,9 +229,21 @@ object Dedup {
     // Only docs that appear in a pair can ever change label — iterate over
     // that (much smaller) vertex set and left-join the full corpus once at
     // the end; singletons self-label through the coalesce.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint() // materialize once; pair generation can be expensive
+    // The iterate set is usually TINY relative to the corpus (only paired
+    // docs), but each round would still shuffle it across the session's
+    // full shuffle-partition count — at 32+ partitions the loop's cost is
+    // pure task/stage scheduling. Size the loop's partitioning to the
+    // data: ~64k edges per partition, capped at the session setting (a
+    // billion-edge pair set still spreads over the full cluster).
+    val loopParts = {
+      val n = edges0.count() // trivial scan of the checkpointed blocks
+      val cap = pairs.sparkSession.sessionState.conf.numShufflePartitions
+      math.max(1, math.min(cap, ((n + 65535) / 65536).toInt))
+    }
+    val edges = edges0.repartition(loopParts, col("dst")).localCheckpoint()
     // localCheckpoint (not persist): iterative algorithms re-optimize the
     // whole lineage each round otherwise — plan analysis cost grows
     // superlinearly with iteration count while the data stays tiny
@@ -247,11 +259,19 @@ object Dedup {
       val neighborLabels = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"),
           lit(null).cast(labels.schema("label").dataType).as("old"))
+      // every shuffle in the round is pinned to loopParts via explicit
+      // repartition on the consumer's key — the following groupBy/join
+      // then reuse that partitioning instead of adding an exchange at the
+      // session's (data-oblivious) partition count
       val hop = labels.select(col("id"), col("label"), col("label").as("old"))
         .union(neighborLabels)
+        .repartition(loopParts, col("id"))
         .groupBy(col("id")).agg(min(col("label")).as("l1"), max(col("old")).as("old"))
       // pointer doubling: jump to the label's own (already-propagated)
       // label — labels only decrease, so least() keeps monotonicity
+      // self-join: the b side reuses the groupBy's (id, loopParts)
+      // partitioning, so only the a side shuffles — and it co-partitions
+      // to loopParts to match
       val next = hop.alias("a")
         .join(hop.alias("b"), col("a.l1") === col("b.id"), "left_outer")
         .select(col("a.id").as("id"),
