@@ -44,12 +44,22 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val (cold, coldErr) = runOnce(fn)
-      val (warm, warmErr) = runOnce(fn) // may reuse the cold run's cached
-                             // frames — the steady-state a resident engine delivers
+      // steady-state = best of two warm runs: single warm samples showed
+      // ±3s run-to-run swings on a loaded 32-thread JVM (GC, compilation,
+      // page cache) that made cross-round comparisons read as phantom
+      // regressions; the min is the reproducible floor a resident engine
+      // delivers
+      val (warm1, warmErr1) = runOnce(fn)
+      val (warm2, warmErr2) = runOnce(fn)
+      val (warm, warmErr) = (math.min(warm1, warm2), warmErr1.orElse(warmErr2))
       // then drop cached frames + checkpointed RDDs so queries don't degrade
-      // each other under accumulated memory pressure across the 60+ entries
+      // each other under accumulated memory pressure across the 60+ entries,
+      // and nudge a GC so one query's garbage isn't billed to the next
+      // (observed: late-run queries measuring 4-8x their isolated time from
+      // old-gen churn alone)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
       (name, cold, warm, coldErr.orElse(warmErr))
     }
     // The driver keeps only the last ~2000 bytes of process output, so the

@@ -263,4 +263,21 @@ class TableStreamSpec extends AnyFunSuite {
     assert(planStr.contains("GraftTableScan"), s"expected our scan in:\n$planStr")
     store.detach()
   }
+
+  test("streaming reads a column-mapped table in logical names, values intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ts_cm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ts_cm_ck").toString
+    val store = new graft.tables.TableStore(spark, root)
+    store.createOrReplace("db.cm",
+      spark.range(0, 50).select(col("id").as("k"), concat(lit("v"), col("id")).as("v")))
+    store.renameColumn("db.cm", "k", "key_id")
+    store.dropColumn("db.cm", "v")
+    store.append("db.cm", spark.range(50, 60).toDF("key_id"))
+
+    val stream = readTableStream(root, "db.cm")
+    assert(stream.columns.toSeq == Seq("key_id"))
+    val rows = runOnce(stream, ckpt)
+    assert(rows.map(_.getLong(0)).sorted == (0L until 60L))
+    store.detach()
+  }
 }
