@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductFloat, RollingHash}
+import graft.functions.{BoundedTopK, DotProductFloat, RollingHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions in the SQL function registry, so the SQL warehouse
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
+      (exprs: Seq[Expression]) => BoundedTopK(exprs(0), exprs(1))))
   }
 }

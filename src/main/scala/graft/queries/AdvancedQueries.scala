@@ -136,7 +136,26 @@ object AdvancedQueries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
       .orderBy(col("l_returnflag"))
 
+  // x37: top-k-per-group via the native bounded_topk aggregate — the
+  // scale-correct twin of q8's window idiom. The window must shuffle and
+  // sort EVERY row of every group; bounded_topk is a
+  // TypedImperativeAggregate, so each map task first reduces its slice of
+  // a group to ≤ k rows in a bounded min-heap and only those survivors
+  // shuffle (PlanSpec pins the partial ObjectHashAggregate below the
+  // exchange). The trailing o_orderkey field makes the order total, so
+  // the window oracle reproduces it exactly.
+  def x37TopKAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopK.bounded_topk(5,
+        struct(col("o_totalprice"), col("o_orderkey"))).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.o_totalprice").as("o_totalprice"), col("t.o_orderkey").as("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x37_topk_agg" -> x37TopKAgg _,
     "x14_asof_join" -> x14AsofJoin _,
     "x15_salted_agg" -> x15SaltedAgg _,
     "q24_sql_warehouse" -> q24SqlWarehouse _,
@@ -147,6 +166,13 @@ object AdvancedQueries {
     "q40_ranking_windows" -> q40RankingWindows _)
 
   val oracles: Map[String, String] = Map(
+    "x37_topk_agg" ->
+      """SELECT o_orderpriority, rk, o_totalprice, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
     "x14_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
         |clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),

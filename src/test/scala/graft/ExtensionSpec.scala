@@ -242,6 +242,28 @@ class ExtensionSpec extends AnyFunSuite {
     assert(span.count() == 0)
   }
 
+  test("bounded_topk equals the window idiom and works from SQL") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val viaAgg = li.groupBy($"l_returnflag")
+      .agg(graft.functions.TopK.bounded_topk(4,
+        struct($"l_extendedprice", $"l_orderkey", $"l_linenumber")).as("top"))
+      .select($"l_returnflag", explode($"top").as("t"))
+      .select($"l_returnflag", $"t.l_extendedprice", $"t.l_orderkey", $"t.l_linenumber")
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".desc, $"l_linenumber".desc)
+    val viaWindow = li.withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    assert(viaAgg.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaAgg).count() == 0)
+    // SQL registration via GraftExtensions
+    li.createOrReplaceTempView("li_topk")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, size(bounded_topk(4,
+        |  struct(l_extendedprice, l_orderkey, l_linenumber))) AS n
+        |FROM li_topk GROUP BY l_returnflag""".stripMargin)
+    assert(viaSql.filter($"n" =!= 4).count() == 0)
+  }
+
   test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
     val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
     assert(out.count() == emb.count(), "one row per vector")

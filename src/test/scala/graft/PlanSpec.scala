@@ -198,4 +198,15 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE silver_t CASCADE")
     assert(!spark.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("bronze_t"))
   }
+
+  test("x37: bounded_topk aggregates partially before the shuffle (no full-group sort)") {
+    val plan = executed(SparkEntry.queries("x37_topk_agg")(spark, dir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // mode instance must sit below the exchange so each map task ships at
+    // most k rows per group — THE reason this beats the window idiom
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash aggregate:\n${plan.take(1500)}")
+    assert("partial_bounded_topk|partial_boundedtopk".r.findFirstIn(plan.toLowerCase).isDefined
+      || plan.toLowerCase.contains("partial"), "partial top-k aggregation expected")
+    assert(!plan.contains("Window"), "bounded_topk must not fall back to a window sort")
+  }
 }
