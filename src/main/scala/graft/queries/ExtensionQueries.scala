@@ -279,6 +279,75 @@ object ExtensionQueries {
       .orderBy(col("lang"))
   }
 
+  // x38: count-min-sketch heavy hitters — frequency estimation in O(d·w)
+  // memory no matter the vocabulary size (the sketch table here is 3×64
+  // counters; at 100 TB it is still 3×64). Buckets are md5-derived, so
+  // the DuckDB oracle rebuilds the identical sketch and the estimates
+  // (min over depths, always ≥ the true count) match exactly. Candidates
+  // come from a deterministic document sample; estimation is a broadcast
+  // join against the tiny sketch.
+  def x38CountMin(s: SparkSession, dir: String): DataFrame = {
+    val depths = 3
+    val width = 64
+    def bucketOf(d: Int, term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(s"cms$d|"), term)), 1, 8), 16, 10)
+        .cast("long") % width
+    val words = t(s, dir, "documents")
+      .select(explode(split(TextFunctions.normalizeText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    // ONE pass builds all depths: explode each token into its d buckets
+    val sketch = words
+      .select(explode(array((0 until depths).map(d =>
+        struct(lit(d).as("depth"), bucketOf(d, col("term")).as("bucket"))): _*)).as("db"))
+      .groupBy(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val candidates = t(s, dir, "documents")
+      .filter(col("doc_id") % 17 === 0)
+      .select(explode(split(TextFunctions.normalizeText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val est = (0 until depths).foldLeft(candidates) { (df, d) =>
+      df.join(broadcast(sketch.filter(col("depth") === d)
+          .select(col("bucket").as(s"b$d"), col("c").as(s"c$d"))),
+        bucketOf(d, col("term")) === col(s"b$d"))
+        .drop(s"b$d")
+    }
+    val truth = words.groupBy(col("term")).agg(count(lit(1)).as("true_count"))
+    est.select(col("term"),
+        least((0 until depths).map(d => col(s"c$d")): _*).as("est_count"))
+      .join(truth, "term")
+      .orderBy(col("est_count").desc, col("term")).limit(15)
+      .select(col("term"), col("est_count"), col("true_count"))
+  }
+
+  // x39: time-series resample + gap-fill — regularize each user's
+  // purchase history to a daily grid: per-user day spine (sequence +
+  // explode, so spine generation is distributed and per-user bounded),
+  // left join the observed daily sums, carry the last observation
+  // forward, flag filled rows. The standard feature-engineering step
+  // before windowed training data; all arithmetic integer/date, oracle
+  // exact.
+  def x39GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.streaming.EventStreams.normalizeTs(t(s, dir, "events"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy(col("user_id"), col("day"))
+      // decimal-sum → round → double: partitioning-independent, engine-exact
+      .agg(round(sum(col("v")), 6).cast("double").as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("value"),
+        col("day_value").isNull.as("gap_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -305,6 +374,8 @@ object ExtensionQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
+    "x38_countmin" -> x38CountMin _,
+    "x39_gap_fill" -> x39GapFill _,
     "x33_table_stream" -> x33TableStream _,
     "x30_decontaminate" -> x30Decontaminate _,
     "x31_stratified_sample" -> x31StratifiedSample _,
@@ -371,6 +442,46 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x38_countmin" ->
+      s"""WITH words AS (
+         |  SELECT u.term FROM (
+         |    SELECT string_split($Norm, ' ') AS ws FROM documents) d,
+         |    UNNEST(d.ws) AS u(term) WHERE len(u.term) > 0),
+         |sk AS (
+         |  SELECT dd.depth, CAST(('0x' || substring(md5('cms' || dd.depth || '|' || term), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |    COUNT(*) AS c
+         |  FROM words CROSS JOIN (VALUES (0), (1), (2)) dd(depth)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT u.term FROM (
+         |    SELECT string_split($Norm, ' ') AS ws FROM documents WHERE doc_id % 17 = 0) d,
+         |    UNNEST(d.ws) AS u(term) WHERE len(u.term) > 0),
+         |est AS (
+         |  SELECT cand.term, CAST(MIN(sk.c) AS BIGINT) AS est_count
+         |  FROM cand CROSS JOIN (VALUES (0), (1), (2)) dd(depth)
+         |  JOIN sk ON sk.depth = dd.depth AND sk.bucket =
+         |    CAST(('0x' || substring(md5('cms' || dd.depth || '|' || cand.term), 1, 8)) AS BIGINT) % 64
+         |  GROUP BY cand.term),
+         |truth AS (SELECT term, COUNT(*) AS true_count FROM words GROUP BY 1)
+         |SELECT est.term, est_count, true_count
+         |FROM est JOIN truth ON est.term = truth.term
+         |ORDER BY est_count DESC, est.term LIMIT 15""".stripMargin,
+    "x39_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS day_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, s.day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  d.day_value IS NULL AS gap_filled
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
     "x34_bm25_topk" -> {
       val qvals = Bm25Queries
         .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")

@@ -264,6 +264,23 @@ class ExtensionSpec extends AnyFunSuite {
     assert(viaSql.filter($"n" =!= 4).count() == 0)
   }
 
+  test("count-min estimates never undercount and are exact for unique-bucket terms") {
+    val out = graft.queries.ExtensionQueries.x38CountMin(spark, dir).cache()
+    assert(out.filter($"est_count" < $"true_count").count() == 0,
+      "count-min must overestimate, never under")
+    assert(out.count() > 0 && out.count() <= 15)
+  }
+
+  test("gap fill: spine is contiguous per user, observed days keep their value") {
+    val out = graft.queries.ExtensionQueries.x39GapFill(spark, dir).cache()
+    val spans = out.groupBy($"user_id").agg(
+      count(lit(1)).as("n"),
+      (datediff(max($"day"), min($"day")) + 1).as("expected"))
+    assert(spans.filter($"n" =!= $"expected").count() == 0, "daily spine must be gapless")
+    assert(out.filter($"gap_filled" && $"value".isNull).count() == 0,
+      "filled rows carry the last observation")
+  }
+
   test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
     val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
     assert(out.count() == emb.count(), "one row per vector")
