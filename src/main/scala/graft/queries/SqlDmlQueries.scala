@@ -253,7 +253,38 @@ object SqlDmlQueries {
     store.read("gold.cust_cm").orderBy(col("customer_id"))
   }
 
+  // q47: GENERATED ALWAYS AS columns — the value is always derived at
+  // write time (append without the column computes it; an UPDATE of a
+  // dependency recomputes it in the same rewrite), and a backfill of
+  // pre-declaration files is one file-pruned UPDATE. The oracle computes
+  // the band from the FINAL price — any stale value breaks the hash.
+  def q47GeneratedColumn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("gold.ord_gen",
+      t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")))
+    store.addColumns("gold.ord_gen", StructType(Seq(StructField("price_band", StringType))))
+    store.setGeneratedColumn("gold.ord_gen", "price_band",
+      "CASE WHEN o_totalprice >= CAST(200000 AS DOUBLE) THEN 'high' " +
+        "WHEN o_totalprice >= CAST(100000 AS DOUBLE) THEN 'mid' ELSE 'low' END")
+    // backfill the pre-declaration files (their rows carry NULL until a
+    // write touches them) — the touch recomputes, whatever SET says
+    store.update("gold.ord_gen", col("price_band").isNull,
+      Map("price_band" -> lit("ignored")))
+    // appended rows omit the generated column entirely — derived at write
+    store.append("gold.ord_gen",
+      t(s, dir, "orders").filter(col("o_orderkey") % 5 === 1)
+        .select(col("o_orderkey"), col("o_totalprice")))
+    // updating a DEPENDENCY recomputes the generated value in the rewrite
+    store.update("gold.ord_gen", col("o_orderkey") % 10 === 0,
+      Map("o_totalprice" -> col("o_totalprice") * lit(2.0)))
+    store.detach()
+    store.read("gold.ord_gen").orderBy(col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_generated_column" -> q47GeneratedColumn _,
     "q46_column_mapping" -> q46ColumnMapping _,
     "q42_change_feed" -> q42ChangeFeed _,
     "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
@@ -271,6 +302,17 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q47_generated_column" ->
+      """WITH rows0 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 IN (0, 1))
+        |SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_totalprice >= CAST(200000 AS DOUBLE) THEN 'high'
+        |       WHEN o_totalprice >= CAST(100000 AS DOUBLE) THEN 'mid'
+        |       ELSE 'low' END AS price_band
+        |FROM rows0 ORDER BY o_orderkey""".stripMargin,
     "q46_column_mapping" ->
       """SELECT * FROM (
         |  SELECT c_custkey AS customer_id, c_name,

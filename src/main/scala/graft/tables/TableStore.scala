@@ -594,11 +594,12 @@ final class TableStore(spark: SparkSession, root: String) {
       schemaHint: Option[StructType], op: String): (Int, Path) = {
     val (next, dir) = allocateVersion(name)
     try {
-      // CHECK constraints ride the write plan (single pass, raise on
-      // violation) — every path that stages data validates what it writes.
-      // Constraints speak logical names, so they apply BEFORE the
-      // column-mapping translation to the physical names files store.
-      val checked = toPhysicalDf(name, enforceChecks(name, df))
+      // Generated columns recompute, then CHECK constraints ride the write
+      // plan (single pass, raise on violation) — every path that stages
+      // data derives and validates what it writes. Both speak logical
+      // names, so they apply BEFORE the column-mapping translation to the
+      // physical names files store.
+      val checked = toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, df)))
       val physName = { val rev = renames(name).map(_.swap); (c: String) => rev.getOrElse(c, c) }
       val (pbP, swP, sfP) = (partitionBy.map(physName), sortWithin.map(physName),
         statsFor.map(physName))
@@ -896,15 +897,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * must error, not lose data (Delta's append schema check). Matching is
     * case-insensitive; columns are reordered and cast to target types. */
   private def alignedForAppend(name: String, schema: StructType, df: DataFrame): DataFrame = {
-    // appended frames speak logical names — align against the visible view
+    // appended frames speak logical names — align against the visible view;
+    // GENERATED columns may be omitted (the write derives them)
     val lschema = logicalizeSchema(name, schema)
+    val gens = generatedColumns(name).keySet
     val missing = lschema.fieldNames.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      .filterNot(c => gens.exists(_.equalsIgnoreCase(c)))
     val extra = df.columns.filterNot(c => lschema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty && extra.isEmpty,
       s"append to $name: schema mismatch — missing ${missing.mkString(",")}; " +
         s"unexpected ${extra.mkString(",")}; target columns are ${lschema.fieldNames.mkString(",")}")
-    df.select(lschema.fields.toSeq.map(f =>
-      col(df.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
+    df.select(lschema.fields.toSeq
+      .filter(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+      .map(f =>
+        col(df.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
   }
 
   def append(name: String, df: DataFrame, op: String = "append"): Unit = {
@@ -1252,7 +1258,10 @@ final class TableStore(spark: SparkSession, root: String) {
     if (pk.exists(_.equalsIgnoreCase(colName))) Some("primary key")
     else checkConstraints(name).collectFirst {
       case (cname, sql) if word.matcher(sql).find() => s"CHECK constraint $cname"
-    }
+    }.orElse(generatedColumns(name).collectFirst {
+      case (gcol, sql) if word.matcher(sql).find() =>
+        s"generated column $gcol's expression"
+    })
   }
 
   /** ALTER TABLE … RENAME COLUMN — **metadata-only** (column mapping): no
@@ -1307,6 +1316,72 @@ final class TableStore(spark: SparkSession, root: String) {
       properties = m.properties - s"colmap.$physical" + (s"coldrop.$physical" -> "1"),
       columnComments = m.columnComments - field.name))
     commitManifestOnly(name, schema, entries, "drop_column")
+  }
+
+  // --------------------------------------------------------- generated columns
+
+  /** Declare `colName` (an existing, usually just-added column) as
+    * GENERATED ALWAYS AS (`exprSql`) — Delta's generated-column model with
+    * one simplification, stated plainly: the value is ALWAYS derived.
+    * Every write path (createOrReplace/append/UPDATE/MERGE/mor rewrite)
+    * recomputes the expression over the row being written, whether or not
+    * the incoming frame carried a value, so the column can never go stale
+    * when a dependency changes (Delta recomputes on dependency-update and
+    * errors on mismatched explicit inserts; always-derive subsumes both).
+    * Files written BEFORE the declaration keep their stored values until
+    * the next write touches them — backfill explicitly with
+    * `UPDATE t SET c = <expr>` (file-pruned) or a rewrite. */
+  def setGeneratedColumn(name: String, colName: String, exprSql: String): Unit = {
+    val (schema, _) = currentManifest(name)
+    val visible = logicalizeSchema(name, schema)
+    val field = visible.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name GENERATED COLUMN: no column $colName (columns: ${visible.fieldNames.mkString(", ")})"))
+    val word = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(field.name) + "\\b")
+    require(!word.matcher(exprSql).find(),
+      s"$name GENERATED COLUMN $colName: expression must not reference the column itself")
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + (s"gencol.${physicalName(name, field.name)}" -> exprSql)))
+  }
+
+  /** Generation expressions currently declared: logical column → SQL. */
+  def generatedColumns(name: String): Map[String, String] = {
+    val rn = renames(name)
+    meta(name).properties.collect {
+      case (k, v) if k.startsWith("gencol.") =>
+        val phys = k.stripPrefix("gencol.")
+        rn.getOrElse(phys, phys) -> v
+    }
+  }
+
+  /** Recompute every generated column over a logical-named frame about to
+    * be written; value type pins to the declared schema type. A frame
+    * missing a generation dependency (e.g. a REPLACE that redefines the
+    * schema away from the expression) drops the declaration instead of
+    * failing the write — the new schema wins, like createOrReplace wins
+    * over any other stale metadata. */
+  private def applyGeneratedColumns(name: String, df: DataFrame): DataFrame = {
+    val gens = generatedColumns(name)
+    if (gens.isEmpty || !exists(name)) df
+    else {
+      val visible = logicalizeSchema(name, currentManifest(name)._1)
+      gens.foldLeft(df) { case (d, (logical, sql)) =>
+        val declared = visible.fields.find(_.name.equalsIgnoreCase(logical))
+        import org.apache.spark.sql.functions.expr
+        val deps = org.apache.spark.sql.GraftShims.catalystExpr(expr(sql)).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.nameParts.last
+        }
+        val depsPresent = deps.forall(n => d.columns.exists(_.equalsIgnoreCase(n)))
+        declared match {
+          case Some(f) if depsPresent => d.withColumn(f.name, expr(sql).cast(f.dataType))
+          case _ =>
+            setMeta(name, meta(name).copy(properties =
+              meta(name).properties - s"gencol.${physicalName(name, logical)}"))
+            d
+        }
+      }
+    }
   }
 
   /** Delta SHALLOW CLONE: create `dst` referencing `src`'s CURRENT files
@@ -1413,7 +1488,8 @@ final class TableStore(spark: SparkSession, root: String) {
             s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
           }.select(lschema.fieldNames.map(col).toSeq: _*)
           val dataDir = dir.resolve("data")
-          toPhysicalDf(name, enforceChecks(name, updated)).write.parquet(dataDir.toString)
+          toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, updated)))
+            .write.parquet(dataDir.toString)
           val files = Files.walk(dataDir).iterator().asScala
             .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
           val (pb, sw, sf) = readLayout(name)

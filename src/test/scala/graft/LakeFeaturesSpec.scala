@@ -575,6 +575,38 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("generated columns: derived on every write path, dependencies rename-protected") {
+    val root = Files.createTempDirectory("graft_gencol").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.gc",
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 3).as("amount")))
+    store.addColumns("db.gc", StructType(Seq(StructField("doubled", LongType))))
+    store.setGeneratedColumn("db.gc", "doubled", "amount * 2")
+
+    // append WITHOUT the generated column: derived
+    store.append("db.gc", Seq((100L, 7L)).toDF("k", "amount"))
+    assert(store.read("db.gc").filter($"k" === 100L).select($"doubled").as[Long].head() == 14L)
+    // append WITH a wrong explicit value: always-derive overwrites it
+    store.append("db.gc", Seq((101L, 5L, 999L)).toDF("k", "amount", "doubled"))
+    assert(store.read("db.gc").filter($"k" === 101L).select($"doubled").as[Long].head() == 10L)
+    // dependency update recomputes in the same rewrite
+    store.update("db.gc", $"k" === 100L, Map("amount" -> lit(8L)))
+    assert(store.read("db.gc").filter($"k" === 100L).select($"doubled").as[Long].head() == 16L)
+    // the dependency cannot be renamed or dropped out from under the expression
+    intercept[IllegalArgumentException] { store.renameColumn("db.gc", "amount", "amt") }
+    intercept[IllegalArgumentException] { store.dropColumn("db.gc", "amount") }
+    // the generated column itself CAN be renamed; generation follows it
+    store.renameColumn("db.gc", "doubled", "twice_amount")
+    store.append("db.gc", Seq((102L, 9L)).toDF("k", "amount"))
+    assert(store.read("db.gc").filter($"k" === 102L)
+      .select($"twice_amount").as[Long].head() == 18L)
+    // a REPLACE that removes the dependency drops the stale declaration
+    store.createOrReplace("db.gc", Seq((1L, "x")).toDF("k", "v"))
+    assert(store.generatedColumns("db.gc").isEmpty)
+    store.detach()
+  }
+
   test("rename refuses constraint/PK-referenced and colliding names") {
     val root = Files.createTempDirectory("graft_colmap3").toString
     val store = new TableStore(spark, root)
