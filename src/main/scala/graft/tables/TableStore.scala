@@ -918,7 +918,7 @@ final class TableStore(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema, entries) = readManifest(name, base)
     val (pb, sw, sf) = readLayout(name)
-    commitVersion(name, alignedForAppend(name, schema, df), pb, sw, sf,
+    commitVersion(name, alignedForAppend(name, schema, applyIdentity(name, df)), pb, sw, sf,
       carryOver = entries, schemaHint = Some(schema),
       expectedBase = Some(Some(base)), op = op)
     maybeAutoCompact(name)
@@ -1383,6 +1383,65 @@ final class TableStore(spark: SparkSession, root: String) {
       }
     }
   }
+
+  // --------------------------------------------------------- identity columns
+
+  /** Declare `colName` GENERATED ALWAYS AS IDENTITY (START WITH `start`
+    * INCREMENT BY `step`) — the reference's dimension-key pattern
+    * (01_Init.py:59). Appends must OMIT the column (ALWAYS semantics —
+    * explicit values error, like Delta); keys are block-allocated per
+    * partition from the sidecar's high-water counter (the zipWithIndex
+    * shape: one lightweight count, no single-partition bottleneck),
+    * unique and increasing across commits. Like Delta identity, row→key
+    * assignment is not reproducible across reruns — use
+    * [[graft.operators.SurrogateKeys.assignOrdered]] where exact
+    * replayability matters. The counter advances with the commit; a
+    * failed commit may burn a key range but never double-issues. */
+  def setIdentity(name: String, colName: String, start: Long = 1L, step: Long = 1L): Unit = {
+    require(step != 0, "identity step must be non-zero")
+    val (schema, _) = currentManifest(name)
+    val visible = logicalizeSchema(name, schema)
+    val field = visible.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name IDENTITY: no column $colName (columns: ${visible.fieldNames.mkString(", ")})"))
+    require(field.dataType == org.apache.spark.sql.types.LongType,
+      s"$name IDENTITY $colName: need BIGINT, got ${field.dataType.catalogString}")
+    setMeta(name, meta(name).copy(properties = meta(name).properties +
+      (s"identity.${physicalName(name, field.name)}" -> s"$start,$step,0")))
+  }
+
+  /** The identity declaration, if any: (logical col, start, step, issued). */
+  def identityColumn(name: String): Option[(String, Long, Long, Long)] = {
+    val rn = renames(name)
+    meta(name).properties.collectFirst {
+      case (k, v) if k.startsWith("identity.") =>
+        val Array(start, step, issued) = v.split(',')
+        (rn.getOrElse(k.stripPrefix("identity."), k.stripPrefix("identity.")),
+          start.toLong, step.toLong, issued.toLong)
+    }
+  }
+
+  /** Assign identity keys to an appended frame that omits the column and
+    * advance the high-water counter. Returns the frame with the column
+    * in table order. */
+  private def applyIdentity(name: String, df: DataFrame): DataFrame =
+    identityColumn(name) match {
+      case None => df
+      case Some((colName, start, step, issued)) =>
+        require(!df.columns.exists(_.equalsIgnoreCase(colName)),
+          s"$name: $colName is GENERATED ALWAYS AS IDENTITY — explicit values " +
+            "are not accepted; omit the column")
+        import org.apache.spark.sql.types.{LongType, StructField}
+        val schema2 = df.schema.add(StructField(colName, LongType, nullable = false))
+        val counted = df.rdd.zipWithIndex().map { case (row, idx) =>
+          org.apache.spark.sql.Row.fromSeq(
+            row.toSeq :+ (start + step * (issued + idx)))
+        }
+        val n = df.count()
+        setMeta(name, meta(name).copy(properties = meta(name).properties +
+          (s"identity.${physicalName(name, colName)}" -> s"$start,$step,${issued + n}")))
+        spark.createDataFrame(counted, schema2)
+    }
 
   /** Delta SHALLOW CLONE: create `dst` referencing `src`'s CURRENT files
     * by path — an instant, zero-copy fork. The clone's own DML rewrites

@@ -607,6 +607,32 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("identity columns: block-allocated, unique across appends, ALWAYS-enforced") {
+    val root = Files.createTempDirectory("graft_ident").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.i",
+      spark.range(0, 0).select(col("id").as("ik"), col("id").cast("string").as("v")))
+    store.setIdentity("db.i", "ik", start = 100L, step = 5L)
+
+    store.append("db.i", (0 until 20).map(i => s"a$i").toDF("v").repartition(4))
+    store.append("db.i", (0 until 13).map(i => s"b$i").toDF("v").repartition(3))
+    val ids = store.read("db.i").select($"ik").as[Long].collect().sorted
+    assert(ids.length == 33 && ids.distinct.length == 33, "identity keys must be unique")
+    assert(ids.toSeq == (0 until 33).map(i => 100L + 5L * i), "contiguous arithmetic sequence")
+    assert(store.identityColumn("db.i").map(_._4).contains(33L), "high-water advanced")
+
+    // ALWAYS semantics: explicit values refuse
+    intercept[IllegalArgumentException] {
+      store.append("db.i", Seq((999L, "x")).toDF("ik", "v"))
+    }
+    // CoW rewrites carry existing keys untouched
+    store.update("db.i", $"v" === "a0", Map("v" -> lit("a0+")))
+    val ids2 = store.read("db.i").select($"ik").as[Long].collect().sorted
+    assert(ids2.toSeq == ids.toSeq, "DML must never reassign identity keys")
+    store.detach()
+  }
+
   test("rename refuses constraint/PK-referenced and colliding names") {
     val root = Files.createTempDirectory("graft_colmap3").toString
     val store = new TableStore(spark, root)
