@@ -348,6 +348,52 @@ object ExtensionQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  // x40: sliding-window chunking — split each document into overlapping
+  // token windows (64 tokens, stride 48), the standard long-document →
+  // training-example step. Chunk boundaries are pure integer arithmetic
+  // over the token array; one explode, no shuffle before the final sort.
+  def x40Chunking(s: SparkSession, dir: String): DataFrame = {
+    val n = 64
+    val stride = 48
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(TextFunctions.normalizeText(col("text")), " ").as("toks"))
+      .withColumn("len", size(filter(col("toks"), t => length(t) > 0)))
+      .filter(col("len") > 0)
+      .withColumn("toks", filter(col("toks"), t => length(t) > 0))
+    toks
+      .withColumn("n_chunks",
+        (ceil(greatest(col("len") - n, lit(0)).cast("double") / stride) + 1).cast("long"))
+      .select(col("doc_id"), col("toks"), col("len"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start"),
+        array_join(slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(n)), " ")
+          .as("chunk_text"),
+        least(col("len") - col("chunk_id") * stride, lit(n.toLong)).as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // x41: domain mixture upsampling — per-language epoch weights (en 2.5,
+  // de 1.0, fr 0.5, rest 1.0): every document appears floor(w) times plus
+  // one more with probability frac(w), decided by a salted md5 bucket —
+  // deterministic "temperature" resampling of the corpus mix, exactly
+  // replayable across engines and reruns. One explode, no RNG, no shuffle.
+  def x41Mixture(s: SparkSession, dir: String): DataFrame = {
+    val wholeCopies = when(col("lang") === "en", 2).otherwise(
+      when(col("lang") === "fr", 0).otherwise(1))
+    val fracPct = when(col("lang") === "en", 50).otherwise(
+      when(col("lang") === "fr", 50).otherwise(0))
+    val bucket = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    t(s, dir, "documents")
+      .withColumn("n_copies", (wholeCopies + when(bucket < fracPct, 1).otherwise(0)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -376,6 +422,8 @@ object ExtensionQueries {
     "x35_seq_packing" -> x35SeqPacking _,
     "x38_countmin" -> x38CountMin _,
     "x39_gap_fill" -> x39GapFill _,
+    "x40_chunking" -> x40Chunking _,
+    "x41_mixture" -> x41Mixture _,
     "x33_table_stream" -> x33TableStream _,
     "x30_decontaminate" -> x30Decontaminate _,
     "x31_stratified_sample" -> x31StratifiedSample _,
@@ -442,6 +490,34 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x40_chunking" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($Norm, ' '), t -> len(t) > 0) AS toks
+         |  FROM documents),
+         |sized AS (
+         |  SELECT doc_id, toks, len(toks) AS len,
+         |    CAST(CEIL(GREATEST(len(toks) - 64, 0) / 48.0) + 1 AS BIGINT) AS n_chunks
+         |  FROM d WHERE len(toks) > 0)
+         |SELECT doc_id, u.chunk_id,
+         |  CAST(u.chunk_id * 48 AS BIGINT) AS start,
+         |  array_to_string(toks[CAST(u.chunk_id * 48 + 1 AS BIGINT):CAST(u.chunk_id * 48 + 64 AS BIGINT)], ' ') AS chunk_text,
+         |  LEAST(len - u.chunk_id * 48, 64) AS chunk_len
+         |FROM sized, UNNEST(range(0, n_chunks)) AS u(chunk_id)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "x41_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0 ELSE 1 END
+        |      + CASE WHEN CAST(('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |               < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 50 ELSE 0 END
+        |             THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(u.copy_id AS BIGINT) AS copy_id
+        |FROM w, UNNEST(range(1, n_copies + 1)) AS u(copy_id)
+        |WHERE n_copies > 0
+        |ORDER BY doc_id, copy_id""".stripMargin,
     "x38_countmin" ->
       s"""WITH words AS (
          |  SELECT u.term FROM (

@@ -281,6 +281,34 @@ class ExtensionSpec extends AnyFunSuite {
       "filled rows carry the last observation")
   }
 
+  test("chunking: windows tile every document with the declared stride and cover all tokens") {
+    val out = graft.queries.ExtensionQueries.x40Chunking(spark, dir).cache()
+    // starts advance by exactly the stride within a doc
+    assert(out.filter($"start" =!= $"chunk_id" * 48).count() == 0)
+    // every chunk is non-empty and at most the window size
+    assert(out.filter($"chunk_len" < 1 || $"chunk_len" > 64).count() == 0)
+    // the last chunk of each doc reaches the document's end
+    val last = out.groupBy($"doc_id").agg(
+      max($"start" + $"chunk_len").as("covered"),
+      max($"chunk_id").as("mx"), count(lit(1)).as("n"))
+    assert(last.filter($"n" =!= $"mx" + 1).count() == 0, "chunk ids dense from 0")
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", size(filter(split(TextFunctions.normalizeText($"text"), " "),
+        t => length(t) > 0)).as("len")).filter($"len" > 0)
+    assert(last.join(toks, "doc_id").filter($"covered" =!= $"len").count() == 0,
+      "chunks must cover the full token stream")
+  }
+
+  test("mixture: per-language copy counts follow floor(w) + md5-fraction") {
+    val out = graft.queries.ExtensionQueries.x41Mixture(spark, dir).cache()
+    val perDoc = out.groupBy($"doc_id", $"lang").agg(count(lit(1)).as("n"),
+      max($"n_copies").as("declared"))
+    assert(perDoc.filter($"n" =!= $"declared").count() == 0)
+    assert(perDoc.filter($"lang" === "en" && ($"n" < 2 || $"n" > 3)).count() == 0)
+    assert(perDoc.filter($"lang" === "fr" && $"n" > 1).count() == 0)
+    assert(perDoc.filter(!$"lang".isin("en", "fr") && $"n" =!= 1).count() == 0)
+  }
+
   test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
     val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
     assert(out.count() == emb.count(), "one row per vector")
