@@ -327,7 +327,7 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
   private val DetailRe =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(?\s*([\w.\s,]+?)\s*\)?)?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(?\s*([\w.\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s*;?\s*$""".r
   private val RestoreRe =
@@ -342,8 +342,9 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case HistoryRe(t) => GraftDescribeHistoryCommand(t)
     case DetailRe(t) => GraftDescribeDetailCommand(t)
-    case OptimizeRe(t, z) => GraftOptimizeCommand(t,
-      Option(z).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    case OptimizeRe(t, w, z) => GraftOptimizeCommand(t,
+      Option(z).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      Option(w).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(t) => GraftVacuumCommand(t)
     case RestoreRe(t, v) => GraftRestoreCommand(t, v.toInt)
     case DropTableRe(ifE, t) if t.contains(".") =>
@@ -591,7 +592,8 @@ final case class GraftDescribeDetailCommand(table: String) extends LeafRunnableC
 /** `OPTIMIZE db.table [ZORDER BY (c, …)]`: compaction (deletion vectors
   * folded in, small files consolidated), optionally re-clustering rows
   * along a Z-order curve; reports file counts before/after. */
-final case class GraftOptimizeCommand(table: String, zorderBy: Seq[String])
+final case class GraftOptimizeCommand(table: String, zorderBy: Seq[String],
+    where: Option[String] = None)
   extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types._
@@ -602,12 +604,18 @@ final case class GraftOptimizeCommand(table: String, zorderBy: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for OPTIMIZE"))
+    require(where.isEmpty || zorderBy.isEmpty,
+      "OPTIMIZE … WHERE with ZORDER BY is not supported — Z-order the whole table")
     val before = store.history(table).headOption.map(_._4).getOrElse(0)
     // ZORDER keeps the file count (clustering, not consolidation: the
     // curve needs multiple files to give every column selective ranges);
-    // plain OPTIMIZE consolidates per partition
+    // plain OPTIMIZE consolidates per partition; WHERE bounds the work to
+    // the predicate's candidate files
     if (zorderBy.nonEmpty) store.compact(table, targetFiles = math.max(1, before), zorderBy)
-    else store.compact(table)
+    else where match {
+      case Some(w) => store.compactWhere(table, org.apache.spark.sql.functions.expr(w))
+      case None => store.compact(table)
+    }
     val after = store.history(table).headOption.map(_._4).getOrElse(0)
     Seq(Row(table, before, after))
   }

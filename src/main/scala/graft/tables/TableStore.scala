@@ -835,6 +835,28 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** OPTIMIZE … WHERE: compact only the files the predicate could touch
+    * (manifest stats/partition pruning picks the candidates) — the
+    * bounded maintenance form a 100 TB table runs routinely: cost scales
+    * with the predicate's slice, never the table. Deletion vectors on
+    * candidate files fold in; every other file carries over untouched. */
+  def compactWhere(name: String, pred: Column, targetFiles: Int = 1): Unit = {
+    val base = currentVersion(name)
+    val (schema, entries) = currentManifest(name)
+    val candidates = pruneEntries(name, schema, entries, pred)
+    if (candidates.size <= 1 && !candidates.exists(_.dvs.nonEmpty)) return
+    val cset = candidates.map(_.rel).toSet
+    val (pb, sw, sf) = readLayout(name)
+    val df0 = readEntries(name, schema, candidates)
+    val logicalOf = { val rn = renames(name); (c: String) => rn.getOrElse(c, c) }
+    val lpb = pb.map(logicalOf)
+    val df = if (lpb.nonEmpty) df0.repartition(lpb.map(col): _*)
+             else df0.repartition(math.max(1, targetFiles))
+    commitVersion(name, df, pb, sw, sf,
+      carryOver = entries.filterNot(e => cset(e.rel)),
+      schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
+  }
+
   /** Bin-packing compaction: rewrite only the manifest entries that are
     * SMALL (under `smallBytes`) or carry deletion vectors, consolidating
     * them into one file per partition value (or one file total); every

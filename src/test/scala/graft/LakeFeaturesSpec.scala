@@ -607,6 +607,38 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("OPTIMIZE WHERE compacts only the predicate's candidate files") {
+    val root = Files.createTempDirectory("graft_optw").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // sorted-by-k files → selective per-file k ranges; many small appends
+    store.createOrReplace("db.ow",
+      spark.range(0, 1000).select(col("id").as("k"), col("id").cast("string").as("v")),
+      sortWithin = Seq("k"))
+    (0 until 6).foreach { i =>
+      store.append("db.ow", spark.range(1000 + i * 100, 1100 + i * 100)
+        .select(col("id").as("k"), col("id").cast("string").as("v")))
+    }
+    val before = dataFiles(root, "db", "ow")
+    val filesBefore = store.prunedFileList("db.ow", None).size
+    val lowFiles = store.prunedFileList("db.ow", Some(col("k") < 1000L)).toSet
+
+    spark.sql("OPTIMIZE db.ow WHERE k >= 1000")
+    val after = dataFiles(root, "db", "ow")
+    // the low-range files survive bit-identically
+    before.foreach { case (rel, mtime) =>
+      if (lowFiles.exists(rel.endsWith)) {
+        assert(after.contains(rel) && after(rel) == mtime,
+          s"OPTIMIZE WHERE must not touch out-of-range file $rel")
+      }
+    }
+    val filesAfter = store.prunedFileList("db.ow", None).size
+    assert(filesAfter < filesBefore, s"high range should consolidate ($filesBefore -> $filesAfter)")
+    assert(store.read("db.ow").count() == 1600)
+    assert(store.read("db.ow").agg(sum(col("k"))).as[Long].head() == (0L until 1600L).sum)
+    store.detach()
+  }
+
   test("identity columns: block-allocated, unique across appends, ALWAYS-enforced") {
     val root = Files.createTempDirectory("graft_ident").toString
     val store = new TableStore(spark, root)

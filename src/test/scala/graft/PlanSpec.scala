@@ -199,6 +199,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("bronze_t"))
   }
 
+  test("x34 bm25: query set and document frequencies broadcast; no cartesian anywhere") {
+    val plan = executed(SparkEntry.queries("x34_bm25_topk")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"query-term and dfreq joins must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in bm25")
+  }
+
+  test("x38 count-min: sketch estimation joins broadcast the 3x64 sketch") {
+    val plan = executed(SparkEntry.queries("x38_countmin")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"per-depth sketch joins must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x40/x41: chunking and mixture shuffle only for the final presentation sort") {
+    for (q <- Seq("x40_chunking", "x41_mixture")) {
+      val plan = executed(SparkEntry.queries(q)(spark, dir))
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 2, s"$q: explode pipelines must not shuffle " +
+        s"beyond the output sort, got $exchanges exchanges:\n${plan.take(1200)}")
+    }
+  }
+
   test("x37: bounded_topk aggregates partially before the shuffle (no full-group sort)") {
     val plan = executed(SparkEntry.queries("x37_topk_agg")(spark, dir))
     // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
