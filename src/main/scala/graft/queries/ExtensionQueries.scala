@@ -394,6 +394,50 @@ object ExtensionQueries {
       .orderBy(col("doc_id"), col("copy_id"))
   }
 
+  // x42: the INCREMENTAL medallion — the reference's bronze→silver SCD2
+  // flow re-expressed as a continuously-updating pipeline built entirely
+  // from this engine's own parts: bronze is a store table, the DSv2
+  // `graft-table` source streams its commits (initial snapshot, then the
+  // append increment), and the streaming SCD2 sink applies each
+  // micro-batch as ONE atomic file-pruned merge. Two AvailableNow drains
+  // over one checkpoint make the batch boundaries deterministic, so the
+  // resulting HISTORY (not just the current slice) is oracle-exact.
+  // Semantics (the sink's contract, = the reference's load pattern): each
+  // micro-batch is a COMPLETE bronze load — changed keys close+insert,
+  // new keys insert, and keys absent from the load close as deleted.
+  def x42IncrementalMedallion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_x42_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_x42_ckpt").toString
+    val store = new graft.tables.TableStore(s, root)
+    try {
+      val cust = t(s, dir, "customer")
+      val b1 = cust.filter(col("c_custkey") % 10 < 8)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val b2 = cust.filter(col("c_custkey") % 10 < 9 && col("c_custkey") % 17 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val ts = Seq("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingUpsert.scd2Sink(
+            store.readStream("bronze.customer"),
+            store, "silver.dim_customer", Seq("c_custkey"),
+            batchId => lit(ts(math.min(batchId, 1L).toInt)))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      store.createOrReplace("bronze.customer", b1) // load 1: full snapshot
+      drain()                                      // batch 0 → scd2Init @ ts(0)
+      store.append("bronze.customer", b2)          // load 2: incremental slice
+      drain()                                      // batch 1 → atomic SCD2 merge @ ts(1)
+      store.read("silver.dim_customer")
+        .orderBy(col("c_custkey"), col(graft.operators.Scd.ValidFrom))
+    } finally store.detach()
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -424,6 +468,7 @@ object ExtensionQueries {
     "x39_gap_fill" -> x39GapFill _,
     "x40_chunking" -> x40Chunking _,
     "x41_mixture" -> x41Mixture _,
+    "x42_incremental_medallion" -> x42IncrementalMedallion _,
     "x33_table_stream" -> x33TableStream _,
     "x30_decontaminate" -> x30Decontaminate _,
     "x31_stratified_sample" -> x31StratifiedSample _,
@@ -490,6 +535,43 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x42_incremental_medallion" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 < 8),
+        |b2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0)
+        |SELECT * FROM (
+        |  -- unchanged current rows from load 1
+        |  SELECT b1.c_custkey, b1.c_name, b1.c_acctbal,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS _tf_valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS _tf_valid_to
+        |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+        |  WHERE b1.c_name = b2.c_name AND b1.c_acctbal = b2.c_acctbal
+        |  UNION ALL
+        |  -- closed: changed in load 2
+        |  SELECT b1.c_custkey, b1.c_name, b1.c_acctbal,
+        |    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00'
+        |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+        |  WHERE b1.c_name <> b2.c_name OR b1.c_acctbal <> b2.c_acctbal
+        |  UNION ALL
+        |  -- closed: vanished from load 2 (a load is a full snapshot)
+        |  SELECT b1.c_custkey, b1.c_name, b1.c_acctbal,
+        |    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00'
+        |  FROM b1 WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.c_custkey = b1.c_custkey)
+        |  UNION ALL
+        |  -- new current versions for changed keys
+        |  SELECT b2.c_custkey, b2.c_name, b2.c_acctbal,
+        |    TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |  FROM b1 JOIN b2 ON b1.c_custkey = b2.c_custkey
+        |  WHERE b1.c_name <> b2.c_name OR b1.c_acctbal <> b2.c_acctbal
+        |  UNION ALL
+        |  -- inserted keys (in the increment only)
+        |  SELECT b2.c_custkey, b2.c_name, b2.c_acctbal,
+        |    TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |  FROM b2 WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.c_custkey = b2.c_custkey))
+        |ORDER BY c_custkey, _tf_valid_from""".stripMargin,
     "x40_chunking" ->
       s"""WITH d AS (
          |  SELECT doc_id,
