@@ -20,6 +20,18 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Like [[executed]], but drops the session's caches BEFORE the query is
+    * even constructed: suites share the session and run in parallel, and a
+    * twin plan another suite .cache()d would otherwise splice its frozen
+    * InMemoryRelation (with its own exchanges) into the plan under
+    * assertion. Construction must come after the clear — clearing between
+    * construction and collect would instead unpersist a query's OWN
+    * internal persist() (x26). */
+  private def executedIsolated(mk: => DataFrame): String = {
+    spark.catalog.clearCache()
+    executed(mk)
+  }
+
   test("q2: filters are pushed to the parquet scan and columns pruned") {
     val plan = executed(SparkEntry.queries("q2_filter_project")(spark, dir))
     assert(plan.contains("PushedFilters: ["), "expected parquet pushdown")
@@ -200,14 +212,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x34 bm25: query set and document frequencies broadcast; no cartesian anywhere") {
-    val plan = executed(SparkEntry.queries("x34_bm25_topk")(spark, dir))
+    val plan = executedIsolated(SparkEntry.queries("x34_bm25_topk")(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"query-term and dfreq joins must broadcast:\n${plan.take(1200)}")
     assert(!plan.contains("CartesianProduct"), "no cartesian in bm25")
   }
 
   test("x38 count-min: sketch estimation joins broadcast the 3x64 sketch") {
-    val plan = executed(SparkEntry.queries("x38_countmin")(spark, dir))
+    val plan = executedIsolated(SparkEntry.queries("x38_countmin")(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
       s"per-depth sketch joins must broadcast:\n${plan.take(1200)}")
     assert(!plan.contains("CartesianProduct"))
@@ -215,7 +227,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("x40/x41: chunking and mixture shuffle only for the final presentation sort") {
     for (q <- Seq("x40_chunking", "x41_mixture")) {
-      val plan = executed(SparkEntry.queries(q)(spark, dir))
+      // count only THIS query's exchanges: a cached twin racing in from a
+      // parallel suite prints its frozen subtree under InMemoryRelation
+      val plan = executedIsolated(SparkEntry.queries(q)(spark, dir)).split("InMemoryRelation").head
       val exchanges = "Exchange".r.findAllIn(plan).size
       assert(exchanges <= 2, s"$q: explode pipelines must not shuffle " +
         s"beyond the output sort, got $exchanges exchanges:\n${plan.take(1200)}")
@@ -223,7 +237,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x37: bounded_topk aggregates partially before the shuffle (no full-group sort)") {
-    val plan = executed(SparkEntry.queries("x37_topk_agg")(spark, dir))
+    val plan = executedIsolated(SparkEntry.queries("x37_topk_agg")(spark, dir))
     // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
     // mode instance must sit below the exchange so each map task ships at
     // most k rows per group — THE reason this beats the window idiom
