@@ -247,6 +247,23 @@ object SqlDml {
       .filter(_ => d.columnsToDrop.forall(_.name.length == 1))
       .map(name => GraftDropColumnsCommand(name, d.columnsToDrop.map(_.name.head)))
 
+  /** Plain `SELECT … FROM db.t` over a store table: resolve the relation
+    * to the store's read plan, so the SQL warehouse surface reads store
+    * tables BY NAME — no manual temp-view registration. Session-catalog
+    * tables and (temp) views always win: the lowering only fires when the
+    * catalog cannot resolve the identifier, so a store table can never
+    * shadow a catalog object. */
+  private[ext] def lowerRelation(u: UnresolvedRelation,
+      spark: SparkSession): Option[LogicalPlan] = {
+    val name = u.multipartIdentifier.mkString(".")
+    if (!name.contains(".") || u.multipartIdentifier.length > 2) None
+    else if (scala.util.Try(spark.catalog.tableExists(name)).getOrElse(false)) None
+    else TableStore.resolve(spark, name).map { st =>
+      org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+        u.multipartIdentifier, GraftShims.analyzedPlan(st.read(name)))
+    }
+  }
+
   /** First store-table leaf under `plan` — the constraint nodes wrap the
     * target in helper operators (AddCheckConstraint's child is
     * `Filter(NOT cond, UnresolvedRelation)`, Spark's own existing-row
@@ -389,6 +406,8 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DropConstraint => SqlDml.lowerDropConstraint(d, spark).getOrElse(d)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         SqlDml.lowerTimeTravel(tt, spark).getOrElse(tt)
+      case u: UnresolvedRelation =>
+        SqlDml.lowerRelation(u, spark).getOrElse(u)
     }
 }
 

@@ -283,7 +283,30 @@ object SqlDmlQueries {
     store.read("gold.ord_gen").orderBy(col("o_orderkey"))
   }
 
+  // q48: the SQL warehouse reads store tables BY NAME — no temp-view
+  // registration, no catalog entry: the analyzer rule resolves the bare
+  // identifier to the store's (pruned, mapped) read plan, catalog objects
+  // always winning. The statement is plain ANSI over two store tables.
+  def q48SqlSelectStore(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.li_sel",
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")))
+    store.createOrReplace("silver.ord_sel",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
+    val out = s.sql(
+      """SELECT o.o_orderpriority, l.l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_qty
+        |FROM silver.li_sel l JOIN silver.ord_sel o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority, l.l_returnflag
+        |ORDER BY o.o_orderpriority, l.l_returnflag""".stripMargin)
+    store.detach()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_sql_select_store" -> q48SqlSelectStore _,
     "q47_generated_column" -> q47GeneratedColumn _,
     "q46_column_mapping" -> q46ColumnMapping _,
     "q42_change_feed" -> q42ChangeFeed _,
@@ -302,6 +325,14 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q48_sql_select_store" ->
+      """SELECT o.o_orderpriority, l.l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_qty
+        |FROM (SELECT * FROM lineitem WHERE l_orderkey % 3 = 0) l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority, l.l_returnflag
+        |ORDER BY o.o_orderpriority, l.l_returnflag""".stripMargin,
     "q47_generated_column" ->
       """WITH rows0 AS (
         |  SELECT o_orderkey,

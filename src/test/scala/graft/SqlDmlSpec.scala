@@ -251,6 +251,35 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP DATABASE IF EXISTS ctasfb CASCADE")
   }
 
+  test("plain SELECT resolves store tables by name; catalog objects always win") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_sel").toString)
+    try {
+      store.createOrReplace("db.sel_o", Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "grp"))
+      store.createOrReplace("db.sel_d", Seq(("a", 10L), ("b", 20L)).toDF("grp", "w"))
+      // bare SELECT, aggregation, and a join between two store tables
+      assert(spark.sql("SELECT count(*) AS n FROM db.sel_o").as[Long].head() == 3L)
+      val joined = spark.sql(
+        """SELECT o.grp, sum(d.w) AS tw FROM db.sel_o o
+          |JOIN db.sel_d d ON o.grp = d.grp GROUP BY o.grp ORDER BY o.grp""".stripMargin)
+      assert(joined.as[(String, Long)].collect().toSeq == Seq(("a", 20L), ("b", 20L)))
+      // qualified star + column mapping compose
+      store.renameColumn("db.sel_o", "k", "key_id")
+      assert(spark.sql("SELECT key_id FROM db.sel_o WHERE key_id = 2").as[Long].head() == 2L)
+      // a temp view with the same dotted name shape cannot be shadowed:
+      // make a catalog DATABASE + table of the same name and check it wins
+      spark.sql("CREATE DATABASE IF NOT EXISTS selcat")
+      try {
+        spark.sql("CREATE TABLE selcat.t AS SELECT 42 AS answer")
+        val s2 = new TableStore(spark, Files.createTempDirectory("graft_sqldml_sel2").toString)
+        try {
+          s2.createOrReplace("selcat.t", Seq((7L, "nope")).toDF("k", "v"))
+          assert(spark.sql("SELECT answer FROM selcat.t").as[Int].head() == 42,
+            "session-catalog table must win over a store table of the same name")
+        } finally s2.detach()
+      } finally spark.sql("DROP DATABASE IF EXISTS selcat CASCADE")
+    } finally store.detach()
+  }
+
   test("MERGE with no key equality in ON is rejected") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_spec3").toString)
     store.createOrReplace("db.t1", Seq((1, 2)).toDF("a", "b"))
