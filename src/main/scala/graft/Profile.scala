@@ -36,7 +36,8 @@ object Profile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =

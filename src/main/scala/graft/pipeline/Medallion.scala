@@ -176,9 +176,15 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
       sortWithin = Seq("sales_order_key", "sales_line_number"))
 
   def run(loadTs: Column): Unit = {
-    runBronze()
-    runSilver(loadTs)
-    runGoldDims(loadTs)
-    runGoldFact(loadTs)
+    // stage names surface in the Spark UI / job listeners, so a slow load
+    // attributes to its medallion stage without guesswork
+    def staged(stage: String)(body: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(s"medallion: $stage")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
+    staged("bronze")(runBronze())
+    staged("silver scd2")(runSilver(loadTs))
+    staged("gold dims")(runGoldDims(loadTs))
+    staged("gold fact")(runGoldFact(loadTs))
   }
 }
