@@ -438,6 +438,34 @@ object ExtensionQueries {
     } finally store.detach()
   }
 
+  // x43: deterministic negative sampling — k pseudo-random partners per
+  // anchor for contrastive/retrieval training, drawn by walking a salted
+  // cyclic ordering of the corpus (positions (pos + 7j) mod N). No RNG:
+  // the same pairs come back on every engine, rerun and partitioning.
+  // The ranking window is global here for oracle exactness; at corpus
+  // scale the position column comes from the block-allocated
+  // SurrogateKeys.assignDistributed pass instead (same downstream shape).
+  def x43NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 4
+    val ranked = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("neg|"), col("doc_id").cast("string"))).as("salt"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("salt"), col("doc_id"))) - 1)
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    val pairs = ranked
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("pos"), col("n_docs"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("cand", (col("pos") + col("j") * 7) % col("n_docs"))
+    val neg = ranked.select(col("pos").as("neg_pos"), col("doc_id").as("neg_doc_id"),
+      col("lang").as("neg_lang"))
+    pairs.join(neg, col("cand") === col("neg_pos"))
+      .select(col("doc_id"), col("j"), col("neg_doc_id"),
+        (col("lang") =!= col("neg_lang")).as("cross_lang"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -469,6 +497,7 @@ object ExtensionQueries {
     "x40_chunking" -> x40Chunking _,
     "x41_mixture" -> x41Mixture _,
     "x42_incremental_medallion" -> x42IncrementalMedallion _,
+    "x43_negative_sampling" -> x43NegativeSampling _,
     "x33_table_stream" -> x33TableStream _,
     "x30_decontaminate" -> x30Decontaminate _,
     "x31_stratified_sample" -> x31StratifiedSample _,
@@ -535,6 +564,19 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x43_negative_sampling" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (ORDER BY md5('neg|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS c FROM r),
+        |p AS (
+        |  SELECT r.doc_id, r.lang, r.pos, u.j, (r.pos + u.j * 7) % n.c AS cand
+        |  FROM r CROSS JOIN n, UNNEST(range(1, 5)) AS u(j))
+        |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, q.doc_id AS neg_doc_id,
+        |  p.lang <> q.lang AS cross_lang
+        |FROM p JOIN r q ON q.pos = p.cand
+        |ORDER BY p.doc_id, p.j""".stripMargin,
     "x42_incremental_medallion" ->
       """WITH b1 AS (
         |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 < 8),

@@ -309,6 +309,15 @@ class ExtensionSpec extends AnyFunSuite {
     assert(perDoc.filter(!$"lang".isin("en", "fr") && $"n" =!= 1).count() == 0)
   }
 
+  test("negative sampling: k negatives per anchor, never self, deterministic across runs") {
+    val a = graft.queries.ExtensionQueries.x43NegativeSampling(spark, dir)
+    val b = graft.queries.ExtensionQueries.x43NegativeSampling(spark, dir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, "must be replayable")
+    val perAnchor = a.groupBy($"doc_id").count()
+    assert(perAnchor.filter($"count" =!= 4).count() == 0, "exactly k negatives per anchor")
+    assert(a.filter($"doc_id" === $"neg_doc_id").count() == 0, "never pair a doc with itself")
+  }
+
   test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
     val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
     assert(out.count() == emb.count(), "one row per vector")
