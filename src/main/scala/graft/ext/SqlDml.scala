@@ -346,7 +346,7 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(?\s*([\w.\s,]+?)\s*\)?)?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   // DROP TABLE must be claimed at PARSE time: the analyzer resolves the
@@ -362,7 +362,8 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     case OptimizeRe(t, w, z) => GraftOptimizeCommand(t,
       Option(z).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
       Option(w).map(_.trim).filter(_.nonEmpty))
-    case VacuumRe(t) => GraftVacuumCommand(t)
+    case VacuumRe(t, hours) =>
+      GraftVacuumCommand(t, Option(hours).map(_.toLong * 3600 * 1000).getOrElse(0L))
     case RestoreRe(t, v) => GraftRestoreCommand(t, v.toInt)
     case DropTableRe(ifE, t) if t.contains(".") =>
       GraftDropTableCommand(t, ifE != null, delegate.parsePlan(sqlText))
@@ -657,11 +658,12 @@ final case class GraftRestoreCommand(table: String, version: Int)
 
 /** `VACUUM db.table`: drop data files unreferenced by the current
   * manifest and retire non-current versions. */
-final case class GraftVacuumCommand(table: String) extends LeafRunnableCommand {
+final case class GraftVacuumCommand(table: String, retainMs: Long = 0L)
+  extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for VACUUM"))
-    store.vacuum(table)
+    store.vacuum(table, retainMs = retainMs)
     Seq.empty
   }
 }

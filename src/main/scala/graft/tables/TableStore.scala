@@ -1969,7 +1969,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * is race-free. Stages older than `staleStagingMs` (default 24 h) are
     * treated as crashed writers and removed — Delta's retention-gate
     * shape. */
-  def vacuum(name: String, staleStagingMs: Long = 24L * 3600 * 1000): Unit = {
+  def vacuum(name: String, staleStagingMs: Long = 24L * 3600 * 1000,
+      retainMs: Long = 0L): Unit = {
     val keepVersion = currentVersion(name)
     if (keepVersion.isEmpty) return
     // the streaming exactly-once marker lives in manifest op labels this
@@ -1981,19 +1982,32 @@ final class TableStore(spark: SparkSession, root: String) {
         meta(name).properties + ("stream_high_water" -> hw.toString)))
     }
     withCommitLock(name) {
-      val (_, entries) = currentManifest(name)
-      val referenced = entries.map(e =>
-        tableDir(name).resolve(e.rel).toAbsolutePath.normalize).toSet
+      val now = System.currentTimeMillis()
+      // retained snapshots = the current version plus every committed
+      // version younger than `retainMs` (Delta's retention window): their
+      // manifests AND data files survive, so time travel within the
+      // window keeps working after the vacuum
+      val retained: Set[Int] = versions(name).filter { v =>
+        keepVersion.contains(v) || (retainMs > 0 && {
+          val mf = tableDir(name).resolve(s"v_$v").resolve("_MANIFEST")
+          Files.exists(mf) &&
+            now - Files.getLastModifiedTime(mf).toMillis <= retainMs
+        })
+      }.toSet
+      val retainedManifests = retained.toSeq.sorted.map(v => readManifest(name, v))
+      val referenced = retainedManifests.flatMap { case (_, entries) =>
+        entries.map(e => tableDir(name).resolve(e.rel).toAbsolutePath.normalize)
+      }.toSet
       // deletion-vector sidecars are parquet DIRECTORIES — everything under
       // a referenced DV dir stays
-      val dvDirs = entries.flatMap(_.dvs).distinct.map(d =>
-        tableDir(name).resolve(d).toAbsolutePath.normalize)
+      val dvDirs = retainedManifests.flatMap { case (_, entries) =>
+        entries.flatMap(_.dvs)
+      }.distinct.map(d => tableDir(name).resolve(d).toAbsolutePath.normalize)
       val dir = tableDir(name)
-      val now = System.currentTimeMillis()
       Files.list(dir).forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("v_")) {
-          val isCurrent = keepVersion.contains(n.stripPrefix("v_").toInt)
+          val isRetained = retained.contains(n.stripPrefix("v_").toInt)
           val committed = Files.exists(p.resolve("_MANIFEST"))
           val ageMs = now - Files.getLastModifiedTime(p).toMillis
           // uncommitted = in-flight stage (or crashed writer): untouchable
@@ -2006,7 +2020,7 @@ final class TableStore(spark: SparkSession, root: String) {
               if (Files.isDirectory(f)) {
                 if (!Files.list(f).iterator().hasNext) Files.delete(f) // now empty
               } else if (!referenced.contains(abs) && !dvDirs.exists(abs.startsWith) &&
-                  !(isManifest && isCurrent)) {
+                  !(isManifest && isRetained)) {
                 Files.delete(f)
               }
             }

@@ -607,6 +607,25 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("VACUUM RETAIN keeps the retention window time-travelable") {
+    val root = Files.createTempDirectory("graft_vacr").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.vr", Seq((1L, "a")).toDF("k", "v"))
+    store.append("db.vr", Seq((2L, "b")).toDF("k", "v"))
+    store.append("db.vr", Seq((3L, "c")).toDF("k", "v"))
+    // within the retention window every snapshot survives the vacuum
+    spark.sql("VACUUM db.vr RETAIN 168 HOURS")
+    assert(store.versions("db.vr") == Seq(1, 2, 3), "retained versions keep manifests")
+    assert(store.readVersion("db.vr", 1).count() == 1, "time travel inside the window works")
+    assert(store.readVersion("db.vr", 2).count() == 2)
+    // a zero-retention vacuum retires everything but the current snapshot
+    spark.sql("VACUUM db.vr")
+    assert(store.versions("db.vr") == Seq(3))
+    assert(store.read("db.vr").count() == 3)
+    store.detach()
+  }
+
   test("OPTIMIZE WHERE compacts only the predicate's candidate files") {
     val root = Files.createTempDirectory("graft_optw").toString
     val store = new TableStore(spark, root)
