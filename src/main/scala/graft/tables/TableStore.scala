@@ -1598,17 +1598,71 @@ final class TableStore(spark: SparkSession, root: String) {
     * selective predicate over a sorted/partitioned table scans only the
     * candidate files it could possibly touch. */
   private def touchedFiles(name: String, schema: StructType, entries: Seq[FileEntry],
-      cond: Column): Set[String] = {
+      cond: Column, scanAlias: Option[String] = None): Set[String] = {
     val candidates = pruneEntries(name, schema, entries, cond)
     if (candidates.isEmpty) Set.empty
     // scanWithPos (not readEntries + input_file_name): the DV-applied read
     // is a UNION of plain and anti-joined branches, where
     // input_file_name() is undefined — the scan's own __graft_file column
     // is the per-branch file identity
-    else scanWithPos(name, schema, candidates)
+    else scanAlias.foldLeft(scanWithPos(name, schema, candidates))(_.alias(_))
       .filter(cond)
       .select(col("__graft_file")).distinct()
       .collect().map(r => relOf(name, r.getString(0))).toSet
+  }
+
+  /** Test/tooling observability for MERGE discovery pruning: (candidate
+    * files scanned by the matched-row discovery join, total manifest
+    * files) of the most recent [[merge]] that had matched clauses. */
+  @volatile private[graft] var lastMergeDiscovery: Option[(Int, Int)] = None
+
+  /** Manifest entries that could possibly hold a target row matching some
+    * source row on `keys` — stats-pruned by the source's observed per-key
+    * [min, max] (one tiny source aggregation). Conservative: a file with
+    * no stats for a key survives; `extraOn` conjuncts are ignored (they
+    * can only shrink the true match set). Returns None when the source has
+    * no non-null value for some key — no row can possibly match, because
+    * `t.k = s.k` is never true against an all-NULL side. */
+  private def mergeCandidates(name: String, schema: StructType, entries: Seq[FileEntry],
+      source: DataFrame, keys: Seq[String]): Option[Seq[FileEntry]] = {
+    val exprs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val r = source.agg(exprs.head, exprs.tail: _*).head()
+    if (keys.indices.exists(i => r.isNullAt(2 * i))) return None
+    val boxPred = keys.zipWithIndex.map { case (k, i) =>
+      col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
+    }.reduce(_ && _)
+    val boxed = pruneEntries(name, schema, entries, boxPred)
+    if (boxed.isEmpty) return Some(Nil)
+    // Refine: when the source has few distinct key tuples, prune per tuple.
+    // A batch of scattered keys (updates at k=5,7 plus an insert at
+    // k=10001) defeats a single [min, max] box — every band file falls
+    // inside the global range — but not the per-tuple cut (Delta's dynamic
+    // file pruning makes the same move with a runtime IN-filter). Each
+    // tuple keeps only files whose stats admit it; the union of survivors
+    // is the candidate set. Driver cost is bounded: ≤128 tuples × the
+    // box-surviving entries, and an entry leaves `remaining` once kept.
+    val MaxTuples = 128
+    val tuples = source.select(keys.map(col): _*).na.drop("any", keys)
+      .distinct().limit(MaxTuples + 1).collect()
+    if (tuples.length > MaxTuples) Some(boxed)
+    else {
+      var remaining = boxed
+      val keep = Seq.newBuilder[FileEntry]
+      tuples.foreach { t =>
+        if (remaining.nonEmpty) {
+          val p = keys.zipWithIndex.map { case (k, i) =>
+            col(k) === lit(t.get(i))
+          }.reduce(_ && _)
+          val hit = pruneEntries(name, schema, remaining, p)
+          if (hit.nonEmpty) {
+            keep ++= hit
+            val rels = hit.map(_.rel).toSet
+            remaining = remaining.filterNot(e => rels(e.rel))
+          }
+        }
+      }
+      Some(keep.result())
+    }
   }
 
   /** K6: UPDATE … SET … WHERE. In `cow` mode (default) only files
@@ -1710,55 +1764,61 @@ final class TableStore(spark: SparkSession, root: String) {
     val schema = StructType(schema0.fields ++ newCols)
     val target = readEntries(name, schema, entries)
 
-    // One discovery pass finds every file the merge could modify: files
-    // with matched rows (when matched clauses exist) and files with
-    // by-source candidates (when by-source clauses exist). The
-    // Delta-parity multiple-match check is FUSED into the same join (its
-    // per-target-row match count rides the discovery aggregation) and is
-    // only needed when matched clauses could modify an ambiguous row —
-    // merges without matched clauses never modify a matched target row,
-    // so, like Delta, they do not error on duplicate source keys. An
+    // Discovery finds every file the merge could modify: files with
+    // matched rows (when matched clauses exist) and files with by-source
+    // candidates (when by-source clauses exist). The matched side is
+    // stats-pruned by the source's per-key [min, max] (one tiny source
+    // aggregation — the candidate cut Delta's MERGE makes before its
+    // touched-file join) and then INNER-joined to the source, so only
+    // matched rows ever reach the discovery aggregation: the shuffle is
+    // proportional to the source batch, never the target table. The
+    // Delta-parity multiple-match check rides the same aggregation (any
+    // target (file, pos) with >1 match) and is only needed when matched
+    // clauses could modify an ambiguous row — merges without matched
+    // clauses never modify a matched target row, so, like Delta, they do
+    // not error on duplicate source keys. By-source candidates come from
+    // a separate plain predicate scan (stats-pruned, no join); an
     // unconditioned by-source clause touches everything, as it must.
     val bySourceCond = notMatchedBySource.flatMap(_.cond).reduceOption(_ || _)
     val bsUnconditioned = notMatchedBySource.exists(_.cond.isEmpty)
+    lastMergeDiscovery = None
+    def matchedFiles(): Set[String] = {
+      val cand = mergeCandidates(name, schema, entries, source, keys)
+      lastMergeDiscovery = Some((cand.map(_.size).getOrElse(0), entries.size))
+      cand match {
+        case None => Set.empty          // some key is all-NULL in the source
+        case Some(cs) if cs.isEmpty => Set.empty
+        case Some(cs) =>
+          val t = scanWithPos(name, schema, cs).alias("t")
+          val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+          val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+          val perFile = t.join(source.alias("s"), onCond, "inner")
+            .groupBy(col("__graft_file"), col("__graft_pos"))
+            .agg(count(lit(1)).as("__n"))
+            .groupBy(col("__graft_file"))
+            .agg(max(col("__n")).as("__mx"))
+            .collect()
+          if (perFile.exists(_.getAs[Long]("__mx") > 1))
+            throw new IllegalStateException(
+              s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
+          perFile.map(r => relOf(name, r.getString(0))).toSet
+      }
+    }
     val touched: Set[String] =
       if (matched.isEmpty && notMatchedBySource.isEmpty) Set.empty // insert-only: pure append
       else if (matched.isEmpty && bsUnconditioned) entries.map(_.rel).toSet
-      else if (matched.isEmpty) {
-        // by-source only: plain predicate scan, no join, no check
-        scanWithPos(name, schema, entries).alias("t")
-          .filter(bySourceCond.get)
-          .select(col("__graft_file")).distinct()
-          .collect().map(r => relOf(name, r.getString(0))).toSet
-      } else if (bsUnconditioned) {
-        MergeInto.checkMultipleMatches(target, source, keys, extraOn)
+      else if (matched.isEmpty)
+        // by-source only: stats-pruned predicate scan, no join, no check
+        touchedFiles(name, schema, entries, bySourceCond.get, scanAlias = Some("t"))
+      else if (bsUnconditioned) {
+        // everything is rewritten regardless; the inner-join discovery
+        // still runs (cheap, pruned) purely for the multiple-match check
+        matchedFiles()
         entries.map(_.rel).toSet
-      } else {
-        val t = scanWithPos(name, schema, entries)
-          .withColumn("__graft_tid", org.apache.spark.sql.functions.monotonically_increasing_id())
-          .alias("t")
-        val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-        val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
-        val s = source.withColumn("__graft_s", lit(true)).alias("s")
-        val perRow = t.join(s, onCond, "left_outer")
-          .groupBy(col("__graft_tid"))
-          .agg(
-            org.apache.spark.sql.functions.first(col("__graft_file")).as("__f"),
-            count(col("__graft_s")).as("__n"),
-            org.apache.spark.sql.functions.first(
-              bySourceCond.getOrElse(lit(false))).as("__bs"))
-        val perFile = perRow.groupBy(col("__f"))
-          .agg(max(col("__n")).as("__mx"),
-            max(when(col("__n") > 0 ||
-              org.apache.spark.sql.functions.coalesce(col("__bs"), lit(false)), 1)
-              .otherwise(0)).as("__rel"))
-          .collect()
-        if (perFile.exists(_.getAs[Long]("__mx") > 1))
-          throw new IllegalStateException(
-            s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
-        perFile.filter(_.getAs[Int]("__rel") == 1)
-          .map(r => relOf(name, r.getAs[String]("__f"))).toSet
-      }
+      } else
+        matchedFiles() ++
+          bySourceCond.map(c => touchedFiles(name, schema, entries, c, scanAlias = Some("t")))
+            .getOrElse(Set.empty)
 
     val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
     val rewritten = MergeInto(subset, source, keys, extraOn, matched,

@@ -701,4 +701,50 @@ class LakeFeaturesSpec extends AnyFunSuite {
       store.dropColumn("db.g", "b") } // cannot drop the last column
     store.detach()
   }
+
+  test("MERGE discovery stats-prunes candidate files by the source key range") {
+    val root = Files.createTempDirectory("graft_mprune").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // key-clustered target: 8 range-partitioned files, each a narrow k band
+    val df = spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") % 5).as("grp"), lit("old").as("v"))
+      .repartitionByRange(8, col("k"))
+    store.createOrReplace("db.mp", df, sortWithin = Seq("k"), statsFor = Seq("k"))
+    val total = store.prunedFileList("db.mp", None).size
+    val before = dataFiles(root, "db", "mp").keySet
+
+    // small batch confined to one key band: discovery must not scan the table
+    val src = Seq((5L, "new5"), (7L, "new7"), (10001L, "ins")).toDF("k", "v")
+    store.merge("db.mp", src, Seq("k"),
+      matched = Seq(graft.operators.MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))),
+      notMatched = Seq(graft.operators.MergeInto.NotMatchedInsert(None,
+        Map("k" -> col("s.k"), "grp" -> lit(-1L), "v" -> col("s.v")))))
+
+    val Some((cand, tot)) = store.lastMergeDiscovery: @unchecked
+    assert(tot == total, s"discovery saw a different manifest ($tot vs $total)")
+    assert(cand < tot, s"merge discovery scanned every file ($cand/$tot)")
+    // untouched band files carried over physically (no rewrite)
+    val after = dataFiles(root, "db", "mp").keySet
+    assert(before.intersect(after).size >= total - cand,
+      "merge rewrote files outside the discovery candidate set")
+    // semantics intact
+    assert(store.read("db.mp").filter(col("k") === 5L)
+      .select(col("v")).as[String].head() == "new5")
+    assert(store.read("db.mp").filter(col("k") === 10001L).count() == 1)
+    assert(store.read("db.mp").filter(col("v") === "old").count() == 9998)
+
+    // multi-match still errors through the pruned inner-join discovery
+    intercept[IllegalStateException] {
+      store.merge("db.mp", Seq((5L, "a"), (5L, "b")).toDF("k", "v"), Seq("k"),
+        matched = Seq(graft.operators.MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))))
+    }
+    // an all-NULL-key source can match nothing: no file rewritten, inserts still land
+    val nullSrc = Seq((Option.empty[Long], "nul")).toDF("k", "v")
+    store.merge("db.mp", nullSrc, Seq("k"),
+      matched = Seq(graft.operators.MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))))
+    assert(store.lastMergeDiscovery.exists(_._1 == 0), "all-NULL key source should scan 0 files")
+    assert(store.read("db.mp").filter(col("v") === "old").count() == 9998)
+    store.detach()
+  }
 }
