@@ -161,6 +161,78 @@ object Scd {
       failOnMultipleMatches = false)
   }
 
+  /** Apply one source batch to a STORED SCD2 table as a single atomic,
+    * file-pruned merge — the shared engine behind the streaming SCD2 sink
+    * ([[graft.streaming.StreamingUpsert]]) and the batch medallion's
+    * silver loads ([[graft.pipeline.Medallion.runSilver]]).
+    *
+    * The reference's SCD2 semantics (close changed + vanished current
+    * rows, insert the new current versions — 22_ETL_Silver_PySpark.py:
+    * 62-101) land as ONE store merge using null-merge-key duplication:
+    * batch rows whose key exists with a changed payload appear in the
+    * merge source twice — once under their real key (matches → closes the
+    * old current row) and once with the key columns nulled (null never
+    * equi-matches → falls to the insert clause, carrying the real key in
+    * `__nk_*` side columns). One merge = one atomic snapshot commit: no
+    * window where a key's current row is closed but its replacement not
+    * yet inserted.
+    *
+    * Scale shape: the store's discovery rewrites only files holding rows
+    * some matched CLAUSE applies to — for a full-snapshot source (the
+    * medallion's daily load) that is files containing actually-CHANGED
+    * current rows, not the whole current slice; inserts append. Replaying
+    * an identical batch is a no-op by SCD2 idempotence, which is what
+    * makes the streaming sink safe under foreachBatch's at-least-once
+    * contract. */
+  def scd2ApplyBatch(store: graft.tables.TableStore, table: String, batch: DataFrame,
+      keys: Seq[String], loadTs: Column, initAudit: Boolean = false): Unit = {
+    val ts = loadTs.cast(TimestampType)
+    if (!store.exists(table)) {
+      store.createOrReplace(table, scd2Init(batch, ts, audit = initAudit)); return
+    }
+    val payload = batch.columns.filterNot(keys.contains).toSeq
+    val audit = hasAudit(store.read(table))
+    val currentOnly = col(s"t.$ValidTo").isNull
+    val closeSet = Map(ValidTo -> (ts: Column)) ++
+      (if (audit) Map(UpdateDate -> (ts: Column)) else Map.empty)
+
+    // batch rows whose key already has a current row with a different
+    // payload: these need BOTH a close of the old version (their real-key
+    // copy matches) and an insert of the new one (their null-key copy
+    // cannot match, so it reaches the insert clause)
+    val current = store.read(table).filter(col(ValidTo).isNull)
+    val changed = batch.alias("s")
+      .join(current.alias("t"),
+        keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _))
+      .filter(changePredicate(payload, nullSafe = false))
+      .select(batch.columns.map(c => col(s"s.$c")).toSeq: _*)
+
+    // every source row carries its real key in __nk_* side columns; the
+    // duplicates null the join keys themselves
+    def withNk(df: DataFrame, nullKeys: Boolean): DataFrame = df.select(
+      (df.columns.map(c =>
+        if (nullKeys && keys.contains(c)) lit(null).cast(df.schema(c).dataType).as(c)
+        else col(c)) ++
+        keys.map(k => col(k).as(s"__nk_$k"))).toSeq: _*)
+    val source = withNk(batch, nullKeys = false)
+      .unionByName(withNk(changed, nullKeys = true))
+
+    val insertValues: Map[String, Column] =
+      keys.map(k => k -> col(s"s.__nk_$k")).toMap ++
+        payload.map(c => c -> col(s"s.$c")) +
+        (ValidFrom -> (ts: Column)) +
+        (ValidTo -> lit(null).cast(TimestampType)) ++
+        (if (audit) Map(CreateDate -> (ts: Column), UpdateDate -> (ts: Column))
+         else Map.empty)
+
+    store.merge(table, source, keys,
+      extraOn = Some(currentOnly),
+      matched = Seq(MergeInto.MatchedUpdate(
+        Some(changePredicate(payload, nullSafe = false)), closeSet)),
+      notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
+      notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
+  }
+
   /** SCD1 merge: matched-and-changed → update payload, unmatched → insert;
     * rows missing from the source are kept (reference 33:61-104). When the
     * target carries the audit pair, pass `auditTs` to bump `_tf_update_date`

@@ -44,8 +44,20 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
       () => store.createOrReplace(s"bronze.$n", Tables.t(spark, sfDir, n))))
 
   /** Silver: SCD2 incremental load per table (reference 22), carrying the
-    * reference's audit pair — scd2Merge maintains it automatically once the
-    * initial load declares it (01_Init.py:231-233). */
+    * reference's audit pair (01_Init.py:231-233). Each load is ONE
+    * file-pruned store merge ([[Scd.scd2ApplyBatch]] — the same engine the
+    * streaming SCD2 sink uses), not a snapshot rewrite: an incremental
+    * load against a 100 TB history table rewrites only the files whose
+    * current rows actually changed or vanished, and appends the rest.
+    *
+    * Cleansing contract: silver enforces ONE row per declared natural key.
+    * The reference's OLTP source guarantees this upstream (SQL Server
+    * primary keys); the synthetic feed does not (lineitem carries
+    * duplicate (l_orderkey, l_linenumber) pairs), and SCD2 — like Delta
+    * MERGE, which raises on multi-matched target rows — is undefined on a
+    * non-unique key. The dedup is deterministic (row_number over the key,
+    * ordered by every payload column) so replays and the DuckDB oracle
+    * pick the same survivor. */
   def runSilver(loadTs: Column): Unit = {
     val specs = Seq(
       ("customer", Seq("c_custkey")),
@@ -54,10 +66,13 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
       ("nation", Seq("n_nationkey")),
       ("region", Seq("r_regionkey")))
     inParallel(specs.map { case (name, keys) => () =>
-      val src = store.read(s"bronze.$name")
-      val tgt = s"silver.$name"
-      if (!store.exists(tgt)) store.createOrReplace(tgt, Scd.scd2Init(src, loadTs, audit = true))
-      else store.createOrReplace(tgt, Scd.scd2Merge(store.read(tgt), src, keys, loadTs))
+      val raw = store.read(s"bronze.$name")
+      val payloadOrder = raw.columns.filterNot(keys.contains).map(col).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(payloadOrder: _*)
+      val src = raw.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      Scd.scd2ApplyBatch(store, s"silver.$name", src, keys, loadTs, initAudit = true)
     })
   }
 

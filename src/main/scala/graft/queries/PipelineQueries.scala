@@ -10,7 +10,8 @@ import graft.tables.TableStore
   * (SCD2 initial load) → gold dims (surrogate keys + -9 seeds) → gold fact
   * (star join, smart date keys) in a throwaway table store, then read back
   * the fact table. The DuckDB oracle reproduces the entire lineage in one
-  * SQL statement (surrogate keys = ROW_NUMBER over the same ordering).
+  * SQL statement (surrogate keys = ROW_NUMBER over the same ordering;
+  * silver's PK dedup = the same deterministic QUALIFY row_number).
   * Doubles as the ETL-throughput benchmark entry — it is the reference's
   * actual daily workload shape.
   */
@@ -51,7 +52,10 @@ object PipelineQueries {
         |  CAST(CAST(COALESCE(l_quantity, 0.0) AS DECIMAL(19,4)) AS DOUBLE) AS sales_qty,
         |  CAST(CAST(COALESCE(l_extendedprice, 0.0) AS DECIMAL(19,4)) AS DOUBLE) AS sales_extended_price,
         |  CAST(CAST(COALESCE(l_extendedprice, 0.0) * (CAST(1.0 AS DOUBLE) - COALESCE(l_discount, 0.0)) AS DECIMAL(38,6)) AS DOUBLE) AS sales_net_price
-        |FROM lineitem
+        |FROM (SELECT * FROM lineitem
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+        |        ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
+        |                 l_tax, l_returnflag, l_linestatus, l_shipdate) = 1) lineitem
         |LEFT JOIN orders ON l_orderkey = o_orderkey
         |LEFT JOIN dimc ON o_custkey = dimc.customer_key
         |LEFT JOIN dimg ON dimc.nation_key = dimg.nation_key

@@ -1,10 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types.TimestampType
-import graft.operators.{MergeInto, Scd}
+import graft.operators.Scd
 import graft.tables.TableStore
 
 /** Streaming upsert sink: applies each micro-batch as an SCD2 merge into a
@@ -56,50 +54,9 @@ object StreamingUpsert {
       keys: Seq[String],
       tsForBatch: Long => Column): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val ts = tsForBatch(batchId).cast(TimestampType)
-      if (!store.exists(table)) store.createOrReplace(table, Scd.scd2Init(batch, ts))
-      else {
-        val payload = batch.columns.filterNot(keys.contains).toSeq
-        val audit = Scd.hasAudit(store.read(table))
-        val currentOnly = col(s"t.${Scd.ValidTo}").isNull
-        val closeSet = Map(Scd.ValidTo -> (ts: Column)) ++
-          (if (audit) Map(Scd.UpdateDate -> (ts: Column)) else Map.empty)
-
-        // batch rows whose key already has a current row with a different
-        // payload: these need BOTH a close of the old version (their
-        // real-key copy matches) and an insert of the new one (their
-        // null-key copy cannot match, so it reaches the insert clause)
-        val current = store.read(table).filter(col(Scd.ValidTo).isNull)
-        val changed = batch.alias("s")
-          .join(current.alias("t"),
-            keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _))
-          .filter(Scd.changePredicate(payload, nullSafe = false))
-          .select(batch.columns.map(c => col(s"s.$c")).toSeq: _*)
-
-        // every source row carries its real key in __nk_* side columns;
-        // the duplicates null the join keys themselves
-        def withNk(df: DataFrame, nullKeys: Boolean): DataFrame = df.select(
-          (df.columns.map(c =>
-            if (nullKeys && keys.contains(c)) lit(null).cast(df.schema(c).dataType).as(c)
-            else col(c)) ++
-            keys.map(k => col(k).as(s"__nk_$k"))).toSeq: _*)
-        val source = withNk(batch, nullKeys = false)
-          .unionByName(withNk(changed, nullKeys = true))
-
-        val insertValues: Map[String, Column] =
-          keys.map(k => k -> col(s"s.__nk_$k")).toMap ++
-            payload.map(c => c -> col(s"s.$c")) +
-            (Scd.ValidFrom -> (ts: Column)) +
-            (Scd.ValidTo -> lit(null).cast(TimestampType)) ++
-            (if (audit) Map(Scd.CreateDate -> (ts: Column), Scd.UpdateDate -> (ts: Column))
-             else Map.empty)
-
-        store.merge(table, source, keys,
-          extraOn = Some(currentOnly),
-          matched = Seq(MergeInto.MatchedUpdate(
-            Some(Scd.changePredicate(payload, nullSafe = false)), closeSet)),
-          notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
-          notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
-      }
+      // the merge shape itself (null-merge-key duplication, one atomic
+      // commit per batch) is shared with the batch medallion — see
+      // Scd.scd2ApplyBatch for the semantics and scale notes
+      Scd.scd2ApplyBatch(store, table, batch, keys, tsForBatch(batchId))
     }
 }

@@ -635,7 +635,13 @@ final class TableStore(spark: SparkSession, root: String) {
       val statCols = (pbP ++ swP ++ sfP).distinct
         .filter(checked.columns.contains)
       val newEntries = footerEntries(name, newFilesAbs, statCols)
-      writeManifest(name, next, schemaHint.getOrElse(checked.schema), carryOver ++ newEntries, op)
+      // a filtered write can produce empty part files (a no-op merge whose
+      // touched set is empty does) — drop them from the manifest AND the
+      // staging dir, so an idempotent replay commits zero new data files
+      // instead of accreting one empty parquet per run
+      val (empties, kept) = newEntries.partition(_.rows == 0)
+      empties.foreach(e => Files.deleteIfExists(tableDir(name).resolve(e.rel)))
+      writeManifest(name, next, schemaHint.getOrElse(checked.schema), carryOver ++ kept, op)
       writeLayout(name, pbP, swP, sfP)
       (next, dir)
     } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
@@ -1598,14 +1604,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * selective predicate over a sorted/partitioned table scans only the
     * candidate files it could possibly touch. */
   private def touchedFiles(name: String, schema: StructType, entries: Seq[FileEntry],
-      cond: Column, scanAlias: Option[String] = None): Set[String] = {
+      cond: Column): Set[String] = {
     val candidates = pruneEntries(name, schema, entries, cond)
     if (candidates.isEmpty) Set.empty
     // scanWithPos (not readEntries + input_file_name): the DV-applied read
     // is a UNION of plain and anti-joined branches, where
     // input_file_name() is undefined — the scan's own __graft_file column
     // is the per-branch file identity
-    else scanAlias.foldLeft(scanWithPos(name, schema, candidates))(_.alias(_))
+    else scanWithPos(name, schema, candidates)
       .filter(cond)
       .select(col("__graft_file")).distinct()
       .collect().map(r => relOf(name, r.getString(0))).toSet
@@ -1792,33 +1798,55 @@ final class TableStore(spark: SparkSession, root: String) {
           val t = scanWithPos(name, schema, cs).alias("t")
           val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
           val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+          // a matched row forces a rewrite only if some matched CLAUSE
+          // applies to it — first-match-wins semantics leave a row whose
+          // conditions all fail byte-identical, so its file can carry
+          // over. This is what keeps a full-snapshot SCD2 merge (source =
+          // every key, change predicate on the clause) from rewriting the
+          // whole current slice: only files holding actually-changed rows
+          // are touched. NULL clause conditions mean "does not apply".
+          val anyClause = matched.map(_.cond.getOrElse(lit(true))).reduce(_ || _)
           val perFile = t.join(source.alias("s"), onCond, "inner")
             .groupBy(col("__graft_file"), col("__graft_pos"))
-            .agg(count(lit(1)).as("__n"))
+            .agg(count(lit(1)).as("__n"),
+              max(when(anyClause, 1).otherwise(0)).as("__rw"))
             .groupBy(col("__graft_file"))
-            .agg(max(col("__n")).as("__mx"))
+            .agg(max(col("__n")).as("__mx"), max(col("__rw")).as("__rw"))
             .collect()
           if (perFile.exists(_.getAs[Long]("__mx") > 1))
             throw new IllegalStateException(
               s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
-          perFile.map(r => relOf(name, r.getString(0))).toSet
+          perFile.filter(_.getAs[Int]("__rw") == 1)
+            .map(r => relOf(name, r.getString(0))).toSet
       }
     }
+    // By-source clauses modify only target rows matching NO source row, so
+    // their file discovery is a left-ANTI join of the clause-condition
+    // candidates (stats-pruned on the cond) against the source — when the
+    // source broadcasts this is map-side, and a full-snapshot SCD2 load
+    // (whose clause cond `valid_to IS NULL` alone would flag every current
+    // file) touches only files holding genuinely VANISHED keys.
+    def bySourceFiles(c: Column): Set[String] = {
+      val candidates = pruneEntries(name, schema, entries, c)
+      if (candidates.isEmpty) Set.empty
+      else {
+        val t = scanWithPos(name, schema, candidates).alias("t")
+        val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+        t.filter(c).join(source.alias("s"), onCond, "left_anti")
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => relOf(name, r.getString(0))).toSet
+      }
+    }
+    // effective by-source applicability: an unconditioned clause makes the
+    // union of clause conditions TRUE (discovery still anti-joins — "all
+    // unmatched rows" is not "all rows")
+    val bsCond: Option[Column] =
+      if (notMatchedBySource.isEmpty) None
+      else Some(if (bsUnconditioned) lit(true) else bySourceCond.get)
     val touched: Set[String] =
-      if (matched.isEmpty && notMatchedBySource.isEmpty) Set.empty // insert-only: pure append
-      else if (matched.isEmpty && bsUnconditioned) entries.map(_.rel).toSet
-      else if (matched.isEmpty)
-        // by-source only: stats-pruned predicate scan, no join, no check
-        touchedFiles(name, schema, entries, bySourceCond.get, scanAlias = Some("t"))
-      else if (bsUnconditioned) {
-        // everything is rewritten regardless; the inner-join discovery
-        // still runs (cheap, pruned) purely for the multiple-match check
-        matchedFiles()
-        entries.map(_.rel).toSet
-      } else
-        matchedFiles() ++
-          bySourceCond.map(c => touchedFiles(name, schema, entries, c, scanAlias = Some("t")))
-            .getOrElse(Set.empty)
+      (if (matched.isEmpty) Set.empty[String] else matchedFiles()) ++
+        bsCond.map(bySourceFiles).getOrElse(Set.empty)
 
     val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
     val rewritten = MergeInto(subset, source, keys, extraOn, matched,

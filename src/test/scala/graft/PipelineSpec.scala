@@ -21,9 +21,13 @@ class PipelineSpec extends AnyFunSuite {
     val pipe = new Medallion(spark, store, sfDir)
     pipe.run(lit("2024-01-01 00:00:00"))
 
-    val liCount = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // silver enforces one row per natural key (the synthetic lineitem has
+    // duplicate PKs; see Medallion.runSilver), so the fact grain is the
+    // DISTINCT key count, not the raw row count
+    val liKeys = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber").distinct().count()
     val fact = store.read("gold.fact_sales")
-    assert(fact.count() == liCount, "fact is line-item grain")
+    assert(fact.count() == liKeys, "fact is line-item grain (PK-deduped silver)")
     assert(fact.filter(col("_tf_dim_customer_id") === -9L).count() >= 0)
     assert(store.read("gold.dim_customer").filter(col("customer_key") === -9L).count() == 1,
       "unknown member seeded")
@@ -39,6 +43,40 @@ class PipelineSpec extends AnyFunSuite {
     pipe.runSilver(lit("2024-02-01 00:00:00"))
     val closed = store.read("silver.customer").filter(col(Scd.ValidTo).isNotNull)
     assert(closed.count() == 0, "idempotent replay closes no versions")
+    store.detach()
+  }
+
+  test("incremental silver load is a file-pruned merge: untouched files stay in place") {
+    val root = Files.createTempDirectory("graft_silver_inc").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // initial silver snapshot spread over several files
+    val base = spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") % 7).as("grp"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(6, col("k"))
+    Scd.scd2ApplyBatch(store, "silver.inc", base, Seq("k"), lit("2024-01-01 00:00:00"),
+      initAudit = true)
+    val before = store.prunedFileList("silver.inc", None).toSet
+
+    // day-2 snapshot: 3 changed rows in one key band, everything else identical
+    val day2 = base.withColumn("v",
+      when(col("k").isin(10L, 11L, 12L), lit("changed")).otherwise(col("v")))
+    Scd.scd2ApplyBatch(store, "silver.inc", day2, Seq("k"), lit("2024-01-02 00:00:00"))
+
+    val after = store.prunedFileList("silver.inc", None).toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty && carried.size >= before.size - 2,
+      s"snapshot SCD2 load rewrote unchanged files (${carried.size}/${before.size} carried)")
+    // semantics: 3 closed versions, 3 new current rows, history intact
+    val t = store.read("silver.inc")
+    assert(t.filter(col(Scd.ValidTo).isNotNull).count() == 3)
+    assert(t.filter(col(Scd.ValidTo).isNull).count() == 2000)
+    assert(t.filter(col("v") === "changed" && col(Scd.ValidTo).isNull).count() == 3)
+    // day-3 replay of the identical snapshot: nothing rewritten at all
+    val preReplay = store.prunedFileList("silver.inc", None).toSet
+    Scd.scd2ApplyBatch(store, "silver.inc", day2, Seq("k"), lit("2024-01-03 00:00:00"))
+    assert(store.prunedFileList("silver.inc", None).toSet == preReplay,
+      "idempotent replay must be a zero-file no-op")
     store.detach()
   }
 

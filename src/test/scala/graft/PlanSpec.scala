@@ -128,7 +128,10 @@ class PlanSpec extends AnyFunSuite {
         s"fact assembly must not shuffle the fact side:\n${Bucketing.finalPlanString(fact).take(1800)}")
       assert(Bucketing.finalPlanString(fact).contains("SortMergeJoin"),
         "header/detail must sort-merge over co-located buckets")
-      assert(fact.count() == spark.read.parquet(s"$dir/lineitem.parquet").count())
+      // silver enforces one row per (l_orderkey, l_linenumber) — see
+      // Medallion.runSilver — so the fact grain is the distinct key count
+      assert(fact.count() == spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber").distinct().count())
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       store.detach()
