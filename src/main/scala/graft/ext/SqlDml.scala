@@ -256,7 +256,11 @@ object SqlDml {
   private[ext] def lowerRelation(u: UnresolvedRelation,
       spark: SparkSession): Option[LogicalPlan] = {
     val name = u.multipartIdentifier.mkString(".")
-    if (!name.contains(".") || u.multipartIdentifier.length > 2) None
+    // isStreaming: spark.readStream.table("db.t") must NOT be substituted
+    // with the batch read plan (it would surface later as a confusing
+    // "writeStream on a non-streaming Dataset") — streaming reads of store
+    // tables go through the graft-table DSv2 source instead
+    if (u.isStreaming || !name.contains(".") || u.multipartIdentifier.length > 2) None
     else if (scala.util.Try(spark.catalog.tableExists(name)).getOrElse(false)) None
     else TableStore.resolve(spark, name).map { st =>
       org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(

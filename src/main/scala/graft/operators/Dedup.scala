@@ -244,12 +244,20 @@ object Dedup {
       math.max(1, math.min(cap, ((n + 65535) / 65536).toInt))
     }
     val edges = edges0.repartition(loopParts, col("dst")).localCheckpoint()
+    // the repartitioned checkpoint supersedes edges0's blocks — release
+    // them now, or every dupClusters call pins a dead edge copy in
+    // executor storage for the life of the session
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(edges0)
     // localCheckpoint (not persist): iterative algorithms re-optimize the
     // whole lineage each round otherwise — plan analysis cost grows
     // superlinearly with iteration count while the data stays tiny
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("id"), col("src").as("label"))
       .localCheckpoint()
+    // superseded per-round checkpoints are released as soon as the next
+    // round's is materialized; only the FINAL one stays (the returned
+    // plan reads it)
+    var lastCkpt = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -281,8 +289,11 @@ object Dedup {
       // tiny scan over the materialized blocks — no recompute, no join
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(lastCkpt)
+      lastCkpt = next
       i += 1
     }
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(edges) // final join reads only labels
     if (changed > 0) throw new IllegalStateException(
       s"dupClusters did not converge in $maxIter rounds ($changed labels still changing) — " +
         "raise maxIter; returning partial labels would split components silently")

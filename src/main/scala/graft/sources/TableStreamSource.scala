@@ -124,10 +124,12 @@ private[graft] class GraftTableScan(fullSchema: StructType, required: StructType
       // files store PHYSICAL ones. The physicalized schemas are the same
       // fields at the same positions, so emitting the physical-read
       // InternalRows under the logical readSchema is exact. Row-group
-      // filter pushdown is skipped for mapped tables (the filters name
-      // logical columns) — Spark re-evaluates every filter post-scan, and
+      // filter pushdown is skipped only for RENAMED tables (the filters
+      // name logical columns, which then differ from the file's) — a
+      // drop-only mapping keeps every visible name physical, so pushdown
+      // stays. Spark re-evaluates every filter post-scan either way, and
       // manifest-level file pruning still applies via prunedInventory.
-      val mapped = store.hasColumnMapping(table)
+      val mapped = store.hasRenames(table)
       new GraftFileReaderFactory(GraftShims.parquetFileReader(
         SparkSession.active,
         store.physicalizeSchema(table, fullSchema),

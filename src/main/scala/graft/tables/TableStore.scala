@@ -912,8 +912,27 @@ final class TableStore(spark: SparkSession, root: String) {
     * become selective — the data-skipping lever at 100 TB. Stats are
     * always collected for partition + sort columns; `statsFor` adds more. */
   def createOrReplace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-      sortWithin: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit =
+      sortWithin: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit = {
     commitVersion(name, df, partitionBy, sortWithin, statsFor, carryOver = Seq.empty)
+    // a REPLACE may swap in a schema that invalidates generated-column
+    // declarations (the column or a dependency no longer exists) — drop
+    // the stale ones AFTER the commit succeeded, never as a side effect
+    // of write-plan building (an aborted write must not lose metadata)
+    val stale = generatedColumns(name).filter { case (logical, sql) =>
+      val cols = df.columns
+      !cols.exists(_.equalsIgnoreCase(logical)) || {
+        import org.apache.spark.sql.functions.expr
+        val deps = org.apache.spark.sql.GraftShims.catalystExpr(expr(sql)).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.nameParts.last
+        }
+        !deps.forall(n => cols.exists(_.equalsIgnoreCase(n)))
+      }
+    }
+    if (stale.nonEmpty)
+      setMeta(name, meta(name).copy(properties = stale.keys.foldLeft(meta(name).properties) {
+        (p, logical) => p - s"gencol.${physicalName(name, logical)}"
+      }))
+  }
 
   /** Append `df` as new files — the current files carry over untouched
     * (layout preserved), so an append to a 100 TB table costs only the new
@@ -946,9 +965,12 @@ final class TableStore(spark: SparkSession, root: String) {
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema, entries) = readManifest(name, base)
     val (pb, sw, sf) = readLayout(name)
-    commitVersion(name, alignedForAppend(name, schema, applyIdentity(name, df)), pb, sw, sf,
-      carryOver = entries, schemaHint = Some(schema),
-      expectedBase = Some(Some(base)), op = op)
+    val (keyed, cleanup) = applyIdentity(name, df)
+    try
+      commitVersion(name, alignedForAppend(name, schema, keyed), pb, sw, sf,
+        carryOver = entries, schemaHint = Some(schema),
+        expectedBase = Some(Some(base)), op = op)
+    finally cleanup()
     maybeAutoCompact(name)
   }
 
@@ -1235,6 +1257,12 @@ final class TableStore(spark: SparkSession, root: String) {
     meta(name).properties.keysIterator
       .exists(k => k.startsWith("colmap.") || k.startsWith("coldrop."))
 
+  /** Whether any RENAME mapping is in force. Drop-only mapped tables keep
+    * every visible name equal to its physical name, so pushed filters
+    * (which speak logical names) remain valid against the files — only
+    * renames force the DSv2 scan to skip row-group filter pushdown. */
+  private[graft] def hasRenames(name: String): Boolean = renames(name).nonEmpty
+
   /** The logical (visible) view of a physical manifest schema. */
   private[graft] def logicalizeSchema(name: String, physical: StructType): StructType = {
     val rn = renames(name); val dp = droppedPhysical(name)
@@ -1340,8 +1368,12 @@ final class TableStore(spark: SparkSession, root: String) {
       s"$name DROP COLUMN $colName: the table is partitioned/sorted by it — " +
         "rewrite the layout (createOrReplace) instead")
     val m = meta(name)
+    // a generated column's declaration dies with the column — removed
+    // HERE, in the DDL that invalidates it, not lazily during some later
+    // write's plan building (which could lose it on an aborted write)
     setMeta(name, m.copy(
-      properties = m.properties - s"colmap.$physical" + (s"coldrop.$physical" -> "1"),
+      properties = m.properties - s"colmap.$physical" - s"gencol.$physical" +
+        (s"coldrop.$physical" -> "1"),
       columnComments = m.columnComments - field.name))
     commitManifestOnly(name, schema, entries, "drop_column")
   }
@@ -1403,10 +1435,11 @@ final class TableStore(spark: SparkSession, root: String) {
         val depsPresent = deps.forall(n => d.columns.exists(_.equalsIgnoreCase(n)))
         declared match {
           case Some(f) if depsPresent => d.withColumn(f.name, expr(sql).cast(f.dataType))
-          case _ =>
-            setMeta(name, meta(name).copy(properties =
-              meta(name).properties - s"gencol.${physicalName(name, logical)}"))
-            d
+          // dangling declaration (shouldn't happen: dropColumn removes the
+          // declaration with the column, and dependency drops/renames are
+          // refused) — skip WITHOUT mutating metadata: plan building must
+          // be side-effect free, or an aborted write loses the declaration
+          case _ => d
         }
       }
     }
@@ -1449,26 +1482,39 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Assign identity keys to an appended frame that omits the column and
-    * advance the high-water counter. Returns the frame with the column
-    * in table order. */
-  private def applyIdentity(name: String, df: DataFrame): DataFrame =
+  /** Assign identity keys to an appended frame that omits the column.
+    * Returns the keyed frame plus a cleanup to run once it is written.
+    *
+    * Concurrency + determinism: the input RDD is cached so the row set
+    * that is COUNTED is the row set that is KEYED and written (a
+    * nondeterministic source cannot diverge between the jobs), and the
+    * high-water advance is a read-modify-write UNDER the table's commit
+    * lock — concurrent appends serialize on the claim and receive
+    * disjoint key blocks. A commit that subsequently fails burns its
+    * claimed range (keys skip) but can never double-issue. */
+  private def applyIdentity(name: String, df: DataFrame): (DataFrame, () => Unit) =
     identityColumn(name) match {
-      case None => df
-      case Some((colName, start, step, issued)) =>
+      case None => (df, () => ())
+      case Some((colName, start, step, _)) =>
         require(!df.columns.exists(_.equalsIgnoreCase(colName)),
           s"$name: $colName is GENERATED ALWAYS AS IDENTITY — explicit values " +
             "are not accepted; omit the column")
         import org.apache.spark.sql.types.{LongType, StructField}
         val schema2 = df.schema.add(StructField(colName, LongType, nullable = false))
-        val counted = df.rdd.zipWithIndex().map { case (row, idx) =>
+        val rdd = df.rdd.cache()
+        val n = rdd.count()
+        val issued = withCommitLock(name) {
+          // re-read under the lock: another append may have claimed since
+          val cur = identityColumn(name).get._4
+          setMeta(name, meta(name).copy(properties = meta(name).properties +
+            (s"identity.${physicalName(name, colName)}" -> s"$start,$step,${cur + n}")))
+          cur
+        }
+        val counted = rdd.zipWithIndex().map { case (row, idx) =>
           org.apache.spark.sql.Row.fromSeq(
             row.toSeq :+ (start + step * (issued + idx)))
         }
-        val n = df.count()
-        setMeta(name, meta(name).copy(properties = meta(name).properties +
-          (s"identity.${physicalName(name, colName)}" -> s"$start,$step,${issued + n}")))
-        spark.createDataFrame(counted, schema2)
+        (spark.createDataFrame(counted, schema2), () => { rdd.unpersist(false); () })
     }
 
   /** Delta SHALLOW CLONE: create `dst` referencing `src`'s CURRENT files

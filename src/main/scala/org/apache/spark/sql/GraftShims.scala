@@ -26,6 +26,17 @@ object GraftShims {
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Release the executor-storage blocks behind a `localCheckpoint()`ed
+    * DataFrame (`Dataset.unpersist` only talks to the cache manager, which
+    * never sees checkpoint blocks). ONLY for checkpoints that are truly
+    * dead: a localCheckpoint has no lineage to recompute from, so touching
+    * the frame after this throws. No-op on non-checkpoint plans. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Executor-shippable parquet file reader over a fixed schema — the
     * bridge a DSv2 `PartitionReaderFactory` needs to read the store's data
     * files with Spark's own parquet machinery (predicate/NULL-fill

@@ -684,6 +684,38 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("identity high-water: concurrent appends claim disjoint blocks — no duplicate keys") {
+    val root = Files.createTempDirectory("graft_ident_conc").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.ic",
+      spark.range(0, 0).select(col("id").as("ik"), col("id").cast("string").as("v")))
+    store.setIdentity("db.ic", "ik")
+
+    // 4 writers × 25 rows, racing: the block claim is serialized under the
+    // commit lock, so keys never collide even when a loser's COMMIT must
+    // retry (burned ranges may leave gaps — that is the documented trade)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def appendWithRetry(tag: String): Unit = {
+      var done = false
+      while (!done) {
+        try { store.append("db.ic", (0 until 25).map(i => s"$tag$i").toDF("v")); done = true }
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    Await.result(Future.sequence((1 to 4).map(t => Future(appendWithRetry(s"t$t")))), Duration.Inf)
+
+    val ids = store.read("db.ic").select($"ik").as[Long].collect()
+    assert(ids.length == 100, s"all rows landed (${ids.length})")
+    assert(ids.distinct.length == 100, "identity keys must be unique under concurrency")
+    val issued = store.identityColumn("db.ic").map(_._4).get
+    assert(issued >= 100L, s"high-water covers every issued key ($issued)")
+    assert(ids.max <= 1L + (issued - 1L), "no key beyond the claimed high-water")
+    store.detach()
+  }
+
   test("rename refuses constraint/PK-referenced and colliding names") {
     val root = Files.createTempDirectory("graft_colmap3").toString
     val store = new TableStore(spark, root)

@@ -292,4 +292,21 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality"))
     store.detach()
   }
+
+  test("readStream.table over a store table is NOT silently lowered to a batch read") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_rs").toString)
+    try {
+      store.createOrReplace("db.rs", Seq((1L, "a")).toDF("k", "v"))
+      // batch name resolution works…
+      assert(spark.sql("SELECT v FROM db.rs").as[String].head() == "a")
+      // …but the streaming path must fail analysis (routing users to the
+      // graft-table DSv2 source), never return a batch plan that later
+      // dies with "writeStream on a non-streaming Dataset"
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.readStream.table("db.rs")
+      }
+      assert(!e.getMessage.toLowerCase.contains("non-streaming"),
+        s"must fail as unresolved, not as a mis-lowered batch plan: ${e.getMessage}")
+    } finally store.detach()
+  }
 }
