@@ -566,13 +566,26 @@ final case class GraftInsertCommand(
           s"INSERT INTO $table: target has ${target.columns.length} columns, query returns ${data.columns.length}")
         data.toDF(target.columns.toSeq: _*)
       }
-    // align to the target schema: absent columns become NULL, all cast
-    val aligned = named.select(target.schema.fields.toSeq.map { f =>
+    // align to the target schema: absent columns become NULL, all cast.
+    // A GENERATED ALWAYS AS IDENTITY column the statement did not name is
+    // OMITTED (the append derives it); naming it explicitly errors there,
+    // Delta's ALWAYS semantics.
+    val provided: Set[String] =
+      (if (userCols.nonEmpty) userCols
+       else if (byName) data.columns.toSeq
+       else target.columns.toSeq).map(_.toLowerCase).toSet
+    val identity = store.identityColumn(table).map(_._1)
+    val outFields = target.schema.fields.toSeq.filterNot(f =>
+      identity.exists(resolves(_, f.name)) && !provided(f.name.toLowerCase))
+    val aligned = named.select(outFields.map { f =>
       (if (named.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)
     }: _*)
-    store.createOrReplace(table,
-      if (overwrite) aligned else target.unionByName(aligned))
+    // INSERT INTO is an APPEND — new files only, existing files carried
+    // over by the manifest (a 1-row insert into a 100 TB table costs one
+    // file). Only INSERT OVERWRITE snapshots.
+    if (overwrite) store.createOrReplace(table, aligned)
+    else store.append(table, aligned)
     Seq.empty
   }
 }

@@ -112,6 +112,60 @@ object MergeInto {
       .drop("__graft_keep")
   }
 
+  /** Row-level change set of a merge over `target` (Delta CDF semantics):
+    * for every target row the FIRST matching clause decides its change
+    * rows — `MatchedUpdate`/`BySourceUpdate` emit an
+    * (`update_preimage`, `update_postimage`) pair, `MatchedDelete`/
+    * `BySourceDelete` emit one `delete` row, a row no clause applies to
+    * emits nothing. INSERT-clause rows are not produced here — label
+    * [[insertedRows]] with `insert` and union. Output = target schema +
+    * `_change_type`.
+    *
+    * Same join shape as the merge itself (left-outer from the target, one
+    * explode projection, codegen-friendly); the caller passes the
+    * file-pruned target subset, so at 100 TB this costs the touched rows,
+    * not the table. NULL clause conditions fall through, matching SQL
+    * WHEN-clause semantics. */
+  def changeSet(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      extraOn: Option[Column],
+      matched: Seq[MatchedAction],
+      notMatchedBySource: Seq[BySourceAction]): DataFrame = {
+    val outCols = target.columns.toSeq
+    val outTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val t = target.withColumn(TMark, lit(true)).alias("t")
+    val s = source.withColumn(SMark, lit(true)).alias("s")
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+    val j = t.join(s, onCond, "left_outer")
+    val isMatched = col(s"s.$SMark").isNotNull
+
+    def img(ct: String, set: Map[String, Column]): Column = struct(
+      outCols.map(c => set.getOrElse(c, col(s"t.$c")).cast(outTypes(c)).as(c)) :+
+        lit(ct).as("_change_type"): _*)
+    def chain(actions: Seq[(Option[Column], Column)]): Column =
+      actions.foldLeft(Option.empty[Column]) { case (acc, (cond, arr)) =>
+        val w = cond.getOrElse(lit(true))
+        Some(acc.map(_.when(w, arr)).getOrElse(when(w, arr)))
+      }.map(_.otherwise(lit(null))).getOrElse(lit(null))
+
+    val matchedEmit = chain(matched.map {
+      case MatchedUpdate(c, set) =>
+        (c, array(img("update_preimage", Map.empty), img("update_postimage", set)))
+      case MatchedDelete(c) => (c, array(img("delete", Map.empty)))
+    })
+    val bySourceEmit = chain(notMatchedBySource.map {
+      case BySourceUpdate(c, set) =>
+        (c, array(img("update_preimage", Map.empty), img("update_postimage", set)))
+      case BySourceDelete(c) => (c, array(img("delete", Map.empty)))
+    })
+    // explode(null array) emits nothing — rows no clause applies to vanish
+    j.select(explode(when(isMatched, matchedEmit).otherwise(bySourceEmit)).as("__c"))
+      .select(col("__c.*"))
+  }
+
   /** Returns the post-merge target state (target schema preserved). */
   def apply(
       target: DataFrame,

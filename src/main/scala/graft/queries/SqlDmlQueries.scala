@@ -169,6 +169,32 @@ object SqlDmlQueries {
     out
   }
 
+  // q49: Delta-CDF-parity row-level change feed WITH update images — the
+  // q42 flow re-run with enableChangeFeed on, plus a trailing INSERT. The
+  // UPDATE's changes surface as (update_preimage, update_postimage) pairs
+  // recorded atomically with the commit (not reconstructed diffs), the
+  // DELETE as deletes, the INSERT as manifest-diff inserts, each row
+  // stamped with its commit version. (reference parity:
+  // delta.enableChangeDataFeed + table_changes(...))
+  def q49CdfFeed(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.orders_cdf",                              // v1
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    store.enableChangeFeed("silver.orders_cdf")
+    val v0 = store.version("silver.orders_cdf").get
+
+    s.sql("UPDATE silver.orders_cdf SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) WHERE o_orderstatus = 'O'") // v2
+    s.sql("DELETE FROM silver.orders_cdf WHERE o_totalprice < CAST(100000 AS DOUBLE)") // v3
+    s.sql("INSERT INTO silver.orders_cdf VALUES (CAST(-1 AS BIGINT), 'Z', CAST(1.5 AS DOUBLE))") // v4
+
+    val out = store.changeFeed("silver.orders_cdf", v0, store.version("silver.orders_cdf").get)
+      .orderBy(col("_commit_version"), col("_change_type"), col("o_orderkey"))
+    store.detach()
+    out
+  }
+
   // q43: the q35 statement shapes executed in MERGE-ON-READ mode — the
   // UPDATE/DELETEs commit deletion vectors (plus appended rewrites)
   // instead of rewriting files; the stacked second DELETE layers a second
@@ -310,6 +336,7 @@ object SqlDmlQueries {
     "q47_generated_column" -> q47GeneratedColumn _,
     "q46_column_mapping" -> q46ColumnMapping _,
     "q42_change_feed" -> q42ChangeFeed _,
+    "q49_cdf_feed" -> q49CdfFeed _,
     "q34_sql_merge_scd2" -> q34SqlMergeScd2 _,
     "q35_sql_update_delete" -> q35SqlUpdateDelete _,
     "q37_sql_insert" -> q37SqlInsert _,
@@ -418,6 +445,29 @@ object SqlDmlQueries {
         |  UNION ALL
         |  SELECT *, 'delete' AS _change_type FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v2))
         |ORDER BY o_orderkey, _change_type""".stripMargin,
+    "q49_cdf_feed" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2),
+        |pre2 AS (SELECT * FROM v1 WHERE o_orderstatus = 'O'),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v1),
+        |pre3 AS (SELECT * FROM v2 WHERE o_totalprice < CAST(100000 AS DOUBLE)),
+        |feed AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         'update_preimage' AS _change_type, 2 AS _commit_version FROM pre2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * CAST(1.1 AS DOUBLE),
+        |         'update_postimage', 2 FROM pre2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', 3 FROM pre3
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), 'Z', CAST(1.5 AS DOUBLE), 'insert', 4)
+        |SELECT * FROM feed
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
     "q35_sql_update_delete" ->
       """WITH updated AS (
         |  SELECT o_orderkey, o_orderstatus,

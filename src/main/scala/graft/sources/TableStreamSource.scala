@@ -57,7 +57,11 @@ class GraftTableSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftTableSource.withStore(options) { (store, table) =>
-      store.read(table).schema
+      val base = store.read(table).schema
+      if (options.getBoolean("changeFeed", false))
+        base.add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.IntegerType)
+      else base
     }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -118,6 +122,9 @@ private[graft] class GraftTableScan(fullSchema: StructType, required: StructType
   override def description(): String =
     s"GraftTableScan(${options.get("table")}, PushedFilters: ${pushed.mkString("[", ", ", "]")})"
 
+  private def cdfMode: Boolean = options.getBoolean("changeFeed", false)
+  private def isVirtual(n: String) = n == "_change_type" || n == "_commit_version"
+
   private def readerFactory(): PartitionReaderFactory =
     GraftTableSource.withStore(options) { (store, table) =>
       // column mapping: the scan's schemas carry LOGICAL names; the data
@@ -130,15 +137,37 @@ private[graft] class GraftTableScan(fullSchema: StructType, required: StructType
       // stays. Spark re-evaluates every filter post-scan either way, and
       // manifest-level file pruning still applies via prunedInventory.
       val mapped = store.hasRenames(table)
-      new GraftFileReaderFactory(GraftShims.parquetFileReader(
-        SparkSession.active,
-        store.physicalizeSchema(table, fullSchema),
-        store.physicalizeSchema(table, required),
-        if (mapped) Nil else pushed))
+      if (!cdfMode)
+        new GraftFileReaderFactory(GraftShims.parquetFileReader(
+          SparkSession.active,
+          store.physicalizeSchema(table, fullSchema),
+          store.physicalizeSchema(table, required),
+          if (mapped) Nil else pushed))
+      else {
+        // two readers: data files (physical names, no virtual columns)
+        // planned as inserts, and cdc/ sidecars (logical names as written,
+        // with a real _change_type column); the factory splices the
+        // per-partition constants into the pruned CDF schema
+        val tableCols = StructType(fullSchema.fields.filterNot(f => isVirtual(f.name)))
+        val reqData = StructType(required.fields.filterNot(f => isVirtual(f.name)))
+        val reqCdc = StructType(required.fields.filterNot(_.name == "_commit_version"))
+        val cdcSchema = tableCols.add("_change_type", org.apache.spark.sql.types.StringType)
+        new GraftCdfReaderFactory(
+          GraftShims.parquetFileReader(SparkSession.active,
+            store.physicalizeSchema(table, tableCols),
+            store.physicalizeSchema(table, reqData), Nil),
+          GraftShims.parquetFileReader(SparkSession.active, cdcSchema, reqCdc, Nil),
+          required)
+      }
     }
 
   private lazy val batch = new GraftTableBatch(options, pushed, readerFactory())
-  override def toBatch: Batch = batch
+  override def toBatch: Batch = {
+    if (cdfMode) throw new UnsupportedOperationException(
+      "graft-table: changeFeed=true is a streaming option — for a batch " +
+        "feed use TableStore.changeFeed(table, fromVersion, toVersion)")
+    batch
+  }
 
   /** Planned-scan size from the (pruned) manifest — lets Spark make sane
     * broadcast/join decisions for `spark.read.format("graft-table")`. */
@@ -232,7 +261,12 @@ private[graft] object GraftStreamOffset {
   }
 }
 
-private[graft] case class GraftFilePartition(path: String, length: Long)
+/** One planned file. In change-feed mode `commitVersion` is the commit the
+  * file belongs to and `changeType` labels synthesized rows: a data file
+  * planned as inserts carries `"insert"`; a `cdc/` sidecar carries `null`
+  * (its rows store their own `_change_type` column). */
+private[graft] case class GraftFilePartition(path: String, length: Long,
+    changeType: String = null, commitVersion: Int = -1)
   extends InputPartition
 
 private[graft] class GraftFileReaderFactory(
@@ -249,6 +283,50 @@ private[graft] class GraftFileReaderFactory(
   }
 }
 
+/** Change-feed reader: every output row matches `required` (the pruned
+  * CDF schema = table columns + `_change_type` + `_commit_version`).
+  * `_commit_version` is a per-partition constant; `_change_type` is a
+  * constant for data files planned as inserts and a REAL column for `cdc/`
+  * sidecars. The underlying parquet reads therefore use two different
+  * required schemas — `required` minus the constants of that file kind —
+  * and this wrapper splices the constants back in positionally. */
+private[graft] class GraftCdfReaderFactory(
+    dataReaderFor: (String, Long) => Iterator[InternalRow],
+    cdcReaderFor: (String, Long) => Iterator[InternalRow],
+    required: StructType) extends PartitionReaderFactory {
+  private val ctIdx = required.fieldNames.indexOf("_change_type")
+  private val cvIdx = required.fieldNames.indexOf("_commit_version")
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    val fromCdc = p.changeType == null
+    val base = if (fromCdc) cdcReaderFor(p.path, p.length) else dataReaderFor(p.path, p.length)
+    val ct = if (fromCdc) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(p.changeType)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        val has = base.hasNext
+        if (has) {
+          val r = base.next()
+          val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+          var oi = 0; var fi = 0
+          while (oi < required.length) {
+            if (oi == cvIdx) out.update(oi, p.commitVersion)
+            else if (oi == ctIdx && !fromCdc) out.update(oi, ct)
+            else { out.update(oi, r.get(fi, required(oi).dataType)); fi += 1 }
+            oi += 1
+          }
+          row = out
+        }
+        has
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
 private[graft] class GraftTableMicroBatchStream(
     options: CaseInsensitiveStringMap,
     factory: PartitionReaderFactory) extends MicroBatchStream
@@ -259,6 +337,7 @@ private[graft] class GraftTableMicroBatchStream(
 
   private val table = options.get("table")
   private val ignoreChanges = options.getBoolean("ignoreChanges", false)
+  private val cdfMode = options.getBoolean("changeFeed", false)
 
   /** Trigger.AvailableNow: pin the catch-up target when the query starts;
     * rate limits still apply per batch, the stream just stops once the
@@ -325,7 +404,7 @@ private[graft] class GraftTableMicroBatchStream(
     withStore { (store, t) =>
       walk(store, t, GraftStreamOffset.of(start), Some(GraftStreamOffset.of(end)),
         Int.MaxValue, Long.MaxValue)
-        ._1.map { case (p, len) => GraftFilePartition(p, len) }.toArray[InputPartition]
+        ._1.toArray[InputPartition]
     }
 
   /** Deterministic file enumeration from `start` (exclusive) forward —
@@ -338,12 +417,12 @@ private[graft] class GraftTableMicroBatchStream(
     * the stream). */
   private def walk(store: TableStore, t: String, start: GraftStreamOffset,
       endAt: Option[GraftStreamOffset], maxFiles: Int, maxBytes: Long)
-      : (Seq[(String, Long)], GraftStreamOffset) = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      : (Seq[GraftFilePartition], GraftStreamOffset) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GraftFilePartition]
     var bytes = 0L
-    def admit(f: (String, Long)): Boolean = {
-      if (out.nonEmpty && (out.size >= maxFiles || bytes + f._2 > maxBytes)) false
-      else { out += f; bytes += f._2; true }
+    def admit(f: GraftFilePartition): Boolean = {
+      if (out.nonEmpty && (out.size >= maxFiles || bytes + f.length > maxBytes)) false
+      else { out += f; bytes += f.length; true }
     }
     val cap = endAt.map(_.version).getOrElse(
       availableNowCap.getOrElse(store.version(t).getOrElse(0)))
@@ -377,35 +456,49 @@ private[graft] class GraftTableMicroBatchStream(
     (out.toSeq, pos)
   }
 
-  /** The CURRENT file set of `version` — the pinned initial snapshot. */
+  /** The CURRENT file set of `version` — the pinned initial snapshot. In
+    * change-feed mode its rows stream as `insert`s of that commit, exactly
+    * Delta CDF's starting-snapshot semantics. */
   private def snapshotFilesClean(store: TableStore, t: String,
-      version: Int): Seq[(String, Long)] = {
+      version: Int): Seq[GraftFilePartition] = {
     val (_, _, fs) = store.snapshotInventory(t, version)
     require(fs.forall(!_._3) || ignoreChanges,
       s"$t's snapshot carries deletion vectors the file-level source cannot " +
         "apply — OPTIMIZE the table to fold them, or set ignoreChanges=true " +
         "to stream the DV'd files as-written (deleted rows reappear)")
-    fs.filterNot(_._3 && !ignoreChanges).map { case (p, len, _) => (p, len) }
+    fs.filterNot(_._3 && !ignoreChanges)
+      .map { case (p, len, _) => GraftFilePartition(p, len, "insert", version) }
   }
 
-  /** Files ADDED by `version` (manifest diff vs its predecessor), empty
-    * for layout-only commits (op `optimize` — dataChange=false). */
-  private def addedFiles(store: TableStore, t: String, v: Int): Seq[(String, Long)] = {
+  /** Files the stream must deliver for `version`: empty for layout-only
+    * commits (op `optimize` — dataChange=false); in change-feed mode a
+    * version that recorded a `cdc/` sidecar streams THAT (row-level
+    * changes, update images included) and its rewritten data files are
+    * skipped; otherwise the manifest diff's added files (as inserts). */
+  private def addedFiles(store: TableStore, t: String, v: Int): Seq[GraftFilePartition] = {
     val (_, op, cur) = store.snapshotInventory(t, v)
     if (op == "optimize") Nil
-    else {
-      val (_, _, prev) = store.snapshotInventory(t, v - 1)
-      val prevByPath = prev.map(f => f._1 -> f._3).toMap
-      val added = cur.filterNot(f => prevByPath.contains(f._1))
-      val removed = prev.map(_._1).filterNot(cur.map(_._1).toSet)
-      val dvChanged = cur.exists(f => prevByPath.get(f._1).exists(_ != f._3))
-      if ((removed.nonEmpty || dvChanged || added.exists(_._3)) && !ignoreChanges)
-        throw new IllegalStateException(
-          s"$t version $v is not append-only (files removed/rewritten or deletion " +
-            "vectors attached) — a streaming source over it would miss or duplicate " +
-            "rows. Set ignoreChanges=true to stream only the added files, or " +
-            "restart the stream from a fresh snapshot (drop startingVersion).")
-      added.filterNot(_._3).map { case (p, len, _) => (p, len) }
+    else store.cdcInventory(t, v).filter(_ => cdfMode) match {
+      case Some(cdc) => cdc.map { case (p, len) => GraftFilePartition(p, len, null, v) }
+      case None =>
+        val (_, _, prev) = store.snapshotInventory(t, v - 1)
+        val prevByPath = prev.map(f => f._1 -> f._3).toMap
+        val added = cur.filterNot(f => prevByPath.contains(f._1))
+        val removed = prev.map(_._1).filterNot(cur.map(_._1).toSet)
+        val dvChanged = cur.exists(f => prevByPath.get(f._1).exists(_ != f._3))
+        if ((removed.nonEmpty || dvChanged || added.exists(_._3)) && !ignoreChanges)
+          throw new IllegalStateException(
+            if (cdfMode)
+              s"$t version $v rewrote files but recorded no change data — run " +
+                "enableChangeFeed on the table before the DML whose changes you " +
+                "need, or set ignoreChanges=true to stream only the added files."
+            else
+              s"$t version $v is not append-only (files removed/rewritten or deletion " +
+                "vectors attached) — a streaming source over it would miss or duplicate " +
+                "rows. Set ignoreChanges=true to stream only the added files, use " +
+                "changeFeed=true over a table with enableChangeFeed, or " +
+                "restart the stream from a fresh snapshot (drop startingVersion).")
+        added.filterNot(_._3).map { case (p, len, _) => GraftFilePartition(p, len, "insert", v) }
     }
   }
 

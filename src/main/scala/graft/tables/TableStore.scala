@@ -650,10 +650,13 @@ final class TableStore(spark: SparkSession, root: String) {
   private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
       schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None,
-      op: String = "write"): Unit = {
+      op: String = "write", cdc: Option[DataFrame] = None): Unit = {
     val (next, dir) = stageVersion(name, df, partitionBy, sortWithin, statsFor,
       carryOver, schemaHint, op)
     try {
+      // change-feed rows land INSIDE the staged version dir — atomic with
+      // the commit (an abort drops them with the version)
+      cdc.foreach(_.write.parquet(dir.resolve("cdc").toString))
       withCommitLock(name) {
         expectedBase.foreach { base =>
           val cur = currentVersion(name)
@@ -1134,6 +1137,76 @@ final class TableStore(spark: SparkSession, root: String) {
       .unionByName(onlyA.exceptAll(onlyB).withColumn("_change_type", lit("delete")))
   }
 
+  /** Row-level change feed over (`fromVersion`, `toVersion`] — Delta's
+    * `table_changes`: every row carries `_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage and `_commit_version`.
+    *
+    * Per version, cheapest-first:
+    *  - a recorded `cdc/` sidecar (written by UPDATE/DELETE/MERGE when
+    *    [[enableChangeFeed]] is on) is read as-is — update images exact;
+    *  - layout-only commits (OPTIMIZE/ZORDER/VACUUM/clone/restore and
+    *    metadata-only DDL) emit nothing;
+    *  - append-only commits reconstruct `insert` rows from the files the
+    *    manifest diff says were added — no sidecar was ever written;
+    *  - a full overwrite emits the old snapshot as `delete` + the new as
+    *    `insert`;
+    *  - anything else (a rewriting DML from before the feed was enabled)
+    *    raises: the per-row change information was never captured.
+    *
+    * Everything here is manifest arithmetic + file-pruned reads; no step
+    * diffs data with a shuffle, so a feed over a 100 TB table costs the
+    * changed rows. */
+  def changeFeed(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"$name changeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    val layoutOnly = Set("optimize", "zorder", "vacuum", "clone", "restore",
+      "rename_column", "drop_column", "add_columns", "alter", "create")
+    val frames = ((fromVersion + 1) to toVersion).map { v =>
+      val (schemaCur, cur) = readManifest(name, v)
+      val op = manifestOp(name, v)
+      val cdcPath = cdcDir(name, v)
+      def vcol(df: DataFrame) = df.withColumn("_commit_version", lit(v))
+      if (Files.exists(cdcPath)) {
+        // sidecars store the logical names in force at write time
+        Some(vcol(spark.read.parquet(cdcPath.toString)))
+      } else if (layoutOnly.exists(op.startsWith)) None
+      else if (!Files.exists(manifestPath(name, v - 1))) {
+        if (v == 1) // table creation: everything is an insert
+          Some(vcol(readEntries(name, schemaCur, cur)
+            .withColumn("_change_type", lit("insert"))))
+        else throw new IllegalStateException(
+          s"$name: version ${v - 1} was vacuumed — its successor's changes " +
+            "cannot be reconstructed; start the feed at a retained version")
+      } else {
+        val (_, prev) = readManifest(name, v - 1)
+        val prevKeys = prev.map(e => (e.rel, e.dvs)).toSet
+        val curKeys = cur.map(e => (e.rel, e.dvs)).toSet
+        val added = cur.filterNot(e => prevKeys((e.rel, e.dvs)))
+        val removed = prev.filterNot(e => curKeys((e.rel, e.dvs)))
+        if (removed.isEmpty)
+          Some(vcol(readEntries(name, schemaCur, added)
+            .withColumn("_change_type", lit("insert"))))
+        else if (op == "write" && added.size == cur.size && removed.size == prev.size) {
+          // full overwrite: old snapshot deleted, new snapshot inserted
+          val (schemaPrev, _) = readManifest(name, v - 1)
+          Some(vcol(readEntries(name, schemaPrev, removed)
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(readEntries(name, schemaCur, added)
+              .withColumn("_change_type", lit("insert")), allowMissingColumns = true)))
+        } else throw new IllegalStateException(
+          s"$name version $v (op $op) rewrote files but recorded no change data — " +
+            "run enableChangeFeed before the DML whose changes you need")
+      }
+    }
+    frames.flatten
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val (schema, _) = currentManifest(name)
+        emptyDf(logicalizeSchema(name, schema)
+          .add("_change_type", StringType).add("_commit_version", IntegerType))
+      }
+  }
+
   /** CURRENT snapshot inventory, stats-pruned by `pred` when given — the
     * DSv2 batch scan's planning surface: only files whose min/max ranges
     * could satisfy the pushed predicate are planned (same pruning the
@@ -1148,6 +1221,17 @@ final class TableStore(spark: SparkSession, root: String) {
       val abs = absPath(name, e.rel)
       (abs, Files.size(Paths.get(abs)), e.dvs.nonEmpty, e.rows)
     }
+  }
+
+  /** The `cdc/` sidecar files of one committed version, if the version
+    * recorded row-level changes: (absolutePath, byteSize) — the planning
+    * surface for the DSv2 source's `changeFeed=true` mode. */
+  private[graft] def cdcInventory(name: String, version: Int): Option[Seq[(String, Long)]] = {
+    val dir = cdcDir(name, version)
+    if (!Files.exists(dir)) None
+    else Some(Files.walk(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (p.toAbsolutePath.toString, Files.size(p))).toSeq.sortBy(_._1))
   }
 
   /** Committed snapshot inventory of one version: (schema, op label, files
@@ -1583,6 +1667,26 @@ final class TableStore(spark: SparkSession, root: String) {
   private def dmlMode(name: String): String =
     meta(name).properties.getOrElse("dml_mode", "cow")
 
+  /** Enable the row-level change feed (Delta's
+    * `delta.enableChangeDataFeed`): from the NEXT commit on, UPDATE /
+    * DELETE / MERGE record their row-level changes — including
+    * `update_preimage`/`update_postimage` pairs — as a `cdc/` parquet
+    * sidecar inside the committed version directory, written while
+    * staging so it is atomic with the commit. Appends and overwrites
+    * don't pay the extra write: their change rows are reconstructed from
+    * the manifest diff at read time, exactly like Delta. Read the feed
+    * with [[changeFeed]] or stream it via the `graft-table` source's
+    * `changeFeed=true` option. */
+  def enableChangeFeed(name: String): Unit =
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + ("cdf" -> "true")))
+
+  private def cdfEnabled(name: String): Boolean =
+    meta(name).properties.get("cdf").contains("true")
+
+  private def cdcDir(name: String, version: Int): Path =
+    tableDir(name).resolve(s"v_$version").resolve("cdc")
+
   /** Merge-on-read DELETE (`set` = None) / UPDATE (`set` = Some):
     * discovery scans only stats-pruned candidate files, the matching rows'
     * (file, position) pairs are written as this version's deletion vector,
@@ -1628,6 +1732,23 @@ final class TableStore(spark: SparkSession, root: String) {
           val (pb, sw, sf) = readLayout(name)
           footerEntries(name, files,
             (pb ++ sw ++ sf).distinct.filter(schema.fieldNames.contains))
+      }
+      // change feed: the DV'd rows are the pre-images; an update's
+      // appended rewrite is the post-image set (deterministic re-derive
+      // of the same `live.filter(cond)` rows the DV captured)
+      if (cdfEnabled(name)) {
+        val lschema = logicalizeSchema(name, schema)
+        val pre = live.filter(cond).select(lschema.fieldNames.map(col).toSeq: _*)
+        val cdcDf = set match {
+          case None => pre.withColumn("_change_type", lit("delete"))
+          case Some(s) =>
+            val post = lschema.fields.foldLeft(pre) { (df, f) =>
+              s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
+            }
+            pre.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+        }
+        cdcDf.write.parquet(dir.resolve("cdc").toString)
       }
       val newEntries = entries.map(e =>
         if (touched(e.rel)) e.copy(dvs = e.dvs :+ dvRel) else e) ++ appended
@@ -1736,10 +1857,18 @@ final class TableStore(spark: SparkSession, root: String) {
         set.get(c).map(v => df.withColumn(c,
           when(cond, v).otherwise(df(c)).cast(lschema(c).dataType))).getOrElse(df)
       }
+      val cdc = if (!cdfEnabled(name)) None else {
+        val pre = subset.filter(cond)
+        val post = pre.columns.foldLeft(pre) { (df, c) =>
+          set.get(c).map(v => df.withColumn(c, v.cast(lschema(c).dataType))).getOrElse(df)
+        }
+        Some(pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage"))))
+      }
       val (pb, sw, sf) = readLayout(name)
       commitVersion(name, updated, pb, sw, sf,
         carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-        expectedBase = Some(Some(base)), op = "update")
+        expectedBase = Some(Some(base)), op = "update", cdc = cdc)
     }
 
   /** K6: DELETE FROM … WHERE — file-pruned copy-on-write, or a pure
@@ -1753,10 +1882,12 @@ final class TableStore(spark: SparkSession, root: String) {
       val touched = touchedFiles(name, schema, entries, cond)
       if (touched.isEmpty) return
       val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val cdc = if (!cdfEnabled(name)) None
+        else Some(subset.filter(cond).withColumn("_change_type", lit("delete")))
       val (pb, sw, sf) = readLayout(name)
       commitVersion(name, subset.filter(!cond || cond.isNull), pb, sw, sf,
         carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-        expectedBase = Some(Some(base)), op = "delete")
+        expectedBase = Some(Some(base)), op = "delete", cdc = cdc)
     }
 
   /** K5: MERGE INTO applied to a stored table — file-pruned copy-on-write:
@@ -1898,10 +2029,19 @@ final class TableStore(spark: SparkSession, root: String) {
     val rewritten = MergeInto(subset, source, keys, extraOn, matched,
       notMatched = Nil, notMatchedBySource, failOnMultipleMatches = false)
     val inserts = MergeInto.insertedRows(target, source, keys, extraOn, notMatched)
+    // change feed: target-side pre/post/delete images from the SAME
+    // touched subset the rewrite reads, plus the insert rows — the merge's
+    // clause dispatch decides each row's change type (Delta CDF parity)
+    val cdc = if (!cdfEnabled(name)) None else {
+      val ins = inserts.withColumn("_change_type", lit("insert"))
+      if (matched.isEmpty && notMatchedBySource.isEmpty) Some(ins)
+      else Some(MergeInto.changeSet(subset, source, keys, extraOn, matched, notMatchedBySource)
+        .unionByName(ins))
+    }
     val (pb, sw, sf) = readLayout(name)
     commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
       carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-      expectedBase = Some(Some(base)), op = "merge")
+      expectedBase = Some(Some(base)), op = "merge", cdc = cdc)
   }
 
   // ---------------------------------------------------------- transactions

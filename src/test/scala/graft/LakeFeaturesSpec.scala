@@ -734,6 +734,55 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("change feed: update images, deletes, inserts and merge clauses, across cow and mor") {
+    val root = Files.createTempDirectory("graft_cdf").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.cf",                                         // v1
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "v", "x"))
+    store.enableChangeFeed("db.cf")
+    store.update("db.cf", col("k") === 2L, Map("x" -> lit(99L)))           // v2
+    store.delete("db.cf", col("k") === 3L)                                 // v3
+    store.append("db.cf", Seq((4L, "d", 40L)).toDF("k", "v", "x"))         // v4
+    store.merge("db.cf", Seq((1L, "A", 11L), (5L, "e", 50L)).toDF("k", "v", "x"), // v5
+      Seq("k"),
+      matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
+        Map("v" -> col("s.v"), "x" -> col("s.x")))),
+      notMatched = Seq(graft.operators.MergeInto.NotMatchedInsert(None,
+        Map("k" -> col("s.k"), "v" -> col("s.v"), "x" -> col("s.x")))))
+
+    val feed = store.changeFeed("db.cf", 1, 5)
+      .select($"_commit_version", $"_change_type", $"k", $"v", $"x")
+      .as[(Int, String, Long, String, Long)].collect().toSet
+    assert(feed == Set(
+      (2, "update_preimage", 2L, "b", 20L), (2, "update_postimage", 2L, "b", 99L),
+      (3, "delete", 3L, "c", 30L),
+      (4, "insert", 4L, "d", 40L),
+      (5, "update_preimage", 1L, "a", 10L), (5, "update_postimage", 1L, "A", 11L),
+      (5, "insert", 5L, "e", 50L)), s"feed was $feed")
+
+    // feed from table creation: v1 rows appear as inserts
+    assert(store.changeFeed("db.cf", 0, 1).count() == 3)
+    // a rewriting DML from BEFORE enablement refuses instead of guessing
+    store.createOrReplace("db.cf2", Seq((1L, "a")).toDF("k", "v"))
+    store.update("db.cf2", col("k") === 1L, Map("v" -> lit("b")))
+    intercept[IllegalStateException] { store.changeFeed("db.cf2", 1, 2).count() }
+
+    // mor mode records the same images without rewriting any file
+    store.createOrReplace("db.cfm", Seq((1L, 1L), (2L, 2L)).toDF("k", "x"))
+    store.enableChangeFeed("db.cfm")
+    store.setDmlMode("db.cfm", "mor")
+    store.update("db.cfm", col("k") === 1L, Map("x" -> lit(5L)))
+    store.delete("db.cfm", col("k") === 2L)
+    val morFeed = store.changeFeed("db.cfm", 1, 3)
+      .select($"_commit_version", $"_change_type", $"k", $"x")
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(morFeed == Set(
+      (2, "update_preimage", 1L, 1L), (2, "update_postimage", 1L, 5L),
+      (3, "delete", 2L, 2L)), s"mor feed was $morFeed")
+    store.detach()
+  }
+
   test("MERGE discovery stats-prunes candidate files by the source key range") {
     val root = Files.createTempDirectory("graft_mprune").toString
     val store = new TableStore(spark, root)

@@ -280,4 +280,48 @@ class TableStreamSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).sorted == (0L until 60L))
     store.detach()
   }
+
+  test("changeFeed=true streams row-level changes with update images across commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ts_cdf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ts_cdf_ck").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.cdf",                                        // v1
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "x"))
+    store.enableChangeFeed("db.cdf")
+
+    val stream = readTableStream(root, "db.cdf", Map("changeFeed" -> "true"))
+    assert(stream.columns.toSeq == Seq("k", "x", "_change_type", "_commit_version"))
+
+    // batch 1: the pinned snapshot arrives as inserts of its version
+    val snap = runOnce(stream, ckpt)
+    assert(snap.size == 3 && snap.forall(r => r.getString(2) == "insert" && r.getInt(3) == 1),
+      s"snapshot as inserts, got $snap")
+
+    // subsequent DML arrives as recorded change rows (same checkpoint)
+    store.update("db.cdf", col("k") === 2L, Map("x" -> lit(99L)))          // v2
+    store.delete("db.cdf", col("k") === 3L)                                // v3
+    store.append("db.cdf", Seq((4L, 40L)).toDF("k", "x"))                  // v4
+    val changes = runOnce(readTableStream(root, "db.cdf", Map("changeFeed" -> "true")), ckpt)
+      .map(r => (r.getInt(3), r.getString(2), r.getLong(0), r.getLong(1))).toSet
+    assert(changes == Set(
+      (2, "update_preimage", 2L, 20L), (2, "update_postimage", 2L, 99L),
+      (3, "delete", 3L, 30L),
+      (4, "insert", 4L, 40L)), s"got $changes")
+
+    // exactly-once: nothing new → nothing delivered
+    assert(runOnce(readTableStream(root, "db.cdf", Map("changeFeed" -> "true")), ckpt).isEmpty)
+
+    // without CDC recorded (feed disabled) a rewriting commit fails the stream
+    store.createOrReplace("db.nof", Seq((1L, 1L)).toDF("k", "x"))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ts_cdf_ck2").toString
+    runOnce(readTableStream(root, "db.nof", Map("changeFeed" -> "true")), ckpt2)
+    store.update("db.nof", col("k") === 1L, Map("x" -> lit(2L)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(readTableStream(root, "db.nof", Map("changeFeed" -> "true")), ckpt2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("enableChangeFeed")), msgs(e).mkString("; "))
+    store.detach()
+  }
 }
