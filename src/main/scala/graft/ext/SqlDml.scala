@@ -297,6 +297,20 @@ object SqlDml {
     storeTableOf(d.child, spark).map(name =>
       GraftDropConstraintCommand(name, d.name))
 
+  /** `ALTER TABLE db.t ADD CONSTRAINT c FOREIGN KEY (…) REFERENCES p(…)`
+    * on a store table records the reference's informational FK
+    * (01_Init.py:336-341) in the metadata sidecar. Spark 4.1 parses the
+    * statement natively; only the lowering onto the store is ours. */
+  private[ext] def lowerAddFk(a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint,
+      spark: SparkSession): Option[LogicalPlan] =
+    a.tableConstraint match {
+      case fk: org.apache.spark.sql.catalyst.expressions.ForeignKeyConstraint =>
+        storeTableOf(a.child, spark).map(name =>
+          GraftAddForeignKeyCommand(name, fk.userProvidedName,
+            fk.childColumns, fk.parentTableId.mkString("."), fk.parentColumns))
+      case _ => None
+    }
+
 
   /** CTAS / RTAS capture at PARSE time — the analyzer converts (or
     * rejects) these nodes for the session catalog before an injected
@@ -408,6 +422,8 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
         SqlDml.lowerDropColumns(d, spark).getOrElse(d)
       case c: AddCheckConstraint => SqlDml.lowerAddConstraint(c, spark).getOrElse(c)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+        SqlDml.lowerAddFk(a, spark).getOrElse(a)
       case d: DropConstraint => SqlDml.lowerDropConstraint(d, spark).getOrElse(d)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         SqlDml.lowerTimeTravel(tt, spark).getOrElse(tt)
@@ -696,13 +712,27 @@ final case class GraftAddConstraintCommand(table: String, cname: String,
   }
 }
 
-/** `ALTER TABLE db.table DROP CONSTRAINT c`. */
+/** `ALTER TABLE db.table DROP CONSTRAINT c` — CHECK or FOREIGN KEY,
+  * whichever `c` names. */
 final case class GraftDropConstraintCommand(table: String, cname: String)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for DROP CONSTRAINT"))
-    store.dropCheckConstraint(table, cname)
+    if (store.foreignKeys(table).contains(cname)) store.dropForeignKey(table, cname)
+    else store.dropCheckConstraint(table, cname)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.table ADD CONSTRAINT c FOREIGN KEY … REFERENCES …`. */
+final case class GraftAddForeignKeyCommand(table: String, cname: String,
+    cols: Seq[String], refTable: String, refCols: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for ADD CONSTRAINT"))
+    store.setForeignKey(table, cname, cols, refTable, refCols)
     Seq.empty
   }
 }

@@ -182,13 +182,23 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
           .cast("decimal(38,6)").as("sales_net_price"))
   }
 
-  def runGoldFact(loadTs: Column): Unit =
+  def runGoldFact(loadTs: Column): Unit = {
     // fact snapshot sorted by its grain key inside each file: per-file
     // min/max manifest stats on the key become selective, the file-level
     // pruning lever after directory partitioning (reference facts rely on
     // Delta data skipping for the same effect)
     store.createOrReplace("gold.fact_sales", withAudit(buildFact(loadTs), loadTs),
       sortWithin = Seq("sales_order_key", "sales_line_number"))
+    // the reference's informational star topology (01_Init.py:336-341:
+    // `_tf_dim_calendar_id INT REFERENCES gold.dim_calendar(...)`) —
+    // recorded, not enforced, like Databricks FK constraints
+    store.setForeignKey("gold.fact_sales", "fk_calendar",
+      Seq("_tf_dim_calendar_id"), "gold.dim_calendar", Seq("date_key"))
+    store.setForeignKey("gold.fact_sales", "fk_customer",
+      Seq("_tf_dim_customer_id"), "gold.dim_customer", Seq("_tf_dim_customer_id"))
+    store.setForeignKey("gold.fact_sales", "fk_geography",
+      Seq("_tf_dim_geography_id"), "gold.dim_geography", Seq("_tf_dim_geography_id"))
+  }
 
   def run(loadTs: Column): Unit = {
     // stage names surface in the Spark UI / job listeners, so a slow load

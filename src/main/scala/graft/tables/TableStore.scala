@@ -1401,6 +1401,9 @@ final class TableStore(spark: SparkSession, root: String) {
     }.orElse(generatedColumns(name).collectFirst {
       case (gcol, sql) if word.matcher(sql).find() =>
         s"generated column $gcol's expression"
+    }).orElse(foreignKeys(name).collectFirst {
+      case (cname, (cols, _, _)) if cols.exists(_.equalsIgnoreCase(colName)) =>
+        s"FOREIGN KEY $cname"
     })
   }
 
@@ -2161,7 +2164,12 @@ final class TableStore(spark: SparkSession, root: String) {
       "partition_columns" -> pb.mkString(","),
       "sort_columns" -> sw.mkString(","),
       "dml_mode" -> dmlMode(name),
-      "num_columns" -> schema.fields.length.toString)
+      "num_columns" -> schema.fields.length.toString,
+      "primary_key" -> meta(name).properties.getOrElse("primary_key", ""),
+      "foreign_keys" -> foreignKeys(name).toSeq.sortBy(_._1).map {
+        case (c, (cols, ref, refCols)) =>
+          s"$c: (${cols.mkString(",")}) REFERENCES $ref(${refCols.mkString(",")})"
+      }.mkString("; "))
   }
 
   /** Record a (non-enforced) primary key, like the reference's
@@ -2169,6 +2177,60 @@ final class TableStore(spark: SparkSession, root: String) {
   def setPrimaryKey(name: String, cols: Seq[String]): Unit =
     setMeta(name, meta(name).copy(properties =
       meta(name).properties + ("primary_key" -> cols.mkString(","))))
+
+  /** Record an INFORMATIONAL foreign key — the reference's fact DDL
+    * declares these inline (`_tf_dim_calendar_id INT REFERENCES
+    * gold.dim_calendar(...)`, 01_Init.py:336-341). Like Databricks
+    * PK/FK constraints it is NOT enforced (that's what keeps writes
+    * join-free); it documents the star topology for tools and humans, and
+    * [[fkOrphans]] runs the integrity scan on demand. Child columns are
+    * validated to exist and are then drop/rename-protected; the PARENT
+    * side is validated at declaration only (a later parent rename shows
+    * up in the orphan scan, not silently). */
+  def setForeignKey(name: String, cname: String, cols: Seq[String],
+      refTable: String, refCols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.length == refCols.length,
+      s"$name FOREIGN KEY $cname: child/parent column lists must align")
+    val visible = logicalizeSchema(name, currentManifest(name)._1).fieldNames
+    cols.foreach(c => require(visible.exists(_.equalsIgnoreCase(c)),
+      s"$name FOREIGN KEY $cname: no column $c (columns: ${visible.mkString(", ")})"))
+    require(exists(refTable),
+      s"$name FOREIGN KEY $cname: referenced table $refTable not found")
+    val refVisible = logicalizeSchema(refTable, currentManifest(refTable)._1).fieldNames
+    refCols.foreach(c => require(refVisible.exists(_.equalsIgnoreCase(c)),
+      s"$name FOREIGN KEY $cname: $refTable has no column $c"))
+    setMeta(name, meta(name).copy(properties = meta(name).properties +
+      (s"fk.$cname" -> s"${cols.mkString(",")}|$refTable|${refCols.mkString(",")}")))
+  }
+
+  def dropForeignKey(name: String, cname: String): Unit =
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties - s"fk.$cname"))
+
+  /** Declared foreign keys: constraint name → (child cols, parent table,
+    * parent cols). */
+  def foreignKeys(name: String): Map[String, (Seq[String], String, Seq[String])] =
+    meta(name).properties.collect {
+      case (k, v) if k.startsWith("fk.") =>
+        val Array(cols, ref, refCols) = v.split('|')
+        k.stripPrefix("fk.") ->
+          ((cols.split(',').toSeq, ref, refCols.split(',').toSeq))
+    }
+
+  /** On-demand FK integrity scan: rows of `name` whose (fully non-null)
+    * child key has no match in the parent. One left-anti join, parent side
+    * pruned to its key columns — broadcastable for dimension-sized
+    * parents, which is the star-schema case this exists for. */
+  def fkOrphans(name: String, cname: String): Long = {
+    val (cols, refTable, refCols) = foreignKeys(name).getOrElse(cname,
+      throw new IllegalArgumentException(s"$name: no FOREIGN KEY $cname"))
+    val child = read(name).filter(cols.map(col(_).isNotNull).reduce(_ && _)).alias("c")
+    val parent = read(refTable).select(refCols.map(col): _*).alias("p")
+    child.join(parent,
+        cols.zip(refCols).map { case (a, b) => col(s"c.$a") === col(s"p.$b") }.reduce(_ && _),
+        "left_anti")
+      .count()
+  }
 
   // ------------------------------------------------------------ constraints
 

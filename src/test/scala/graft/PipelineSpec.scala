@@ -46,6 +46,44 @@ class PipelineSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("informational FOREIGN KEY: round-trip, guards, orphan scan, DESCRIBE DETAIL") {
+    val root = Files.createTempDirectory("graft_fk").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("gold.dim", Seq((1L, "a"), (2L, "b")).toDF("dim_id", "nm"))
+    store.createOrReplace("gold.fact",
+      Seq((10L, Some(1L)), (11L, Some(2L)), (12L, Some(2L)), (13L, Some(9L)),
+        (14L, Option.empty[Long])).toDF("fact_id", "dim_fk"))
+
+    store.setForeignKey("gold.fact", "fk_dim", Seq("dim_fk"), "gold.dim", Seq("dim_id"))
+    assert(store.foreignKeys("gold.fact") ==
+      Map("fk_dim" -> ((Seq("dim_fk"), "gold.dim", Seq("dim_id")))))
+    assert(store.detail("gold.fact")("foreign_keys") ==
+      "fk_dim: (dim_fk) REFERENCES gold.dim(dim_id)")
+    // orphan scan: key 9 has no parent; the NULL key is not an orphan
+    assert(store.fkOrphans("gold.fact", "fk_dim") == 1L)
+    // the child column is rename/drop-protected while referenced
+    intercept[IllegalArgumentException] { store.renameColumn("gold.fact", "dim_fk", "x") }
+    intercept[IllegalArgumentException] { store.dropColumn("gold.fact", "dim_fk") }
+    // declaration against missing columns/tables refuses
+    intercept[IllegalArgumentException] {
+      store.setForeignKey("gold.fact", "bad", Seq("nope"), "gold.dim", Seq("dim_id")) }
+    intercept[IllegalArgumentException] {
+      store.setForeignKey("gold.fact", "bad", Seq("dim_fk"), "gold.nope", Seq("dim_id")) }
+    store.dropForeignKey("gold.fact", "fk_dim")
+    assert(store.foreignKeys("gold.fact").isEmpty)
+    store.renameColumn("gold.fact", "dim_fk", "x") // now allowed
+
+    // the medallion declares the reference's star topology on its fact
+    val pipe = new graft.pipeline.Medallion(spark, store, sfDir)
+    pipe.run(lit("2024-01-01 00:00:00"))
+    assert(store.foreignKeys("gold.fact_sales").keySet ==
+      Set("fk_calendar", "fk_customer", "fk_geography"))
+    // -9 unknown members make every FK resolvable: zero orphans by design
+    assert(store.fkOrphans("gold.fact_sales", "fk_customer") == 0L)
+    store.detach()
+  }
+
   test("incremental silver load is a file-pruned merge: untouched files stay in place") {
     val root = Files.createTempDirectory("graft_silver_inc").toString
     val store = new TableStore(spark, root)

@@ -293,6 +293,24 @@ class SqlDmlSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT FOREIGN KEY lowers onto the store's FK metadata") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_fk").toString)
+    try {
+      store.createOrReplace("gold.dim_c", Seq((1L, "a")).toDF("dim_id", "nm"))
+      store.createOrReplace("gold.fact_c", Seq((7L, 1L)).toDF("fact_id", "dim_fk"))
+      spark.sql(
+        "ALTER TABLE gold.fact_c ADD CONSTRAINT fk_dim FOREIGN KEY (dim_fk) REFERENCES gold.dim_c(dim_id)")
+      assert(store.foreignKeys("gold.fact_c") ==
+        Map("fk_dim" -> ((Seq("dim_fk"), "gold.dim_c", Seq("dim_id")))))
+      // DESCRIBE DETAIL surfaces it through SQL
+      val detail = spark.sql("DESCRIBE DETAIL gold.fact_c")
+        .filter(col("property") === "foreign_keys").select(col("value")).as[String].head()
+      assert(detail == "fk_dim: (dim_fk) REFERENCES gold.dim_c(dim_id)")
+      spark.sql("ALTER TABLE gold.fact_c DROP CONSTRAINT fk_dim")
+      assert(store.foreignKeys("gold.fact_c").isEmpty)
+    } finally store.detach()
+  }
+
   test("readStream.table over a store table is NOT silently lowered to a batch read") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_rs").toString)
     try {
