@@ -657,17 +657,17 @@ final case class GraftOptimizeCommand(table: String, zorderBy: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for OPTIMIZE"))
-    require(where.isEmpty || zorderBy.isEmpty,
-      "OPTIMIZE … WHERE with ZORDER BY is not supported — Z-order the whole table")
     val before = store.history(table).headOption.map(_._4).getOrElse(0)
     // ZORDER keeps the file count (clustering, not consolidation: the
     // curve needs multiple files to give every column selective ranges);
     // plain OPTIMIZE consolidates per partition; WHERE bounds the work to
-    // the predicate's candidate files
-    if (zorderBy.nonEmpty) store.compact(table, targetFiles = math.max(1, before), zorderBy)
-    else where match {
-      case Some(w) => store.compactWhere(table, org.apache.spark.sql.functions.expr(w))
-      case None => store.compact(table)
+    // the predicate's candidate files — with ZORDER, the candidates are
+    // re-clustered INTO the persisted curve (incremental clustering)
+    (where, zorderBy) match {
+      case (Some(w), Nil) => store.compactWhere(table, org.apache.spark.sql.functions.expr(w))
+      case (Some(w), _) => store.zorderWhere(table, org.apache.spark.sql.functions.expr(w))
+      case (None, Nil) => store.compact(table)
+      case (None, _) => store.compact(table, targetFiles = math.max(1, before), zorderBy)
     }
     val after = store.history(table).headOption.map(_._4).getOrElse(0)
     Seq(Row(table, before, after))

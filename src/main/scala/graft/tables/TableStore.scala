@@ -760,7 +760,6 @@ final class TableStore(spark: SparkSession, root: String) {
       commitVersion(name, df, lpb, sw.map(logicalOf), sf.map(logicalOf), carryOver = Seq.empty,
         schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
     } else {
-      import org.apache.spark.sql.functions.{shiftleft, shiftright}
       val lschema = logicalizeSchema(name, schema)
       zorderBy.foreach { c =>
         val dt = lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
@@ -791,57 +790,134 @@ final class TableStore(spark: SparkSession, root: String) {
       // the sketch cost scales with 1/error, so don't over-buy precision
       val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
       val quantiles = df0.stat.approxQuantile(zorderBy.toArray, probes, 0.01)
-      val n = zorderBy.length
-      // bucket assignment = BINARY SEARCH over the boundaries as a when()
-      // tree: log2(256) = 8 comparisons per row, all codegen'd (a linear
-      // fold over 255 boundary literals is an interpreted-lambda hot loop —
-      // measured 10× the cost of the entire rewrite). NULLs fail every
-      // comparison and descend to bucket 0.
-      def bucketOf(c: Column, bs: Array[Double], lo: Int, hi: Int): Column =
-        if (lo == hi) lit(lo)
-        else {
-          val mid = (lo + hi + 1) / 2
-          when(c >= bs(mid - 1), bucketOf(c, bs, mid, hi))
-            .otherwise(bucketOf(c, bs, lo, mid - 1))
-        }
-      val buckets = zorderBy.zip(quantiles.toSeq).map { case (c, bs) =>
-        bucketOf(col(c).cast("double"), bs, 0, bs.length)
-      }
-      // interleave: bit k of column ci lands at position k*n + ci, so all
-      // columns' high bits dominate the ordering together
-      val zval = (for { k <- 0 until bits; ci <- 0 until n } yield
-        shiftleft(shiftright(buckets(ci), k).bitwiseAND(lit(1)).cast("long"), k * n + ci))
-        .reduce(_ + _)
-      // Range-partition by z WITHOUT repartitionByRange: its RangePartitioner
-      // reservoir-samples the input, which is a second full scan of the
-      // table being optimized. The quantile bucketing already makes each
-      // dimension's buckets even-mass, so contiguous spans of the z-cell
-      // grid are even-mass too (up to cross-column correlation, which can
-      // skew file sizes but never correctness) — the partition boundaries
-      // are KNOWN and the shuffle routes rows by cell id directly.
-      // cellBits gives ~8 cells per output file, so the contiguous
-      // cell→partition mapping stays within ~12% of even spans.
-      val zBits = bits * n
-      val cellBits = math.min(zBits, ceilLog2T + 3)
-      val cell = shiftright(zval, zBits - cellBits)
-      val pid = shiftright(cell * lit(targetParts.toLong), cellBits).cast("int")
-      val withZ = df0.withColumn("__graft_z", zval).withColumn("__graft_p", pid)
-      val zSchema = withZ.schema
-      val pIdx = zSchema.fieldIndex("__graft_p")
-      val routed = withZ.rdd
-        .map(r => (r.getInt(pIdx), r))
-        .partitionBy(new org.apache.spark.Partitioner {
-          override def numPartitions: Int = targetParts
-          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-        })
-        .map(_._2)
-      val prepared = spark.createDataFrame(routed, zSchema)
-        .sortWithinPartitions(col("__graft_z"))
-        .drop("__graft_z", "__graft_p") // projection after sort — intra-partition order survives
+      val prepared = zorderRoute(df0, zorderBy, quantiles, bits, targetParts)
       commitVersion(name, prepared, pb, sortWithin = Nil,
         statsFor = (sf ++ sw ++ zorderBy).distinct, carryOver = Seq.empty,
         schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
+      // persist the curve (bits + per-column quantile boundaries) so
+      // INCREMENTAL passes ([[clusterNew]], OPTIMIZE WHERE … ZORDER BY)
+      // can route later files onto the SAME cells without re-sketching —
+      // Delta liquid clustering's "cluster on write into the existing
+      // layout" shape. The baseline version marks which files are
+      // already clustered.
+      setMeta(name, meta(name).copy(properties = meta(name).properties +
+        ("zorder.cols" -> zorderBy.mkString(",")) +
+        ("zorder.bits" -> bits.toString) +
+        ("zorder.bounds" -> quantiles.map(_.mkString(":")).mkString(";")) +
+        ("zorder.base" -> currentVersion(name).get.toString)))
     }
+  }
+
+  /** Shared z-order shuffle: bucket each column by the given quantile
+    * boundaries (binary-search when() tree, codegen'd), interleave the
+    * bucket bits into a z-value, route rows to contiguous even-mass cell
+    * spans directly (no second sampling scan), sort within partitions.
+    * See [[compact]] for the full rationale. */
+  private def zorderRoute(df0: DataFrame, zorderBy: Seq[String],
+      quantiles: Array[Array[Double]], bits: Int, targetParts: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{shiftleft, shiftright}
+    val n = zorderBy.length
+    val ceilLog2T = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1, targetParts - 1).toLong).toInt
+    def bucketOf(c: Column, bs: Array[Double], lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(c >= bs(mid - 1), bucketOf(c, bs, mid, hi))
+          .otherwise(bucketOf(c, bs, lo, mid - 1))
+      }
+    val buckets = zorderBy.zip(quantiles.toSeq).map { case (c, bs) =>
+      bucketOf(col(c).cast("double"), bs, 0, bs.length)
+    }
+    val zval = (for { k <- 0 until bits; ci <- 0 until n } yield
+      shiftleft(shiftright(buckets(ci), k).bitwiseAND(lit(1)).cast("long"), k * n + ci))
+      .reduce(_ + _)
+    val zBits = bits * n
+    val cellBits = math.min(zBits, ceilLog2T + 3)
+    val cell = shiftright(zval, zBits - cellBits)
+    val pid = shiftright(cell * lit(targetParts.toLong), cellBits).cast("int")
+    val withZ = df0.withColumn("__graft_z", zval).withColumn("__graft_p", pid)
+    val zSchema = withZ.schema
+    val pIdx = zSchema.fieldIndex("__graft_p")
+    val routed = withZ.rdd
+      .map(r => (r.getInt(pIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = targetParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(routed, zSchema)
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z", "__graft_p") // projection after sort — intra-partition order survives
+  }
+
+  /** The persisted clustering curve, if a full ZORDER optimize ran:
+    * (columns, bits, per-column boundaries, baseline version). */
+  private def zorderSpec(name: String): Option[(Seq[String], Int, Array[Array[Double]], Int)] = {
+    val p = meta(name).properties
+    for {
+      cols <- p.get("zorder.cols")
+      bits <- p.get("zorder.bits")
+      bounds <- p.get("zorder.bounds")
+      basev <- p.get("zorder.base")
+    } yield (cols.split(',').toSeq, bits.toInt,
+      bounds.split(';').map(s => if (s.isEmpty) Array.empty[Double]
+        else s.split(':').map(_.toDouble)),
+      basev.toInt)
+  }
+
+  /** Incremental clustering (Delta liquid-clustering shape): rewrite ONLY
+    * the given candidate entries along the table's persisted curve; every
+    * other file carries over untouched. The new files cover narrow z-cell
+    * spans that overlap the already-clustered generation — predicate
+    * pruning stays selective across generations, and the cost is the
+    * candidate slice, never the table. */
+  private def clusterEntries(name: String, candidates: Seq[FileEntry],
+      targetFiles: Int): Unit = {
+    val (cols, bits, bounds, _) = zorderSpec(name).getOrElse(
+      throw new IllegalStateException(
+        s"$name: no persisted ZORDER curve — run OPTIMIZE … ZORDER BY first"))
+    val base = currentVersion(name)
+    val (schema, entries) = currentManifest(name)
+    val cset = candidates.map(_.rel).toSet
+    if (candidates.isEmpty ||
+        (candidates.size <= 1 && !candidates.exists(_.dvs.nonEmpty))) return
+    val (pb, sw, sf) = readLayout(name)
+    val prepared = zorderRoute(readEntries(name, schema, candidates),
+      cols, bounds, bits, math.max(1, targetFiles))
+    commitVersion(name, prepared, pb, sortWithin = Nil,
+      statsFor = (sf ++ sw ++ cols).distinct,
+      carryOver = entries.filterNot(e => cset(e.rel)),
+      schemaHint = Some(schema), expectedBase = Some(base), op = "optimize")
+    setMeta(name, meta(name).copy(properties = meta(name).properties +
+      ("zorder.base" -> currentVersion(name).get.toString)))
+  }
+
+  /** Cluster the files ADDED since the last (full or incremental) ZORDER
+    * pass into the existing curve — the routine-maintenance form: appends
+    * accumulate, `clusterNew` folds them into the layout at the cost of
+    * the backlog only. Falls back to every file when the baseline
+    * manifest was vacuumed. */
+  def clusterNew(name: String, targetFiles: Int = 1): Unit = {
+    val (_, _, _, basev) = zorderSpec(name).getOrElse(
+      throw new IllegalStateException(
+        s"$name: no persisted ZORDER curve — run OPTIMIZE … ZORDER BY first"))
+    val (_, entries) = currentManifest(name)
+    val clustered: Set[String] =
+      if (!Files.exists(manifestPath(name, basev))) Set.empty
+      else readManifest(name, basev)._2.map(_.rel).toSet
+    clusterEntries(name, entries.filterNot(e => clustered(e.rel) && e.dvs.isEmpty),
+      targetFiles)
+  }
+
+  /** OPTIMIZE … WHERE … ZORDER BY: re-cluster only the files the
+    * predicate could touch (manifest stats pick the candidates) along the
+    * persisted curve. `targetFiles` ≤ 0 keeps the candidate file count —
+    * clustering re-ranges files, it doesn't consolidate them. */
+  def zorderWhere(name: String, pred: Column, targetFiles: Int = 0): Unit = {
+    val (schema, entries) = currentManifest(name)
+    val candidates = pruneEntries(name, schema, entries, pred)
+    clusterEntries(name, candidates,
+      if (targetFiles > 0) targetFiles else math.max(1, candidates.size))
   }
 
   /** OPTIMIZE … WHERE: compact only the files the predicate could touch

@@ -413,6 +413,44 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("incremental clustering: new files fold into the persisted curve, others untouched") {
+    val root = Files.createTempDirectory("graft_zinc").toString
+    val store = new TableStore(spark, root)
+    val df = spark.range(0, 40000).select(
+      (col("id") % 200).as("a"), ((col("id") * 7919) % 200).as("b"))
+    store.createOrReplace("db.zi", df, statsFor = Seq("a", "b"))
+    store.compact("db.zi", targetFiles = 16, zorderBy = Seq("a", "b"))
+    val clustered = store.prunedFileList("db.zi", None).toSet
+
+    // appended backlog: unclustered rows spanning the whole space
+    store.append("db.zi", spark.range(40000, 48000).select(
+      (col("id") % 200).as("a"), ((col("id") * 7919) % 200).as("b")))
+    // a selective read now opens extra files (the unclustered appends)
+    val withBacklog = store.prunedFileList("db.zi", Some(col("b") === 7L)).size
+
+    store.clusterNew("db.zi", targetFiles = 4)
+    val after = store.prunedFileList("db.zi", None).toSet
+    // every originally-clustered file carried over physically
+    assert(clustered.subsetOf(after), "clusterNew rewrote already-clustered files")
+    // the backlog was re-clustered: selective reads shed the appended spread
+    val afterPrune = store.prunedFileList("db.zi", Some(col("b") === 7L)).size
+    assert(afterPrune < withBacklog,
+      s"incremental pass should restore skipping ($afterPrune vs $withBacklog)")
+    assert(store.read("db.zi").count() == 48000)
+    assert(store.readWhere("db.zi", col("a") === 7L).count() == 240)
+
+    // the WHERE-bounded SQL spelling re-clusters only candidate files
+    store.append("db.zi", spark.range(48000, 49000).select(
+      (col("id") % 200).as("a"), ((col("id") * 7919) % 200).as("b")))
+    spark.sql("OPTIMIZE db.zi WHERE a >= 0 ZORDER BY (a, b)")
+    assert(store.read("db.zi").count() == 49000)
+    // repeat pass with no new files is a no-op commit-wise
+    val v = store.version("db.zi")
+    store.clusterNew("db.zi")
+    assert(store.version("db.zi") == v, "clusterNew with no backlog must not commit")
+    store.detach()
+  }
+
   test("staged versions are invisible to every reader until the commit swaps") {
     val root = Files.createTempDirectory("graft_stage").toString
     val store = new TableStore(spark, root)

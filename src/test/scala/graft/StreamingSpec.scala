@@ -252,6 +252,24 @@ class StreamingSpec extends AnyFunSuite {
       val replayed = store.read("bronze.docs_kept")
       assert(replayed.exceptAll(streamed).isEmpty && streamed.exceptAll(replayed).isEmpty,
         "replayed micro-batch must not change the kept table")
+
+      // harshest at-least-once case: the checkpoint is LOST entirely and
+      // every source file re-delivers as one giant batch 0 — the
+      // insert-only merges find every (doc,band,key) / doc already present
+      // and the kept/sig tables stay physically identical (no file added)
+      val keptFiles = store.prunedFileList("bronze.docs_kept", None).toSet
+      val sigRows = store.read("bronze.doc_sigs").count()
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sdedup_ckpt2").toString
+      runToCompletion(graft.streaming.StreamingDedup.minhashDedupSink(
+          spark.readStream.schema(schema).parquet(srcDir),
+          store, "bronze.docs_kept", "bronze.doc_sigs")
+        .option("checkpointLocation", ckpt2).start())
+      assert(store.prunedFileList("bronze.docs_kept", None).toSet == keptFiles,
+        "full re-delivery must not add or rewrite kept files")
+      assert(store.read("bronze.doc_sigs").count() == sigRows,
+        "full re-delivery must not grow the signature store")
+      val redelivered = store.read("bronze.docs_kept")
+      assert(redelivered.exceptAll(streamed).isEmpty && streamed.exceptAll(redelivered).isEmpty)
     } finally store.detach()
   }
 
