@@ -1877,14 +1877,25 @@ final class TableStore(spark: SparkSession, root: String) {
     * `t.k = s.k` is never true against an all-NULL side. */
   private def mergeCandidates(name: String, schema: StructType, entries: Seq[FileEntry],
       source: DataFrame, keys: Seq[String]): Option[Seq[FileEntry]] = {
-    val exprs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    // a 1-2 file table has nothing worth pruning — skip the source-stats
+    // jobs entirely (they cost more than the scan they would save)
+    if (entries.size <= 2) return Some(entries)
+    // ONE source pass: per-key min/max for the box cut, plus an approx
+    // distinct-tuple count that decides whether the per-tuple refinement
+    // below can possibly pay (a full-snapshot source has ~|table| tuples —
+    // collecting them would be a wasted shuffle)
+    val MaxTuples = 128
+    val exprs = keys.flatMap(k => Seq(min(col(k)), max(col(k)))) :+
+      org.apache.spark.sql.functions.approx_count_distinct(
+        org.apache.spark.sql.functions.struct(keys.map(col): _*))
     val r = source.agg(exprs.head, exprs.tail: _*).head()
     if (keys.indices.exists(i => r.isNullAt(2 * i))) return None
+    val fewTuples = r.getLong(2 * keys.length) <= MaxTuples * 2L // ±5% HLL slack
     val boxPred = keys.zipWithIndex.map { case (k, i) =>
       col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
     }.reduce(_ && _)
     val boxed = pruneEntries(name, schema, entries, boxPred)
-    if (boxed.isEmpty) return Some(Nil)
+    if (boxed.size <= 2 || !fewTuples) return Some(boxed)
     // Refine: when the source has few distinct key tuples, prune per tuple.
     // A batch of scattered keys (updates at k=5,7 plus an insert at
     // k=10001) defeats a single [min, max] box — every band file falls
@@ -1893,7 +1904,6 @@ final class TableStore(spark: SparkSession, root: String) {
     // tuple keeps only files whose stats admit it; the union of survivors
     // is the candidate set. Driver cost is bounded: ≤128 tuples × the
     // box-surviving entries, and an entry leaves `remaining` once kept.
-    val MaxTuples = 128
     val tuples = source.select(keys.map(col): _*).na.drop("any", keys)
       .distinct().limit(MaxTuples + 1).collect()
     if (tuples.length > MaxTuples) Some(boxed)
@@ -2041,68 +2051,67 @@ final class TableStore(spark: SparkSession, root: String) {
     // not error on duplicate source keys. By-source candidates come from
     // a separate plain predicate scan (stats-pruned, no join); an
     // unconditioned by-source clause touches everything, as it must.
-    val bySourceCond = notMatchedBySource.flatMap(_.cond).reduceOption(_ || _)
-    val bsUnconditioned = notMatchedBySource.exists(_.cond.isEmpty)
-    lastMergeDiscovery = None
-    def matchedFiles(): Set[String] = {
-      val cand = mergeCandidates(name, schema, entries, source, keys)
-      lastMergeDiscovery = Some((cand.map(_.size).getOrElse(0), entries.size))
-      cand match {
-        case None => Set.empty          // some key is all-NULL in the source
-        case Some(cs) if cs.isEmpty => Set.empty
-        case Some(cs) =>
-          val t = scanWithPos(name, schema, cs).alias("t")
-          val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-          val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
-          // a matched row forces a rewrite only if some matched CLAUSE
-          // applies to it — first-match-wins semantics leave a row whose
-          // conditions all fail byte-identical, so its file can carry
-          // over. This is what keeps a full-snapshot SCD2 merge (source =
-          // every key, change predicate on the clause) from rewriting the
-          // whole current slice: only files holding actually-changed rows
-          // are touched. NULL clause conditions mean "does not apply".
-          val anyClause = matched.map(_.cond.getOrElse(lit(true))).reduce(_ || _)
-          val perFile = t.join(source.alias("s"), onCond, "inner")
-            .groupBy(col("__graft_file"), col("__graft_pos"))
-            .agg(count(lit(1)).as("__n"),
-              max(when(anyClause, 1).otherwise(0)).as("__rw"))
-            .groupBy(col("__graft_file"))
-            .agg(max(col("__n")).as("__mx"), max(col("__rw")).as("__rw"))
-            .collect()
-          if (perFile.exists(_.getAs[Long]("__mx") > 1))
-            throw new IllegalStateException(
-              s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
-          perFile.filter(_.getAs[Int]("__rw") == 1)
-            .map(r => relOf(name, r.getString(0))).toSet
-      }
-    }
-    // By-source clauses modify only target rows matching NO source row, so
-    // their file discovery is a left-ANTI join of the clause-condition
-    // candidates (stats-pruned on the cond) against the source — when the
-    // source broadcasts this is map-side, and a full-snapshot SCD2 load
-    // (whose clause cond `valid_to IS NULL` alone would flag every current
-    // file) touches only files holding genuinely VANISHED keys.
-    def bySourceFiles(c: Column): Set[String] = {
-      val candidates = pruneEntries(name, schema, entries, c)
-      if (candidates.isEmpty) Set.empty
-      else {
-        val t = scanWithPos(name, schema, candidates).alias("t")
-        val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-        val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
-        t.filter(c).join(source.alias("s"), onCond, "left_anti")
-          .select(col("__graft_file")).distinct()
-          .collect().map(r => relOf(name, r.getString(0))).toSet
-      }
-    }
     // effective by-source applicability: an unconditioned clause makes the
-    // union of clause conditions TRUE (discovery still anti-joins — "all
+    // union of clause conditions TRUE (discovery still joins — "all
     // unmatched rows" is not "all rows")
+    val bsUnconditioned = notMatchedBySource.exists(_.cond.isEmpty)
     val bsCond: Option[Column] =
       if (notMatchedBySource.isEmpty) None
-      else Some(if (bsUnconditioned) lit(true) else bySourceCond.get)
+      else if (bsUnconditioned) Some(lit(true))
+      else Some(notMatchedBySource.flatMap(_.cond).reduce(_ || _))
+    lastMergeDiscovery = None
     val touched: Set[String] =
-      (if (matched.isEmpty) Set.empty[String] else matchedFiles()) ++
-        bsCond.map(bySourceFiles).getOrElse(Set.empty)
+      if (matched.isEmpty && bsCond.isEmpty) Set.empty // insert-only: pure append
+      else {
+        // candidate files: stats-pruned by the source's key ranges for the
+        // matched side, by the clause conditions for the by-source side —
+        // the rest of the table is never even scanned
+        val mCand: Seq[FileEntry] =
+          if (matched.isEmpty) Nil
+          else mergeCandidates(name, schema, entries, source, keys).getOrElse(Nil)
+        val bsCand: Seq[FileEntry] =
+          bsCond.map(c => pruneEntries(name, schema, entries, c)).getOrElse(Nil)
+        val cand = (mCand ++ bsCand).groupBy(_.rel).map(_._2.head).toSeq
+        if (matched.nonEmpty) lastMergeDiscovery = Some((cand.size, entries.size))
+        if (cand.isEmpty) Set.empty
+        else {
+          // ONE left-outer pass over the candidates decides everything:
+          //  - a matched row forces a rewrite only if some matched CLAUSE
+          //    applies (first-match-wins leaves other rows byte-identical,
+          //    so a full-snapshot SCD2 merge touches only files holding
+          //    actually-changed rows — NULL clause conditions mean
+          //    "does not apply");
+          //  - an UNmatched row forces a rewrite only if the by-source
+          //    condition holds (vanished keys, not the whole slice);
+          //  - the Delta-parity multiple-match check rides the same
+          //    aggregation (any (file, pos) with >1 match).
+          // The shuffle is bounded by the candidate rows, never the table.
+          val t = scanWithPos(name, schema, cand).alias("t")
+          val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+          val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+          val s = source.withColumn("__graft_s", lit(true)).alias("s")
+          val anyClause = matched.map(_.cond.getOrElse(lit(true)))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val bsFlag = bsCond.getOrElse(lit(false))
+          val perFile = t.join(s, onCond, "left_outer")
+            .groupBy(col("__graft_file"), col("__graft_pos"))
+            .agg(count(col("__graft_s")).as("__n"),
+              max(when(anyClause, 1).otherwise(0)).as("__rw"),
+              org.apache.spark.sql.functions.first(bsFlag).as("__bs"))
+            .groupBy(col("__graft_file"))
+            .agg(max(col("__n")).as("__mx"),
+              max(when(col("__n") > 0 && col("__rw") === 1, 1)
+                .when(col("__n") === 0 &&
+                  org.apache.spark.sql.functions.coalesce(col("__bs"), lit(false)), 1)
+                .otherwise(0)).as("__rel"))
+            .collect()
+          if (matched.nonEmpty && perFile.exists(_.getAs[Long]("__mx") > 1))
+            throw new IllegalStateException(
+              s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
+          perFile.filter(_.getAs[Int]("__rel") == 1)
+            .map(r => relOf(name, r.getString(0))).toSet
+        }
+      }
 
     val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
     val rewritten = MergeInto(subset, source, keys, extraOn, matched,
