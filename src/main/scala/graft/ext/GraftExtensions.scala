@@ -39,5 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bounded_topk"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
       (exprs: Seq[Expression]) => BoundedTopK(exprs(0), exprs(1))))
+    // Delta's CDF table-valued function: SELECT … FROM
+    // table_changes('db.t', from[, to]) over a store table's change feed.
+    e.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[GraftSqlDml].getName, "table_changes"),
+      (exprs: Seq[Expression]) => SqlDml.tableChangesPlan(exprs)))
   }
 }

@@ -247,6 +247,37 @@ object SqlDml {
       .filter(_ => d.columnsToDrop.forall(_.name.length == 1))
       .map(name => GraftDropColumnsCommand(name, d.columnsToDrop.map(_.name.head)))
 
+  /** `SELECT … FROM table_changes('db.t', from[, to])` — Delta's CDF
+    * table-valued function over a store table's [[TableStore.changeFeed]],
+    * registered via `SparkSessionExtensions.injectTableFunction`. */
+  private[ext] def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def intArg(e: Expression): Option[Int] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => Some(v)
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => Some(v.toInt)
+      case _ => None
+    }
+    def strArg(e: Expression): Option[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+        if s.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] => Some(s.toString)
+      case _ => None
+    }
+    val parsed = args match {
+      case Seq(t, f, rest @ _*) if rest.size <= 1 =>
+        for {
+          table <- strArg(t)
+          st <- TableStore.resolve(spark, table)
+          from <- intArg(f)
+          to <- rest.headOption.map(intArg).getOrElse(st.version(table))
+        } yield (st, table, from, to)
+      case _ => None
+    }
+    val (st, table, from, to) = parsed.getOrElse(throw new IllegalArgumentException(
+      "table_changes('db.table', fromVersion[, toVersion]): the table must live in an " +
+        "attached TableStore and the versions must be integer literals"))
+    GraftShims.analyzedPlan(st.changeFeed(table, from, to))
+  }
+
   /** Plain `SELECT … FROM db.t` over a store table: resolve the relation
     * to the store's read plan, so the SQL warehouse surface reads store
     * tables BY NAME — no manual temp-view registration. Session-catalog

@@ -311,6 +311,29 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("table_changes(...) TVF reads the change feed through plain SQL") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_tc").toString)
+    try {
+      store.createOrReplace("db.tc", Seq((1L, 10L), (2L, 20L)).toDF("k", "x")) // v1
+      store.enableChangeFeed("db.tc")
+      spark.sql("UPDATE db.tc SET x = 99 WHERE k = 2")                         // v2
+      spark.sql("INSERT INTO db.tc VALUES (CAST(3 AS BIGINT), CAST(30 AS BIGINT))") // v3
+      val rows = spark.sql(
+        "SELECT _commit_version, _change_type, k, x FROM table_changes('db.tc', 1, 3) ORDER BY 1, 2")
+        .as[(Int, String, Long, Long)].collect().toSeq
+      assert(rows == Seq(
+        (2, "update_postimage", 2L, 99L), (2, "update_preimage", 2L, 20L),
+        (3, "insert", 3L, 30L)), s"got $rows")
+      // two-arg form defaults `to` to the current version
+      assert(spark.sql("SELECT count(*) FROM table_changes('db.tc', 2)")
+        .as[Long].head() == 1L)
+      // aggregation over the TVF composes like any relation
+      assert(spark.sql(
+        "SELECT sum(x) FROM table_changes('db.tc', 1, 3) WHERE _change_type = 'insert'")
+        .as[Long].head() == 30L)
+    } finally store.detach()
+  }
+
   test("readStream.table over a store table is NOT silently lowered to a batch read") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_rs").toString)
     try {
