@@ -183,12 +183,33 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
   }
 
   def runGoldFact(loadTs: Column): Unit = {
-    // fact snapshot sorted by its grain key inside each file: per-file
-    // min/max manifest stats on the key become selective, the file-level
-    // pruning lever after directory partitioning (reference facts rely on
-    // Delta data skipping for the same effect)
-    store.createOrReplace("gold.fact_sales", withAudit(buildFact(loadTs), loadTs),
-      sortWithin = Seq("sales_order_key", "sales_line_number"))
+    val fact = withAudit(buildFact(loadTs), loadTs)
+    if (store.exists("gold.fact_sales")) {
+      // incremental load = the reference's SCD1 MERGE on the line grain
+      // (34_ETL_Gold_Fact_PySpark.py:90-139): update changed measures/FKs,
+      // insert new lines, keep vanished ones. The store's clause-filtered
+      // discovery makes this file-pruned — a daily load against a 100 TB
+      // fact rewrites only files holding grain rows that actually changed
+      // and appends the new lines; everything else carries over.
+      import graft.operators.MergeInto
+      val keys = Seq("sales_order_key", "sales_line_number")
+      val payload = fact.columns.filterNot(c =>
+        keys.contains(c) || c == Scd.CreateDate || c == Scd.UpdateDate).toSeq
+      val changed = payload.map(c => col(s"t.$c") =!= col(s"s.$c")).reduce(_ || _)
+      store.merge("gold.fact_sales", fact, keys,
+        matched = Seq(MergeInto.MatchedUpdate(Some(changed),
+          payload.map(c => c -> col(s"s.$c")).toMap +
+            (Scd.UpdateDate -> loadTs.cast("timestamp")))),
+        notMatched = Seq(MergeInto.NotMatchedInsert(None,
+          fact.columns.map(c => c -> col(s"s.$c")).toMap)))
+    } else
+      // initial load: fact snapshot sorted by its grain key inside each
+      // file — per-file min/max manifest stats on the key become
+      // selective, the file-level pruning lever after directory
+      // partitioning (reference facts rely on Delta data skipping for the
+      // same effect)
+      store.createOrReplace("gold.fact_sales", fact,
+        sortWithin = Seq("sales_order_key", "sales_line_number"))
     // the reference's informational star topology (01_Init.py:336-341:
     // `_tf_dim_calendar_id INT REFERENCES gold.dim_calendar(...)`) —
     // recorded, not enforced, like Databricks FK constraints
