@@ -398,6 +398,16 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // Databricks' bloom-index DDL, simplified: one global OPTIONS clause
+  // (numItems sizes the per-file filter) instead of per-column options.
+  private val CreateBloomRe =
+    """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)(?:\s+OPTIONS\s*\(\s*['`"]?numItems['`"]?\s*=\s*(\d+)\s*\))?\s*;?\s*$""".r
+  private val DropBloomRe =
+    """(?is)^\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r
+  // Databricks' idempotent ingestion statement, core surface: source path,
+  // FILEFORMAT, optional glob PATTERN, optional force copy-option.
+  private val CopyIntoRe =
+    """(?is)^\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+COPY_OPTIONS\s*\(\s*'force'\s*=\s*'(true|false)'\s*\))?\s*;?\s*$""".r
   // DROP TABLE must be claimed at PARSE time: the analyzer resolves the
   // identifier against the session catalog before extension rules fire
   // (unlike DML on an unresolvable relation). The command falls back to
@@ -414,6 +424,12 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     case VacuumRe(t, hours) =>
       GraftVacuumCommand(t, Option(hours).map(_.toLong * 3600 * 1000).getOrElse(0L))
     case RestoreRe(t, v) => GraftRestoreCommand(t, v.toInt)
+    case CreateBloomRe(t, cols, ndv) => GraftCreateBloomIndexCommand(t,
+      cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+      Option(ndv).map(_.toLong))
+    case DropBloomRe(t) => GraftDropBloomIndexCommand(t)
+    case CopyIntoRe(t, from, fmt, pat, force) => GraftCopyIntoCommand(t, from,
+      fmt.toLowerCase, Option(pat), Option(force).exists(_.equalsIgnoreCase("true")))
     case DropTableRe(ifE, t) if t.contains(".") =>
       GraftDropTableCommand(t, ifE != null, delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText) match {
@@ -728,6 +744,51 @@ final case class GraftVacuumCommand(table: String, retainMs: Long = 0L)
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for VACUUM"))
     store.vacuum(table, retainMs = retainMs)
+    Seq.empty
+  }
+}
+
+/** `CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS(c, …) [OPTIONS
+  * (numItems = n)]` — declare parquet-native bloom filters for point-
+  * lookup file skipping (TableStore.setBloomFilterIndex). */
+final case class GraftCreateBloomIndexCommand(table: String, cols: Seq[String],
+    ndv: Option[Long]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"no attached TableStore holds $table for CREATE BLOOMFILTER INDEX"))
+    store.setBloomFilterIndex(table, cols, ndv.getOrElse(100000L))
+    Seq.empty
+  }
+}
+
+/** `COPY INTO db.t FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON [PATTERN =
+  * '<glob>'] [COPY_OPTIONS ('force' = 'true')]` — idempotent file-tracked
+  * ingestion (TableStore.copyInto); reports what this run loaded. */
+final case class GraftCopyIntoCommand(table: String, from: String,
+    format: String, pattern: Option[String], force: Boolean)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("num_loaded_files", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for COPY INTO"))
+    val (files, rows) = store.copyInto(table, from, format, pattern, force)
+    Seq(Row(files, rows))
+  }
+}
+
+/** `DROP BLOOMFILTER INDEX ON TABLE t`. */
+final case class GraftDropBloomIndexCommand(table: String)
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"no attached TableStore holds $table for DROP BLOOMFILTER INDEX"))
+    store.dropBloomFilterIndex(table)
     Seq.empty
   }
 }

@@ -466,6 +466,39 @@ object ExtensionQueries {
       .orderBy(col("doc_id"), col("j"))
   }
 
+  // x44: Gopher-style n-gram repetition gates (Rae et al. 2021 §A1.1's
+  // "fraction of characters in the most common n-gram" family, word-count
+  // edition): per-document top-bigram mass, top-trigram mass and
+  // duplicate-bigram mass, plus the keep flag their thresholds imply
+  // (top-2-gram ≤ 20%, top-3-gram ≤ 18%, duplicated-2-gram mass ≤ 20%).
+  // Outputs are raw counts and the flag an INTEGER inequality (top*5 ≤ n),
+  // never a divided fraction — bit-stable across engines. Cost: one
+  // explode per n, two partial-aggregated groupBys each — linear in
+  // corpus tokens, and the per-doc n-gram group never exceeds document
+  // length, so no key is hot at any corpus size.
+  def x44GopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    def gramStats(n: Int, sfx: String) = {
+      val gram = (0 until n).map(j => s"ws[i + $j]")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      docs.select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(ws) - $n), i -> $gram)")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$sfx"), max(col("c")).as(s"top_$sfx"),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as(s"dup_$sfx"))
+    }
+    gramStats(2, "bg").join(gramStats(3, "tg"), "doc_id")
+      .select(col("doc_id"), col("n_bg"), col("top_bg"), col("dup_bg"),
+        col("n_tg"), col("top_tg"), col("dup_tg"),
+        (col("top_bg") * 5 <= col("n_bg") &&
+          col("top_tg") * 50 <= col("n_tg") * 9 &&
+          col("dup_bg") * 5 <= col("n_bg")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -498,6 +531,7 @@ object ExtensionQueries {
     "x41_mixture" -> x41Mixture _,
     "x42_incremental_medallion" -> x42IncrementalMedallion _,
     "x43_negative_sampling" -> x43NegativeSampling _,
+    "x44_gopher_rep" -> x44GopherRepetition _,
     "x33_table_stream" -> x33TableStream _,
     "x30_decontaminate" -> x30Decontaminate _,
     "x31_stratified_sample" -> x31StratifiedSample _,
@@ -816,6 +850,31 @@ object ExtensionQueries {
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
         |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnums
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x44_gopher_rep" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r),
+        |tg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |  CAST(max(c) AS BIGINT) AS top_bg,
+        |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bg
+        |  FROM bgc GROUP BY 1),
+        |tga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tg,
+        |  CAST(max(c) AS BIGINT) AS top_tg,
+        |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tg
+        |  FROM tgc GROUP BY 1)
+        |SELECT b.doc_id, n_bg, top_bg, dup_bg, n_tg, top_tg, dup_tg,
+        |  CAST(top_bg * 5 <= n_bg AND top_tg * 50 <= n_tg * 9
+        |       AND dup_bg * 5 <= n_bg AS INT) AS keep
+        |FROM bga b JOIN tga t ON b.doc_id = t.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "x24_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, tok

@@ -200,6 +200,55 @@ object SqlDmlQueries {
   // instead of rewriting files; the stacked second DELETE layers a second
   // DV onto files already carrying one. Same SQL in, same rows out — the
   // mode changes the file-level cost, never the answer.
+  // q50: point DML + keyed MERGE against a bloom-indexed table laid out so
+  // every file's [min, max] key box overlaps (residue partitioning) —
+  // min/max skipping is blind on this layout and the parquet-native bloom
+  // filters carry the file pruning (LakeFeaturesSpec pins the file counts;
+  // this query gates the row-level SEMANTICS under the skipping path).
+  def q50BloomPointDml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        (col("o_orderkey") % 8).as("par"))
+    store.createOrReplace("silver.orders_bloom", base,
+      partitionBy = Seq("par"), statsFor = Seq("o_orderkey"))
+    store.setBloomFilterIndex("silver.orders_bloom", Seq("o_orderkey"), ndv = 200000)
+    store.createOrReplace("silver.orders_bloom", base,
+      partitionBy = Seq("par"), statsFor = Seq("o_orderkey"))
+
+    s.sql("DELETE FROM silver.orders_bloom WHERE o_orderkey = 7")
+    s.sql("UPDATE silver.orders_bloom SET o_orderstatus = 'X' WHERE o_orderkey = 32")
+    Seq((64L, "M", 111.5), (97L, "M", 222.25), (150000000L, "N", 1.0))
+      .toDF("o_orderkey", "st", "tp").createOrReplaceTempView("bloom_src")
+    s.sql(
+      """MERGE INTO silver.orders_bloom AS tgt USING bloom_src AS src
+        |ON tgt.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = src.st, o_totalprice = src.tp
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice, par)
+        |  VALUES (src.o_orderkey, src.st, src.tp, src.o_orderkey % 8)""".stripMargin)
+    store.detach()
+    store.read("silver.orders_bloom")
+      .filter(col("o_orderkey") < 200 || col("o_orderkey") === 150000000L)
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q51: COPY INTO idempotence at the statement level — the same landing
+  // path copied twice loads the source exactly once (file-tracked ledger;
+  // LakeFeaturesSpec pins ledger persistence across vacuum and FORCE).
+  def q51CopyInto(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("bronze.nation_land", t(s, dir, "nation").limit(0))
+    val copy =
+      s"COPY INTO bronze.nation_land FROM '$dir' FILEFORMAT = PARQUET PATTERN = 'nation.parquet'"
+    s.sql(copy)
+    s.sql(copy) // dup statement — the ledger must make this a no-op
+    store.detach()
+    store.read("bronze.nation_land")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   def q43MorDml(s: SparkSession, dir: String): DataFrame = {
     val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
     store.createOrReplace("silver.orders_mor",
@@ -342,6 +391,8 @@ object SqlDmlQueries {
     "q37_sql_insert" -> q37SqlInsert _,
     "q41_merge_evolution" -> q41MergeEvolution _,
     "q43_mor_dml" -> q43MorDml _,
+    "q50_bloom_dml" -> q50BloomPointDml _,
+    "q51_copy_into" -> q51CopyInto _,
     "q44_zorder_read" -> q44ZorderRead _,
     "q45_add_columns" -> q45AddColumns _)
 
@@ -478,6 +529,31 @@ object SqlDmlQueries {
         |FROM updated
         |WHERE NOT (o_totalprice < CAST(100000 AS DOUBLE))
         |ORDER BY o_orderkey""".stripMargin,
+    "q50_bloom_dml" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderkey % 8 AS par
+        |  FROM orders),
+        |dml AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey = 32 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice, par
+        |  FROM base WHERE o_orderkey <> 7),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey IN (64, 97) THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey = 64 THEN CAST(111.5 AS DOUBLE)
+        |         WHEN o_orderkey = 97 THEN CAST(222.25 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    par
+        |  FROM dml
+        |  UNION ALL
+        |  SELECT 150000000, 'N', CAST(1.0 AS DOUBLE), 150000000 % 8)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, par FROM merged
+        |WHERE o_orderkey < 200 OR o_orderkey = 150000000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q51_copy_into" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q43_mor_dml" ->
       """WITH updated AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -508,26 +508,156 @@ final class TableStore(spark: SparkSession, root: String) {
       case _ => None
     }
     if (bounds.isEmpty) entries
-    else entries.filter { e =>
-      val st = statsOf(e)
-      bounds.forall { case (c, op, v, litNumeric) =>
-        (st.get(c), lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)) match {
-          case (Some(st), Some(dt)) =>
-            numericKind(dt) match {
-              case Some(num) if num == litNumeric =>
-                op match {
-                  case "=" => cmp(st.min, v, num) <= 0 && cmp(st.max, v, num) >= 0
-                  case "<" => cmp(st.min, v, num) < 0
-                  case "<=" => cmp(st.min, v, num) <= 0
-                  case ">" => cmp(st.max, v, num) > 0
-                  case ">=" => cmp(st.max, v, num) >= 0
-                }
-              case _ => true // kind mismatch (e.g. string literal vs date col)
+    else {
+      val boxed = entries.filter { e =>
+        val st = statsOf(e)
+        bounds.forall { case (c, op, v, litNumeric) =>
+          (st.get(c), lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)) match {
+            case (Some(st), Some(dt)) =>
+              numericKind(dt) match {
+                case Some(num) if num == litNumeric =>
+                  op match {
+                    case "=" => cmp(st.min, v, num) <= 0 && cmp(st.max, v, num) >= 0
+                    case "<" => cmp(st.min, v, num) < 0
+                    case "<=" => cmp(st.min, v, num) <= 0
+                    case ">" => cmp(st.max, v, num) > 0
+                    case ">=" => cmp(st.max, v, num) >= 0
+                  }
+                case _ => true // kind mismatch (e.g. string literal vs date col)
+              }
+            case _ => true // no stats for this column → cannot exclude
+          }
+        }
+      }
+      bloomRefine(name, boxed, bounds)
+    }
+  }
+
+  // ------------------------------------------------------- bloom skipping
+
+  /** Second-stage file skipping for EQUALITY conjuncts on bloom-indexed
+    * columns ([[setBloomFilterIndex]]): a point predicate whose value
+    * falls inside a file's [min, max] box (so min/max pruning keeps the
+    * file) is checked against the parquet-native bloom filter the write
+    * embedded in that file's footer region. The check is driver-side
+    * metadata I/O — footer + bloom bitset, never data pages — and runs
+    * only on the min/max SURVIVORS of a point lookup, so its cost is
+    * bounded by the residual candidate set, not the table. Conservative
+    * in every direction: a file written before the index was declared, a
+    * row group with no bloom, or a literal whose parquet-physical form we
+    * can't reconstruct all keep the file. */
+  private def bloomRefine(name: String, entries: Seq[FileEntry],
+      bounds: Seq[(String, String, String, Boolean)]): Seq[FileEntry] = {
+    if (entries.isEmpty) return entries
+    val bcols = bloomIndexCols(name)
+    if (bcols.isEmpty) return entries
+    val rev = renames(name).map(_.swap) // logical → physical
+    val eqs = bounds.filter { case (c, op, _, _) =>
+      op == "=" && bcols.exists(_.equalsIgnoreCase(c)) }
+    if (eqs.isEmpty) return entries
+    entries.filter { e =>
+      eqs.forall { case (c, _, v, _) =>
+        bloomMightContain(name, e.rel, rev.getOrElse(c, c), v) }
+    }
+  }
+
+  /** Per-(file, column) bloom filters, cached — data files are immutable
+    * once committed, so a loaded bitset stays valid for the file's
+    * lifetime. Bounded: the cache clears wholesale past 512 entries
+    * (bitsets are ~ndv bytes each; the default index is ~120 KB). */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[String,
+    Option[Seq[(org.apache.parquet.schema.PrimitiveType,
+      org.apache.parquet.column.values.bloomfilter.BloomFilter)]]]()
+
+  private def fileBlooms(name: String, rel: String, physCol: String):
+      Option[Seq[(org.apache.parquet.schema.PrimitiveType,
+        org.apache.parquet.column.values.bloomfilter.BloomFilter)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val abs = absPath(name, rel)
+    val key = abs + "#" + physCol
+    if (bloomCache.size > 512) bloomCache.clear()
+    bloomCache.computeIfAbsent(key, _ => try {
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Paths.get(abs).toUri),
+        spark.sparkContext.hadoopConfiguration)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        // EVERY row group must carry a bloom or the file is unprunable (a
+        // group without one could hold the value)
+        val per = footer.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == physCol).flatMap { cc =>
+            Option(reader.readBloomFilter(cc)).map { bf =>
+              (schema.getColumnDescription(cc.getPath.toArray).getPrimitiveType, bf)
             }
-          case _ => true // no stats for this column → cannot exclude
+          }
+        }
+        if (per.isEmpty || per.exists(_.isEmpty)) None else Some(per.flatten)
+      } finally reader.close()
+    } catch { case _: Exception => None })
+  }
+
+  /** Might `rel` contain a row whose `physCol` equals the value whose
+    * canonical string ([[canonLiteral]]) is `canon`? True = cannot
+    * exclude (keep the file). */
+  private def bloomMightContain(name: String, rel: String, physCol: String,
+      canon: String): Boolean =
+    fileBlooms(name, rel, physCol) match {
+      case None => true
+      case Some(per) => per.exists { case (prim, bf) =>
+        bloomHash(prim, bf, canon) match {
+          case None => true // unreconstructable parquet-physical value
+          case Some(h) => bf.findHash(h)
         }
       }
     }
+
+  /** Rebuild the parquet-physical value the writer hashed into the bloom
+    * from a canonical literal string, for the types [[canonLiteral]] and
+    * parquet's bloom writer agree on. Unsupported or mismatched forms
+    * (e.g. a fractional literal against an INT32 column) return None —
+    * the caller keeps the file. */
+  private def bloomHash(prim: org.apache.parquet.schema.PrimitiveType,
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      canon: String): Option[Long] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val logical = prim.getLogicalTypeAnnotation
+    try prim.getPrimitiveTypeName match {
+      case INT32 => logical match {
+        case null | _: LogicalTypeAnnotation.IntLogicalTypeAnnotation |
+             _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+          Some(bf.hash(canon.toInt)) // DATE's canonical form is epoch days
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(bf.hash(new java.math.BigDecimal(canon)
+            .setScale(d.getScale).unscaledValue().intValueExact()))
+        case _ => None
+      }
+      case INT64 => logical match {
+        case null | _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          Some(bf.hash(canon.toLong))
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // canonical timestamps are micros; rescale to the stored unit
+          val micros = canon.toLong
+          Some(bf.hash(t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => micros / 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => micros
+            case LogicalTypeAnnotation.TimeUnit.NANOS => Math.multiplyExact(micros, 1000L)
+          }))
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          Some(bf.hash(new java.math.BigDecimal(canon)
+            .setScale(d.getScale).unscaledValue().longValueExact()))
+        case _ => None
+      }
+      case BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(canon)))
+        case _ => None
+      }
+      case _ => None
+    } catch { case _: ArithmeticException | _: NumberFormatException => None }
   }
 
   /** File list a predicate-bearing scan of `name` would open — exposed so
@@ -619,7 +749,14 @@ final class TableStore(spark: SparkSession, root: String) {
       // delete-then-write window would let a concurrent allocator claim
       // the same version number and clobber this in-flight write.
       val dataDir = dir.resolve("data")
-      val w = sorted.write
+      // bloom-indexed columns ride the parquet writer's native bloom
+      // support (per-column hadoop options, honored via the per-write
+      // conf — no session-global mutation, safe under concurrent writes)
+      val w = bloomIndexCols(name).map(physName).filter(checked.columns.contains)
+        .foldLeft(sorted.write) { (w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true")
+            .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv(name).toString)
+        }
       (if (dupCols.nonEmpty) w.partitionBy(dupCols: _*) else w).parquet(dataDir.toString)
 
       // list the files this write produced
@@ -650,13 +787,18 @@ final class TableStore(spark: SparkSession, root: String) {
   private def commitVersion(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
       schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None,
-      op: String = "write", cdc: Option[DataFrame] = None): Unit = {
+      op: String = "write", cdc: Option[DataFrame] = None,
+      copyFiles: Seq[String] = Nil): Unit = {
     val (next, dir) = stageVersion(name, df, partitionBy, sortWithin, statsFor,
       carryOver, schemaHint, op)
     try {
       // change-feed rows land INSIDE the staged version dir — atomic with
       // the commit (an abort drops them with the version)
       cdc.foreach(_.write.parquet(dir.resolve("cdc").toString))
+      // COPY INTO's loaded-file ledger rides the same staged dir
+      if (copyFiles.nonEmpty)
+        Files.write(dir.resolve("copy_files"),
+          copyFiles.mkString("\n").getBytes(UTF_8))
       withCommitLock(name) {
         expectedBase.foreach { base =>
           val cur = currentVersion(name)
@@ -1039,7 +1181,8 @@ final class TableStore(spark: SparkSession, root: String) {
         col(df.columns.find(_.equalsIgnoreCase(f.name)).get).cast(f.dataType).as(f.name)): _*)
   }
 
-  def append(name: String, df: DataFrame, op: String = "append"): Unit = {
+  def append(name: String, df: DataFrame, op: String = "append",
+      copyFiles: Seq[String] = Nil): Unit = {
     val base = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema, entries) = readManifest(name, base)
@@ -1048,9 +1191,77 @@ final class TableStore(spark: SparkSession, root: String) {
     try
       commitVersion(name, alignedForAppend(name, schema, keyed), pb, sw, sf,
         carryOver = entries, schemaHint = Some(schema),
-        expectedBase = Some(Some(base)), op = op)
+        expectedBase = Some(Some(base)), op = op, copyFiles = copyFiles)
     finally cleanup()
     maybeAutoCompact(name)
+  }
+
+  /** K4+: `COPY INTO` — idempotent, file-tracked bulk ingestion
+    * (Databricks' loading primitive for landing zones). Lists the files
+    * under `from` (driver-side metadata walk — the 100 TB cost is the
+    * listing, never a re-read), diffs against the table's loaded-file
+    * ledger, reads ONLY the new files and appends them in one
+    * schema-enforced commit. Re-running the same COPY is a no-op; a new
+    * file in the directory loads alone. The ledger rides the commit: the
+    * staged version directory carries a `copy_files` list promoted
+    * atomically with the manifest (a crashed copy can never mark files
+    * loaded without their rows being durable, nor vice versa), and
+    * [[vacuum]] folds retiring ledgers into the `_COPY_LOADED` sidecar —
+    * the same two-tier persistence the streaming exactly-once gate uses.
+    *
+    * @return (files loaded, rows loaded) */
+  def copyInto(name: String, from: String, format: String = "parquet",
+      pattern: Option[String] = None, force: Boolean = false): (Long, Long) = {
+    val base = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema, entries) = readManifest(name, base)
+    val fromPath = Paths.get(from).toAbsolutePath.normalize
+    require(Files.exists(fromPath), s"COPY INTO $name: source $from not found")
+    val ext = format.toLowerCase match {
+      case f @ ("parquet" | "csv" | "json") => "." + f
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO $name: unsupported FILEFORMAT $other (parquet, csv, json)")
+    }
+    val candidates: Seq[String] =
+      if (Files.isRegularFile(fromPath)) Seq(fromPath.toString)
+      else {
+        val matcher = pattern.map(p =>
+          java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
+        Files.walk(fromPath).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filter(_.getFileName.toString.toLowerCase.endsWith(ext))
+          .filter(p => matcher.forall(_.matches(fromPath.relativize(p))))
+          .map(_.toString).toSeq.sorted
+      }
+    val fresh =
+      if (force) candidates
+      else { val done = loadedCopyFiles(name); candidates.filterNot(done) }
+    if (fresh.isEmpty) return (0L, 0L)
+    val visible = logicalizeSchema(name, schema)
+    val df = format.toLowerCase match {
+      case "parquet" => spark.read.parquet(fresh: _*)
+      // text formats can't self-describe types — the table's schema rules
+      case "csv" => spark.read.option("header", "true").schema(visible).csv(fresh: _*)
+      case "json" => spark.read.schema(visible).json(fresh: _*)
+    }
+    val rowsBefore = entries.map(_.rows).sum
+    append(name, df, op = s"copy_into:${fresh.size}", copyFiles = fresh)
+    val rowsAfter = currentManifest(name)._2.map(_.rows).sum
+    (fresh.size.toLong, rowsAfter - rowsBefore)
+  }
+
+  /** Every source file a committed COPY INTO has loaded: the folded
+    * `_COPY_LOADED` sidecar plus the `copy_files` ledgers still riding
+    * live version directories. */
+  def loadedCopyFiles(name: String): Set[String] = {
+    val sidecar = tableDir(name).resolve("_COPY_LOADED")
+    val folded =
+      if (Files.exists(sidecar)) Files.readAllLines(sidecar).asScala.toSet
+      else Set.empty[String]
+    folded ++ versions(name).flatMap { v =>
+      val f = tableDir(name).resolve(s"v_$v").resolve("copy_files")
+      if (Files.exists(f)) Files.readAllLines(f).asScala else Nil
+    }
   }
 
   /** Highest micro-batch id a streaming append has committed to `name`
@@ -1480,7 +1691,9 @@ final class TableStore(spark: SparkSession, root: String) {
     }).orElse(foreignKeys(name).collectFirst {
       case (cname, (cols, _, _)) if cols.exists(_.equalsIgnoreCase(colName)) =>
         s"FOREIGN KEY $cname"
-    })
+    }).orElse(
+      if (bloomIndexCols(name).exists(_.equalsIgnoreCase(colName)))
+        Some("bloom filter index") else None)
   }
 
   /** ALTER TABLE … RENAME COLUMN — **metadata-only** (column mapping): no
@@ -2251,6 +2464,7 @@ final class TableStore(spark: SparkSession, root: String) {
       "dml_mode" -> dmlMode(name),
       "num_columns" -> schema.fields.length.toString,
       "primary_key" -> meta(name).properties.getOrElse("primary_key", ""),
+      "bloom_filter_columns" -> bloomIndexCols(name).mkString(","),
       "foreign_keys" -> foreignKeys(name).toSeq.sortBy(_._1).map {
         case (c, (cols, ref, refCols)) =>
           s"$c: (${cols.mkString(",")}) REFERENCES $ref(${refCols.mkString(",")})"
@@ -2291,6 +2505,44 @@ final class TableStore(spark: SparkSession, root: String) {
   def dropForeignKey(name: String, cname: String): Unit =
     setMeta(name, meta(name).copy(properties =
       meta(name).properties - s"fk.$cname"))
+
+  /** Declare a bloom-filter index on `cols` (Databricks' `CREATE
+    * BLOOMFILTER INDEX`, the point-lookup complement to min/max data
+    * skipping). From the NEXT write on, every data file embeds a
+    * parquet-native bloom filter for each indexed column — the filter
+    * lives IN the data file (parquet spec, readable by any engine), so
+    * the manifest carries zero extra bytes and a 100 TB table's index
+    * scales with its files, not its commit log. Consulted in two places:
+    * (a) [[pruneEntries]]'s equality refinement — point SELECT / UPDATE /
+    * DELETE and MERGE's per-tuple candidate cut skip files whose [min,
+    * max] admits a key the bloom proves absent (interleaved or
+    * hash-scattered keys defeat min/max entirely; blooms are the standard
+    * answer); (b) parquet's own row-group filtering on pushed predicates.
+    * `ndv` sizes the filter (expected distinct values per file; ~1.2
+    * bytes each at the writer's default 1% false-positive rate).
+    * Existing files are untouched — rewrite via OPTIMIZE to index old
+    * data, exactly like Databricks. */
+  def setBloomFilterIndex(name: String, cols: Seq[String], ndv: Long = 100000L): Unit = {
+    require(cols.nonEmpty, s"$name: bloom filter index needs at least one column")
+    require(ndv > 0, s"$name: bloom ndv must be positive, got $ndv")
+    val visible = logicalizeSchema(name, currentManifest(name)._1).fieldNames
+    cols.foreach(c => require(visible.exists(_.equalsIgnoreCase(c)),
+      s"$name bloom index: no column $c (columns: ${visible.mkString(", ")})"))
+    setMeta(name, meta(name).copy(properties = meta(name).properties +
+      ("bloom.cols" -> cols.mkString(",")) + ("bloom.ndv" -> ndv.toString)))
+  }
+
+  def dropBloomFilterIndex(name: String): Unit =
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties - "bloom.cols" - "bloom.ndv"))
+
+  /** Logical names of the bloom-indexed columns (empty = no index). */
+  private[graft] def bloomIndexCols(name: String): Seq[String] =
+    meta(name).properties.get("bloom.cols")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+
+  private def bloomNdv(name: String): Long =
+    meta(name).properties.get("bloom.ndv").map(_.toLong).getOrElse(100000L)
 
   /** Declared foreign keys: constraint name → (child cols, parent table,
     * parent cols). */
@@ -2403,6 +2655,24 @@ final class TableStore(spark: SparkSession, root: String) {
         meta(name).properties + ("stream_high_water" -> hw.toString)))
     }
     withCommitLock(name) {
+      // COPY INTO ledgers live in version dirs this vacuum may retire —
+      // fold EVERY committed ledger into the _COPY_LOADED sidecar FIRST
+      // (idempotent union via atomic replace; a crash between fold and
+      // delete simply re-folds), so re-running a COPY after a vacuum
+      // still skips files whose loading commit was retired
+      val ledgers = versions(name).flatMap { v =>
+        val f = tableDir(name).resolve(s"v_$v").resolve("copy_files")
+        if (Files.exists(f)) Files.readAllLines(f).asScala else Nil
+      }
+      if (ledgers.nonEmpty) {
+        val sidecar = tableDir(name).resolve("_COPY_LOADED")
+        val prev = if (Files.exists(sidecar))
+          Files.readAllLines(sidecar).asScala.toSet else Set.empty[String]
+        val tmp = tableDir(name).resolve("_COPY_LOADED.tmp")
+        Files.write(tmp, (prev ++ ledgers).toSeq.sorted.mkString("\n").getBytes(UTF_8))
+        Files.move(tmp, sidecar, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      }
       val now = System.currentTimeMillis()
       // retained snapshots = the current version plus every committed
       // version younger than `retainMs` (Delta's retention window): their

@@ -866,4 +866,118 @@ class LakeFeaturesSpec extends AnyFunSuite {
     assert(store.read("db.mp").filter(col("v") === "old").count() == 9998)
     store.detach()
   }
+
+  test("bloom filter index skips files whose min/max box admits the key") {
+    val root = Files.createTempDirectory("graft_bloom").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // four files with fully-OVERLAPPING [min, max] key ranges but disjoint
+    // key sets (residues 0/5/10/15 mod 20) — the adversarial layout for
+    // min/max skipping: every point lookup falls inside every file's box
+    def keys = spark.range(0, 400).select(
+      ((col("id") / 4).cast("long") * 20 + (col("id") % 4) * 5).as("k"),
+      ((col("id") % 4) * 5).as("par"), lit("x").as("v")).coalesce(1)
+    store.createOrReplace("db.b", keys, partitionBy = Seq("par"), statsFor = Seq("k"))
+    store.setBloomFilterIndex("db.b", Seq("k"), ndv = 1000)
+    assert(store.detail("db.b")("bloom_filter_columns") == "k")
+    // the index applies from the NEXT write — rewrite to embed the blooms
+    store.createOrReplace("db.b", keys, partitionBy = Seq("par"), statsFor = Seq("k"))
+    assert(store.prunedFileList("db.b", None).size == 4)
+
+    // min/max alone keeps every file for any in-range key; the bloom
+    // proves 20 lives only in the residue-0 file, 25 only in residue-5
+    assert(store.prunedFileList("db.b", Some(col("k") === 20L)).size == 1)
+    assert(store.prunedFileList("db.b", Some(col("k") === 25L)).size == 1)
+    // in-range but absent from EVERY file → zero candidates
+    assert(store.prunedFileList("db.b", Some(col("k") === 13L)).isEmpty)
+    // non-equality predicates are untouched by the bloom stage
+    assert(store.prunedFileList("db.b", Some(col("k") >= 0L)).size == 4)
+
+    // DELETE rewrites only the bloom-hit file; the other survives bit-identically
+    val before = dataFiles(root, "db", "b")
+    store.delete("db.b", col("k") === 20L)
+    val after = dataFiles(root, "db", "b")
+    val survivors = before.keySet.filter(rel =>
+      after.contains(rel) && after(rel) == before(rel))
+    assert(survivors.size >= 3, s"bloom-pruned DELETE rewrote ${4 - survivors.size} files")
+    assert(store.read("db.b").count() == 399)
+    // absent key → DELETE proves no-match from metadata, commits nothing
+    val vBefore = store.versions("db.b")
+    store.delete("db.b", col("k") === 13L)
+    assert(store.versions("db.b") == vBefore, "bloom-provably-absent DELETE committed")
+
+    // MERGE's per-tuple candidate cut consults the blooms too: a source
+    // touching only residue-0 keys scans 1 of 4 files
+    val src = Seq((40L, "T"), (60L, "T")).toDF("k", "v")
+    store.merge("db.b", src, Seq("k"),
+      matched = Seq(graft.operators.MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))))
+    val Some((cand, tot)) = store.lastMergeDiscovery: @unchecked
+    assert(tot == 4 && cand == 1, s"bloom-aware merge discovery scanned $cand/$tot files")
+    assert(store.read("db.b").filter(col("v") === "T").count() == 2)
+
+    // SQL surface + rename protection
+    spark.sql("DROP BLOOMFILTER INDEX ON TABLE db.b")
+    assert(store.detail("db.b")("bloom_filter_columns").isEmpty)
+    spark.sql("CREATE BLOOMFILTER INDEX ON TABLE db.b FOR COLUMNS(k) OPTIONS (numItems = 500)")
+    assert(store.detail("db.b")("bloom_filter_columns") == "k")
+    intercept[IllegalArgumentException] { store.renameColumn("db.b", "k", "kk") }
+    store.detach()
+  }
+
+  test("COPY INTO loads each source file exactly once, across re-runs and vacuum") {
+    val root = Files.createTempDirectory("graft_copy").toString
+    val store = new TableStore(spark, root)
+    val land = Files.createTempDirectory("graft_land")
+    spark.range(0, 100).select(col("id").as("k"), lit("a").as("src"))
+      .coalesce(1).write.parquet(land.resolve("batch1").toString)
+    spark.range(100, 250).select(col("id").as("k"), lit("b").as("src"))
+      .coalesce(1).write.parquet(land.resolve("batch2").toString)
+    store.createOrReplace("db.c",
+      spark.range(0, 0).select(col("id").as("k"), lit("").as("src")))
+
+    val (f1, r1) = store.copyInto("db.c", land.toString)
+    assert(f1 == 2 && r1 == 250, s"first copy loaded ($f1, $r1)")
+    assert(store.read("db.c").count() == 250)
+    // replaying the same statement is a no-op (file-level idempotence)
+    val (f2, r2) = store.copyInto("db.c", land.toString)
+    assert(f2 == 0 && r2 == 0, s"replay loaded ($f2, $r2)")
+    // a file landing later loads ALONE
+    spark.range(250, 300).select(col("id").as("k"), lit("c").as("src"))
+      .coalesce(1).write.parquet(land.resolve("batch3").toString)
+    val (f3, r3) = store.copyInto("db.c", land.toString)
+    assert(f3 == 1 && r3 == 50, s"incremental copy loaded ($f3, $r3)")
+    assert(store.read("db.c").count() == 300)
+    assert(store.read("db.c").select(col("k")).distinct().count() == 300)
+    // vacuum retires the loading commits; the folded ledger still gates
+    store.vacuum("db.c")
+    val (f4, _) = store.copyInto("db.c", land.toString)
+    assert(f4 == 0, s"post-vacuum replay loaded $f4 files")
+    // SQL surface: PATTERN filters, metrics row comes back
+    val out = spark.sql(
+      s"COPY INTO db.c FROM '$land' FILEFORMAT = PARQUET PATTERN = 'nothing/*'")
+      .collect()
+    assert(out.head.getLong(0) == 0L)
+    // force reloads everything (the documented duplicate-on-purpose path)
+    val outF = spark.sql(
+      s"COPY INTO db.c FROM '$land' FILEFORMAT = PARQUET COPY_OPTIONS ('force' = 'true')")
+      .collect()
+    assert(outF.head.getLong(0) == 3L && outF.head.getLong(1) == 300L)
+    assert(store.read("db.c").count() == 600)
+    store.detach()
+  }
+
+  test("COPY INTO CSV types rows by the table schema") {
+    val root = Files.createTempDirectory("graft_copy_csv").toString
+    val store = new TableStore(spark, root)
+    val land = Files.createTempDirectory("graft_land_csv")
+    Files.write(land.resolve("a.csv"), "k,v\n1,x\n2,y\n".getBytes)
+    store.createOrReplace("db.csv",
+      spark.range(0, 0).select(col("id").as("k"), lit("").as("v")))
+    val (f, r) = store.copyInto("db.csv", land.toString, format = "csv")
+    assert(f == 1 && r == 2)
+    assert(store.read("db.csv").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(store.read("db.csv").agg(sum(col("k"))).head().getLong(0) == 3L)
+    store.detach()
+  }
 }
