@@ -404,6 +404,10 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)(?:\s+OPTIONS\s*\(\s*['`"]?numItems['`"]?\s*=\s*(\d+)\s*\))?\s*;?\s*$""".r
   private val DropBloomRe =
     """(?is)^\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r
+  private val CreateMvRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val RefreshMvRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$""".r
   // Databricks' idempotent ingestion statement, core surface: source path,
   // FILEFORMAT, optional glob PATTERN, optional force copy-option.
   private val CopyIntoRe =
@@ -430,6 +434,9 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
     case DropBloomRe(t) => GraftDropBloomIndexCommand(t)
     case CopyIntoRe(t, from, fmt, pat, force) => GraftCopyIntoCommand(t, from,
       fmt.toLowerCase, Option(pat), Option(force).exists(_.equalsIgnoreCase("true")))
+    case CreateMvRe(t, query) => GraftCreateMvCommand(t, query,
+      delegate.parsePlan(query))
+    case RefreshMvRe(t) => GraftRefreshMvCommand(t)
     case DropTableRe(ifE, t) if t.contains(".") =>
       GraftDropTableCommand(t, ifE != null, delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText) match {
@@ -758,6 +765,63 @@ final case class GraftCreateBloomIndexCommand(table: String, cols: Seq[String],
       throw new IllegalStateException(
         s"no attached TableStore holds $table for CREATE BLOOMFILTER INDEX"))
     store.setBloomFilterIndex(table, cols, ndv.getOrElse(100000L))
+    Seq.empty
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW db.mv AS SELECT k…, agg… FROM db.src GROUP BY
+  * k…` — an incrementally-maintained aggregate view over a store table
+  * (TableStore.createMaterializedView). The defining SELECT must be a
+  * single-table GROUP BY whose aggregates are count(*) / count(col) /
+  * sum(col), each aliased — the self-maintainable shapes a change-feed
+  * refresh can keep exact. Anything else is rejected with the reason. */
+final case class GraftCreateMvCommand(view: String, queryText: String,
+    parsed: LogicalPlan) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedStar}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+  override def run(spark: SparkSession): Seq[Row] = {
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"CREATE MATERIALIZED VIEW $view: $why (the defining query must be " +
+        "SELECT keys…, count/sum aggregates… FROM one store table GROUP BY keys…)")
+    val (groupExprs, aggExprs, sourceTable) = parsed match {
+      case Aggregate(g, a, u: UnresolvedRelation, _) => (g, a, u.multipartIdentifier.mkString("."))
+      case _ => bad("not a single-table GROUP BY aggregation")
+    }
+    val keys = groupExprs.map {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case e => bad(s"GROUP BY expression $e is not a plain column")
+    }
+    val aggs = aggExprs.flatMap {
+      case a: UnresolvedAttribute =>
+        if (keys.exists(_.equalsIgnoreCase(a.nameParts.last))) None
+        else bad(s"${a.nameParts.last} is neither a grouping key nor an aggregate")
+      case Alias(f: UnresolvedFunction, out) if f.nameParts.length == 1 =>
+        val fn = f.nameParts.head.toLowerCase(Locale.ROOT)
+        val arg = f.arguments match {
+          case Seq(_: UnresolvedStar) => "*"
+          case Seq(Literal(_, _)) => "*" // count(1)
+          case Seq(a: UnresolvedAttribute) => a.nameParts.last
+          case other => bad(s"$fn argument $other is not a plain column")
+        }
+        Some((out, fn, arg))
+      case e => bad(s"projection $e must be a grouping key or an aliased aggregate")
+    }
+    val store = TableStore.resolve(spark, sourceTable).getOrElse(
+      bad(s"source $sourceTable is not a table in the attached store"))
+    store.createMaterializedView(view, sourceTable, keys, aggs)
+    Seq.empty
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW db.mv` — apply the source's change feed
+  * since the last refresh as signed per-group deltas (one small MERGE);
+  * full pinned rebuild only when the feed cannot supply the delta. */
+final case class GraftRefreshMvCommand(view: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, view).getOrElse(
+      throw new IllegalStateException(
+        s"no attached TableStore holds $view for REFRESH MATERIALIZED VIEW"))
+    store.refreshMaterializedView(view)
     Seq.empty
   }
 }

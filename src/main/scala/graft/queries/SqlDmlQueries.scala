@@ -249,6 +249,31 @@ object SqlDmlQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  // q52: incremental materialized view — create over a snapshot, run mixed
+  // DML (DELETE / UPDATE with change images / INSERT), refresh, read the
+  // maintained aggregate. The refresh applies the change feed as signed
+  // deltas through one MERGE (MaterializedViewSpec pins the path); this
+  // oracle gates that the maintained numbers equal a full recompute of
+  // the post-DML state. Prices sum as DECIMAL(18,6) so the cross-engine
+  // compare is order-independent and exact.
+  def q52MvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.orders_mv_src",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,6)").as("price")))
+    s.sql("CREATE MATERIALIZED VIEW gold.mv_status AS " +
+      "SELECT o_orderstatus, count(*) AS n, sum(price) AS total " +
+      "FROM silver.orders_mv_src GROUP BY o_orderstatus")
+    s.sql("DELETE FROM silver.orders_mv_src WHERE o_orderkey % 11 = 3")
+    s.sql("UPDATE silver.orders_mv_src SET o_orderstatus = 'Z' WHERE o_orderkey % 13 = 1")
+    s.sql("INSERT INTO silver.orders_mv_src VALUES (9000000, 'Q', CAST(123.45 AS DECIMAL(18,6)))")
+    s.sql("REFRESH MATERIALIZED VIEW gold.mv_status")
+    store.detach()
+    store.read("gold.mv_status")
+      .select(col("o_orderstatus"), col("n"), col("total").cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def q43MorDml(s: SparkSession, dir: String): DataFrame = {
     val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
     store.createOrReplace("silver.orders_mor",
@@ -393,6 +418,7 @@ object SqlDmlQueries {
     "q43_mor_dml" -> q43MorDml _,
     "q50_bloom_dml" -> q50BloomPointDml _,
     "q51_copy_into" -> q51CopyInto _,
+    "q52_mv_refresh" -> q52MvRefresh _,
     "q44_zorder_read" -> q44ZorderRead _,
     "q45_add_columns" -> q45AddColumns _)
 
@@ -554,6 +580,18 @@ object SqlDmlQueries {
     "q51_copy_into" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q52_mv_refresh" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,6)) AS price
+        |  FROM orders),
+        |dml AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 1 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        |    price
+        |  FROM base WHERE o_orderkey % 11 <> 3
+        |  UNION ALL SELECT 9000000, 'Q', CAST(123.45 AS DECIMAL(18,6)))
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM dml GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q43_mor_dml" ->
       """WITH updated AS (
         |  SELECT o_orderkey, o_orderstatus,

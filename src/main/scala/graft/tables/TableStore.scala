@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, regexp_replace, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, regexp_replace, sum, when}
 import org.apache.spark.sql.types._
 import graft.operators.MergeInto
 
@@ -2219,7 +2219,8 @@ final class TableStore(spark: SparkSession, root: String) {
       matched: Seq[MergeInto.MatchedAction] = Nil,
       notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
       notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil,
-      schemaEvolution: Boolean = false): Unit = {
+      schemaEvolution: Boolean = false,
+      op: String = "merge"): Unit = {
     val base = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema0, entries) = readManifest(name, base)
@@ -2342,7 +2343,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val (pb, sw, sf) = readLayout(name)
     commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
       carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-      expectedBase = Some(Some(base)), op = "merge", cdc = cdc)
+      expectedBase = Some(Some(base)), op = op, cdc = cdc)
   }
 
   // ---------------------------------------------------------- transactions
@@ -2544,6 +2545,171 @@ final class TableStore(spark: SparkSession, root: String) {
   private def bloomNdv(name: String): Long =
     meta(name).properties.get("bloom.ndv").map(_.toLong).getOrElse(100000L)
 
+  // ------------------------------------------------- materialized views
+
+  /** An incrementally-maintained aggregate materialized view: `view` =
+    * `SELECT keys…, aggs… FROM source GROUP BY keys…`, where each agg is
+    * (outputColumn, fn, arg) with fn ∈ {count, sum} (arg `*` for
+    * count(*)). Count and sum are the self-maintainable aggregates: a
+    * [[refreshMaterializedView]] applies the source's CHANGE FEED as
+    * signed deltas (+1 for insert/update_postimage, −1 for
+    * delete/update_preimage), so refresh cost scales with the rows
+    * CHANGED since the last refresh, never the source table — the
+    * Databricks/DLT incremental-MV contract. Min/max are NOT
+    * incrementally maintainable under deletes and are rejected here.
+    *
+    * The view is a real store table carrying bookkeeping columns: a
+    * hidden `__mv_n` group row count (a group whose count reaches zero is
+    * deleted — sums alone cannot distinguish "all rows gone" from "sums
+    * to zero") and one `__mv_nn_<out>` non-null counter per sum output
+    * (SQL's `sum` is NULL over zero non-null values, so maintaining it
+    * exactly needs the non-null count, the textbook view-maintenance
+    * construction). The defining snapshot is PINNED by version: the
+    * initial build reads the recorded version via time travel, so a
+    * source commit racing the build is replayed by the next refresh
+    * instead of silently double-counted. */
+  def createMaterializedView(view: String, source: String, groupBy: Seq[String],
+      aggs: Seq[(String, String, String)]): Unit = {
+    require(aggs.nonEmpty, s"$view: a materialized view needs at least one aggregate")
+    aggs.foreach { case (out, fn, arg) =>
+      require(Set("count", "sum")(fn),
+        s"$view: aggregate $fn($arg) AS $out is not incrementally maintainable — " +
+          "count and sum only (min/max cannot be maintained under deletes)")
+      require(fn != "sum" || arg != "*", s"$view: sum(*) is not a thing")
+    }
+    require(groupBy.nonEmpty, s"$view: GROUP BY must name at least one column")
+    val cur = currentVersion(source).getOrElse(
+      throw new IllegalArgumentException(s"materialized view source not found: $source"))
+    enableChangeFeed(source)
+    createOrReplace(view, mvBody(source, Some(cur), groupBy, aggs))
+    setMeta(view, meta(view).copy(properties = meta(view).properties +
+      ("mv.source" -> source) + ("mv.keys" -> groupBy.mkString(",")) +
+      ("mv.aggs" -> aggs.map { case (o, f, a) => s"$o:$f:$a" }.mkString(";")) +
+      ("mv.version" -> cur.toString)))
+  }
+
+  final case class MvDef(source: String, keys: Seq[String],
+      aggs: Seq[(String, String, String)], version: Int)
+
+  def mvDefinition(view: String): Option[MvDef] = {
+    val p = meta(view).properties
+    for { src <- p.get("mv.source"); ks <- p.get("mv.keys"); as <- p.get("mv.aggs");
+          v <- p.get("mv.version") } yield
+      MvDef(src, ks.split(',').toSeq,
+        as.split(';').toSeq.map { s =>
+          val Array(o, f, a) = s.split(':'); (o, f, a) }, v.toInt)
+  }
+
+  private def mvNn(out: String) = s"__mv_nn_$out"
+
+  /** The view's defining aggregation, computed from scratch over a pinned
+    * source snapshot — the initial build and the full-rebuild fallback. */
+  private def mvBody(source: String, version: Option[Int], keys: Seq[String],
+      aggs: Seq[(String, String, String)]): DataFrame = {
+    val src = version.map(v => readVersion(source, v)).getOrElse(read(source))
+    val aggCols = aggs.flatMap {
+      case (out, "count", "*") => Seq(count(lit(1)).as(out))
+      case (out, "count", a) => Seq(count(col(a)).as(out))
+      case (out, "sum", a) => Seq(sum(col(a)).as(out), count(col(a)).as(mvNn(out)))
+    } :+ count(lit(1)).as("__mv_n")
+    src.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Latest source version an incremental refresh MERGE has applied,
+    * read from manifest op labels (`mv_refresh:<v>`) — the crash-recovery
+    * complement to the `mv.version` metadata: the marker commits
+    * atomically WITH the delta merge, so a refresh that crashed between
+    * its merge and its metadata write is still visible and never
+    * double-applied. [[vacuum]] folds the high-water marker into the
+    * metadata before retiring manifests, exactly like the streaming
+    * exactly-once gate. */
+  private def lastMvRefresh(view: String): Option[Int] =
+    versions(view).flatMap { v =>
+      val op = manifestOp(view, v)
+      if (op.startsWith("mv_refresh:")) Some(op.stripPrefix("mv_refresh:").toInt)
+      else None
+    }.maxOption
+
+  private def persistMvVersion(view: String, v: Int): Unit =
+    setMeta(view, meta(view).copy(properties =
+      meta(view).properties + ("mv.version" -> v.toString)))
+
+  /** Bring `view` up to date with its source. Incremental whenever the
+    * change feed can supply the delta; falls back to a pinned full
+    * rebuild when it cannot (a vacuumed feed gap, a rewriting commit made
+    * before the feed was enabled) or when a delta group key is NULL
+    * (MERGE's key equality cannot address NULL groups). The delta path
+    * is: signed per-group aggregation of the feed (one small job), one
+    * file-pruned MERGE into the view — refresh cost tracks the change
+    * set, never the source size. */
+  def refreshMaterializedView(view: String): Unit = {
+    val d = mvDefinition(view).getOrElse(throw new IllegalArgumentException(
+      s"$view is not a materialized view (no mv.* metadata)"))
+    val applied = math.max(d.version, lastMvRefresh(view).getOrElse(Int.MinValue))
+    val cur = currentVersion(d.source).getOrElse(throw new IllegalStateException(
+      s"$view: source ${d.source} no longer exists"))
+    if (cur <= applied) {
+      if (applied > d.version) persistMvVersion(view, applied) // heal meta
+      return
+    }
+    def fullRebuild(): Unit = {
+      createOrReplace(view, mvBody(d.source, Some(cur), d.keys, d.aggs))
+      persistMvVersion(view, cur)
+    }
+    val feed =
+      try changeFeed(d.source, applied, cur)
+      catch { case _: IllegalStateException => fullRebuild(); return }
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val deltaCols = d.aggs.flatMap {
+      case (out, "count", "*") => Seq(sum(sign).as(s"__d_$out"))
+      case (out, "count", a) =>
+        Seq(sum(when(col(a).isNotNull, sign).otherwise(lit(0L))).as(s"__d_$out"))
+      case (out, "sum", a) => Seq(
+        sum(col(a) * sign).as(s"__d_$out"),
+        sum(when(col(a).isNotNull, sign).otherwise(lit(0L))).as(s"__d_${mvNn(out)}"))
+    } :+ sum(sign).as("__d___mv_n")
+    val delta = feed.groupBy(d.keys.map(col): _*).agg(deltaCols.head, deltaCols.tail: _*)
+      .persist()
+    try {
+      if (delta.filter(d.keys.map(col(_).isNull).reduce(_ || _)).limit(1).count() > 0) {
+        fullRebuild(); return
+      }
+      val viewSchema = logicalizeSchema(view, currentManifest(view)._1)
+      def typed(c: String, e: Column): Column = e.cast(viewSchema(c).dataType)
+      val setCols: Map[String, Column] =
+        (d.aggs.flatMap {
+          case (out, "count", _) =>
+            Seq(out -> typed(out, col(s"t.$out") + col(s"s.__d_$out")))
+          case (out, "sum", _) =>
+            val nn = mvNn(out)
+            Seq(
+              // NULL-exact: zero non-null contributors → NULL, else the
+              // null-propagating sum falls through the coalesce chain
+              out -> typed(out, when(col(s"t.$nn") + col(s"s.__d_$nn") === 0,
+                  lit(null))
+                .otherwise(coalesce(col(s"t.$out") + col(s"s.__d_$out"),
+                  col(s"t.$out"), col(s"s.__d_$out")))),
+              nn -> typed(nn, col(s"t.$nn") + col(s"s.__d_$nn")))
+        } :+ ("__mv_n" -> typed("__mv_n", col("t.__mv_n") + col("s.__d___mv_n")))).toMap
+      val insertCols: Map[String, Column] =
+        (d.keys.map(k => k -> col(s"s.$k")) ++
+          d.aggs.flatMap {
+            case (out, "count", _) => Seq(out -> typed(out, col(s"s.__d_$out")))
+            case (out, "sum", _) => Seq(
+              out -> typed(out, col(s"s.__d_$out")),
+              mvNn(out) -> typed(mvNn(out), col(s"s.__d_${mvNn(out)}")))
+          } :+ ("__mv_n" -> typed("__mv_n", col("s.__d___mv_n")))).toMap
+      merge(view, delta, d.keys,
+        matched = Seq(
+          MergeInto.MatchedDelete(Some(col("t.__mv_n") + col("s.__d___mv_n") === 0)),
+          MergeInto.MatchedUpdate(None, setCols)),
+        notMatched = Seq(MergeInto.NotMatchedInsert(None, insertCols)),
+        op = s"mv_refresh:$cur")
+      persistMvVersion(view, cur)
+    } finally delta.unpersist()
+  }
+
   /** Declared foreign keys: constraint name → (child cols, parent table,
     * parent cols). */
   def foreignKeys(name: String): Map[String, (Seq[String], String, Seq[String])] =
@@ -2653,6 +2819,12 @@ final class TableStore(spark: SparkSession, root: String) {
     lastStreamBatch(name).foreach { hw =>
       setMeta(name, meta(name).copy(properties =
         meta(name).properties + ("stream_high_water" -> hw.toString)))
+    }
+    // same persistence move for the MV refresh marker: fold the op-label
+    // high water into mv.version before the manifests carrying it retire
+    lastMvRefresh(name).foreach { v =>
+      if (meta(name).properties.get("mv.version").forall(_.toInt < v))
+        persistMvVersion(name, v)
     }
     withCommitLock(name) {
       // COPY INTO ledgers live in version dirs this vacuum may retire —
