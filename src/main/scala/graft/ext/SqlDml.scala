@@ -208,6 +208,21 @@ object SqlDml {
     * metadata-only schema widening ([[graft.tables.TableStore.addColumns]]
     * — no file is rewritten). Nested fields / explicit positions are left
     * to Spark (which will reject them for a non-catalog table). */
+  /** `ALTER TABLE t SET TBLPROPERTIES (…)`: known engine knobs route to
+    * their typed setters (validation included); everything else lands as
+    * generic metadata, like Delta's property bag. */
+  private[ext] def lowerSetTblProps(s: SetTableProperties,
+      spark: SparkSession): Option[LogicalPlan] =
+    storeTableOf(s.table, spark).map(GraftSetTblPropsCommand(_, s.properties))
+
+  private[ext] def lowerUnsetTblProps(s: UnsetTableProperties,
+      spark: SparkSession): Option[LogicalPlan] =
+    storeTableOf(s.table, spark).map(GraftUnsetTblPropsCommand(_, s.propertyKeys))
+
+  private[ext] def lowerShowTblProps(s: ShowTableProperties,
+      spark: SparkSession): Option[LogicalPlan] =
+    storeTableOf(s.table, spark).map(GraftShowTblPropsCommand(_, s.propertyKey))
+
   private[ext] def lowerAddColumns(a: AddColumns, spark: SparkSession): Option[LogicalPlan] =
     (a.table match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
@@ -471,6 +486,9 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => SqlDml.lowerDelete(d, spark).getOrElse(d)
       case i: InsertIntoStatement => SqlDml.lowerInsert(i, spark).getOrElse(i)
       case a: AddColumns => SqlDml.lowerAddColumns(a, spark).getOrElse(a)
+      case s: SetTableProperties => SqlDml.lowerSetTblProps(s, spark).getOrElse(s)
+      case s: UnsetTableProperties => SqlDml.lowerUnsetTblProps(s, spark).getOrElse(s)
+      case s: ShowTableProperties => SqlDml.lowerShowTblProps(s, spark).getOrElse(s)
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         SqlDml.lowerRenameColumn(r, spark).getOrElse(r)
       case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
@@ -766,6 +784,68 @@ final case class GraftCreateBloomIndexCommand(table: String, cols: Seq[String],
         s"no attached TableStore holds $table for CREATE BLOOMFILTER INDEX"))
     store.setBloomFilterIndex(table, cols, ndv.getOrElse(100000L))
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.t SET TBLPROPERTIES ('k'='v', …)` — typed engine knobs
+  * (dml_mode, target_file_rows, comment) route through their validating
+  * setters; reserved internal namespaces are refused (their own DDL owns
+  * them); anything else is a generic property, Delta-style. */
+final case class GraftSetTblPropsCommand(table: String,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  private val Reserved = Seq("mv.", "bloom.", "fk.", "colmap.", "coldrop.",
+    "gencol.", "check.", "identity.")
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table"))
+    props.foreach { case (k, v) =>
+      Reserved.find(k.startsWith).foreach(ns => throw new IllegalArgumentException(
+        s"SET TBLPROPERTIES $table: '$k' is engine-internal ($ns*) — use its DDL " +
+          "(BLOOMFILTER INDEX / CONSTRAINT / GENERATED / MATERIALIZED VIEW statements)"))
+      k match {
+        case "dml_mode" => store.setDmlMode(table, v)
+        case "target_file_rows" => store.setTargetFileRows(table, v.toLong)
+        case "comment" =>
+          store.setMeta(table, store.meta(table).copy(comment = Some(v)))
+        case _ => store.setMeta(table, store.meta(table).copy(properties =
+          store.meta(table).properties + (k -> v)))
+      }
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE db.t UNSET TBLPROPERTIES ('k', …)`. */
+final case class GraftUnsetTblPropsCommand(table: String, keys: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table"))
+    store.setMeta(table, store.meta(table).copy(properties =
+      store.meta(table).properties -- keys))
+    Seq.empty
+  }
+}
+
+/** `SHOW TBLPROPERTIES db.t [('key')]` — the metadata sidecar as rows.
+  * Internal namespaces included deliberately: the sidecar IS the table's
+  * configuration, and hiding it would make DESCRIBE-style debugging
+  * blind. */
+final case class GraftShowTblPropsCommand(table: String, key: Option[String])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table"))
+    val all = store.meta(table).properties
+    key match {
+      case Some(k) => Seq(Row(k, all.getOrElse(k, s"Table $table does not have property: $k")))
+      case None => all.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
   }
 }
 

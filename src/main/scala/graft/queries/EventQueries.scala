@@ -50,6 +50,25 @@ object EventQueries {
     EventStreams.slidingAgg(t(s, dir, "events"))
       .orderBy(col("win_start"))
 
+  // x45: VARIANT semi-structured pipeline — nested JSON constructed from
+  // event fields, parsed into Spark 4's VARIANT (binary shredded
+  // encoding), typed paths extracted with variant_get, then aggregated.
+  // The oracle recomputes the aggregates from the relational truth the
+  // JSON was built from, gating the whole parse → shred → path-extract
+  // round trip. VARIANT beats string re-parsing at scale: parse once,
+  // every later path access is a binary offset lookup, not a JSON scan.
+  def x45Variant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(expr("parse_json(to_json(named_struct(" +
+        "'meta', named_struct('type', event_type), " +
+        "'k', CAST(get_json_object(props, '$.k') AS BIGINT))))").as("v"))
+      .select(
+        expr("variant_get(v, '$.meta.type', 'string')").as("vtype"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy(col("vtype"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("vtype"))
+
   // x27: attribution interval join — batch twin of the stream-stream join
   // (EventStreams.attributionJoin; StreamingSpec pins stream == batch).
   def x27Attribution(s: SparkSession, dir: String): DataFrame = {
@@ -63,6 +82,7 @@ object EventQueries {
     "x11_events_tumbling" -> x11EventsTumbling _,
     "x12_events_sessions" -> x12EventsSessions _,
     "x13_events_json" -> x13EventsJson _,
+    "x45_variant" -> x45Variant _,
     "x27_attribution_join" -> x27Attribution _)
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +125,10 @@ object EventQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "x45_variant" ->
+      """SELECT event_type AS vtype, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY vtype""".stripMargin,
     "x13_events_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -752,11 +752,15 @@ final class TableStore(spark: SparkSession, root: String) {
       // bloom-indexed columns ride the parquet writer's native bloom
       // support (per-column hadoop options, honored via the per-write
       // conf — no session-global mutation, safe under concurrent writes)
-      val w = bloomIndexCols(name).map(physName).filter(checked.columns.contains)
+      val w0 = bloomIndexCols(name).map(physName).filter(checked.columns.contains)
         .foldLeft(sorted.write) { (w, c) =>
           w.option(s"parquet.bloom.filter.enabled#$c", "true")
             .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv(name).toString)
         }
+      // declared target file size: rows per file are capped at write time
+      // (Spark splits a partition's output), so one giant input partition
+      // cannot produce one giant unsplittable-for-skipping file
+      val w = targetFileRows(name).fold(w0)(n => w0.option("maxRecordsPerFile", n.toString))
       (if (dupCols.nonEmpty) w.partitionBy(dupCols: _*) else w).parquet(dataDir.toString)
 
       // list the files this write produced
@@ -2340,7 +2344,15 @@ final class TableStore(spark: SparkSession, root: String) {
       else Some(MergeInto.changeSet(subset, source, keys, extraOn, matched, notMatchedBySource)
         .unionByName(ins))
     }
-    val (pb, sw, sf) = readLayout(name)
+    val (pb, sw, sf0) = readLayout(name)
+    // ADAPTIVE merge-key stats: a merge whose keys carry no file stats
+    // cannot prune its discovery scan — record the keys into the stats
+    // layout so THIS commit's rewritten/inserted files (and every later
+    // write, and an OPTIMIZE backfill) collect min/max for them. The
+    // table tunes itself toward its own merge pattern, Delta's
+    // "collect stats on filter columns" guidance made automatic.
+    val layoutCols = (pb ++ sw ++ sf0).map(_.toLowerCase)
+    val sf = sf0 ++ keys.filterNot(k => layoutCols.contains(k.toLowerCase))
     commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
       carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
       expectedBase = Some(Some(base)), op = op, cdc = cdc)
@@ -2536,6 +2548,20 @@ final class TableStore(spark: SparkSession, root: String) {
   def dropBloomFilterIndex(name: String): Unit =
     setMeta(name, meta(name).copy(properties =
       meta(name).properties - "bloom.cols" - "bloom.ndv"))
+
+  /** Cap the rows any single data file may hold (Delta's target file
+    * size, row edition): every write — loads, DML rewrites, OPTIMIZE —
+    * splits oversized partition outputs. File-level skipping, pruned DML
+    * and parallel reads all key off file granularity; files sized by this
+    * knob keep those effective as the table grows 100×. */
+  def setTargetFileRows(name: String, rows: Long): Unit = {
+    require(rows > 0, s"$name: target file rows must be positive, got $rows")
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + ("target_file_rows" -> rows.toString)))
+  }
+
+  private def targetFileRows(name: String): Option[Long] =
+    meta(name).properties.get("target_file_rows").map(_.toLong)
 
   /** Logical names of the bloom-indexed columns (empty = no index). */
   private[graft] def bloomIndexCols(name: String): Seq[String] =

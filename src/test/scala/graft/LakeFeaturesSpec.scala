@@ -966,6 +966,45 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("merge keys self-record into the stats layout; OPTIMIZE backfills the skip") {
+    val root = Files.createTempDirectory("graft_adapt").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // range-clustered files but NO declared stats anywhere: the first
+    // merge cannot prune its discovery
+    val df = spark.range(0, 10000)
+      .select(col("id").as("k"), lit("old").as("v"))
+      .repartitionByRange(8, col("k"))
+    store.createOrReplace("db.a", df)
+    def mergeBatch(ks: Seq[Long]): Unit =
+      store.merge("db.a", ks.map(k => (k, "new")).toDF("k", "v"), Seq("k"),
+        matched = Seq(graft.operators.MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))))
+    mergeBatch(Seq(5L, 7L))
+    val Some((c1, t1)) = store.lastMergeDiscovery: @unchecked
+    assert(c1 == t1, s"first merge should have no stats to prune with ($c1/$t1)")
+    // the merge recorded k into the layout; OPTIMIZE rewrites every file
+    // under that layout, backfilling k stats table-wide
+    store.compact("db.a", targetFiles = 8)
+    mergeBatch(Seq(11L, 13L))
+    val Some((c2, t2)) = store.lastMergeDiscovery: @unchecked
+    assert(c2 < t2, s"post-OPTIMIZE merge discovery did not prune ($c2/$t2)")
+    assert(store.read("db.a").filter(col("v") === "new").count() == 4)
+    store.detach()
+  }
+
+  test("target file rows cap splits oversized writes") {
+    val root = Files.createTempDirectory("graft_tfr").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", spark.range(0, 100).select(col("id").as("k")))
+    store.setTargetFileRows("db.t", 1000)
+    store.createOrReplace("db.t",
+      spark.range(0, 10000).select(col("id").as("k")).coalesce(1))
+    val files = store.prunedFileList("db.t", None)
+    assert(files.size >= 10, s"10k rows at cap 1000 wrote ${files.size} files")
+    assert(store.read("db.t").count() == 10000)
+    store.detach()
+  }
+
   test("COPY INTO CSV types rows by the table schema") {
     val root = Files.createTempDirectory("graft_copy_csv").toString
     val store = new TableStore(spark, root)

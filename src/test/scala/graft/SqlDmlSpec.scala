@@ -334,6 +334,37 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("SET/UNSET/SHOW TBLPROPERTIES route knobs through the typed setters") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_tp").toString)
+    try {
+      store.createOrReplace("db.tp",
+        spark.range(0, 100).select(col("id").as("k"), lit("a").as("v")).repartition(2))
+      spark.sql("ALTER TABLE db.tp SET TBLPROPERTIES " +
+        "('dml_mode' = 'mor', 'owner.team' = 'data-eng', 'comment' = 'props demo')")
+      // dml_mode took effect as a TYPED knob: a delete commits a DV,
+      // rewriting no data file
+      val before = store.prunedFileList("db.tp", None).toSet
+      spark.sql("DELETE FROM db.tp WHERE k = 7")
+      assert(store.prunedFileList("db.tp", None).toSet == before,
+        "mor mode set via TBLPROPERTIES should deletion-vector, not rewrite")
+      assert(store.read("db.tp").count() == 99)
+      // SHOW surfaces both the knob and the generic property
+      val props = spark.sql("SHOW TBLPROPERTIES db.tp").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props("dml_mode") == "mor" && props("owner.team") == "data-eng")
+      assert(spark.sql("SHOW TBLPROPERTIES db.tp ('owner.team')")
+        .head().getString(1) == "data-eng")
+      spark.sql("ALTER TABLE db.tp UNSET TBLPROPERTIES ('owner.team')")
+      assert(!spark.sql("SHOW TBLPROPERTIES db.tp").collect()
+        .exists(_.getString(0) == "owner.team"))
+      // validation rides the typed setter; internal namespaces are refused
+      intercept[Exception] {
+        spark.sql("ALTER TABLE db.tp SET TBLPROPERTIES ('dml_mode' = 'bogus')") }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE db.tp SET TBLPROPERTIES ('bloom.cols' = 'k')") }
+    } finally store.detach()
+  }
+
   test("readStream.table over a store table is NOT silently lowered to a batch read") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_rs").toString)
     try {
