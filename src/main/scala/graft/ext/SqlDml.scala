@@ -223,6 +223,10 @@ object SqlDml {
       spark: SparkSession): Option[LogicalPlan] =
     storeTableOf(s.table, spark).map(GraftShowTblPropsCommand(_, s.propertyKey))
 
+  private[ext] def lowerShowCreate(s: ShowCreateTable,
+      spark: SparkSession): Option[LogicalPlan] =
+    storeTableOf(s.child, spark).map(GraftShowCreateTableCommand(_))
+
   private[ext] def lowerAddColumns(a: AddColumns, spark: SparkSession): Option[LogicalPlan] =
     (a.table match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
@@ -489,6 +493,7 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case s: SetTableProperties => SqlDml.lowerSetTblProps(s, spark).getOrElse(s)
       case s: UnsetTableProperties => SqlDml.lowerUnsetTblProps(s, spark).getOrElse(s)
       case s: ShowTableProperties => SqlDml.lowerShowTblProps(s, spark).getOrElse(s)
+      case s: ShowCreateTable => SqlDml.lowerShowCreate(s, spark).getOrElse(s)
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         SqlDml.lowerRenameColumn(r, spark).getOrElse(r)
       case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
@@ -846,6 +851,60 @@ final case class GraftShowTblPropsCommand(table: String, key: Option[String])
       case Some(k) => Seq(Row(k, all.getOrElse(k, s"Table $table does not have property: $k")))
       case None => all.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     }
+  }
+}
+
+/** `SHOW CREATE TABLE db.t` — reconstruct executable DDL from the
+  * manifest schema, layout sidecar and metadata: columns with comments,
+  * partition/sort layout, PRIMARY KEY / FOREIGN KEY / CHECK constraints
+  * (the reference declares all three inline, 01_Init.py), table comment
+  * and the declarable property knobs. Internal representation namespaces
+  * (column mapping, identity counters, MV bookkeeping) are NOT emitted —
+  * they are state, not declaration. */
+final case class GraftShowCreateTableCommand(table: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table"))
+    val m = store.meta(table)
+    val schema = store.read(table).schema
+    val cols = schema.fields.map { f =>
+      val comment = m.columnComments.get(f.name)
+        .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
+      s"  `${f.name}` ${f.dataType.sql}$comment"
+    }
+    val pk = m.properties.get("primary_key").map(k =>
+      s"  CONSTRAINT pk PRIMARY KEY ($k)").toSeq
+    val fks = store.foreignKeys(table).toSeq.sortBy(_._1).map {
+      case (c, (child, ref, refCols)) =>
+        s"  CONSTRAINT $c FOREIGN KEY (${child.mkString(", ")}) " +
+          s"REFERENCES $ref (${refCols.mkString(", ")})"
+    }
+    val checks = store.checkConstraints(table).toSeq.sortBy(_._1).map {
+      case (c, sql) => s"  CONSTRAINT $c CHECK ($sql)"
+    }
+    val detail = store.detail(table)
+    val partitionBy = Option(detail("partition_columns")).filter(_.nonEmpty)
+      .map(p => s"\nPARTITIONED BY ($p)").getOrElse("")
+    val comment = m.comment
+      .map(c => s"\nCOMMENT '${c.replace("'", "''")}'").getOrElse("")
+    val declarable = Seq("dml_mode", "target_file_rows", "bloom.cols", "bloom.ndv", "cdf")
+    val internalNs = Seq("colmap.", "coldrop.", "identity.", "gencol.", "check.",
+      "fk.", "mv.")
+    val props = m.properties.filter { case (k, _) =>
+      declarable.contains(k) ||
+        (!internalNs.exists(k.startsWith) && k != "primary_key" &&
+          k != "stream_high_water")
+    }.toSeq.sortBy(_._1)
+    val tblProps = if (props.isEmpty) "" else
+      props.map { case (k, v) => s"'$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    val body = (cols.toSeq ++ pk ++ fks ++ checks).mkString(",\n")
+    Seq(Row(s"CREATE TABLE $table (\n$body)\nUSING parquet$partitionBy$comment$tblProps"))
   }
 }
 

@@ -118,6 +118,36 @@ class MaterializedViewSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("a streaming pipeline keeps the MV fresh: foreachBatch refresh per commit") {
+    val root = Files.createTempDirectory("graft_mv_stream").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.srcs",
+      Seq((1L, 10L), (2L, 20L)).toDF("g", "v").withColumn("k", col("v")))
+    store.createMaterializedView("db.mvs", "db.srcs", Seq("g"),
+      Seq(("n", "count", "*"), ("total", "sum", "v"), ("nv", "count", "v")))
+    store.append("db.srcs",
+      Seq((1L, 11L), (3L, 30L)).toDF("g", "v").withColumn("k", col("v")))
+    store.append("db.srcs",
+      Seq((2L, 21L)).toDF("g", "v").withColumn("k", col("v")))
+    // the graft-table source drives one incremental refresh per commit —
+    // the continuous-MV composition (DLT shape): source commits → stream
+    // batches → signed-delta merges; refresh is idempotent per version,
+    // so replays are no-ops
+    val ckpt = Files.createTempDirectory("graft_mv_ck").toString
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("table", "db.srcs").load()
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.refreshMaterializedView("db.mvs"); () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    check(store, "db.mvs", "db.srcs")
+    assert(store.history("db.mvs").head._3.startsWith("mv_refresh:"))
+    store.detach()
+  }
+
   test("unsupported MV shapes are rejected with the reason") {
     val root = Files.createTempDirectory("graft_mv_rej").toString
     val store = new TableStore(spark, root)

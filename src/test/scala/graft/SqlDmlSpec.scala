@@ -365,6 +365,30 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("SHOW CREATE TABLE reconstructs columns, layout, constraints and knobs") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_sc").toString)
+    try {
+      store.createOrReplace("db.sc",
+        spark.range(0, 10).select(col("id").as("k"), lit("x").as("v"),
+          (col("id") % 2).as("par")),
+        partitionBy = Seq("par"))
+      store.setPrimaryKey("db.sc", Seq("k"))
+      store.addCheckConstraint("db.sc", "k_nonneg", "k >= 0")
+      store.setDmlMode("db.sc", "mor")
+      store.setMeta("db.sc", store.meta("db.sc").copy(comment = Some("demo table")))
+      val ddl = spark.sql("SHOW CREATE TABLE db.sc").head().getString(0)
+      assert(ddl.startsWith("CREATE TABLE db.sc ("), ddl)
+      assert(ddl.contains("`k` BIGINT") && ddl.contains("`v` STRING"), ddl)
+      assert(ddl.contains("PARTITIONED BY (par)"), ddl)
+      assert(ddl.contains("CONSTRAINT pk PRIMARY KEY (k)"), ddl)
+      assert(ddl.contains("CONSTRAINT k_nonneg CHECK (k >= 0)"), ddl)
+      assert(ddl.contains("COMMENT 'demo table'"), ddl)
+      assert(ddl.contains("'dml_mode' = 'mor'"), ddl)
+      // internal representation state never leaks into the DDL
+      assert(!ddl.contains("colmap.") && !ddl.contains("identity."), ddl)
+    } finally store.detach()
+  }
+
   test("readStream.table over a store table is NOT silently lowered to a batch read") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_rs").toString)
     try {
