@@ -772,8 +772,21 @@ final class TableStore(spark: SparkSession, root: String) {
       // per-file min/max stats for the partition + sort (+ requested)
       // columns, read from the parquet FOOTERS the write just produced —
       // driver-side metadata only, no Spark job, no data re-read (a 100 TB
-      // write would otherwise pay a second scan just to learn its own stats)
-      val statCols = (pbP ++ swP ++ sfP).distinct
+      // write would otherwise pay a second scan just to learn its own
+      // stats). Generated-column DEPENDENCIES ride along: a table
+      // partitioned by a derived column (par = f(ts)) clusters its base
+      // column too, so collecting ts stats makes predicates on ts prune
+      // files directly — generated-column partition pruning with no
+      // expression inversion (Delta needs a monotonicity whitelist; per-
+      // file min/max subsumes it)
+      val genDeps = generatedColumns(name).values.toSeq.flatMap { sql =>
+        org.apache.spark.sql.GraftShims
+          .catalystExpr(org.apache.spark.sql.functions.expr(sql)).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          }
+      }.map(physName)
+      val statCols = (pbP ++ swP ++ sfP ++ genDeps).distinct
         .filter(checked.columns.contains)
       val newEntries = footerEntries(name, newFilesAbs, statCols)
       // a filtered write can produce empty part files (a no-op merge whose
@@ -1142,15 +1155,19 @@ final class TableStore(spark: SparkSession, root: String) {
     // a REPLACE may swap in a schema that invalidates generated-column
     // declarations (the column or a dependency no longer exists) — drop
     // the stale ones AFTER the commit succeeded, never as a side effect
-    // of write-plan building (an aborted write must not lose metadata)
+    // of write-plan building (an aborted write must not lose metadata).
+    // Staleness is judged against the COMMITTED schema, not the input
+    // frame: a replace that omits an always-derived column (the normal
+    // generated-column usage — the write derives it) keeps its
+    // declaration, because the committed schema carries the column.
+    val committed = logicalizeSchema(name, currentManifest(name)._1).fieldNames
     val stale = generatedColumns(name).filter { case (logical, sql) =>
-      val cols = df.columns
-      !cols.exists(_.equalsIgnoreCase(logical)) || {
+      !committed.exists(_.equalsIgnoreCase(logical)) || {
         import org.apache.spark.sql.functions.expr
         val deps = org.apache.spark.sql.GraftShims.catalystExpr(expr(sql)).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.nameParts.last
         }
-        !deps.forall(n => cols.exists(_.equalsIgnoreCase(n)))
+        !deps.forall(n => committed.exists(_.equalsIgnoreCase(n)))
       }
     }
     if (stale.nonEmpty)

@@ -1005,6 +1005,35 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("generated partition column: predicates on the BASE column prune files") {
+    val root = Files.createTempDirectory("graft_genprune").toString
+    val store = new TableStore(spark, root)
+    // day-partitioned by a DERIVED column (day = ts/1000) — the classic
+    // timestamp-partitioned layout; stats for the base ts column ride the
+    // write automatically as a generation dependency
+    val df = spark.range(0, 10000).select(
+      col("id").as("ts"), (col("id") / 1000).cast("long").as("day"),
+      lit("e").as("v")).coalesce(1)
+    store.createOrReplace("db.g", df, partitionBy = Seq("day"))
+    store.setGeneratedColumn("db.g", "day", "CAST(ts / 1000 AS BIGINT)")
+    // rewrite under the declaration: the write derives day AND collects
+    // ts stats per file
+    store.createOrReplace("db.g", df.drop("day"), partitionBy = Seq("day"))
+    val total = store.prunedFileList("db.g", None).size
+    assert(total == 10, s"expected 10 day files, got $total")
+    // a predicate on ts alone — no mention of day — prunes to one file
+    val hit = store.prunedFileList("db.g",
+      Some(col("ts") >= 2100L && col("ts") <= 2200L))
+    assert(hit.size == 1, s"ts predicate pruned to ${hit.size} files")
+    // appends derive the partition column and keep collecting base stats
+    store.append("db.g", spark.range(10000, 11000)
+      .select(col("id").as("ts"), lit("n").as("v")).coalesce(1))
+    assert(store.prunedFileList("db.g",
+      Some(col("ts") >= 10100L && col("ts") <= 10200L)).size == 1)
+    assert(store.read("db.g").count() == 11000)
+    store.detach()
+  }
+
   test("COPY INTO CSV types rows by the table schema") {
     val root = Files.createTempDirectory("graft_copy_csv").toString
     val store = new TableStore(spark, root)
