@@ -45,5 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("table_changes"),
       new ExpressionInfo(classOf[GraftSqlDml].getName, "table_changes"),
       (exprs: Seq[Expression]) => SqlDml.tableChangesPlan(exprs)))
+    // Iceberg-`.files`-style manifest inspection: SELECT … FROM
+    // table_files('db.t') lists the current snapshot's data files with
+    // row/byte counts, DV counts and the min/max stats pruning consults.
+    e.injectTableFunction((
+      FunctionIdentifier("table_files"),
+      new ExpressionInfo(classOf[GraftSqlDml].getName, "table_files"),
+      (exprs: Seq[Expression]) => SqlDml.tableFilesPlan(exprs)))
   }
 }

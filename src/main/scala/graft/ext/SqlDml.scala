@@ -297,6 +297,23 @@ object SqlDml {
     GraftShims.analyzedPlan(st.changeFeed(table, from, to))
   }
 
+  /** `SELECT … FROM table_files('db.t')` — the current manifest as rows
+    * (file, rows, size_bytes, dv_count, stats map): the Iceberg-`.files`
+    * style inspection surface over [[TableStore.fileInventory]]. */
+  private[ext] def tableFilesPlan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val parsed = args match {
+      case Seq(org.apache.spark.sql.catalyst.expressions.Literal(s, _))
+          if s.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] =>
+        val table = s.toString
+        TableStore.resolve(spark, table).map(st => (st, table))
+      case _ => None
+    }
+    val (st, table) = parsed.getOrElse(throw new IllegalArgumentException(
+      "table_files('db.table'): the table must live in an attached TableStore"))
+    GraftShims.analyzedPlan(st.fileInventory(table))
+  }
+
   /** Plain `SELECT … FROM db.t` over a store table: resolve the relation
     * to the store's read plan, so the SQL warehouse surface reads store
     * tables BY NAME — no manual temp-view registration. Session-catalog

@@ -211,8 +211,9 @@ object SqlDmlQueries {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         (col("o_orderkey") % 8).as("par"))
-    store.createOrReplace("silver.orders_bloom", base,
-      partitionBy = Seq("par"), statsFor = Seq("o_orderkey"))
+    // declare the index on the empty table so the ONE data write embeds
+    // the blooms (the create-then-rewrite shape is only for retrofits)
+    store.createOrReplace("silver.orders_bloom", base.limit(0))
     store.setBloomFilterIndex("silver.orders_bloom", Seq("o_orderkey"), ndv = 200000)
     store.createOrReplace("silver.orders_bloom", base,
       partitionBy = Seq("par"), statsFor = Seq("o_orderkey"))

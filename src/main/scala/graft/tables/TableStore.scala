@@ -660,6 +660,33 @@ final class TableStore(spark: SparkSession, root: String) {
     } catch { case _: ArithmeticException | _: NumberFormatException => None }
   }
 
+  /** Observability: the current manifest as a DataFrame — one row per
+    * data file with row count, byte size, deletion-vector count and the
+    * per-column min/max stats pruning consults (logical column names).
+    * Driver-side metadata only; backs the `table_files('db.t')` SQL TVF
+    * (the Iceberg `.files` / Delta DESCRIBE DETAIL inspection surface,
+    * file edition). */
+  def fileInventory(name: String): DataFrame = {
+    val (_, entries) = currentManifest(name)
+    val rn = renames(name)
+    val rows = entries.map { e =>
+      org.apache.spark.sql.Row(e.rel, e.rows,
+        Files.size(Paths.get(absPath(name, e.rel))), e.dvs.size,
+        e.stats.map { case (k, v) =>
+          (rn.getOrElse(k, k), org.apache.spark.sql.Row(v.min, v.max)) })
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("dv_count", IntegerType, nullable = false),
+      StructField("stats", MapType(StringType, StructType(Seq(
+        StructField("min", StringType), StructField("max", StringType)))))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1).asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]],
+      schema)
+  }
+
   /** File list a predicate-bearing scan of `name` would open — exposed so
     * tests and tooling can assert data skipping. */
   def prunedFileList(name: String, pred: Option[Column]): Seq[String] = {

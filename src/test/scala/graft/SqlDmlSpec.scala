@@ -365,6 +365,33 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("table_files() TVF exposes the manifest: files, rows, stats, DV counts") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_tf").toString)
+    try {
+      store.createOrReplace("db.tf",
+        spark.range(0, 1000).select(col("id").as("k"), lit("x").as("v"))
+          .repartitionByRange(4, col("k")),
+        sortWithin = Seq("k"))
+      val inv = spark.sql("SELECT * FROM table_files('db.tf')")
+      assert(inv.count() == 4)
+      assert(inv.agg(sum(col("rows"))).head().getLong(0) == 1000L)
+      // stats carry the pruning boxes: k's min/max per file are disjoint
+      // for a range layout, and SQL can reason over them directly
+      val boxes = spark.sql(
+        "SELECT CAST(stats['k'].min AS BIGINT) AS lo, CAST(stats['k'].max AS BIGINT) AS hi " +
+        "FROM table_files('db.tf') ORDER BY lo").collect()
+      assert(boxes.length == 4 && boxes.head.getLong(0) == 0L
+        && boxes.last.getLong(1) == 999L)
+      assert(boxes.sliding(2).forall { case Array(a, b) => a.getLong(1) < b.getLong(0) })
+      // a mor DELETE surfaces as a DV count, with no file count change
+      store.setDmlMode("db.tf", "mor")
+      store.delete("db.tf", col("k") === 5L)
+      val after = spark.sql(
+        "SELECT count(*) AS n, sum(dv_count) AS dvs FROM table_files('db.tf')").head()
+      assert(after.getLong(0) == 4L && after.getLong(1) == 1L, after.toString)
+    } finally store.detach()
+  }
+
   test("SHOW CREATE TABLE reconstructs columns, layout, constraints and knobs") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_sqldml_sc").toString)
     try {
