@@ -199,9 +199,10 @@ object SqlDml {
 
   private[ext] def lowerInsert(i: InsertIntoStatement, spark: SparkSession): Option[LogicalPlan] =
     tableRef(i.table).filter { case (name, _) =>
-      name.contains(".") && TableStore.resolve(spark, name).isDefined && i.partitionSpec.isEmpty
+      name.contains(".") && TableStore.resolve(spark, name).isDefined
     }.map { case (name, _) =>
-      GraftInsertCommand(name, i.query, i.userSpecifiedCols, i.overwrite, i.byName)
+      GraftInsertCommand(name, i.query, i.userSpecifiedCols, i.overwrite, i.byName,
+        i.partitionSpec)
     }
 
   /** `ALTER TABLE db.t ADD COLUMNS (…)` on a store table lowers to the
@@ -637,13 +638,26 @@ final case class GraftCtasCommand(
   * reference's seed-row statements, 01_Init.py:265-321): resolves the
   * source query (VALUES lists included) against the live session, aligns
   * columns positionally or by the explicit column list / BY NAME, casts to
-  * the target schema, and snapshots append-or-overwrite. */
+  * the target schema, and snapshots append-or-overwrite.
+  *
+  * A `PARTITION (…)` clause follows Spark/Hive semantics: static entries
+  * (`p = v`) are filled as literals and must NOT appear in the query
+  * output; dynamic entries (`p`) are supplied by the query's TRAILING
+  * columns, in clause order. `INSERT OVERWRITE … PARTITION` replaces only
+  * the named region — static specs lower to
+  * [[graft.tables.TableStore.overwriteWhere]], dynamic specs to
+  * [[graft.tables.TableStore.overwritePartitions]] — so every other
+  * partition's files carry over untouched (the selective-overwrite path a
+  * daily reload needs at 100 TB, vs the full snapshot an unqualified
+  * INSERT OVERWRITE takes). */
 final case class GraftInsertCommand(
     table: String,
     queryPlan: LogicalPlan,
     userCols: Seq[String],
     overwrite: Boolean,
-    byName: Boolean) extends LeafRunnableCommand {
+    byName: Boolean,
+    partitionSpec: Map[String, Option[String]] = Map.empty)
+  extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(queryPlan)
 
@@ -664,38 +678,76 @@ final case class GraftInsertCommand(
         s"INSERT INTO $table: unknown column(s) ${unknown.mkString(", ")} — " +
           s"target columns are ${target.columns.mkString(", ")}")
     }
+    // PARTITION clause: every key must be a declared partition column of
+    // the store table (Spark raises the same analysis error)
+    val statics: Seq[(String, String)] =
+      partitionSpec.toSeq.collect { case (k, Some(v)) => (k, v) }
+    val dynamics: Seq[String] = partitionSpec.toSeq.collect { case (k, None) => k }
+    if (partitionSpec.nonEmpty) {
+      requireKnown(partitionSpec.keys.toSeq)
+      val pcols = store.partitionColumns(table)
+      val notPart = partitionSpec.keys.filterNot(k => pcols.exists(resolves(k, _)))
+      require(notPart.isEmpty,
+        s"INSERT … PARTITION on $table: ${notPart.mkString(", ")} " +
+          s"is not a partition column (partitioned by ${pcols.mkString(", ")})")
+    }
+    def isStatic(c: String) = statics.exists(kv => resolves(kv._1, c))
     val named =
       if (userCols.nonEmpty) {
         require(userCols.length == data.columns.length,
           s"INSERT INTO $table: ${userCols.length} columns specified, query returns ${data.columns.length}")
         requireKnown(userCols)
+        require(!userCols.exists(isStatic),
+          s"INSERT INTO $table: a static PARTITION column may not also be listed")
         data.toDF(userCols: _*)
-      } else if (byName) { requireKnown(data.columns.toSeq); data }
-      else {
-        require(data.columns.length == target.columns.length,
-          s"INSERT INTO $table: target has ${target.columns.length} columns, query returns ${data.columns.length}")
-        data.toDF(target.columns.toSeq: _*)
+      } else if (byName) {
+        requireKnown(data.columns.toSeq)
+        require(!data.columns.exists(isStatic),
+          s"INSERT INTO $table: a static PARTITION column may not also be in the query")
+        data
+      } else {
+        // positional: table order minus static-filled columns, with the
+        // dynamic partition columns moved to the END in clause order
+        // (Hive/Spark dynamic-partition positional contract)
+        val expected = target.columns.toSeq
+          .filterNot(c => isStatic(c) || dynamics.exists(resolves(_, c))) ++
+          dynamics.flatMap(d => target.columns.find(resolves(d, _)))
+        require(data.columns.length == expected.length,
+          s"INSERT INTO $table: expected ${expected.length} columns " +
+            s"(${expected.mkString(", ")}), query returns ${data.columns.length}")
+        data.toDF(expected: _*)
       }
     // align to the target schema: absent columns become NULL, all cast.
     // A GENERATED ALWAYS AS IDENTITY column the statement did not name is
     // OMITTED (the append derives it); naming it explicitly errors there,
     // Delta's ALWAYS semantics.
     val provided: Set[String] =
-      (if (userCols.nonEmpty) userCols
-       else if (byName) data.columns.toSeq
-       else target.columns.toSeq).map(_.toLowerCase).toSet
+      (named.columns.toSeq ++ statics.map(_._1)).map(_.toLowerCase).toSet
     val identity = store.identityColumn(table).map(_._1)
     val outFields = target.schema.fields.toSeq.filterNot(f =>
       identity.exists(resolves(_, f.name)) && !provided(f.name.toLowerCase))
     val aligned = named.select(outFields.map { f =>
-      (if (named.columns.contains(f.name)) col(f.name) else lit(null))
-        .cast(f.dataType).as(f.name)
+      statics.find(kv => resolves(kv._1, f.name)) match {
+        // static PARTITION value: parser-text literal cast to the column
+        case Some((_, v)) => lit(v).cast(f.dataType).as(f.name)
+        case None =>
+          (if (named.columns.contains(f.name)) col(f.name) else lit(null))
+            .cast(f.dataType).as(f.name)
+      }
     }: _*)
     // INSERT INTO is an APPEND — new files only, existing files carried
     // over by the manifest (a 1-row insert into a 100 TB table costs one
-    // file). Only INSERT OVERWRITE snapshots.
-    if (overwrite) store.createOrReplace(table, aligned)
-    else store.append(table, aligned)
+    // file). Only INSERT OVERWRITE snapshots, and a PARTITION-qualified
+    // overwrite replaces just the named region.
+    if (!overwrite) store.append(table, aligned)
+    else if (partitionSpec.isEmpty) store.createOrReplace(table, aligned)
+    else if (dynamics.isEmpty) {
+      val cond = statics.map { case (k, v) =>
+        val f = target.schema.fields.find(x => resolves(k, x.name)).get
+        col(f.name) <=> lit(v).cast(f.dataType)
+      }.reduce(_ && _)
+      store.overwriteWhere(table, aligned, cond, op = "insert_overwrite_partition")
+    } else store.overwritePartitions(table, aligned, op = "insert_overwrite_partition")
     Seq.empty
   }
 }

@@ -406,7 +406,36 @@ object SqlDmlQueries {
     out
   }
 
+  // q53: selective overwrite — Delta's replaceWhere / Spark's INSERT
+  // OVERWRITE … PARTITION, the statement shape of a daily slice reload.
+  // Static SQL form replaces partition 2 with its recomputed open orders;
+  // the dynamic API form replaces partition 1 with a filtered slice and
+  // lands a brand-new partition 9 — all other partitions' files carry
+  // over physically (ReplaceWhereSpec pins the file-level behavior).
+  def q53ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        (col("o_orderkey") % 4).as("par"))
+    store.createOrReplace("lake.orders_p", base, partitionBy = Seq("par"))
+    t(s, dir, "orders").createOrReplaceTempView("orders_src")
+    s.sql(
+      """INSERT OVERWRITE lake.orders_p PARTITION (par = 2)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice * CAST(1.1 AS DOUBLE)
+        |FROM orders_src WHERE o_orderkey % 4 = 2 AND o_orderstatus = 'O'""".stripMargin)
+    store.overwritePartitions("lake.orders_p",
+      base.filter(col("par") === 1 && col("o_totalprice") < lit(50000.0))
+        .unionByName(s.range(1).select(
+          lit(999999999L).as("o_orderkey"), lit("Z").as("o_orderstatus"),
+          lit(7.5).as("o_totalprice"), lit(9L).as("par"))))
+    store.detach()
+    store.read("lake.orders_p")
+      .orderBy(col("o_orderkey"), col("par"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("par"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_replace_where" -> q53ReplaceWhere _,
     "q48_sql_select_store" -> q48SqlSelectStore _,
     "q47_generated_column" -> q47GeneratedColumn _,
     "q46_column_mapping" -> q46ColumnMapping _,
@@ -430,6 +459,25 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q53_replace_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderkey % 4 AS par
+        |  FROM orders),
+        |p2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |         CAST(2 AS BIGINT) AS par
+        |  FROM orders WHERE o_orderkey % 4 = 2 AND o_orderstatus = 'O'),
+        |dyn AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, par FROM base
+        |  WHERE par = 1 AND o_totalprice < CAST(50000 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT CAST(999999999 AS BIGINT), 'Z', CAST(7.5 AS DOUBLE), CAST(9 AS BIGINT))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, par
+        |FROM (SELECT * FROM base WHERE par IN (0, 3)
+        |      UNION ALL SELECT * FROM p2
+        |      UNION ALL SELECT * FROM dyn)
+        |ORDER BY o_orderkey, par""".stripMargin,
     "q48_sql_select_store" ->
       """SELECT o.o_orderpriority, l.l_returnflag,
         |  COUNT(*) AS n,

@@ -2240,6 +2240,76 @@ final class TableStore(spark: SparkSession, root: String) {
         expectedBase = Some(Some(base)), op = "delete", cdc = cdc)
     }
 
+  /** Delta's `replaceWhere` selective overwrite: in ONE atomic commit,
+    * every row satisfying `cond` is deleted and `df` is inserted in its
+    * place. Files with no matching rows carry over untouched — replacing
+    * one day of a date-partitioned 100 TB table rewrites that day's files
+    * only, and the discovery pass is stats-pruned so the rest of the table
+    * is never even scanned. The reference's daily gold reloads
+    * (`notebooks/24_ETL_Gold_Load.py` overwrite pattern) are this
+    * statement shape: recompute a bounded slice, swap it in atomically.
+    *
+    * Incoming rows MUST satisfy `cond` (Delta's replaceWhere constraint):
+    * a row outside the replaced region would survive the next replace of
+    * its own region AND duplicate what lives there now — silent
+    * corruption, so it errors here instead. */
+  def overwriteWhere(name: String, df: DataFrame, cond: Column,
+      op: String = "replace_where"): Unit = {
+    val base = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"table not found: $name"))
+    val (schema, entries) = readManifest(name, base)
+    val (keyed, cleanup) = applyIdentity(name, df)
+    try {
+      val aligned = alignedForAppend(name, schema, keyed)
+      // constraint check: one limit-1 probe for any row where cond is not
+      // true (false OR null — a null predicate row is outside the region)
+      require(aligned.filter(!cond || cond.isNull).isEmpty,
+        s"replaceWhere on $name: incoming rows do not all satisfy the predicate — " +
+          "every inserted row must belong to the replaced region")
+      val touched = touchedFiles(name, schema, entries, cond)
+      val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val cdc = if (!cdfEnabled(name)) None else
+        Some(subset.filter(cond).withColumn("_change_type", lit("delete"))
+          .unionByName(aligned.withColumn("_change_type", lit("insert"))))
+      val (pb, sw, sf) = readLayout(name)
+      commitVersion(name, subset.filter(!cond || cond.isNull).unionByName(aligned),
+        pb, sw, sf,
+        carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
+        expectedBase = Some(Some(base)), op = op, cdc = cdc)
+    } finally cleanup()
+  }
+
+  /** LOGICAL names of the table's declared partition columns (empty when
+    * unpartitioned) — the layout file records physical names; callers
+    * speak the visible view. */
+  def partitionColumns(name: String): Seq[String] =
+    readLayout(name)._1.map(p => renames(name).getOrElse(p, p))
+
+  /** Spark's dynamic partition overwrite (`INSERT OVERWRITE … PARTITION
+    * (p)`) for store tables: replaces exactly the partitions present in
+    * `df`; every other partition's files carry over untouched. The
+    * distinct partition tuples are collected driver-side — bounded by the
+    * number of partitions the batch touches, the same driver-side set
+    * Spark's own dynamic overwrite computes — and lowered onto
+    * [[overwriteWhere]] as a null-safe tuple disjunction, so stats
+    * pruning confines the rewrite to those partitions' files. */
+  def overwritePartitions(name: String, df: DataFrame,
+      op: String = "overwrite_partitions"): Unit = {
+    val pb = partitionColumns(name)
+    require(pb.nonEmpty,
+      s"overwritePartitions on $name: table is not partitioned — " +
+        "use overwriteWhere or createOrReplace")
+    val tuples = df.select(pb.map(col): _*).distinct().limit(4097).collect()
+    if (tuples.isEmpty) return // Spark semantics: empty source replaces nothing
+    require(tuples.length <= 4096,
+      s"overwritePartitions on $name: batch spans >4096 partitions — " +
+        "the per-partition predicate would dominate planning; use overwriteWhere")
+    val cond = tuples.map(t => pb.zipWithIndex.map { case (c, i) =>
+      col(c) <=> lit(t.get(i))
+    }.reduce(_ && _)).reduce(_ || _)
+    overwriteWhere(name, df, cond, op)
+  }
+
   /** K5: MERGE INTO applied to a stored table — file-pruned copy-on-write:
     *
     *  - files holding MATCHED rows (semi-join on the full ON condition) are
