@@ -2260,12 +2260,18 @@ final class TableStore(spark: SparkSession, root: String) {
     val (schema, entries) = readManifest(name, base)
     val (keyed, cleanup) = applyIdentity(name, df)
     try {
-      val aligned = alignedForAppend(name, schema, keyed)
-      // constraint check: one limit-1 probe for any row where cond is not
-      // true (false OR null — a null predicate row is outside the region)
-      require(aligned.filter(!cond || cond.isNull).isEmpty,
-        s"replaceWhere on $name: incoming rows do not all satisfy the predicate — " +
-          "every inserted row must belong to the replaced region")
+      val raw = alignedForAppend(name, schema, keyed)
+      // constraint enforcement rides the write plan itself (the CHECK
+      // pattern, [[enforceChecks]]): a row where cond is not true (false
+      // OR null) raises DURING the single write job — no separate
+      // validation pass re-computing an expensive source, and the raise
+      // aborts the staged version, leaving the table unchanged
+      import org.apache.spark.sql.functions.{concat, raise_error, struct, to_json}
+      val aligned = raw.filter(
+        when(cond, lit(true)).otherwise(raise_error(concat(
+          lit(s"replaceWhere on $name: incoming rows do not all satisfy the " +
+            "predicate — every inserted row must belong to the replaced region; row: "),
+          to_json(struct(raw.columns.toSeq.map(col): _*)))).cast("boolean")))
       val touched = touchedFiles(name, schema, entries, cond)
       val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
       val cdc = if (!cdfEnabled(name)) None else

@@ -69,10 +69,14 @@ class ReplaceWhereSpec extends AnyFunSuite {
     val v0 = store.version("db.t").get
     val bad = spark.range(0, 5).select(
       col("id").as("k"), lit(3L).as("par"), lit(0.0).as("v"))
-    val e = intercept[IllegalArgumentException] {
+    // the violation raises from INSIDE the write job (single-pass
+    // enforcement) — surfaced as a SparkException wrapping our message
+    val e = intercept[Exception] {
       store.overwriteWhere("db.t", bad, col("par") === 2L)
     }
-    assert(e.getMessage.contains("satisfy the predicate"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("satisfy the predicate")), e.toString)
     assert(store.version("db.t").get == v0, "failed replace must not commit")
     store.detach()
   }
