@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import graft.operators.MergeInto
 import graft.tables.TableStore
 
@@ -212,6 +212,26 @@ object SqlDml {
   /** `ALTER TABLE t SET TBLPROPERTIES (…)`: known engine knobs route to
     * their typed setters (validation included); everything else lands as
     * generic metadata, like Delta's property bag. */
+  /** `ALTER TABLE t ALTER COLUMN c SET/DROP NOT NULL | SET/DROP DEFAULT |
+    * COMMENT '…'` on a store table: nullability lowers to the ENFORCED
+    * not-null constraint (validated at declaration, enforced in every
+    * write pass), defaults to the metadata the INSERT path applies when a
+    * statement omits the column, comments to the column-comment sidecar.
+    * Type/position changes are left to Spark (rejected for non-catalog
+    * tables, as before). */
+  private[ext] def lowerAlterColumns(a: AlterColumns,
+      spark: SparkSession): Option[LogicalPlan] =
+    storeTableOf(a.table, spark).filter { _ =>
+      a.specs.forall(s => s.newDataType.isEmpty && s.newPosition.isEmpty)
+    }.map { name =>
+      GraftAlterColumnsCommand(name, a.specs.map(s => AlterColSpec(
+        s.column.name.mkString("."),
+        s.newNullability,
+        s.newDefaultExpression.map(_.originalSQL),
+        s.dropDefault,
+        s.newComment)))
+    }
+
   private[ext] def lowerSetTblProps(s: SetTableProperties,
       spark: SparkSession): Option[LogicalPlan] =
     storeTableOf(s.table, spark).map(GraftSetTblPropsCommand(_, s.properties))
@@ -508,6 +528,7 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => SqlDml.lowerDelete(d, spark).getOrElse(d)
       case i: InsertIntoStatement => SqlDml.lowerInsert(i, spark).getOrElse(i)
       case a: AddColumns => SqlDml.lowerAddColumns(a, spark).getOrElse(a)
+      case a: AlterColumns => SqlDml.lowerAlterColumns(a, spark).getOrElse(a)
       case s: SetTableProperties => SqlDml.lowerSetTblProps(s, spark).getOrElse(s)
       case s: UnsetTableProperties => SqlDml.lowerUnsetTblProps(s, spark).getOrElse(s)
       case s: ShowTableProperties => SqlDml.lowerShowTblProps(s, spark).getOrElse(s)
@@ -726,12 +747,19 @@ final case class GraftInsertCommand(
     val identity = store.identityColumn(table).map(_._1)
     val outFields = target.schema.fields.toSeq.filterNot(f =>
       identity.exists(resolves(_, f.name)) && !provided(f.name.toLowerCase))
+    // a column the statement omits takes its declared DEFAULT (standard
+    // semantics: defaults apply on omission only — an explicit NULL stays
+    // NULL), falling back to NULL when none is declared
+    val defaults = store.columnDefaults(table)
     val aligned = named.select(outFields.map { f =>
       statics.find(kv => resolves(kv._1, f.name)) match {
         // static PARTITION value: parser-text literal cast to the column
         case Some((_, v)) => lit(v).cast(f.dataType).as(f.name)
         case None =>
-          (if (named.columns.contains(f.name)) col(f.name) else lit(null))
+          (if (named.columns.contains(f.name)) col(f.name)
+           else defaults.collectFirst {
+             case (c, sql) if resolves(c, f.name) => expr(sql)
+           }.getOrElse(lit(null)))
             .cast(f.dataType).as(f.name)
       }
     }: _*)
@@ -941,10 +969,16 @@ final case class GraftShowCreateTableCommand(table: String)
       throw new IllegalStateException(s"no attached TableStore holds $table"))
     val m = store.meta(table)
     val schema = store.read(table).schema
+    val notNull = store.notNullColumns(table).map(_.toLowerCase).toSet
+    val defaults = store.columnDefaults(table)
     val cols = schema.fields.map { f =>
+      val nn = if (notNull(f.name.toLowerCase)) " NOT NULL" else ""
+      val dflt = defaults.collectFirst {
+        case (c, sql) if c.equalsIgnoreCase(f.name) => s" DEFAULT $sql"
+      }.getOrElse("")
       val comment = m.columnComments.get(f.name)
         .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
-      s"  `${f.name}` ${f.dataType.sql}$comment"
+      s"  `${f.name}` ${f.dataType.sql}$nn$dflt$comment"
     }
     val pk = m.properties.get("primary_key").map(k =>
       s"  CONSTRAINT pk PRIMARY KEY ($k)").toSeq
@@ -963,7 +997,7 @@ final case class GraftShowCreateTableCommand(table: String)
       .map(c => s"\nCOMMENT '${c.replace("'", "''")}'").getOrElse("")
     val declarable = Seq("dml_mode", "target_file_rows", "bloom.cols", "bloom.ndv", "cdf")
     val internalNs = Seq("colmap.", "coldrop.", "identity.", "gencol.", "check.",
-      "fk.", "mv.")
+      "fk.", "mv.", "notnull.", "coldefault.")
     val props = m.properties.filter { case (k, _) =>
       declarable.contains(k) ||
         (!internalNs.exists(k.startsWith) && k != "primary_key" &&
@@ -1072,6 +1106,34 @@ final case class GraftAddConstraintCommand(table: String, cname: String,
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for ADD CONSTRAINT"))
     store.addCheckConstraint(table, cname, conditionSql)
+    Seq.empty
+  }
+}
+
+/** One `ALTER COLUMN` change, pre-extracted from the Catalyst spec:
+  * `newNullability` = Some(false) for SET NOT NULL / Some(true) for DROP
+  * NOT NULL; `defaultSql` carries the parser's original SQL text. */
+final case class AlterColSpec(colName: String, newNullability: Option[Boolean],
+    defaultSql: Option[String], dropDefault: Boolean, comment: Option[String])
+
+/** `ALTER TABLE db.table ALTER COLUMN …` — enforced NOT NULL, column
+  * DEFAULT metadata, column comments. */
+final case class GraftAlterColumnsCommand(table: String,
+    specs: Seq[AlterColSpec]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table for ALTER COLUMN"))
+    specs.foreach { s =>
+      require(!s.colName.contains("."),
+        s"ALTER COLUMN on nested field ${s.colName}: store tables hold top-level columns only")
+      s.newNullability.foreach {
+        case false => store.setNotNull(table, s.colName)
+        case true => store.dropNotNull(table, s.colName)
+      }
+      s.defaultSql.foreach(sql => store.setColumnDefault(table, s.colName, sql))
+      if (s.dropDefault) store.dropColumnDefault(table, s.colName)
+      s.comment.foreach(c => store.setColumnComment(table, s.colName, c))
+    }
     Seq.empty
   }
 }

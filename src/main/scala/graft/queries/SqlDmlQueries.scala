@@ -434,7 +434,26 @@ object SqlDmlQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("par"))
   }
 
+  // q54: enforced NOT NULL + column DEFAULT through the SQL ALTER COLUMN
+  // surface — omitted INSERT columns take their declared defaults, an
+  // explicit NULL stays NULL, and the NOT NULL declaration gates every
+  // subsequent write inside the write job itself.
+  def q54ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("lake.cust_d",
+      t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    s.sql("ALTER TABLE lake.cust_d ALTER COLUMN c_acctbal SET DEFAULT 100.0")
+    s.sql("ALTER TABLE lake.cust_d ALTER COLUMN c_name SET DEFAULT 'UNKNOWN'")
+    s.sql("ALTER TABLE lake.cust_d ALTER COLUMN c_custkey SET NOT NULL")
+    s.sql("INSERT INTO lake.cust_d (c_custkey) VALUES (9000001), (9000002)")
+    s.sql("INSERT INTO lake.cust_d (c_custkey, c_name) VALUES (9000003, NULL)")
+    store.detach()
+    store.read("lake.cust_d").orderBy(col("c_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_column_defaults" -> q54ColumnDefaults _,
     "q53_replace_where" -> q53ReplaceWhere _,
     "q48_sql_select_store" -> q48SqlSelectStore _,
     "q47_generated_column" -> q47GeneratedColumn _,
@@ -459,6 +478,13 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q54_column_defaults" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 5 = 0
+        |UNION ALL SELECT CAST(9000001 AS BIGINT), 'UNKNOWN', CAST(100.0 AS DOUBLE)
+        |UNION ALL SELECT CAST(9000002 AS BIGINT), 'UNKNOWN', CAST(100.0 AS DOUBLE)
+        |UNION ALL SELECT CAST(9000003 AS BIGINT), NULL, CAST(100.0 AS DOUBLE)
+        |ORDER BY c_custkey""".stripMargin,
     "q53_replace_where" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderkey % 4 AS par

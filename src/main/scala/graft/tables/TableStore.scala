@@ -1796,7 +1796,8 @@ final class TableStore(spark: SparkSession, root: String) {
     // HERE, in the DDL that invalidates it, not lazily during some later
     // write's plan building (which could lose it on an aborted write)
     setMeta(name, m.copy(
-      properties = m.properties - s"colmap.$physical" - s"gencol.$physical" +
+      properties = m.properties - s"colmap.$physical" - s"gencol.$physical" -
+        s"notnull.$physical" - s"coldefault.$physical" +
         (s"coldrop.$physical" -> "1"),
       columnComments = m.columnComments - field.name))
     commitManifestOnly(name, schema, entries, "drop_column")
@@ -2597,6 +2598,9 @@ final class TableStore(spark: SparkSession, root: String) {
       "dml_mode" -> dmlMode(name),
       "num_columns" -> schema.fields.length.toString,
       "primary_key" -> meta(name).properties.getOrElse("primary_key", ""),
+      "not_null_columns" -> notNullColumns(name).mkString(","),
+      "column_defaults" -> columnDefaults(name).toSeq.sortBy(_._1)
+        .map { case (c, e) => s"$c: $e" }.mkString("; "),
       "bloom_filter_columns" -> bloomIndexCols(name).mkString(","),
       "foreign_keys" -> foreignKeys(name).toSeq.sortBy(_._1).map {
         case (c, (cols, ref, refCols)) =>
@@ -2905,26 +2909,101 @@ final class TableStore(spark: SparkSession, root: String) {
     setMeta(name, meta(name).copy(properties =
       meta(name).properties - s"check.$cname"))
 
+  /** ALTER TABLE … ALTER COLUMN … SET NOT NULL — an ENFORCED nullability
+    * constraint (Delta's semantics): existing rows are validated once at
+    * declaration (the statement fails if any row is NULL), and every
+    * subsequent write validates in the write pass itself through the same
+    * raise_error mechanism CHECK constraints ride — zero extra scans, and
+    * a violating DML aborts with the table unchanged. */
+  def setNotNull(name: String, colName: String): Unit = {
+    val visible = logicalizeSchema(name, currentManifest(name)._1)
+    val f = visible.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(s"$name: no such column $colName"))
+    val nulls = read(name).filter(col(f.name).isNull).count()
+    require(nulls == 0,
+      s"cannot SET NOT NULL on $name.${f.name}: $nulls existing NULL row(s)")
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + (s"notnull.${physicalName(name, f.name)}" -> "true")))
+  }
+
+  def dropNotNull(name: String, colName: String): Unit =
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties - s"notnull.${physicalName(name, colName)}"))
+
+  /** LOGICAL names of columns declared NOT NULL (enforced on write). */
+  def notNullColumns(name: String): Seq[String] =
+    meta(name).properties.keys.toSeq.filter(_.startsWith("notnull."))
+      .map(_.stripPrefix("notnull."))
+      .map(p => renames(name).getOrElse(p, p)).sorted
+
+  /** ALTER TABLE … ALTER COLUMN … COMMENT '…' (logical name). */
+  def setColumnComment(name: String, colName: String, comment: String): Unit = {
+    val visible = logicalizeSchema(name, currentManifest(name)._1)
+    val f = visible.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(s"$name: no such column $colName"))
+    val m = meta(name)
+    setMeta(name, m.copy(columnComments = m.columnComments + (f.name -> comment)))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN … SET DEFAULT <expr>: recorded as
+    * metadata and applied by the SQL INSERT path when a statement OMITS
+    * the column (standard DEFAULT semantics — an explicit NULL stays
+    * NULL). The expression must evaluate constant-foldably and cast to
+    * the column type; both are probed at declaration so a bad default
+    * fails the ALTER, not some later INSERT. */
+  def setColumnDefault(name: String, colName: String, sqlExpr: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val visible = logicalizeSchema(name, currentManifest(name)._1)
+    val f = visible.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(s"$name: no such column $colName"))
+    // declaration-time probe: parses, folds without input rows, casts
+    spark.range(1).select(expr(sqlExpr).cast(f.dataType)).head()
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + (s"coldefault.${physicalName(name, f.name)}" -> sqlExpr)))
+  }
+
+  def dropColumnDefault(name: String, colName: String): Unit =
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties - s"coldefault.${physicalName(name, colName)}"))
+
+  /** Declared column defaults: LOGICAL column name → default SQL text. */
+  def columnDefaults(name: String): Map[String, String] =
+    meta(name).properties.collect {
+      case (k, v) if k.startsWith("coldefault.") =>
+        val p = k.stripPrefix("coldefault.")
+        renames(name).getOrElse(p, p) -> v
+    }
+
   /** The table's CHECK constraints: name → condition SQL. */
   def checkConstraints(name: String): Map[String, String] =
     meta(name).properties.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }
 
-  /** Thread every CHECK constraint into `df`'s plan as a pass-through
-    * filter whose false branch raises — single-pass enforcement during
-    * the write job. */
+  /** Thread every CHECK and NOT NULL constraint into `df`'s plan as a
+    * pass-through filter whose false branch raises — single-pass
+    * enforcement during the write job. */
   private def enforceChecks(name: String, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, concat, expr, raise_error, struct, to_json}
     val checks = checkConstraints(name)
-    if (checks.isEmpty) df
-    else checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cname, sql)) =>
+    val afterChecks = checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cname, sql)) =>
       d.filter(
         when(coalesce(expr(sql), lit(true)), lit(true))
           .otherwise(raise_error(concat(
             lit(s"CHECK constraint $cname ($sql) violated by row: "),
             to_json(struct(d.columns.toSeq.map(col): _*)))).cast("boolean")))
     }
+    // NOT NULL columns absent from this frame are derived later in the
+    // write (generated/identity) — they can't be NULL, skip them here
+    notNullColumns(name)
+      .flatMap(c => afterChecks.columns.find(_.equalsIgnoreCase(c)))
+      .foldLeft(afterChecks) { (d, c) =>
+        d.filter(
+          when(col(c).isNotNull, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"NOT NULL constraint on $name.$c violated by row: "),
+              to_json(struct(d.columns.toSeq.map(col): _*)))).cast("boolean")))
+      }
   }
 
   /** DROP TABLE: remove every version, manifest and sidecar of `name`.
