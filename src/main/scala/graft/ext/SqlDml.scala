@@ -248,6 +248,14 @@ object SqlDml {
       spark: SparkSession): Option[LogicalPlan] =
     storeTableOf(s.child, spark).map(GraftShowCreateTableCommand(_))
 
+  /** `SHOW PARTITIONS db.t` on a store table: a metadata-only listing
+    * from manifest stats (no data scan); `PARTITION (…)` patterns are
+    * left to Spark (they'd error for a non-catalog table anyway). */
+  private[ext] def lowerShowPartitions(s: ShowPartitions,
+      spark: SparkSession): Option[LogicalPlan] =
+    if (s.pattern.isDefined) None
+    else storeTableOf(s.table, spark).map(GraftShowPartitionsCommand(_))
+
   private[ext] def lowerAddColumns(a: AddColumns, spark: SparkSession): Option[LogicalPlan] =
     (a.table match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
@@ -533,6 +541,7 @@ class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case s: UnsetTableProperties => SqlDml.lowerUnsetTblProps(s, spark).getOrElse(s)
       case s: ShowTableProperties => SqlDml.lowerShowTblProps(s, spark).getOrElse(s)
       case s: ShowCreateTable => SqlDml.lowerShowCreate(s, spark).getOrElse(s)
+      case s: ShowPartitions => SqlDml.lowerShowPartitions(s, spark).getOrElse(s)
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         SqlDml.lowerRenameColumn(r, spark).getOrElse(r)
       case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
@@ -1107,6 +1116,21 @@ final case class GraftAddConstraintCommand(table: String, cname: String,
       throw new IllegalStateException(s"no attached TableStore holds $table for ADD CONSTRAINT"))
     store.addCheckConstraint(table, cname, conditionSql)
     Seq.empty
+  }
+}
+
+/** `SHOW PARTITIONS db.t` — one Hive-style `col=value` row per distinct
+  * partition tuple, straight from manifest stats. */
+final case class GraftShowPartitionsCommand(table: String)
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = TableStore.resolve(spark, table).getOrElse(
+      throw new IllegalStateException(s"no attached TableStore holds $table"))
+    store.partitionValues(table).map(Row(_))
   }
 }
 

@@ -452,7 +452,20 @@ object SqlDmlQueries {
     store.read("lake.cust_d").orderBy(col("c_custkey"))
   }
 
+  // q55: SHOW PARTITIONS — a metadata-only listing from manifest stats
+  // (no data file is opened; the 100 TB cost is the manifest read).
+  def q55ShowPartitions(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("lake.ord_parts",
+      t(s, dir, "orders").select(col("o_orderkey"), (col("o_orderkey") % 6).as("par")),
+      partitionBy = Seq("par"))
+    val out = s.sql("SHOW PARTITIONS lake.ord_parts").orderBy(col("partition"))
+    store.detach()
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_show_partitions" -> q55ShowPartitions _,
     "q54_column_defaults" -> q54ColumnDefaults _,
     "q53_replace_where" -> q53ReplaceWhere _,
     "q48_sql_select_store" -> q48SqlSelectStore _,
@@ -478,6 +491,9 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q55_show_partitions" ->
+      """SELECT DISTINCT 'par=' || CAST(o_orderkey % 6 AS VARCHAR) AS partition
+        |FROM orders ORDER BY partition""".stripMargin,
     "q54_column_defaults" ->
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer WHERE c_custkey % 5 = 0

@@ -1968,6 +1968,53 @@ final class TableStore(spark: SparkSession, root: String) {
     setMeta(dst, m.copy(properties = m.properties - "stream_high_water"))
   }
 
+  /** Delta DEEP CLONE: an independent physical copy of `src`'s CURRENT
+    * snapshot — every data file and deletion vector is copied into the
+    * clone's own directory, so a later VACUUM or DROP of the source
+    * cannot break the clone (the documented trade [[cloneTo]] makes).
+    * Cost is proportional to the snapshot's bytes, the same bill Delta's
+    * DEEP CLONE pays; a failed copy cleans up and leaves no table. */
+  def deepCloneTo(src: String, dst: String): Unit = {
+    val (schema, entries) = currentManifest(src)
+    require(!exists(dst), s"clone target $dst already exists")
+    val srcDir = tableDir(src).toAbsolutePath
+    val dstDir = tableDir(dst).toAbsolutePath
+    try {
+      (entries.map(_.rel) ++ entries.flatMap(_.dvs)).foreach { rel =>
+        val to = dstDir.resolve(rel)
+        Files.createDirectories(to.getParent)
+        Files.copy(srcDir.resolve(rel), to)
+      }
+      commitManifestOnly(dst, schema, entries, "deep_clone")
+      val (pb, sw, sf) = readLayout(src)
+      writeLayout(dst, pb, sw, sf)
+      val m = meta(src)
+      setMeta(dst, m.copy(properties = m.properties - "stream_high_water"))
+    } catch {
+      case t: Throwable =>
+        if (Files.exists(dstDir))
+          Files.walk(dstDir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(Files.deleteIfExists(_))
+        throw t
+    }
+  }
+
+  /** Distinct partition value tuples of the current snapshot, rendered
+    * Hive-style (`par=2`), derived from per-file stats — partition files
+    * carry min == max for their partition columns, so this is a
+    * metadata-only listing: no data file is opened. */
+  def partitionValues(name: String): Seq[String] = {
+    val pb = partitionColumns(name)
+    require(pb.nonEmpty, s"SHOW PARTITIONS $name: table is not partitioned")
+    val pbPhys = readLayout(name)._1
+    val (_, entries) = currentManifest(name)
+    entries.map { e =>
+      pb.zip(pbPhys).map { case (lc, pc) =>
+        s"$lc=${e.stats.get(pc).map(_.min).getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+      }.mkString("/")
+    }.distinct.sorted
+  }
+
   /** All retained snapshot versions (those whose manifest survives),
     * oldest first. */
   def versions(name: String): Seq[Int] = {

@@ -1048,4 +1048,43 @@ class LakeFeaturesSpec extends AnyFunSuite {
     assert(store.read("db.csv").agg(sum(col("k"))).head().getLong(0) == 3L)
     store.detach()
   }
+
+  test("deep clone is physically independent: source DML, vacuum and drop leave it intact") {
+    val root = Files.createTempDirectory("graft_deep").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.src",
+      spark.range(0, 500).select(col("id").as("k"), (col("id") % 5).as("g")),
+      partitionBy = Seq("g"))
+    store.deepCloneTo("db.src", "db.deep")
+    assert(store.read("db.deep").count() == 500)
+    assert(store.history("db.deep").head._3 == "deep_clone")
+
+    // rewrite + vacuum + drop the SOURCE — the clone owns its own files
+    store.delete("db.src", col("g") === 2L)
+    store.vacuum("db.src", staleStagingMs = 0L)
+    store.dropTable("db.src")
+    assert(store.read("db.deep").count() == 500)
+    assert(store.readWhere("db.deep", col("g") === 2L).count() == 100)
+    store.detach()
+  }
+
+  test("SHOW PARTITIONS lists distinct tuples from manifest stats, no scan") {
+    val root = Files.createTempDirectory("graft_showpart").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.p",
+      spark.range(0, 90).select(col("id").as("k"), (col("id") % 3).as("g")),
+      partitionBy = Seq("g"))
+    val parts = spark.sql("SHOW PARTITIONS db.p").collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("g=0", "g=1", "g=2"), parts.mkString(", "))
+    // a dynamic overwrite adding a partition shows up
+    store.overwritePartitions("db.p",
+      spark.range(0, 2).select((col("id") + 900).as("k"), lit(7L).as("g")))
+    val parts2 = spark.sql("SHOW PARTITIONS db.p").collect().map(_.getString(0)).toSeq
+    assert(parts2 == Seq("g=0", "g=1", "g=2", "g=7"), parts2.mkString(", "))
+    // unpartitioned tables are rejected, like Hive
+    store.createOrReplace("db.np", spark.range(0, 5).select(col("id").as("k")))
+    val e = intercept[IllegalArgumentException] { spark.sql("SHOW PARTITIONS db.np") }
+    assert(e.getMessage.contains("not partitioned"))
+    store.detach()
+  }
 }
