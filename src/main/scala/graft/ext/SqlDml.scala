@@ -800,12 +800,18 @@ final case class GraftDescribeHistoryCommand(table: String) extends LeafRunnable
     AttributeReference("timestamp", TimestampType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("num_files", IntegerType, nullable = false)(),
-    AttributeReference("num_rows", LongType, nullable = true)())
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("files_added", IntegerType, nullable = false)(),
+    AttributeReference("files_removed", IntegerType, nullable = false)(),
+    AttributeReference("rows_added", LongType, nullable = true)(),
+    AttributeReference("rows_removed", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val store = TableStore.resolve(spark, table).getOrElse(
       throw new IllegalStateException(s"no attached TableStore holds $table for DESCRIBE HISTORY"))
     store.history(table).map { case (v, t, op, n, rows) =>
-      Row(v, java.sql.Timestamp.from(t), op, n, if (rows < 0) null else rows)
+      val (fa, fr, ra, rr) = store.operationMetrics(table, v)
+      Row(v, java.sql.Timestamp.from(t), op, n, if (rows < 0) null else rows,
+        fa, fr, if (ra < 0) null else ra, if (rr < 0) null else rr)
     }
   }
 }
@@ -1010,7 +1016,7 @@ final case class GraftShowCreateTableCommand(table: String)
     val props = m.properties.filter { case (k, _) =>
       declarable.contains(k) ||
         (!internalNs.exists(k.startsWith) && k != "primary_key" &&
-          k != "stream_high_water")
+          k != "stream_high_water" && k != "row_high_water")
     }.toSeq.sortBy(_._1)
     val tblProps = if (props.isEmpty) "" else
       props.map { case (k, v) => s"'$k' = '$v'" }

@@ -464,7 +464,32 @@ object SqlDmlQueries {
     out
   }
 
+  // q56: row tracking — stable `_row_id` across append, copy-on-write
+  // UPDATE and DELETE. The initial snapshot is ONE sorted file, so the
+  // backfilled ids equal rank-1 and DuckDB can replay them exactly; the
+  // appended batch mints ids at the high water (= initial row count); the
+  // subsequent DML rewrites files but must move no surviving id.
+  def q56RowTracking(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("lake.cust_rt",
+      t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        .repartition(1),
+      sortWithin = Seq("c_custkey"))
+    store.enableRowTracking("lake.cust_rt")
+    store.append("lake.cust_rt",
+      s.range(0, 3).select((col("id") + 9000000L).as("c_custkey"),
+        lit(1.5).as("c_acctbal")).coalesce(1))
+    store.update("lake.cust_rt", col("c_custkey") % 5 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") + lit(100.0))))
+    store.delete("lake.cust_rt", col("c_custkey") % 7 === 0)
+    store.detach()
+    store.readWithRowIds("lake.cust_rt")
+      .select(col("c_custkey"), col("c_acctbal"), col("_row_id"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_row_tracking" -> q56RowTracking _,
     "q55_show_partitions" -> q55ShowPartitions _,
     "q54_column_defaults" -> q54ColumnDefaults _,
     "q53_replace_where" -> q53ReplaceWhere _,
@@ -491,6 +516,26 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q56_row_tracking" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal,
+        |         row_number() OVER (ORDER BY c_custkey) - 1 AS _row_id
+        |  FROM customer),
+        |appended AS (
+        |  SELECT CAST(9000000 + i AS BIGINT) AS c_custkey,
+        |         CAST(1.5 AS DOUBLE) AS c_acctbal,
+        |         (SELECT count(*) FROM customer) + i AS _row_id
+        |  FROM generate_series(0, 2) AS t(i)),
+        |merged AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |updated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal,
+        |         _row_id
+        |  FROM merged)
+        |SELECT c_custkey, c_acctbal, _row_id FROM updated
+        |WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     "q55_show_partitions" ->
       """SELECT DISTINCT 'par=' || CAST(o_orderkey % 6 AS VARCHAR) AS partition
         |FROM orders ORDER BY partition""".stripMargin,

@@ -49,6 +49,11 @@ final case class TableMeta(
     properties: Map[String, String] = Map.empty)
 
 object TableStore {
+  /** Hidden physical column rewrites use to carry a row's tracked id —
+    * never in any manifest schema, so plain explicit-schema reads never
+    * see it. */
+  private[tables] val RowIdCol = "__graft_rowid"
+
   // Weak session keys: a stopped/garbage-collected session drops its
   // registry entry instead of being strongly retained forever.
   private val sessions = java.util.Collections.synchronizedMap(
@@ -176,8 +181,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * rewriting the file (Delta's deletion vectors). Min/max stats remain
     * valid with DVs attached: deletion only narrows a file's true range,
     * so stats-based pruning stays conservative. */
+  /** `base` = the file's base row id when the table tracks row ids
+    * (Delta row tracking): the file's rows own the fresh-id range
+    * [base, base + rows); -1 before tracking is enabled or for files
+    * whose row count is unknown. */
   private[tables] final case class FileEntry(rel: String, stats: Map[String, ColStats],
-      dvs: Seq[String] = Nil, rows: Long = -1L)
+      dvs: Seq[String] = Nil, rows: Long = -1L, base: Long = -1L)
 
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
@@ -203,8 +212,10 @@ final class TableStore(spark: SparkSession, root: String) {
       s"#dv\t${enc(e.rel)}\t${enc(e.dvs.mkString(","))}")
     val rowLines = entries.filter(_.rows >= 0).map(e =>
       s"#rows\t${enc(e.rel)}\t${e.rows}")
+    val baseLines = entries.filter(_.base >= 0).map(e =>
+      s"#base\t${enc(e.rel)}\t${e.base}")
     val lines = Seq(s"#schema\t${enc(schema.json)}", s"#op\t${enc(op)}") ++
-      dvLines ++ rowLines ++ entries.map { e =>
+      dvLines ++ rowLines ++ baseLines ++ entries.map { e =>
       (enc(e.rel) +: e.stats.toSeq.sortBy(_._1).flatMap { case (c, st) =>
         Seq(enc(c), enc(st.min), enc(st.max))
       }).mkString("\t")
@@ -219,6 +230,26 @@ final class TableStore(spark: SparkSession, root: String) {
     * not the stage time — a transaction may stage long before it swaps, and
     * timestamp travel needs commit times monotone in the version order. */
   private def promoteManifest(name: String, version: Int): Unit = {
+    // row tracking: claim base row ids for this commit's NEW files here —
+    // every commit path funnels through promoteManifest and holds the
+    // table's commit lock, so the high-water claim is race-free (the
+    // identity-column lesson applied from the start). Carried-over
+    // entries keep their bases; a file without a footer row count stays
+    // unassigned (its rows read a NULL id rather than a wrong one).
+    if (rowTrackingEnabled(name)) {
+      val staged = stagedManifestPath(name, version)
+      val (schema, entries, op) = parseManifest(staged, s"staged manifest $staged")
+      if (entries.exists(e => e.base < 0 && e.rows >= 0)) {
+        var hw = rowHighWater(name)
+        val based = entries.map { e =>
+          if (e.base < 0 && e.rows >= 0) { val b = hw; hw += e.rows; e.copy(base = b) }
+          else e
+        }
+        writeManifest(name, version, schema, based, op)
+        setMeta(name, meta(name).copy(properties =
+          meta(name).properties + ("row_high_water" -> hw.toString)))
+      }
+    }
     val committed = manifestPath(name, version)
     Files.move(stagedManifestPath(name, version), committed,
       StandardCopyOption.ATOMIC_MOVE)
@@ -227,12 +258,22 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   private def readManifest(name: String, version: Int): (StructType, Seq[FileEntry]) = {
-    val lines = new String(Files.readAllBytes(manifestPath(name, version)), UTF_8)
+    val (schema, entries, _) = parseManifest(manifestPath(name, version),
+      s"manifest of $name v$version")
+    (schema, entries)
+  }
+
+  private def parseManifest(path: Path, what: String)
+      : (StructType, Seq[FileEntry], String) = {
+    val lines = new String(Files.readAllBytes(path), UTF_8)
       .split('\n').toSeq.filter(_.nonEmpty)
     val schema = lines.headOption.filter(_.startsWith("#schema\t")) match {
       case Some(l) => DataType.fromJson(dec(l.split('\t')(1))).asInstanceOf[StructType]
-      case None => throw new IllegalStateException(s"manifest of $name v$version has no schema")
+      case None => throw new IllegalStateException(s"$what has no schema")
     }
+    val op = lines.collectFirst {
+      case l if l.startsWith("#op\t") => dec(l.split('\t')(1))
+    }.getOrElse("write")
     val dvByFile: Map[String, Seq[String]] = lines.collect {
       case l if l.startsWith("#dv\t") =>
         val parts = l.split('\t')
@@ -243,6 +284,11 @@ final class TableStore(spark: SparkSession, root: String) {
         val parts = l.split('\t')
         dec(parts(1)) -> parts(2).toLong
     }.toMap
+    val baseByFile: Map[String, Long] = lines.collect {
+      case l if l.startsWith("#base\t") =>
+        val parts = l.split('\t')
+        dec(parts(1)) -> parts(2).toLong
+    }.toMap
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       val parts = l.split('\t')
       val stats = parts.tail.grouped(3).collect {
@@ -250,9 +296,9 @@ final class TableStore(spark: SparkSession, root: String) {
       }.toMap
       val rel = dec(parts(0))
       FileEntry(rel, stats, dvByFile.getOrElse(rel, Nil),
-        rowsByFile.getOrElse(rel, -1L))
+        rowsByFile.getOrElse(rel, -1L), baseByFile.getOrElse(rel, -1L))
     }
-    (schema, entries)
+    (schema, entries, op)
   }
 
   /** The operation string a version's manifest was committed with
@@ -934,7 +980,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val base = currentVersion(name)
     val (schema, entries) = currentManifest(name)
     val (pb, sw, sf) = readLayout(name)
-    val df0 = readEntries(name, schema, entries)
+    val df0 = rewriteSource(name, schema, entries)
     // readEntries yields the LOGICAL view; layout names from the sidecar
     // are physical — translate for the frame-side operations below
     val logicalOf = { val rn = renames(name); (c: String) => rn.getOrElse(c, c) }
@@ -1068,7 +1114,7 @@ final class TableStore(spark: SparkSession, root: String) {
     if (candidates.isEmpty ||
         (candidates.size <= 1 && !candidates.exists(_.dvs.nonEmpty))) return
     val (pb, sw, sf) = readLayout(name)
-    val prepared = zorderRoute(readEntries(name, schema, candidates),
+    val prepared = zorderRoute(rewriteSource(name, schema, candidates),
       cols, bounds, bits, math.max(1, targetFiles))
     commitVersion(name, prepared, pb, sortWithin = Nil,
       statsFor = (sf ++ sw ++ cols).distinct,
@@ -1118,7 +1164,7 @@ final class TableStore(spark: SparkSession, root: String) {
     if (candidates.size <= 1 && !candidates.exists(_.dvs.nonEmpty)) return
     val cset = candidates.map(_.rel).toSet
     val (pb, sw, sf) = readLayout(name)
-    val df0 = readEntries(name, schema, candidates)
+    val df0 = rewriteSource(name, schema, candidates)
     val logicalOf = { val rn = renames(name); (c: String) => rn.getOrElse(c, c) }
     val lpb = pb.map(logicalOf)
     val df = if (lpb.nonEmpty) df0.repartition(lpb.map(col): _*)
@@ -1142,7 +1188,7 @@ final class TableStore(spark: SparkSession, root: String) {
       e.dvs.nonEmpty || Files.size(Paths.get(absPath(name, e.rel))) < smallBytes)
     if (small.size <= 1) return
     val (pb, sw, sf) = readLayout(name)
-    val df0 = readEntries(name, schema, small)
+    val df0 = rewriteSource(name, schema, small)
     val logicalOf = { val rn = renames(name); (c: String) => rn.getOrElse(c, c) }
     val lpb = pb.map(logicalOf)
     val df = if (lpb.nonEmpty) df0.repartition(lpb.map(col): _*) else df0.repartition(1)
@@ -1599,6 +1645,30 @@ final class TableStore(spark: SparkSession, root: String) {
       (v, Files.getLastModifiedTime(manifestPath(name, v)).toInstant,
         manifestOp(name, v), entries.size, rows)
     }
+
+  /** Per-commit operation metrics (Delta's operationMetrics shape),
+    * computed from the MANIFEST DIFF against the previous retained
+    * version — driver-side metadata only, no file is opened. Returns
+    * (files added, files removed, rows added, rows removed); row deltas
+    * are -1 (unknown) when an involved file predates row tracking or
+    * carries deletion vectors (physical counts would overstate). The
+    * oldest retained version diffs against empty. */
+  def operationMetrics(name: String, version: Int): (Int, Int, Long, Long) = {
+    val vs = versions(name)
+    require(vs.contains(version), s"$name: no retained version $version")
+    val cur = readManifest(name, version)._2
+    val prev = vs.filter(_ < version).maxOption
+      .map(readManifest(name, _)._2).getOrElse(Nil)
+    // entry identity includes the DV set — a DV-only commit shows as
+    // remove+add of the same file (its live rows changed)
+    val curKeys = cur.map(e => (e.rel, e.dvs)).toSet
+    val prevKeys = prev.map(e => (e.rel, e.dvs)).toSet
+    val added = cur.filterNot(e => prevKeys((e.rel, e.dvs)))
+    val removed = prev.filterNot(e => curKeys((e.rel, e.dvs)))
+    def rowsOf(es: Seq[FileEntry]): Long =
+      if (es.exists(e => e.rows < 0 || e.dvs.nonEmpty)) -1L else es.map(_.rows).sum
+    (added.size, removed.size, rowsOf(added), rowsOf(removed))
+  }
 
   /** The latest version committed at or before `ts` (timestamp travel). */
   def versionAsOf(name: String, ts: java.time.Instant): Int =
@@ -2065,6 +2135,86 @@ final class TableStore(spark: SparkSession, root: String) {
     * the manifest diff at read time, exactly like Delta. Read the feed
     * with [[changeFeed]] or stream it via the `graft-table` source's
     * `changeFeed=true` option. */
+  // ------------------------------------------------------------ row tracking
+
+  private def rowTrackingEnabled(name: String): Boolean =
+    meta(name).properties.get("rowtracking").contains("true")
+
+  private def rowHighWater(name: String): Long =
+    meta(name).properties.get("row_high_water").map(_.toLong).getOrElse(0L)
+
+  /** Delta row tracking: give every row a STABLE id that survives
+    * copy-on-write rewrites, deletion-vector deletes, OPTIMIZE and MERGE.
+    * Fresh files own the id range [base, base + rows) recorded in the
+    * manifest (claimed under the commit lock at promote time); a rewrite
+    * reads each surviving row's current id and stores it physically in a
+    * hidden parquet column the manifest schema never lists — plain reads
+    * are untouched, [[readWithRowIds]] exposes `_row_id` as
+    * coalesce(materialized, base + position). Enabling backfills the
+    * current snapshot with one metadata-only commit. */
+  def enableRowTracking(name: String): Unit = {
+    if (rowTrackingEnabled(name)) return
+    val (schema, entries) = currentManifest(name)
+    require(entries.forall(_.rows >= 0),
+      s"enable row tracking on $name: some files predate footer row counts — " +
+        "run OPTIMIZE first")
+    setMeta(name, meta(name).copy(properties =
+      meta(name).properties + ("rowtracking" -> "true")))
+    commitManifestOnly(name, schema, entries, "enable_row_tracking")
+  }
+
+  /** The table with a stable `_row_id` column. Requires
+    * [[enableRowTracking]]. */
+  def readWithRowIds(name: String): DataFrame = {
+    require(rowTrackingEnabled(name), s"$name: row tracking is not enabled")
+    val (schema, entries) = currentManifest(name)
+    rowIdRead(name, schema, entries, "_row_id")
+  }
+
+  /** Read `entries` for a REWRITE: like [[readEntries]], but when the
+    * table tracks row ids the frame additionally carries the hidden
+    * materialized-id column, so the rewrite's output files preserve each
+    * surviving row's id physically. */
+  private def rewriteSource(name: String, schema: StructType,
+      entries: Seq[FileEntry]): DataFrame =
+    if (!rowTrackingEnabled(name)) readEntries(name, schema, entries)
+    else rowIdRead(name, schema, entries, TableStore.RowIdCol)
+
+  /** Logical view of `entries` plus `outCol` = each row's current id:
+    * the materialized hidden column when the file carries one, else the
+    * file's base + in-file position; NULL only for files with no base
+    * (pre-tracking files never backfilled). One scan — the base lookup
+    * is a broadcast of the (file, base) manifest map. */
+  private def rowIdRead(name: String, schema: StructType, entries: Seq[FileEntry],
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce}
+    val lnames = logicalizeSchema(name, schema).fieldNames.toSeq
+    if (entries.isEmpty)
+      return emptyDf(StructType(logicalizeSchema(name, schema).fields :+
+        StructField(outCol, LongType, nullable = true)))
+    val schemaExt = StructType(schema.fields :+
+      StructField(TableStore.RowIdCol, LongType, nullable = true))
+    val scan = scanWithPos(name, schemaExt, entries)
+    val baseMap = spark.createDataFrame(entries.map(e =>
+        (Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString, e.base)))
+      .toDF("__base_file", "__base")
+    scan.join(broadcast(baseMap), scan("__graft_file") === col("__base_file"), "left")
+      .withColumn(outCol, coalesce(col(TableStore.RowIdCol),
+        when(col("__base") >= 0, col("__base") + col("__graft_pos"))))
+      .select(lnames.map(col) :+ col(outCol): _*)
+  }
+
+  /** Strip the hidden id column from frames that face users (change-feed
+    * images) — it is write-path plumbing, not data. */
+  private def dropRowIdCol(df: DataFrame): DataFrame = df.drop(TableStore.RowIdCol)
+
+  /** Give brand-new rows a NULL materialized id alongside rewritten rows
+    * that carry one, so the union writes one coherent file schema; the
+    * NULL resolves to the new file's base + position at read time. */
+  private def withNullRowId(name: String, df: DataFrame): DataFrame =
+    if (!rowTrackingEnabled(name) || df.columns.contains(TableStore.RowIdCol)) df
+    else df.withColumn(TableStore.RowIdCol, lit(null).cast(LongType))
+
   def enableChangeFeed(name: String): Unit =
     setMeta(name, meta(name).copy(properties =
       meta(name).properties + ("cdf" -> "true")))
@@ -2092,7 +2242,27 @@ final class TableStore(spark: SparkSession, root: String) {
       val dvRel = s"v_$next/dv"
       val absToRel = candidates.map(e =>
         Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString -> e.rel)
-      val live = scanWithPos(name, schema, candidates)
+      val tracking = rowTrackingEnabled(name)
+      // row tracking: the appended rewrite must carry each row's current
+      // id, so the scan reads the materialized column (if any) and folds
+      // in base + position for rows that never had one
+      val live0 = scanWithPos(name,
+        if (!tracking) schema
+        else StructType(schema.fields :+
+          StructField(TableStore.RowIdCol, LongType, nullable = true)),
+        candidates)
+      val live =
+        if (!tracking) live0
+        else {
+          import org.apache.spark.sql.functions.{broadcast, coalesce}
+          val baseMap = spark.createDataFrame(candidates.map(e =>
+              (Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString, e.base)))
+            .toDF("__base_file", "__base")
+          live0.join(broadcast(baseMap),
+              live0("__graft_file") === col("__base_file"), "left")
+            .withColumn(TableStore.RowIdCol, coalesce(col(TableStore.RowIdCol),
+              when(col("__base") >= 0, col("__base") + col("__graft_pos"))))
+        }
       val matches = live.filter(cond)
         .join(spark.createDataFrame(absToRel).toDF("__abs", "__rel"),
           col("__graft_file") === col("__abs"), "inner")
@@ -2109,9 +2279,11 @@ final class TableStore(spark: SparkSession, root: String) {
           // `live` and `set` speak logical names; the appended files store
           // physical ones (same boundary stageVersion applies)
           val lschema = logicalizeSchema(name, schema)
+          val outCols = lschema.fieldNames.toSeq ++
+            (if (tracking) Seq(TableStore.RowIdCol) else Nil)
           val updated = lschema.fields.foldLeft(live.filter(cond)) { (df, f) =>
             s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
-          }.select(lschema.fieldNames.map(col).toSeq: _*)
+          }.select(outCols.map(col): _*)
           val dataDir = dir.resolve("data")
           toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, updated)))
             .write.parquet(dataDir.toString)
@@ -2249,14 +2421,14 @@ final class TableStore(spark: SparkSession, root: String) {
       val (schema, entries) = readManifest(name, base)
       val touched = touchedFiles(name, schema, entries, cond)
       if (touched.isEmpty) return // no matching rows anywhere — nothing to commit
-      val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val subset = rewriteSource(name, schema, entries.filter(e => touched(e.rel)))
       val lschema = logicalizeSchema(name, schema)
       val updated = subset.columns.foldLeft(subset) { (df, c) =>
         set.get(c).map(v => df.withColumn(c,
           when(cond, v).otherwise(df(c)).cast(lschema(c).dataType))).getOrElse(df)
       }
       val cdc = if (!cdfEnabled(name)) None else {
-        val pre = subset.filter(cond)
+        val pre = dropRowIdCol(subset.filter(cond))
         val post = pre.columns.foldLeft(pre) { (df, c) =>
           set.get(c).map(v => df.withColumn(c, v.cast(lschema(c).dataType))).getOrElse(df)
         }
@@ -2279,9 +2451,10 @@ final class TableStore(spark: SparkSession, root: String) {
       val (schema, entries) = readManifest(name, base)
       val touched = touchedFiles(name, schema, entries, cond)
       if (touched.isEmpty) return
-      val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val subset = rewriteSource(name, schema, entries.filter(e => touched(e.rel)))
       val cdc = if (!cdfEnabled(name)) None
-        else Some(subset.filter(cond).withColumn("_change_type", lit("delete")))
+        else Some(dropRowIdCol(subset.filter(cond))
+          .withColumn("_change_type", lit("delete")))
       val (pb, sw, sf) = readLayout(name)
       commitVersion(name, subset.filter(!cond || cond.isNull), pb, sw, sf,
         carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
@@ -2321,12 +2494,14 @@ final class TableStore(spark: SparkSession, root: String) {
             "predicate — every inserted row must belong to the replaced region; row: "),
           to_json(struct(raw.columns.toSeq.map(col): _*)))).cast("boolean")))
       val touched = touchedFiles(name, schema, entries, cond)
-      val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+      val subset = rewriteSource(name, schema, entries.filter(e => touched(e.rel)))
       val cdc = if (!cdfEnabled(name)) None else
-        Some(subset.filter(cond).withColumn("_change_type", lit("delete"))
+        Some(dropRowIdCol(subset.filter(cond))
+          .withColumn("_change_type", lit("delete"))
           .unionByName(aligned.withColumn("_change_type", lit("insert"))))
       val (pb, sw, sf) = readLayout(name)
-      commitVersion(name, subset.filter(!cond || cond.isNull).unionByName(aligned),
+      commitVersion(name,
+        subset.filter(!cond || cond.isNull).unionByName(withNullRowId(name, aligned)),
         pb, sw, sf,
         carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
         expectedBase = Some(Some(base)), op = op, cdc = cdc)
@@ -2499,17 +2674,22 @@ final class TableStore(spark: SparkSession, root: String) {
         }
       }
 
-    val subset = readEntries(name, schema, entries.filter(e => touched(e.rel)))
+    // row tracking: the rewrite subset carries the hidden id column;
+    // MergeInto's clause dispatch passes unset columns through, so an
+    // UPDATEd row keeps its id and only the INSERT side mints fresh ones
+    val subset = rewriteSource(name, schema, entries.filter(e => touched(e.rel)))
     val rewritten = MergeInto(subset, source, keys, extraOn, matched,
       notMatched = Nil, notMatchedBySource, failOnMultipleMatches = false)
-    val inserts = MergeInto.insertedRows(target, source, keys, extraOn, notMatched)
+    val inserts = withNullRowId(name,
+      MergeInto.insertedRows(target, source, keys, extraOn, notMatched))
     // change feed: target-side pre/post/delete images from the SAME
     // touched subset the rewrite reads, plus the insert rows — the merge's
     // clause dispatch decides each row's change type (Delta CDF parity)
     val cdc = if (!cdfEnabled(name)) None else {
-      val ins = inserts.withColumn("_change_type", lit("insert"))
+      val ins = dropRowIdCol(inserts).withColumn("_change_type", lit("insert"))
       if (matched.isEmpty && notMatchedBySource.isEmpty) Some(ins)
-      else Some(MergeInto.changeSet(subset, source, keys, extraOn, matched, notMatchedBySource)
+      else Some(MergeInto.changeSet(dropRowIdCol(subset), source, keys, extraOn,
+          matched, notMatchedBySource)
         .unionByName(ins))
     }
     val (pb, sw, sf0) = readLayout(name)
@@ -2645,6 +2825,7 @@ final class TableStore(spark: SparkSession, root: String) {
       "dml_mode" -> dmlMode(name),
       "num_columns" -> schema.fields.length.toString,
       "primary_key" -> meta(name).properties.getOrElse("primary_key", ""),
+      "row_tracking" -> rowTrackingEnabled(name).toString,
       "not_null_columns" -> notNullColumns(name).mkString(","),
       "column_defaults" -> columnDefaults(name).toSeq.sortBy(_._1)
         .map { case (c, e) => s"$c: $e" }.mkString("; "),

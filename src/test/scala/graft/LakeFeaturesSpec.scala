@@ -178,6 +178,19 @@ class LakeFeaturesSpec extends AnyFunSuite {
     assert(nr(2).isEmpty && nr(3).isEmpty, s"DV'd snapshots report unknown: $nr")
     assert(nr(4) == Some(1L), s"OPTIMIZE folds DVs, count exact again: $nr")
 
+    // operation metrics from the manifest diff: the mor UPDATE re-keys the
+    // DV'd file and appends the rewrite; ADD COLUMNS is metadata-only
+    val om = spark.sql("DESCRIBE HISTORY db.h")
+      .select("version", "files_added", "files_removed").as[(Int, Int, Int)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(om(1) == ((1, 0)), s"v1 writes one file: $om")
+    assert(om(3) == ((0, 0)), s"metadata-only commit moves no files: $om")
+    assert(om(2)._1 >= 1 && om(2)._2 >= 1, s"mor update re-keys + appends: $om")
+    assert(om(4)._2 >= 1, s"optimize retires rewritten inputs: $om")
+    val ra = spark.sql("DESCRIBE HISTORY db.h")
+      .select("version", "rows_added").as[(Int, Option[Long])].collect().toMap
+    assert(ra(1) == Some(1L) && ra(3) == Some(0L), s"row deltas: $ra")
+
     spark.sql("VACUUM db.h")
     assert(store.versions("db.h") == Seq(4), "vacuum retires old versions")
     assert(store.read("db.h").count() == 1)
