@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types.{StructField, StructType}
 import graft.operators.MergeInto
 import graft.tables.TableStore
 
@@ -443,6 +444,130 @@ object SqlDml {
       GraftCtasCommand(parts.mkString("."), query, orReplace, orCreate,
         ignoreIfExists, partCols, props, comment, unsupported.toSeq, original)
     }
+
+  /** Column-defined `CREATE [OR REPLACE] TABLE db.t (…)` capture (no AS):
+    * the reference declares its whole model this way — inline NOT NULL,
+    * DEFAULT, COMMENT, GENERATED ALWAYS AS (expr | IDENTITY), PRIMARY
+    * KEY / FOREIGN KEY / CHECK (01_Init.py). Every clause lowers onto the
+    * store feature that already implements it, so the declared DDL and
+    * the enforced behavior are the same thing; SHOW CREATE TABLE
+    * round-trips it back. */
+  private[ext] def captureCreateTable(name: LogicalPlan,
+      columns: Seq[ColumnDefinition], orReplace: Boolean, orCreate: Boolean,
+      ignoreIfExists: Boolean,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      tableSpec: Object, original: LogicalPlan): Option[LogicalPlan] =
+    (name match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier => Some(u.nameParts)
+      case _ => None
+    }).filter(_.length == 2).map { parts =>
+      val unsupported = scala.collection.mutable.ArrayBuffer.empty[String]
+      val (identityT, otherT) = partitioning.partition(t =>
+        t.name == "identity" && t.references.length == 1)
+      val partCols = identityT.map(_.references()(0).fieldNames.mkString("."))
+      otherT.foreach(t => unsupported += s"partition transform $t")
+      val decls = columns.map { c =>
+        if (c.identityColumnSpec.exists(_.isAllowExplicitInsert))
+          unsupported += s"${c.name} GENERATED BY DEFAULT AS IDENTITY (ALWAYS only)"
+        ColDecl(StructField(c.name, c.dataType, c.nullable), notNull = !c.nullable,
+          c.comment, c.defaultValue.map(_.originalSQL), c.generationExpression,
+          c.identityColumnSpec.map(s => (s.getStart, s.getStep)))
+      }
+      val (props, comment, constraints) = tableSpec match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+          u.provider.filterNot(_.equalsIgnoreCase("parquet"))
+            .foreach(p => unsupported += s"USING $p")
+          u.location.foreach(l => unsupported += s"LOCATION $l")
+          if (u.external) unsupported += "EXTERNAL"
+          u.serde.foreach(_ => unsupported += "row-format/serde clause")
+          val cs = u.constraints.flatMap {
+            case pk: org.apache.spark.sql.catalyst.expressions.PrimaryKeyConstraint =>
+              Some(TableDecl.Pk(pk.columns))
+            case fk: org.apache.spark.sql.catalyst.expressions.ForeignKeyConstraint =>
+              Some(TableDecl.Fk(fk.userProvidedName, fk.childColumns,
+                fk.parentTableId.mkString("."), fk.parentColumns))
+            case ck: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+              Some(TableDecl.Ck(ck.userProvidedName, ck.condition))
+            case other => unsupported += s"constraint $other"; None
+          }
+          (u.properties, u.comment, cs)
+        case _ => (Map.empty[String, String], None, Seq.empty[TableDecl])
+      }
+      GraftCreateTableCommand(parts.mkString("."), decls, orReplace, orCreate,
+        ignoreIfExists, partCols, props, comment, inlineConstraints = constraints,
+        unsupported.toSeq, original)
+    }
+}
+
+/** One parsed column declaration of a column-defined CREATE TABLE. */
+final case class ColDecl(field: StructField, notNull: Boolean,
+    comment: Option[String], defaultSql: Option[String],
+    genExpr: Option[String], identity: Option[(Long, Long)])
+
+/** Inline table-level constraint declarations. */
+sealed trait TableDecl
+object TableDecl {
+  final case class Pk(cols: Seq[String]) extends TableDecl
+  final case class Fk(cname: String, cols: Seq[String], refTable: String,
+      refCols: Seq[String]) extends TableDecl
+  final case class Ck(cname: String, condition: String) extends TableDecl
+}
+
+/** Eagerly-executed column-defined `CREATE [OR REPLACE] TABLE` against a
+  * store namespace; any other target re-runs the untouched original
+  * statement (the CTAS fallback contract). */
+final case class GraftCreateTableCommand(
+    table: String,
+    decls: Seq[ColDecl],
+    orReplace: Boolean,
+    orCreate: Boolean,
+    ignoreIfExists: Boolean,
+    partitionCols: Seq[String],
+    properties: Map[String, String],
+    comment: Option[String],
+    inlineConstraints: Seq[TableDecl],
+    unsupportedClauses: Seq[String],
+    original: LogicalPlan) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val db = table.split('.').head
+    TableStore.resolveDb(spark, db) match {
+      case None =>
+        GraftShims.ofRows(spark, original).collect()
+        Seq.empty
+      case Some(store) =>
+        if (unsupportedClauses.nonEmpty) throw new UnsupportedOperationException(
+          s"CREATE TABLE $table: the snapshot store cannot honor " +
+            unsupportedClauses.mkString(", "))
+        if (!orReplace && store.exists(table)) {
+          if (ignoreIfExists) return Seq.empty
+          throw new IllegalStateException(s"CREATE TABLE $table: table already exists")
+        }
+        if (orReplace && !orCreate && !store.exists(table))
+          throw new IllegalArgumentException(s"REPLACE TABLE $table: table not found")
+        store.createOrReplace(table,
+          store.emptyFrame(StructType(decls.map(_.field))),
+          partitionBy = partitionCols)
+        if (properties.nonEmpty || comment.isDefined)
+          store.setMeta(table, graft.tables.TableMeta(
+            comment = comment, properties = properties))
+        decls.foreach { d =>
+          if (d.notNull) store.setNotNull(table, d.field.name)
+          d.comment.foreach(store.setColumnComment(table, d.field.name, _))
+          d.defaultSql.foreach(store.setColumnDefault(table, d.field.name, _))
+          d.genExpr.foreach(store.setGeneratedColumn(table, d.field.name, _))
+          d.identity.foreach { case (start, step) =>
+            store.setIdentity(table, d.field.name, start, step) }
+        }
+        inlineConstraints.foreach {
+          case TableDecl.Pk(cols) => store.setPrimaryKey(table, cols)
+          case TableDecl.Fk(cn, cols, ref, refCols) =>
+            store.setForeignKey(table, cn, cols, ref, refCols)
+          case TableDecl.Ck(cn, cond) => store.addCheckConstraint(table, cn, cond)
+        }
+        Seq.empty
+    }
+  }
 }
 
 /** Delegating parser that (a) recognizes the maintenance statements Spark
@@ -511,6 +636,14 @@ class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterf
       case r: ReplaceTableAsSelect =>
         SqlDml.captureCtas(r.name, r.query, orReplace = true, r.orCreate,
           ignoreIfExists = false, r.partitioning, r.tableSpec, r).getOrElse(r)
+      case ct: CreateTable =>
+        SqlDml.captureCreateTable(ct.name, ct.columns, orReplace = false,
+          orCreate = true, ct.ignoreIfExists, ct.partitioning, ct.tableSpec, ct)
+          .getOrElse(ct)
+      case rt: ReplaceTable =>
+        SqlDml.captureCreateTable(rt.name, rt.columns, orReplace = true,
+          rt.orCreate, ignoreIfExists = false, rt.partitioning, rt.tableSpec, rt)
+          .getOrElse(rt)
       case other => other
     }
   }

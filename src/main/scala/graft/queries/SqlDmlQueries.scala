@@ -488,7 +488,35 @@ object SqlDmlQueries {
       .orderBy(col("c_custkey"))
   }
 
+  // q57: the reference's declarative DDL shape (01_Init.py) — a
+  // column-defined CREATE TABLE whose inline NOT NULL / DEFAULT /
+  // GENERATED / CHECK / PRIMARY KEY declarations all lower onto the
+  // enforcing store features, then an INSERT…SELECT that exercises them.
+  def q57CreateTableDdl(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("lake.seed",
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name")))
+    s.sql(
+      """CREATE TABLE lake.nat (
+        |  n_nationkey BIGINT NOT NULL,
+        |  n_name STRING,
+        |  n_regionkey BIGINT,
+        |  tag STRING DEFAULT 'base',
+        |  nkey2 BIGINT GENERATED ALWAYS AS (n_nationkey * 100 + n_regionkey),
+        |  CONSTRAINT pk_n PRIMARY KEY (n_nationkey),
+        |  CONSTRAINT fk_r FOREIGN KEY (n_regionkey) REFERENCES lake.seed (r_regionkey),
+        |  CONSTRAINT nk_pos CHECK (n_nationkey >= 0)
+        |) USING parquet""".stripMargin)
+    t(s, dir, "nation").createOrReplaceTempView("nat_src")
+    s.sql(
+      """INSERT INTO lake.nat (n_nationkey, n_name, n_regionkey)
+        |SELECT n_nationkey, n_name, n_regionkey FROM nat_src""".stripMargin)
+    store.detach()
+    store.read("lake.nat").orderBy(col("n_nationkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_create_table_ddl" -> q57CreateTableDdl _,
     "q56_row_tracking" -> q56RowTracking _,
     "q55_show_partitions" -> q55ShowPartitions _,
     "q54_column_defaults" -> q54ColumnDefaults _,
@@ -516,6 +544,10 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q57_create_table_ddl" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'base' AS tag,
+        |       n_nationkey * 100 + n_regionkey AS nkey2
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q56_row_tracking" ->
       """WITH base AS (
         |  SELECT c_custkey, c_acctbal,

@@ -742,6 +742,9 @@ final class TableStore(spark: SparkSession, root: String) {
 
   // ---------------------------------------------------------------- writes
 
+  /** Empty frame with exactly `schema` — the CREATE TABLE (no AS) seed. */
+  def emptyFrame(schema: StructType): DataFrame = emptyDf(schema)
+
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 

@@ -103,6 +103,58 @@ class ColumnConstraintsSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("column-defined CREATE TABLE wires every inline declaration") {
+    val store = freshStore()
+    store.createOrReplace("ddl.seed", spark.range(0, 1).select(col("id").as("k")))
+    spark.sql(
+      """CREATE TABLE ddl.orders (
+        |  order_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+        |  cust_key BIGINT NOT NULL COMMENT 'customer ref',
+        |  status STRING DEFAULT 'NEW',
+        |  amount DOUBLE NOT NULL,
+        |  amount_x2 DOUBLE GENERATED ALWAYS AS (amount * 2),
+        |  CONSTRAINT pk_o PRIMARY KEY (order_id),
+        |  CONSTRAINT fk_c FOREIGN KEY (cust_key) REFERENCES ddl.seed (k),
+        |  CONSTRAINT amt_pos CHECK (amount > 0)
+        |) USING parquet""".stripMargin)
+    // declarations landed
+    // GENERATED ALWAYS AS IDENTITY implies NOT NULL, so order_id is listed
+    assert(store.notNullColumns("ddl.orders") == Seq("amount", "cust_key", "order_id"))
+    assert(store.columnDefaults("ddl.orders") == Map("status" -> "'NEW'"))
+    assert(store.identityColumn("ddl.orders").map(t => (t._1, t._2, t._3)) ==
+      Some(("order_id", 10L, 2L)))
+    assert(store.checkConstraints("ddl.orders") == Map("amt_pos" -> "amount > 0"))
+    assert(store.foreignKeys("ddl.orders").contains("fk_c"))
+    // and they BEHAVE: identity + generated derive, default fills,
+    // NOT NULL and CHECK gate the write
+    spark.sql("INSERT INTO ddl.orders (cust_key, amount) VALUES (7, 2.5), (8, 4.0)")
+    val rows = store.read("ddl.orders")
+      .select(col("order_id"), col("cust_key"), col("status"), col("amount_x2"))
+      .orderBy(col("order_id")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 12L), "identity start/step")
+    assert(rows.forall(_.getString(2) == "NEW"), "default filled")
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(5.0, 8.0), "generated derived")
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO ddl.orders (cust_key, amount) VALUES (9, -1.0)")
+    }
+    assert(messages(e1).exists(_.contains("amt_pos")), e1.toString)
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO ddl.orders (amount) VALUES (1.0)")
+    }
+    assert(messages(e2).exists(_.contains("NOT NULL constraint")), e2.toString)
+    // SHOW CREATE TABLE round-trips the declarations
+    val ddl = spark.sql("SHOW CREATE TABLE ddl.orders").head().getString(0)
+    assert(ddl.contains("NOT NULL") && ddl.contains("DEFAULT 'NEW'") &&
+      ddl.contains("PRIMARY KEY") && ddl.contains("FOREIGN KEY") &&
+      ddl.contains("CHECK"), ddl)
+    // a non-store namespace falls through to Spark untouched
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE nosuchdb.t (k INT) USING parquet")
+    }
+    assert(!e3.getMessage.contains("snapshot store"), e3.getMessage)
+    store.detach()
+  }
+
   test("NOT NULL and DEFAULT survive a column rename; die with a drop") {
     val store = freshStore()
     store.createOrReplace("db.rn",
