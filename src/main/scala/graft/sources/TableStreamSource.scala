@@ -196,6 +196,9 @@ private[graft] class GraftTableBatch(options: CaseInsensitiveStringMap,
       case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
       case In(a, vs) if vs.nonEmpty =>
         Some(vs.map(v => F.col(a) === F.lit(v)).reduce(_ || _))
+      case IsNull(a) => Some(F.col(a).isNull)
+      case IsNotNull(a) => Some(F.col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
       case And(l, r) => (toCol(l), toCol(r)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (one, other) => one.orElse(other) // a provable conjunct alone still prunes

@@ -184,9 +184,20 @@ final class TableStore(spark: SparkSession, root: String) {
   /** `base` = the file's base row id when the table tracks row ids
     * (Delta row tracking): the file's rows own the fresh-id range
     * [base, base + rows); -1 before tracking is enabled or for files
-    * whose row count is unknown. */
+    * whose row count is unknown.
+    *
+    * `nulls` = per-column NULL counts (physical names) read from the
+    * parquet footer at write time — Delta's `nullCount` statistic. Unlike
+    * min/max (collected only for the layout's stat columns, whose
+    * canonicalization is type-sensitive), null counts are free for every
+    * leaf column, so `IS NULL` / `IS NOT NULL` predicates can prune on
+    * any column. A column absent from the map is unknown (conservative).
+    * Deletion vectors only remove rows, so a recorded 0 stays a valid
+    * "no nulls" witness and `nulls(c) == rows` (all-null) stays a valid
+    * "no non-null" witness with DVs attached. */
   private[tables] final case class FileEntry(rel: String, stats: Map[String, ColStats],
-      dvs: Seq[String] = Nil, rows: Long = -1L, base: Long = -1L)
+      dvs: Seq[String] = Nil, rows: Long = -1L, base: Long = -1L,
+      nulls: Map[String, Long] = Map.empty)
 
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
@@ -214,8 +225,11 @@ final class TableStore(spark: SparkSession, root: String) {
       s"#rows\t${enc(e.rel)}\t${e.rows}")
     val baseLines = entries.filter(_.base >= 0).map(e =>
       s"#base\t${enc(e.rel)}\t${e.base}")
+    val nullLines = entries.filter(_.nulls.nonEmpty).map(e =>
+      s"#nulls\t${enc(e.rel)}\t" + e.nulls.toSeq.sortBy(_._1)
+        .map { case (c, n) => s"${enc(c)}=$n" }.mkString(","))
     val lines = Seq(s"#schema\t${enc(schema.json)}", s"#op\t${enc(op)}") ++
-      dvLines ++ rowLines ++ baseLines ++ entries.map { e =>
+      dvLines ++ rowLines ++ baseLines ++ nullLines ++ entries.map { e =>
       (enc(e.rel) +: e.stats.toSeq.sortBy(_._1).flatMap { case (c, st) =>
         Seq(enc(c), enc(st.min), enc(st.max))
       }).mkString("\t")
@@ -289,6 +303,14 @@ final class TableStore(spark: SparkSession, root: String) {
         val parts = l.split('\t')
         dec(parts(1)) -> parts(2).toLong
     }.toMap
+    val nullsByFile: Map[String, Map[String, Long]] = lines.collect {
+      case l if l.startsWith("#nulls\t") =>
+        val parts = l.split('\t')
+        dec(parts(1)) -> parts(2).split(',').iterator.map { kv =>
+          val i = kv.lastIndexOf('=')
+          dec(kv.substring(0, i)) -> kv.substring(i + 1).toLong
+        }.toMap
+    }.toMap
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       val parts = l.split('\t')
       val stats = parts.tail.grouped(3).collect {
@@ -296,7 +318,8 @@ final class TableStore(spark: SparkSession, root: String) {
       }.toMap
       val rel = dec(parts(0))
       FileEntry(rel, stats, dvByFile.getOrElse(rel, Nil),
-        rowsByFile.getOrElse(rel, -1L), baseByFile.getOrElse(rel, -1L))
+        rowsByFile.getOrElse(rel, -1L), baseByFile.getOrElse(rel, -1L),
+        nullsByFile.getOrElse(rel, Map.empty))
     }
     (schema, entries, op)
   }
@@ -396,11 +419,16 @@ final class TableStore(spark: SparkSession, root: String) {
     // prune a file that actually contains the value.
     else java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
-  /** Per-file min/max and row count from the parquet footer: driver-side
-    * metadata reads, no Spark job. Columns whose physical/logical type has
-    * no usable stats (INT96 timestamps, all-null blocks) are simply
-    * omitted — pruning is conservative about missing stats. */
-  private def footerStats(file: Path, cols: Seq[String]): (Map[String, ColStats], Long) = {
+  /** Per-file min/max, per-column null counts, and row count from the
+    * parquet footer: driver-side metadata reads, no Spark job. Columns
+    * whose physical/logical type has no usable stats (INT96 timestamps,
+    * all-null blocks) are simply omitted — pruning is conservative about
+    * missing stats. Min/max is restricted to `cols` (the layout's stat
+    * columns — canonicalization is type-sensitive); null counts cover
+    * EVERY leaf column (they need no canonicalization and make IS NULL /
+    * IS NOT NULL prunable everywhere). */
+  private def footerStats(file: Path, cols: Seq[String])
+      : (Map[String, ColStats], Map[String, Long], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
@@ -494,13 +522,35 @@ final class TableStore(spark: SparkSession, root: String) {
           Some(c -> ColStats(mn, mx))
         }
       }.toMap
-      (stats, rowCount)
+      // null counts for every leaf column: EVERY block must report one
+      // (isNumNullsSet) or the column's count is unknown — a block without
+      // the statistic could hide nulls either way
+      val leafPaths: Seq[String] =
+        blocks.headOption.map(_.getColumns.asScala.toSeq.map(_.getPath.toDotString))
+          .getOrElse(Nil)
+      val nulls = leafPaths.flatMap { c =>
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) None else Some(st.getNumNulls)
+          }
+        }
+        if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+        else Some(c -> perBlock.flatten.sum)
+      }.toMap
+      (stats, nulls, rowCount)
     } finally reader.close()
   }
 
-  /** Conservative file pruning: keep a file unless some conjunct of `pred`
-    * of the shape `col <op> literal` provably excludes its [min, max]
-    * range. Unanalyzable conjuncts prune nothing. */
+  /** Conservative file pruning: keep a file unless `pred` provably cannot
+    * be true for any of its rows, judged from per-file min/max ranges,
+    * null counts and row counts. The predicate tree is walked with
+    * three-valued semantics — "possibly true" vs "provably never true" —
+    * so `AND`/`OR`/`NOT`/`IN` compose (a file is skipped for an OR only
+    * when EVERY disjunct excludes it), `IS NULL` skips files whose null
+    * count is 0, `IS NOT NULL` skips all-null files, and `LIKE 'p%'` /
+    * startsWith skips files whose [min, max] cannot contain a `p`-prefixed
+    * string. Unanalyzable subtrees prune nothing. */
   private def pruneEntries(name: String, schema: StructType, entries: Seq[FileEntry],
       pred: Column): Seq[FileEntry] = {
     // predicates speak logical names; per-file stats are keyed by the
@@ -509,6 +559,9 @@ final class TableStore(spark: SparkSession, root: String) {
     def statsOf(e: FileEntry): Map[String, ColStats] =
       if (rn.isEmpty) e.stats
       else e.stats.map { case (k, v) => (rn.getOrElse(k, k), v) }
+    def nullsOf(e: FileEntry): Map[String, Long] =
+      if (rn.isEmpty) e.nulls
+      else e.nulls.map { case (k, v) => (rn.getOrElse(k, k), v) }
     val lschema = logicalizeSchema(name, schema)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -518,10 +571,14 @@ final class TableStore(spark: SparkSession, root: String) {
     // rather than the binary nodes the SQL parser builds — normalize both
     // spellings to the same shapes before structural matching
     def normalize(e: Expression): Expression = e.transformUp {
+      // a CAST around a NULL literal (lit(null).cast(t)) is still a NULL
+      // literal of the target type — unwrap so the null rules below see it
+      case c: Cast if c.child.isInstanceOf[Literal] &&
+          c.child.asInstanceOf[Literal].value == null => Literal(null, c.dataType)
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.length == 1 && f.arguments.length == 2 =>
         val Seq(l, r) = f.arguments
-        f.nameParts.head match {
+        f.nameParts.head.toLowerCase match {
           case "=" | "==" => EqualTo(l, r)
           case "<=>" => EqualNullSafe(l, r)
           case "<" => LessThan(l, r)
@@ -529,54 +586,161 @@ final class TableStore(spark: SparkSession, root: String) {
           case ">" => GreaterThan(l, r)
           case ">=" => GreaterThanOrEqual(l, r)
           case "and" => And(l, r)
+          case "or" => Or(l, r)
+          case "startswith" => StartsWith(l, r)
+          case "in" | "isin" => In(l, Seq(r))
           case _ => f
         }
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 && f.arguments.length == 1 =>
+        f.nameParts.head.toLowerCase match {
+          case "isnull" => IsNull(f.arguments.head)
+          case "isnotnull" => IsNotNull(f.arguments.head)
+          case "not" | "!" => Not(f.arguments.head)
+          case _ => f
+        }
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 && f.arguments.length >= 2 &&
+            (f.nameParts.head.equalsIgnoreCase("in") ||
+              f.nameParts.head.equalsIgnoreCase("isin")) =>
+        In(f.arguments.head, f.arguments.tail)
     }
     def attrName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
-    // (column, op, literal) with op ∈ =, <, <=, >, >= in column-first form
-    val bounds: Seq[(String, String, String, Boolean)] =
-      conjuncts(normalize(org.apache.spark.sql.GraftShims.catalystExpr(pred))).flatMap {
-      case EqualTo(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
-      case EqualTo(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
-      case EqualNullSafe(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
-      case LessThan(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<", v._1, v._2))
-      case LessThan(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">", v._1, v._2))
-      case LessThanOrEqual(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<=", v._1, v._2))
-      case LessThanOrEqual(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">=", v._1, v._2))
-      case GreaterThan(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">", v._1, v._2))
-      case GreaterThan(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<", v._1, v._2))
-      case GreaterThanOrEqual(a, l: Literal) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, ">=", v._1, v._2))
-      case GreaterThanOrEqual(l: Literal, a) if attrName(a).isDefined => canonLiteral(l).map(v => (attrName(a).get, "<=", v._1, v._2))
+    val expr = normalize(org.apache.spark.sql.GraftShims.catalystExpr(pred))
+
+    // equality bounds from TOP-LEVEL conjuncts feed the bloom second stage
+    // (a point value inside a disjunct can't refine — the other disjunct
+    // might keep the file)
+    val eqBounds: Seq[(String, String, String, Boolean)] = conjuncts(expr).flatMap {
+      case EqualTo(a, l: Literal) if attrName(a).isDefined =>
+        canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
+      case EqualTo(l: Literal, a) if attrName(a).isDefined =>
+        canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
+      case EqualNullSafe(a, l: Literal) if attrName(a).isDefined =>
+        canonLiteral(l).map(v => (attrName(a).get, "=", v._1, v._2))
       case _ => None
     }
-    if (bounds.isEmpty) entries
-    else {
-      val boxed = entries.filter { e =>
-        val st = statsOf(e)
-        bounds.forall { case (c, op, v, litNumeric) =>
-          (st.get(c), lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)) match {
-            case (Some(st), Some(dt)) =>
-              numericKind(dt) match {
-                case Some(num) if num == litNumeric =>
-                  op match {
-                    case "=" => cmp(st.min, v, num) <= 0 && cmp(st.max, v, num) >= 0
-                    case "<" => cmp(st.min, v, num) < 0
-                    case "<=" => cmp(st.min, v, num) <= 0
-                    case ">" => cmp(st.max, v, num) > 0
-                    case ">=" => cmp(st.max, v, num) >= 0
-                  }
-                case _ => true // kind mismatch (e.g. string literal vs date col)
-              }
-            case _ => true // no stats for this column → cannot exclude
-          }
+
+    // "could some row of a file with these stats satisfy `op`?" — false
+    // only on proof; every unanalyzable shape answers true
+    def possible(e: Expression, st: Map[String, ColStats],
+        nulls: Map[String, Long], rows: Long): Boolean = {
+      // range check: op ∈ =, <, <=, >, >= with a non-null literal
+      def range(a: Expression, l: Literal, op: String): Boolean =
+        if (l.value == null) false // comparison with NULL is never TRUE
+        else (attrName(a), canonLiteral(l)) match {
+          case (Some(c), Some((v, litNumeric))) =>
+            (st.get(c), lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)) match {
+              case (Some(cs), Some(dt)) =>
+                numericKind(dt) match {
+                  case Some(num) if num == litNumeric =>
+                    op match {
+                      case "=" => cmp(cs.min, v, num) <= 0 && cmp(cs.max, v, num) >= 0
+                      case "<" => cmp(cs.min, v, num) < 0
+                      case "<=" => cmp(cs.min, v, num) <= 0
+                      case ">" => cmp(cs.max, v, num) > 0
+                      case ">=" => cmp(cs.max, v, num) >= 0
+                    }
+                  case _ => true // kind mismatch (e.g. string literal vs date col)
+                }
+              case _ => true // no stats for this column → cannot exclude
+            }
+          case _ => true
         }
+      // strings with prefix p live in [p, successor(p)) under the same
+      // unsigned UTF-8 byte order the footer stats use
+      def prefixPossible(a: Expression, prefix: String): Boolean =
+        attrName(a).flatMap(c => st.get(c).map((c, _))) match {
+          case Some((c, cs))
+              if lschema.find(_.name.equalsIgnoreCase(c))
+                .exists(_.dataType == StringType) =>
+            val p = prefix.getBytes(UTF_8)
+            val mx = cs.max.getBytes(UTF_8)
+            if (java.util.Arrays.compareUnsigned(p, mx) > 0) false // all values < p
+            else {
+              // successor(p): strip trailing 0xFF, bump the last byte; all
+              // 0xFF (or empty) → no upper bound
+              val trimmed = p.reverse.dropWhile(_ == -1).reverse
+              if (trimmed.isEmpty) true
+              else {
+                val succ = trimmed.clone(); succ(succ.length - 1) = (succ(succ.length - 1) + 1).toByte
+                val mn = cs.min.getBytes(UTF_8)
+                java.util.Arrays.compareUnsigned(mn, succ) < 0 // min below the prefix block's end
+              }
+            }
+          case _ => true
+        }
+      def go(e: Expression): Boolean = e match {
+        case And(x, y) => go(x) && go(y)
+        case Or(x, y) => go(x) || go(y)
+        case Not(IsNull(a)) => go(IsNotNull(a))
+        case Not(IsNotNull(a)) => go(IsNull(a))
+        case Not(EqualTo(a, l: Literal)) if attrName(a).isDefined =>
+          // rows where a IS NULL evaluate != to NULL (not TRUE), so the
+          // file is excludable exactly when min == max == v: every non-null
+          // value equals v and no row can satisfy != v
+          if (l.value == null) false
+          else {
+            val c = attrName(a).get
+            val provablyAllEqual = (for {
+              cs <- st.get(c)
+              (v, num) <- canonLiteral(l)
+              dt <- lschema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+              nk <- numericKind(dt) if nk == num
+            } yield cmp(cs.min, v, num) == 0 && cmp(cs.max, v, num) == 0)
+              .getOrElse(false)
+            !provablyAllEqual
+          }
+        case Not(EqualTo(l: Literal, a)) => go(Not(EqualTo(a, l)))
+        case Not(_) => true // unanalyzable negation
+        case IsNull(a) => attrName(a) match {
+          case Some(c) => nulls.get(c).forall(_ > 0) // 0 recorded nulls → no row matches
+          case None => true
+        }
+        case IsNotNull(a) => attrName(a) match {
+          case Some(c) => !(rows >= 0 && nulls.get(c).contains(rows)) // all-null file
+          case None => true
+        }
+        case EqualNullSafe(a, l: Literal) =>
+          if (l.value == null) go(IsNull(a)) else range(a, l, "=")
+        case EqualNullSafe(l: Literal, a) =>
+          if (l.value == null) go(IsNull(a)) else range(a, l, "=")
+        case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+          // IN is TRUE iff some element matches; a NULL element contributes
+          // NULL, never TRUE — range() already answers false for it
+          list.exists(l => range(a, l.asInstanceOf[Literal], "="))
+        case EqualTo(a, l: Literal) => range(a, l, "=")
+        case EqualTo(l: Literal, a) => range(a, l, "=")
+        case LessThan(a, l: Literal) => range(a, l, "<")
+        case LessThan(l: Literal, a) => range(a, l, ">")
+        case LessThanOrEqual(a, l: Literal) => range(a, l, "<=")
+        case LessThanOrEqual(l: Literal, a) => range(a, l, ">=")
+        case GreaterThan(a, l: Literal) => range(a, l, ">")
+        case GreaterThan(l: Literal, a) => range(a, l, "<")
+        case GreaterThanOrEqual(a, l: Literal) => range(a, l, ">=")
+        case GreaterThanOrEqual(l: Literal, a) => range(a, l, "<=")
+        case StartsWith(a, Literal(p, StringType)) if p != null =>
+          prefixPossible(a, p.toString)
+        case Like(a, Literal(p, StringType), _) if p != null => {
+          // LIKE 'p%' with a wildcard-free prefix is a prefix test
+          val s = p.toString
+          if (s.nonEmpty && s.endsWith("%") &&
+              !s.dropRight(1).exists(ch => ch == '%' || ch == '_' || ch == '\\'))
+            prefixPossible(a, s.dropRight(1))
+          else true
+        }
+        case Literal(v, BooleanType) => v == true // false AND null literals never pass a filter
+        case _ => true
       }
-      bloomRefine(name, boxed, bounds)
+      go(e)
     }
+
+    val kept = entries.filter(e => possible(expr, statsOf(e), nullsOf(e), e.rows))
+    if (eqBounds.isEmpty) kept else bloomRefine(name, kept, eqBounds)
   }
 
   // ------------------------------------------------------- bloom skipping
@@ -918,8 +1082,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val fs = files.map { p =>
       val rel = tableDir(name).relativize(p).toString
       Future { // the footer also carries the row count DESCRIBE HISTORY reports
-        val (stats, rows) = footerStats(p, statCols)
-        FileEntry(rel, stats, Nil, rows)
+        val (stats, nulls, rows) = footerStats(p, statCols)
+        FileEntry(rel, stats, Nil, rows, nulls = nulls)
       }
     }
     Await.result(Future.sequence(fs), Duration.Inf)
