@@ -200,7 +200,9 @@ object Scd {
     // payload: these need BOTH a close of the old version (their real-key
     // copy matches) and an insert of the new one (their null-key copy
     // cannot match, so it reaches the insert clause)
-    val current = store.read(table).filter(col(ValidTo).isNull)
+    // readWhere: the IS NULL predicate hits null-count file skipping, so
+    // closed-history files never open for the change-detection join
+    val current = store.readWhere(table, col(ValidTo).isNull)
     val changed = batch.alias("s")
       .join(current.alias("t"),
         keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _))
