@@ -444,17 +444,23 @@ private[graft] class GraftTableMicroBatchStream(
     var v = if (pos.index >= 0) pos.version else pos.version + 1
     var fromIdx = if (pos.index >= 0) pos.index else 0
     while (v <= cap) {
-      val adds = addedFiles(store, t, v)
-      val until = endAt.filter(e => !e.snapshot && e.version == v && e.index >= 0)
-        .map(_.index).getOrElse(adds.size)
-      var i = fromIdx
-      while (i < until && admit(adds(i))) i += 1
-      if (i < adds.size && until == adds.size)
-        return (out.toSeq, GraftStreamOffset(v, i, snapshot = false)) // budget ran out
-      if (until < adds.size)
-        return (out.toSeq, GraftStreamOffset(v, until, snapshot = false)) // endAt mid-version
-      pos = GraftStreamOffset(v, -1, snapshot = false)
-      v += 1; fromIdx = 0
+      // version numbers are monotone in commit order but not contiguous
+      // (a rebased commit vacates its staged number) — skip the holes; a
+      // missing number ≤ cap can never appear later, so no data is lost
+      if (!store.hasVersion(t, v)) { v += 1; fromIdx = 0 }
+      else {
+        val adds = addedFiles(store, t, v)
+        val until = endAt.filter(e => !e.snapshot && e.version == v && e.index >= 0)
+          .map(_.index).getOrElse(adds.size)
+        var i = fromIdx
+        while (i < until && admit(adds(i))) i += 1
+        if (i < adds.size && until == adds.size)
+          return (out.toSeq, GraftStreamOffset(v, i, snapshot = false)) // budget ran out
+        if (until < adds.size)
+          return (out.toSeq, GraftStreamOffset(v, until, snapshot = false)) // endAt mid-version
+        pos = GraftStreamOffset(v, -1, snapshot = false)
+        v += 1; fromIdx = 0
+      }
     }
     (out.toSeq, pos)
   }
@@ -484,7 +490,13 @@ private[graft] class GraftTableMicroBatchStream(
     else store.cdcInventory(t, v).filter(_ => cdfMode) match {
       case Some(cdc) => cdc.map { case (p, len) => GraftFilePartition(p, len, null, v) }
       case None =>
-        val (_, _, prev) = store.snapshotInventory(t, v - 1)
+        val prev = store.prevVersion(t, v) match {
+          case Some(pv) => store.snapshotInventory(t, pv)._3
+          case None if v == 1 => Seq.empty // table creation
+          case None => throw new IllegalStateException(
+            s"$t: version $v's predecessor was vacuumed — restart the " +
+              "stream from a fresh snapshot (drop startingVersion)")
+        }
         val prevByPath = prev.map(f => f._1 -> f._3).toMap
         val added = cur.filterNot(f => prevByPath.contains(f._1))
         val removed = prev.map(_._1).filterNot(cur.map(_._1).toSet)

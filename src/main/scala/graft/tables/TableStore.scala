@@ -1045,9 +1045,10 @@ final class TableStore(spark: SparkSession, root: String) {
       sortWithin: Seq[String], statsFor: Seq[String], carryOver: Seq[FileEntry],
       schemaHint: Option[StructType] = None, expectedBase: Option[Option[Int]] = None,
       op: String = "write", cdc: Option[DataFrame] = None,
-      copyFiles: Seq[String] = Nil): Unit = {
+      copyFiles: Seq[String] = Nil, strictCas: Boolean = false): Unit = {
     val (next, dir) = stageVersion(name, df, partitionBy, sortWithin, statsFor,
       carryOver, schemaHint, op)
+    var liveDir = dir // rebase may renumber (move) the staged directory
     try {
       // change-feed rows land INSIDE the staged version dir — atomic with
       // the commit (an abort drops them with the version)
@@ -1057,16 +1058,111 @@ final class TableStore(spark: SparkSession, root: String) {
         Files.write(dir.resolve("copy_files"),
           copyFiles.mkString("\n").getBytes(UTF_8))
       withCommitLock(name) {
-        expectedBase.foreach { base =>
-          val cur = currentVersion(name)
-          if (cur != base) throw new java.util.ConcurrentModificationException(
-            s"$name moved from version $base to $cur since this writer read it — " +
-              "re-derive the change from the current snapshot and retry")
+        val finalV = expectedBase match {
+          case Some(base) if currentVersion(name) != base =>
+            val cur = currentVersion(name)
+            val rebased = (base, cur) match {
+              case (Some(bv), Some(cv)) if !strictCas => tryRebase(name, next, bv, cv)
+              case _ => None
+            }
+            rebased match {
+              case Some((v, d)) => liveDir = d; v
+              case None => throw new java.util.ConcurrentModificationException(
+                s"$name moved from version $base to $cur since this writer read " +
+                  "it, and the interleaved commits touched data this change " +
+                  "depends on — re-derive the change from the current snapshot " +
+                  "and retry")
+            }
+          case _ => next
         }
-        promoteManifest(name, next)
-        swapTo(name, next)
+        promoteManifest(name, finalV)
+        swapTo(name, finalV)
       }
-    } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
+    } catch { case t: Throwable => dropAbortedVersion(liveDir); throw t }
+  }
+
+  /** WriteSerializable optimistic-concurrency resolution (Delta's default
+    * isolation level): a commit whose compare-and-swap fails because the
+    * table moved under it is REBASED onto the new current version instead
+    * of aborted, whenever (a) the interleaved commits did not change the
+    * schema, and (b) they left every file this commit modifies or removes
+    * exactly as this writer read it. Blind appends therefore never lose a
+    * race (to each other, to DML, or to OPTIMIZE), and a long merge
+    * survives concurrent appends and maintenance of files it never
+    * rewrote — at 100 TB a 10-minute MERGE must not be thrown away
+    * because a streaming micro-batch landed meanwhile. Under
+    * [[setIsolation]] `serializable` only blind appends rebase; any
+    * rewriting commit conflicts, Delta's stricter level.
+    *
+    * The rebased manifest is `current ∖ ourTouched ∪ ourEntries`: files
+    * added by the interleaved commits are kept, files they removed stay
+    * removed (never resurrected), and our rewrite/delete/append applies
+    * on top. When the interloper won a HIGHER version number, the staged
+    * directory is atomically renamed past it and its entries re-anchored,
+    * keeping version numbers monotone in commit order (history,
+    * timestamp travel and the change feed all diff `v` against `v-1`).
+    *
+    * Returns the (version, directory) to promote, or None on genuine
+    * conflict. Must run inside the table's commit lock. */
+  private def tryRebase(name: String, next: Int, baseV: Int, curV: Int)
+      : Option[(Int, Path)] = {
+    if (!Files.exists(manifestPath(name, baseV))) return None // base vacuumed
+    val (stagedSchema, staged, op) =
+      parseManifest(stagedManifestPath(name, next), s"staged v$next of $name")
+    val (baseSchema, baseEntries) = readManifest(name, baseV)
+    val (curSchema, curEntries) = readManifest(name, curV)
+    if (curSchema.json != baseSchema.json) return None // concurrent schema change
+    val baseByRel = baseEntries.map(e => e.rel -> e).toMap
+    val curByRel = curEntries.map(e => e.rel -> e).toMap
+    val stagedRels = staged.map(_.rel).toSet
+    val ourAdded = staged.filterNot(e => baseByRel.contains(e.rel))
+    val ourModified = staged.filter(e => baseByRel.get(e.rel).exists(_ != e))
+    val readSet = (ourModified.map(_.rel) ++
+      baseEntries.map(_.rel).filterNot(stagedRels)).toSet
+    if (isolationLevel(name) == "serializable" && readSet.nonEmpty) return None
+    // every file we rewrite/modify/delete must be untouched by the
+    // interleaved commits — identity includes the deletion-vector set
+    if (!readSet.forall(r => curByRel.get(r).contains(baseByRel(r)))) return None
+    val rebased = curEntries.filterNot(e => readSet(e.rel)) ++ ourModified ++ ourAdded
+    if (next > curV) {
+      writeManifest(name, next, stagedSchema, rebased, op)
+      Some((next, tableDir(name).resolve(s"v_$next")))
+    } else {
+      // renumber past the interloper: claim a fresh version, atomically
+      // move our staged dir to it, re-anchor our entries' paths. A
+      // concurrent STAGING writer can claim the freed number between
+      // delete and move (allocation is lock-free) — loop on the next one.
+      val old = tableDir(name).resolve(s"v_$next")
+      var claimed = -1
+      while (claimed < 0) {
+        val (nv, ndir) = allocateVersion(name)
+        try {
+          Files.delete(ndir)
+          Files.move(old, ndir, StandardCopyOption.ATOMIC_MOVE)
+          claimed = nv
+        } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      def reanchor(p: String) =
+        if (p.startsWith(s"v_$next/")) s"v_$claimed/" + p.stripPrefix(s"v_$next/") else p
+      val reanchored = rebased.map(e =>
+        e.copy(rel = reanchor(e.rel), dvs = e.dvs.map(reanchor)))
+      writeManifest(name, claimed, stagedSchema, reanchored, op)
+      Some((claimed, tableDir(name).resolve(s"v_$claimed")))
+    }
+  }
+
+  /** The table's isolation level for concurrent-commit resolution:
+    * `writeserializable` (default — Delta's default; commuting commits
+    * rebase, see [[tryRebase]]) or `serializable` (only blind appends
+    * rebase; every rewriting commit that loses a race conflicts). */
+  private def isolationLevel(name: String): String =
+    meta(name).properties.getOrElse("isolation", "writeserializable").toLowerCase
+
+  def setIsolation(name: String, level: String): Unit = {
+    val l = level.toLowerCase
+    require(l == "writeserializable" || l == "serializable",
+      s"isolation must be writeserializable or serializable, got $level")
+    setMeta(name, meta(name).copy(properties = meta(name).properties + ("isolation" -> l)))
   }
 
   /** Manifest entries for freshly-written files. Footer reads are
@@ -1122,7 +1218,7 @@ final class TableStore(spark: SparkSession, root: String) {
   def replaceIfUnchanged(name: String, df: DataFrame, baseVersion: Int): Unit = {
     val (pb, sw, sf) = readLayout(name)
     commitVersion(name, df, pb, sw, sf, carryOver = Seq.empty,
-      expectedBase = Some(Some(baseVersion)))
+      expectedBase = Some(Some(baseVersion)), strictCas = true)
   }
 
   /** OPTIMIZE-style compaction: rewrite the current manifest's files into
@@ -1709,24 +1805,30 @@ final class TableStore(spark: SparkSession, root: String) {
       s"$name changeFeed: fromVersion $fromVersion > toVersion $toVersion")
     val layoutOnly = Set("optimize", "zorder", "vacuum", "clone", "restore",
       "rename_column", "drop_column", "add_columns", "alter", "create")
-    val frames = ((fromVersion + 1) to toVersion).map { v =>
+    // iterate COMMITTED versions only: numbers are monotone in commit
+    // order but not contiguous (a rebased commit vacates the number it
+    // staged under — see tryRebase), so each version diffs against its
+    // predecessor in the committed sequence, not v-1 numerically
+    val all = versions(name)
+    val frames = all.filter(v => v > fromVersion && v <= toVersion).map { v =>
       val (schemaCur, cur) = readManifest(name, v)
       val op = manifestOp(name, v)
       val cdcPath = cdcDir(name, v)
+      val prevOpt = all.filter(_ < v).maxOption
       def vcol(df: DataFrame) = df.withColumn("_commit_version", lit(v))
       if (Files.exists(cdcPath)) {
         // sidecars store the logical names in force at write time
         Some(vcol(spark.read.parquet(cdcPath.toString)))
       } else if (layoutOnly.exists(op.startsWith)) None
-      else if (!Files.exists(manifestPath(name, v - 1))) {
+      else if (prevOpt.isEmpty) {
         if (v == 1) // table creation: everything is an insert
           Some(vcol(readEntries(name, schemaCur, cur)
             .withColumn("_change_type", lit("insert"))))
         else throw new IllegalStateException(
-          s"$name: version ${v - 1} was vacuumed — its successor's changes " +
+          s"$name: version $v's predecessor was vacuumed — its changes " +
             "cannot be reconstructed; start the feed at a retained version")
       } else {
-        val (_, prev) = readManifest(name, v - 1)
+        val (_, prev) = readManifest(name, prevOpt.get)
         val prevKeys = prev.map(e => (e.rel, e.dvs)).toSet
         val curKeys = cur.map(e => (e.rel, e.dvs)).toSet
         val added = cur.filterNot(e => prevKeys((e.rel, e.dvs)))
@@ -1736,7 +1838,7 @@ final class TableStore(spark: SparkSession, root: String) {
             .withColumn("_change_type", lit("insert"))))
         else if (op == "write" && added.size == cur.size && removed.size == prev.size) {
           // full overwrite: old snapshot deleted, new snapshot inserted
-          val (schemaPrev, _) = readManifest(name, v - 1)
+          val (schemaPrev, _) = readManifest(name, prevOpt.get)
           Some(vcol(readEntries(name, schemaPrev, removed)
             .withColumn("_change_type", lit("delete"))
             .unionByName(readEntries(name, schemaCur, added)
@@ -2268,6 +2370,17 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Whether `v` is a COMMITTED version. Version numbers are monotone in
+    * commit order but not contiguous: a rebased commit vacates the number
+    * it originally staged under (see tryRebase), and vacuum retires old
+    * ones — consumers walking history must skip the holes. */
+  private[graft] def hasVersion(name: String, v: Int): Boolean =
+    Files.exists(manifestPath(name, v))
+
+  /** The committed version immediately before `v` in commit order. */
+  private[graft] def prevVersion(name: String, v: Int): Option[Int] =
+    versions(name).filter(_ < v).maxOption
+
   // ------------------------------------------------------- merge-on-read
 
   /** Set the table's DML execution mode:
@@ -2405,6 +2518,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val candidates = pruneEntries(name, schema, entries, cond)
     if (candidates.isEmpty) return
     val (next, dir) = allocateVersion(name)
+    var liveDir = dir // rebase may renumber (move) the staged directory
     try {
       val dvRel = s"v_$next/dv"
       val absToRel = candidates.map(e =>
@@ -2482,13 +2596,19 @@ final class TableStore(spark: SparkSession, root: String) {
       writeManifest(name, next, schema, newEntries, op)
       withCommitLock(name) {
         val cur = currentVersion(name)
-        if (cur != Some(base)) throw new java.util.ConcurrentModificationException(
-          s"$name moved from version ${Some(base)} to $cur since this writer read it — " +
-            "re-derive the change from the current snapshot and retry")
-        promoteManifest(name, next)
-        swapTo(name, next)
+        val finalV =
+          if (cur == Some(base)) next
+          else cur.flatMap(cv => tryRebase(name, next, base, cv)) match {
+            case Some((v, d)) => liveDir = d; v
+            case None => throw new java.util.ConcurrentModificationException(
+              s"$name moved from version ${Some(base)} to $cur since this writer " +
+                "read it, and the interleaved commits touched data this change " +
+                "depends on — re-derive the change from the current snapshot and retry")
+          }
+        promoteManifest(name, finalV)
+        swapTo(name, finalV)
       }
-    } catch { case t: Throwable => dropAbortedVersion(dir); throw t }
+    } catch { case t: Throwable => dropAbortedVersion(liveDir); throw t }
   }
 
   // ------------------------------------------------------------ pruned DML

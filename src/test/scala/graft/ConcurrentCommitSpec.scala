@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.CountDownLatch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tables.TableStore
+
+/** WriteSerializable conflict resolution ([[TableStore]] rebase): commits
+  * that lose the compare-and-swap race but COMMUTE with the interleaved
+  * commits rebase and land, instead of aborting — Delta's default
+  * isolation level. The 100 TB contract under test: a blind append never
+  * loses a race, a long DML survives concurrent appends of files it never
+  * read, and a genuine overlap (two writers rewriting the same file)
+  * still raises instead of silently losing one writer's changes.
+  *
+  * Determinism: the "slow" writer's predicate UDF blocks until a marker
+  * file exists; the "fast" writer creates the marker right after its own
+  * commit. The slow writer therefore ALWAYS reads its base snapshot
+  * before the fast commit and ALWAYS reaches its own commit after it —
+  * the race outcome is pinned, not timed. */
+class ConcurrentCommitSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  import spark.implicits._
+
+  /** TRUE for `keys`, but every evaluation first waits for `marker`. */
+  private def gatedCond(marker: Path, keys: Seq[Int]) = {
+    val m = marker.toString
+    val f = udf { (k: Int) =>
+      var waited = 0
+      while (!Files.exists(java.nio.file.Paths.get(m)) && waited < 60000) {
+        Thread.sleep(10); waited += 10
+      }
+      keys.contains(k)
+    }
+    f(col("k"))
+  }
+
+  private def run2(a: () => Unit, b: () => Unit): (Option[Throwable], Option[Throwable]) = {
+    val gate = new CountDownLatch(1)
+    @volatile var ea: Option[Throwable] = None
+    @volatile var eb: Option[Throwable] = None
+    val ta = new Thread(() => { gate.await(); try a() catch { case t: Throwable => ea = Some(t) } })
+    val tb = new Thread(() => { gate.await(); try b() catch { case t: Throwable => eb = Some(t) } })
+    ta.start(); tb.start(); gate.countDown(); ta.join(120000); tb.join(120000)
+    (ea, eb)
+  }
+
+  test("concurrent blind appends both commit — neither loses the race") {
+    val root = Files.createTempDirectory("graft_occ").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", Seq((0, 0L)).toDF("k", "n"))
+    val (ea, eb) = run2(
+      () => store.append("db.t", (1 to 100).map(i => (i, i.toLong)).toDF("k", "n")),
+      () => store.append("db.t", (101 to 200).map(i => (i, i.toLong)).toDF("k", "n")))
+    assert(ea.isEmpty && eb.isEmpty, s"appends must both commit: $ea $eb")
+    assert(store.read("db.t").count() == 201)
+    // history is linear and version numbers are monotone in commit order
+    val vs = store.versions("db.t")
+    assert(vs == vs.sorted && vs.distinct == vs, s"versions not linear: $vs")
+  }
+
+  test("a DML that loses the race to an append it never read rebases: both survive") {
+    val root = Files.createTempDirectory("graft_occ2").toString
+    val store = new TableStore(spark, root)
+    val marker = java.nio.file.Paths.get(root, "appended.marker")
+    store.createOrReplace("db.t",
+      (1 to 40).map(i => (i, 0L)).toDF("k", "n").repartition(2))
+    val (ea, eb) = run2(
+      () => store.update("db.t", gatedCond(marker, Seq(7)), Map("n" -> lit(99L))),
+      () => {
+        store.append("db.t", Seq((1000, 5L)).toDF("k", "n"))
+        Files.createFile(marker)
+      })
+    assert(ea.isEmpty && eb.isEmpty, s"update and append must both commit: $ea $eb")
+    val rows = store.read("db.t").as[(Int, Long)].collect().toMap
+    assert(rows(7) == 99L, "the rebased update's change was lost")
+    assert(rows(1000) == 5L, "the concurrent append's rows were lost")
+    assert(store.read("db.t").count() == 41)
+  }
+
+  test("two writers rewriting the SAME file: the loser raises, nothing is merged") {
+    val root = Files.createTempDirectory("graft_occ3").toString
+    val store = new TableStore(spark, root)
+    val marker = java.nio.file.Paths.get(root, "updated.marker")
+    // one file — both updates must rewrite it, a genuine conflict
+    store.createOrReplace("db.t", (1 to 10).map(i => (i, 0L)).toDF("k", "n").coalesce(1))
+    val (ea, eb) = run2(
+      () => store.update("db.t", gatedCond(marker, Seq(1)), Map("n" -> lit(111L))),
+      () => {
+        store.update("db.t", col("k") === 2, Map("n" -> lit(222L)))
+        Files.createFile(marker)
+      })
+    assert(eb.isEmpty, s"the fast update must commit: $eb")
+    assert(ea.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"the gated update rewrote a file the winner also rewrote — must raise: $ea")
+    val rows = store.read("db.t").as[(Int, Long)].collect().toMap
+    assert(rows(2) == 222L && rows(1) == 0L, s"only the winner's change may land: $rows")
+  }
+
+  test("serializable isolation: a rewriting commit that loses any race aborts") {
+    val root = Files.createTempDirectory("graft_occ4").toString
+    val store = new TableStore(spark, root)
+    val marker = java.nio.file.Paths.get(root, "ser.marker")
+    store.createOrReplace("db.t", (1 to 10).map(i => (i, 0L)).toDF("k", "n"))
+    store.setIsolation("db.t", "serializable")
+    val (ea, eb) = run2(
+      () => store.update("db.t", gatedCond(marker, Seq(3)), Map("n" -> lit(9L))),
+      () => {
+        store.append("db.t", Seq((99, 1L)).toDF("k", "n"))
+        Files.createFile(marker)
+      })
+    assert(eb.isEmpty, s"the blind append must commit: $eb")
+    assert(ea.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"under serializable the racing update must abort: $ea")
+    // blind appends still rebase even under serializable
+    val (e2a, e2b) = run2(
+      () => store.append("db.t", Seq((100, 1L)).toDF("k", "n")),
+      () => store.append("db.t", Seq((101, 1L)).toDF("k", "n")))
+    assert(e2a.isEmpty && e2b.isEmpty, s"appends must rebase under serializable: $e2a $e2b")
+  }
+
+  test("rebase stress: three appenders interleave, zero retries, linear history") {
+    val root = Files.createTempDirectory("graft_occ5").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", Seq((0, 0L)).toDF("k", "n"))
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 3).map { t =>
+      new Thread(() => {
+        gate.await()
+        try (0 until 4).foreach { i =>
+          store.append("db.t", Seq((t * 1000 + i, t.toLong)).toDF("k", "n"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"no append may fail under contention: ${errs.size} did")
+    assert(store.read("db.t").count() == 13)
+    val vs = store.versions("db.t")
+    assert(vs == vs.sorted && vs.size == 13, s"13 linear commits expected: $vs")
+    // the change feed reconstructs every interleaved append correctly
+    val feed = store.changeFeed("db.t", 1, vs.max)
+    assert(feed.filter(col("_change_type") === "insert").count() == 12)
+  }
+
+  test("change feed and time travel stay correct across a rebased update") {
+    val root = Files.createTempDirectory("graft_occ6").toString
+    val store = new TableStore(spark, root)
+    val marker = java.nio.file.Paths.get(root, "cdf.marker")
+    store.createOrReplace("db.t", (1 to 20).map(i => (i, 0L)).toDF("k", "n").coalesce(1))
+    store.enableChangeFeed("db.t")
+    val (ea, eb) = run2(
+      () => store.update("db.t", gatedCond(marker, Seq(5)), Map("n" -> lit(50L))),
+      () => {
+        store.append("db.t", Seq((500, 1L)).toDF("k", "n"))
+        Files.createFile(marker)
+      })
+    assert(ea.isEmpty && eb.isEmpty, s"$ea $eb")
+    val vmax = store.versions("db.t").max
+    val feed = store.changeFeed("db.t", 1, vmax)
+      .select(col("_change_type"), col("k"), col("n")).as[(String, Int, Long)]
+      .collect().toSet
+    assert(feed.contains(("update_preimage", 5, 0L)), s"missing preimage: $feed")
+    assert(feed.contains(("update_postimage", 5, 50L)), s"missing postimage: $feed")
+    assert(feed.contains(("insert", 500, 1L)), s"missing concurrent insert: $feed")
+    // every retained version reads a consistent snapshot
+    store.versions("db.t").foreach { v =>
+      val c = store.readVersion("db.t", v).count()
+      assert(c >= 20 && c <= 21, s"v$v reads $c rows")
+    }
+  }
+}
