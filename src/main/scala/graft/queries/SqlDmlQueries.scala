@@ -515,7 +515,39 @@ object SqlDmlQueries {
     store.read("lake.nat").orderBy(col("n_nationkey"))
   }
 
+  // q58: MERGE INTO against a merge-on-read table — the full clause
+  // surface (matched delete + update, insert, by-source delete) commits
+  // one deletion-vector sidecar plus appended post-image/insert files;
+  // no pre-merge data file is rewritten (MorMergeSpec pins the manifest
+  // shape — the oracle sees only the final relation, which must be
+  // identical to the copy-on-write semantics).
+  def q58MorMerge(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    store.createOrReplace("silver.cust_mor",
+      t(s, dir, "customer").filter(col("c_custkey") % 4 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    store.setDmlMode("silver.cust_mor", "mor")
+    t(s, dir, "customer")
+      .filter((col("c_custkey") % 4 === 1 || col("c_custkey") % 4 === 2) &&
+        col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .createOrReplaceTempView("cust_mor_src")
+    s.sql(
+      """MERGE INTO silver.cust_mor AS t
+        |USING cust_mor_src AS s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.c_acctbal = s.c_acctbal * 2
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+        |  VALUES (s.c_custkey, s.c_name, s.c_acctbal)
+        |WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 10 = 7 THEN DELETE
+        |""".stripMargin)
+    store.detach()
+    store.read("silver.cust_mor").orderBy(col("c_custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_mor_merge" -> q58MorMerge _,
     "q57_create_table_ddl" -> q57CreateTableDdl _,
     "q56_row_tracking" -> q56RowTracking _,
     "q55_show_partitions" -> q55ShowPartitions _,
@@ -544,6 +576,24 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q58_mor_merge" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 4 = 1),
+        |src AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 4 IN (1, 2) AND c_custkey % 3 = 0),
+        |merged AS (
+        |  SELECT t.c_custkey, t.c_name,
+        |    CASE WHEN s.c_custkey IS NOT NULL AND NOT (s.c_acctbal < 0)
+        |         THEN s.c_acctbal * 2 ELSE t.c_acctbal END AS c_acctbal
+        |  FROM tgt t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        |  WHERE NOT (s.c_custkey IS NOT NULL AND s.c_acctbal < 0)
+        |    AND NOT (s.c_custkey IS NULL AND t.c_custkey % 10 = 7)
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.c_name, s.c_acctbal
+        |  FROM src s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey
+        |  WHERE t.c_custkey IS NULL)
+        |SELECT c_custkey, c_name, c_acctbal FROM merged ORDER BY c_custkey""".stripMargin,
     "q57_create_table_ddl" ->
       """SELECT n_nationkey, n_name, n_regionkey, 'base' AS tag,
         |       n_nationkey * 100 + n_regionkey AS nkey2

@@ -2505,6 +2505,33 @@ final class TableStore(spark: SparkSession, root: String) {
   private def cdcDir(name: String, version: Int): Path =
     tableDir(name).resolve(s"v_$version").resolve("cdc")
 
+  /** [[scanWithPos]] over `entries` that, when row tracking is on, also
+    * resolves each row's CURRENT id into the hidden column — the
+    * materialized value when the file carries one, else the file's base +
+    * in-file position. The scan every merge-on-read rewrite reads: an
+    * appended post-image must preserve the row id it replaces. */
+  private def posScanWithIds(name: String, schema: StructType,
+      entries: Seq[FileEntry]): DataFrame = {
+    val tracking = rowTrackingEnabled(name)
+    val s0 = scanWithPos(name,
+      if (!tracking) schema
+      else StructType(schema.fields :+
+        StructField(TableStore.RowIdCol, LongType, nullable = true)),
+      entries)
+    if (!tracking) s0
+    else {
+      import org.apache.spark.sql.functions.{broadcast, coalesce}
+      val baseMap = spark.createDataFrame(entries.map(e =>
+          (Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString, e.base)))
+        .toDF("__base_file", "__base")
+      s0.join(broadcast(baseMap),
+          s0("__graft_file") === col("__base_file"), "left")
+        .withColumn(TableStore.RowIdCol, coalesce(col(TableStore.RowIdCol),
+          when(col("__base") >= 0, col("__base") + col("__graft_pos"))))
+        .drop("__base_file", "__base")
+    }
+  }
+
   /** Merge-on-read DELETE (`set` = None) / UPDATE (`set` = Some):
     * discovery scans only stats-pruned candidate files, the matching rows'
     * (file, position) pairs are written as this version's deletion vector,
@@ -2524,26 +2551,7 @@ final class TableStore(spark: SparkSession, root: String) {
       val absToRel = candidates.map(e =>
         Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString -> e.rel)
       val tracking = rowTrackingEnabled(name)
-      // row tracking: the appended rewrite must carry each row's current
-      // id, so the scan reads the materialized column (if any) and folds
-      // in base + position for rows that never had one
-      val live0 = scanWithPos(name,
-        if (!tracking) schema
-        else StructType(schema.fields :+
-          StructField(TableStore.RowIdCol, LongType, nullable = true)),
-        candidates)
-      val live =
-        if (!tracking) live0
-        else {
-          import org.apache.spark.sql.functions.{broadcast, coalesce}
-          val baseMap = spark.createDataFrame(candidates.map(e =>
-              (Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString, e.base)))
-            .toDF("__base_file", "__base")
-          live0.join(broadcast(baseMap),
-              live0("__graft_file") === col("__base_file"), "left")
-            .withColumn(TableStore.RowIdCol, coalesce(col(TableStore.RowIdCol),
-              when(col("__base") >= 0, col("__base") + col("__graft_pos"))))
-        }
+      val live = posScanWithIds(name, schema, candidates)
       val matches = live.filter(cond)
         .join(spark.createDataFrame(absToRel).toDF("__abs", "__rel"),
           col("__graft_file") === col("__abs"), "inner")
@@ -2882,6 +2890,15 @@ final class TableStore(spark: SparkSession, root: String) {
     // reading with the WIDENED schema NULL-fills the new columns for every
     // existing file — no explicit widening projection, no rewrite
     val schema = StructType(schema0.fields ++ newCols)
+    // `mor` mode: clauses that modify existing rows commit deletion
+    // vectors + appended post-images instead of rewriting files. An
+    // insert-only merge stays on the shared path below — it is a pure
+    // append in either mode.
+    if (dmlMode(name) == "mor" && (matched.nonEmpty || notMatchedBySource.nonEmpty)) {
+      commitMorMerge(name, source, keys, extraOn, matched, notMatched,
+        notMatchedBySource, schema, entries, base, op)
+      return
+    }
     val target = readEntries(name, schema, entries)
 
     // Discovery finds every file the merge could modify: files with
@@ -2991,6 +3008,196 @@ final class TableStore(spark: SparkSession, root: String) {
     commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
       carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
       expectedBase = Some(Some(base)), op = op, cdc = cdc)
+  }
+
+  /** K5 in `mor` mode ([[setDmlMode]]): MERGE INTO as a deletion-vector
+    * commit. Matched rows a clause modifies — and by-source rows — are
+    * deletion-vectored in place; UPDATE post-images and INSERT rows are
+    * appended as new files. **No existing data file is rewritten**: a
+    * merge touching 0.1% of a 100 TB table's rows commits a tiny DV
+    * sidecar plus the new rows, where copy-on-write would rewrite every
+    * touched file — the Delta deletion-vector MERGE trade (write cost ∝
+    * changed rows, read cost deferred to the next OPTIMIZE).
+    *
+    * Discovery is the same candidate-bounded single pass as the
+    * copy-on-write path (stats-pruned by the source's key ranges, INNER
+    * semantics via the left-outer join's match count): the per-row
+    * (file, pos, kind) result lands as a staged parquet whose re-read
+    * answers the Delta-parity multiple-match check, the touched-file
+    * list, AND the deletion vector — one scan job over candidates, never
+    * the table. Change feed, row tracking (post-images keep their row
+    * ids) and OPTIMIZE's DV folding compose exactly as for mor
+    * UPDATE/DELETE ([[commitMorDml]]). */
+  private def commitMorMerge(
+      name: String,
+      source: DataFrame,
+      keys: Seq[String],
+      extraOn: Option[Column],
+      matched: Seq[MergeInto.MatchedAction],
+      notMatched: Seq[MergeInto.NotMatchedInsert],
+      notMatchedBySource: Seq[MergeInto.BySourceAction],
+      schema: StructType,
+      entries: Seq[FileEntry],
+      base: Int,
+      op: String): Unit = {
+    import MergeInto._
+    val bsUnconditioned = notMatchedBySource.exists(_.cond.isEmpty)
+    val bsCond: Option[Column] =
+      if (notMatchedBySource.isEmpty) None
+      else if (bsUnconditioned) Some(lit(true))
+      else Some(notMatchedBySource.flatMap(_.cond).reduce(_ || _))
+    val mCand: Seq[FileEntry] =
+      if (matched.isEmpty) Nil
+      else mergeCandidates(name, schema, entries, source, keys).getOrElse(Nil)
+    val bsCand: Seq[FileEntry] =
+      bsCond.map(c => pruneEntries(name, schema, entries, c)).getOrElse(Nil)
+    val cand = (mCand ++ bsCand).groupBy(_.rel).map(_._2.head).toSeq
+    if (matched.nonEmpty) lastMergeDiscovery = Some((cand.size, entries.size))
+    val (next, dir) = allocateVersion(name)
+    var liveDir = dir // rebase may renumber (move) the staged directory
+    try {
+      val tracking = rowTrackingEnabled(name)
+      val sMark = "__graft_s"
+      val t = posScanWithIds(name, schema, cand).alias("t")
+      val s = source.withColumn(sMark, lit(true)).alias("s")
+      val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val onCond = extraOn.map(keyCond && _).getOrElse(keyCond)
+      val isMatched = col(s"s.$sMark").isNotNull
+      // first-match clause dispatch, reduced to each row's DISPOSITION:
+      // 'u' (DV + appended post-image), 'd' (DV only), NULL (untouched)
+      def chainKind(actions: Seq[(Option[Column], String)]): Column =
+        actions.foldLeft(Option.empty[Column]) { case (acc, (c, kind)) =>
+          val w = c.getOrElse(lit(true))
+          Some(acc.map(_.when(w, lit(kind))).getOrElse(when(w, lit(kind))))
+        }.map(_.otherwise(lit(null).cast(StringType)))
+          .getOrElse(lit(null).cast(StringType))
+      val matchedKind = chainKind(matched.map {
+        case MatchedUpdate(c, _) => (c, "u")
+        case MatchedDelete(c) => (c, "d")
+      })
+      val bsKind = chainKind(notMatchedBySource.map {
+        case BySourceUpdate(c, _) => (c, "u")
+        case BySourceDelete(c) => (c, "d")
+      })
+      val kind = when(isMatched, matchedKind).otherwise(bsKind)
+
+      val dvRel = s"v_$next/dv"
+      val discoDir = dir.resolve("disco")
+      var touched: Set[String] = Set.empty
+      if (cand.nonEmpty) {
+        val j = t.join(s, onCond, "left_outer")
+        // one job over the candidates: per-row match count (multi-match
+        // check) + disposition; only rows the merge modifies (or that
+        // prove ambiguity) are kept, so the dump is change-set sized
+        j.groupBy(col("__graft_file"), col("__graft_pos"))
+          .agg(count(col(s"s.$sMark")).as("__n"), max(kind).as("__kind"))
+          .filter(col("__kind").isNotNull || col("__n") > 1)
+          .write.parquet(discoDir.toString)
+        val d = spark.read.parquet(discoDir.toString)
+        if (matched.nonEmpty && d.filter(col("__n") > 1).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"MERGE: multiple source rows match a single target row on keys ${keys.mkString(",")}")
+        val absToRel = cand.map(e =>
+          Paths.get(absPath(name, e.rel)).toAbsolutePath.normalize.toString -> e.rel)
+        d.filter(col("__kind").isNotNull)
+          .join(spark.createDataFrame(absToRel).toDF("__abs", "__rel"),
+            col("__graft_file") === col("__abs"), "inner")
+          .select(col("__rel").as("file"), col("__graft_pos").as("pos"))
+          .write.parquet(tableDir(name).resolve(dvRel).toString)
+        touched = spark.read.parquet(tableDir(name).resolve(dvRel).toString)
+          .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+      }
+
+      // appended rows: UPDATE post-images (deterministic re-derive of the
+      // DV'd 'u' rows, keeping their row ids) + the INSERT anti-join
+      val lschema = logicalizeSchema(name, schema)
+      val outCols = lschema.fieldNames.toSeq
+      val outTypes = lschema.fields.map(f => f.name -> f.dataType).toMap
+      def chainValue(c: String,
+          actions: Seq[(Option[Column], Option[Map[String, Column]])]): Column =
+        actions.foldLeft(Option.empty[Column]) { case (acc, (cond, set)) =>
+          val v = set.map(_.getOrElse(c, col(s"t.$c"))).getOrElse(col(s"t.$c"))
+          val w = cond.getOrElse(lit(true))
+          Some(acc.map(_.when(w, v)).getOrElse(when(w, v)))
+        }.map(_.otherwise(col(s"t.$c"))).getOrElse(col(s"t.$c"))
+      val matchedSpecs = matched.map {
+        case MatchedUpdate(c, set) => (c, Some(set))
+        case MatchedDelete(c) => (c, None)
+      }
+      val bsSpecs = notMatchedBySource.map {
+        case BySourceUpdate(c, set) => (c, Some(set))
+        case BySourceDelete(c) => (c, None)
+      }
+      val updates: Option[DataFrame] =
+        if (cand.isEmpty || touched.isEmpty) None
+        else Some(t.join(s, onCond, "left_outer").filter(kind === "u").select(
+          outCols.map(c =>
+            when(isMatched, chainValue(c, matchedSpecs))
+              .otherwise(chainValue(c, bsSpecs))
+              .cast(outTypes(c)).as(c)) ++
+            (if (tracking)
+              Seq(col(s"t.${TableStore.RowIdCol}").as(TableStore.RowIdCol))
+            else Nil): _*))
+      val inserts = withNullRowId(name,
+        insertedRows(readEntries(name, schema, entries), source, keys, extraOn,
+          notMatched))
+      val toAppend = updates.map(_.unionByName(inserts)).getOrElse(inserts)
+
+      val dataDir = dir.resolve("data")
+      toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, toAppend)))
+        .write.parquet(dataDir.toString)
+      val files = Files.walk(dataDir).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      val (pb, sw, sf0) = readLayout(name)
+      // adaptive merge-key stats (copy-on-write parity): record the keys
+      // into the stats layout so future writes/OPTIMIZE collect min/max
+      // for them and discovery prunes
+      val physName = { val rev = renames(name).map(_.swap); (c: String) => rev.getOrElse(c, c) }
+      val layoutCols = (pb ++ sw ++ sf0).map(_.toLowerCase)
+      val sf = sf0 ++ keys.map(physName)
+        .filterNot(k => layoutCols.contains(k.toLowerCase))
+      val appended0 = footerEntries(name, files,
+        (pb ++ sw ++ sf).distinct.filter(schema.fieldNames.contains))
+      // a no-op clause set can stage empty part files — drop them, like
+      // stageVersion, so replays don't accrete empty parquet
+      val (empties, appended) = appended0.partition(_.rows == 0)
+      empties.foreach(e => Files.deleteIfExists(tableDir(name).resolve(e.rel)))
+      if (touched.isEmpty && appended.isEmpty) { dropAbortedVersion(dir); return }
+      writeLayout(name, pb, sw, sf)
+
+      // change feed: clause dispatch over the candidate subset decides
+      // each row's change type (Delta CDF parity); insert rows ride along
+      if (cdfEnabled(name)) {
+        val ins = dropRowIdCol(inserts).withColumn("_change_type", lit("insert"))
+        val cdcDf =
+          if (cand.isEmpty) ins
+          else changeSet(readEntries(name, schema, cand), source, keys, extraOn,
+            matched, notMatchedBySource).unionByName(ins)
+        cdcDf.write.parquet(dir.resolve("cdc").toString)
+      }
+      // the discovery dump served commit-time checks only — drop it so the
+      // committed version dir holds exactly what the manifest references
+      dropAbortedVersion(discoDir)
+      if (touched.isEmpty) dropAbortedVersion(tableDir(name).resolve(dvRel))
+
+      val newEntries = entries.map(e =>
+        if (touched(e.rel)) e.copy(dvs = e.dvs :+ dvRel) else e) ++ appended
+      writeManifest(name, next, schema, newEntries, op)
+      withCommitLock(name) {
+        val cur = currentVersion(name)
+        val finalV =
+          if (cur == Some(base)) next
+          else cur.flatMap(cv => tryRebase(name, next, base, cv)) match {
+            case Some((v, d)) => liveDir = d; v
+            case None => throw new java.util.ConcurrentModificationException(
+              s"$name moved from version ${Some(base)} to $cur since this writer " +
+                "read it, and the interleaved commits touched data this change " +
+                "depends on — re-derive the change from the current snapshot and retry")
+          }
+        promoteManifest(name, finalV)
+        swapTo(name, finalV)
+      }
+    } catch { case t: Throwable => dropAbortedVersion(liveDir); throw t }
   }
 
   // ---------------------------------------------------------- transactions

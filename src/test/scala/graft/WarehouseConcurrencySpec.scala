@@ -53,6 +53,12 @@ class WarehouseConcurrencySpec extends AnyFunSuite {
         }
       }
       val torn = new ConcurrentLinkedQueue[String]()
+      // plain-parquet appends to ONE directory share a _temporary/0
+      // committer dir — concurrent jobs clobber each other's task files
+      // (a Spark FileOutputCommitter limitation, not store behavior).
+      // The feed only needs data flowing, so serialize it; the DML
+      // statements stay fully concurrent.
+      val feedLock = new Object
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -73,9 +79,11 @@ class WarehouseConcurrencySpec extends AnyFunSuite {
           if (snap.exists(r => r.getLong(1) < 0 || r.getLong(1) > iters))
             torn.add(s"impossible counter state: ${snap.mkString(",")}")
           // feed the stream a little more while DML churns
-          spark.range(i * 100 + t * 10, i * 100 + t * 10 + 2)
-            .select(col("id"), lit(s"t$t-$i").as("v"))
-            .write.mode("append").parquet(src)
+          feedLock.synchronized {
+            spark.range(i * 100 + t * 10, i * 100 + t * 10 + 2)
+              .select(col("id"), lit(s"t$t-$i").as("v"))
+              .write.mode("append").parquet(src)
+          }
         }
       }}
       Await.result(Future.sequence(work), Duration.Inf)
