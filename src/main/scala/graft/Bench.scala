@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition coalescing INSIDE persisted plans: the dedup/ANN
+      // family persists small intermediates (shingle sets, signatures)
+      // whose 32-way shuffles are otherwise task-overhead-bound at high
+      // core counts — default false only to keep cached partitioning
+      // stable for reuse, which no bench query depends on
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

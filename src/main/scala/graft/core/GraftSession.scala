@@ -19,6 +19,12 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce partitions inside persisted plans too: the
+      // dedup/ANN operators persist small intermediates whose full-width
+      // shuffles are task-overhead-bound at high core counts (measured
+      // 3x on minhash LSH at local[32]); nothing in the engine depends
+      // on a cached plan's output partitioning
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")

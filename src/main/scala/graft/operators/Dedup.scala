@@ -163,8 +163,59 @@ object Dedup {
     docs.join(dropped, docs(idCol) === dropped("doc"), "left_anti")
   }
 
+  /** Incremental first-seen dedup against a PERSISTED band index — the
+    * form a production ingest actually runs: each arriving batch is
+    * deduped against everything ever seen (not just the current corpus
+    * snapshot), then its band keys are appended to the index table.
+    *
+    * Equivalence contract: processing a corpus in id-ordered batches
+    * through this operator yields EXACTLY [[firstSeenDedup]] of the whole
+    * corpus (oracle x46 == x28's SQL). That requires the index to record
+    * every seen document's bands — survivors AND dropped docs — because a
+    * dropped document still blocks later collisions (same rule that makes
+    * firstSeenDedup batch-boundary independent).
+    *
+    * Scale shape: the per-batch cost is the batch's shingle→signature
+    * pipeline plus two band-key joins (vs. index, vs. self); the index
+    * side is a store table whose (band, key) join columns are recorded as
+    * stats layout, so file skipping bounds the index scan as it grows —
+    * the corpus-sized side never reshuffles. A new batch against a 100 TB
+    * history costs the batch, not the history. */
+  def incrementalDedup(store: graft.tables.TableStore, indexTable: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
+    val bk = bandKeys(batch, idCol, textCol, n, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hasIndex = store.exists(indexTable)
+    // the read plan resolves the manifest NOW — appending this batch's
+    // bands below cannot leak into the dedup decision
+    val dupVsIndex =
+      if (!hasIndex) bk.filter(lit(false)).select(col("doc"))
+      else bk.alias("a").join(store.read(indexTable).alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"),
+          "left_semi")
+        .select(col("a.doc"))
+    val dupInBatch = bk.alias("a").join(bk.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.doc") < col("a.doc"), "left_semi")
+      .select(col("a.doc"))
+    val dropped = dupVsIndex.union(dupInBatch).distinct()
+    val kept = batch.join(dropped, batch(idCol) === dropped("doc"), "left_anti")
+      // materialize the (batch-bounded) result before the index append
+      // below re-triggers the pipeline, then release the band cache
+      .localCheckpoint()
+    val bands3 = bk.select(col("band"), col("key"), col("doc"))
+    // (band, key) are the index's join columns — recorded as stats layout
+    // so file skipping bounds the index-side scan as it grows
+    if (!hasIndex)
+      store.createOrReplace(indexTable, bands3, statsFor = Seq("band", "key"))
+    else store.append(indexTable, bands3)
+    bk.unpersist(false)
+    kept
+  }
+
   /** Cross-corpus contamination check: for every corpus document, how
-    * many of its word n-grams appear ANYWHERE in `benchmark` — the
+    * many of its n-grams appear ANYWHERE in `benchmark` — the
     * train/eval decontamination pass every serious training pipeline runs
     * (a benchmark document leaking into the training set inflates evals).
     *

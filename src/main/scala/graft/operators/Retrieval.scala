@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -86,5 +86,60 @@ object Retrieval {
       .orderBy(col("score_micro").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col(idCol), col("score_micro"), col("n_hit_terms"), col("rk"))
+  }
+
+  /** Lexical more-like-this: per query document, the top-`k` corpus
+    * documents by n-gram Jaccard. The query side is a broadcast of the
+    * (few) query docs' shingles; the corpus side is ONE shingle explode +
+    * one aggregation — linear in the corpus, never corpus-quadratic
+    * (contrast [[Dedup.ngramJaccardPairs]], the declared-quadratic exact
+    * baseline). Zero-overlap documents are absent by construction; ties
+    * break by doc id. Returns (query_id, doc_id, jac, rk). */
+  def jaccardTopK(docs: DataFrame, isQuery: Column, k: Int,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val qsh = sh.join(
+        broadcast(docs.filter(isQuery).select(col(idCol).as("q"))),
+        sh("doc") === col("q"))
+      .select(col("q"), col("shingle"))
+    val inter = qsh.alias("q").join(sh.alias("c"),
+        col("q.shingle") === col("c.shingle") && col("c.doc") =!= col("q.q"))
+      .groupBy(col("q.q").as("query_id"), col("c.doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = inter
+      .join(sizes.select(col("doc").as("query_id"), col("n_sh").as("n_q")), Seq("query_id"))
+      .join(sizes.select(col("doc").as("doc_id"), col("n_sh").as("n_c")), Seq("doc_id"))
+      .withColumn("jac", round(col("n_inter").cast("double") /
+        (col("n_q") + col("n_c") - col("n_inter")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("doc_id"))
+    jac.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("jac"), col("rk"))
+  }
+
+  /** Reciprocal-rank fusion (the standard hybrid-retrieval combiner):
+    * each ranking contributes `1e12 div (kRrf + rk)` per (query, doc),
+    * summed as BIGINT — the BM25 micro-unit trick applied to RRF, so the
+    * fused score is exact and reduction-order free, and a cross-engine
+    * oracle reproduces every bit. Inputs need (query_id, doc_id, rk);
+    * ties break by doc id.
+    *
+    * Scale shape: the inputs are already per-query top-k (each ranker
+    * bounds its own cost — BM25 broadcasts queries, ANN buckets
+    * candidates); fusion itself is one union + one partial-agg shuffle
+    * over ≤ |rankers|·k·|queries| rows, trivially small at any corpus
+    * size. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings.map(_.select(col("query_id"), col("doc_id"), col("rk")))
+      .reduce(_ unionByName _)
+    val scored = u
+      .withColumn("contrib", expr(s"CAST(1000000000000 AS BIGINT) div ($kRrf + rk)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"), count(lit(1)).as("n_rankers"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"), col("n_rankers"), col("rk"))
   }
 }

@@ -77,7 +77,20 @@ object EventQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  // x48: stream-static dimension enrichment — events joined to a
+  // customer-segment dimension (left join, 'N/A' unknown member), tumbling
+  // 1-hour aggregates per segment. Batch twin of the streaming medallion's
+  // fact-enrichment shape; StreamingSpec pins stream == batch over the
+  // same files with a store-table dimension.
+  def x48StreamStaticEnrich(s: SparkSession, dir: String): DataFrame =
+    EventStreams.enrichedTumblingAgg(
+        t(s, dir, "events"),
+        t(s, dir, "customer").select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment")))
+      .orderBy(col("win_start"), col("segment"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_stream_static" -> x48StreamStaticEnrich _,
     "x16_events_sliding" -> x16EventsSliding _,
     "x11_events_tumbling" -> x11EventsTumbling _,
     "x12_events_sessions" -> x12EventsSessions _,
@@ -86,6 +99,13 @@ object EventQueries {
     "x27_attribution_join" -> x27Attribution _)
 
   val oracles: Map[String, String] = Map(
+    "x48_stream_static" ->
+      """SELECT time_bucket(INTERVAL '60 minutes', CAST(e.ts AS TIMESTAMP)) AS win_start,
+        |  COALESCE(c.c_mktsegment, 'N/A') AS segment,
+        |  COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY win_start, segment""".stripMargin,
     "x16_events_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
         |expanded AS (

@@ -113,6 +113,31 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  // x46: incremental dedup against a PERSISTED band index — two
+  // id-ordered batches through Dedup.incrementalDedup must reproduce
+  // x28's single-pass firstSeenDedup exactly (the oracle IS x28's SQL);
+  // the index store table carries the decision state between batches,
+  // which is the shape a production ingest actually runs.
+  def x46IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val cut = (r.getLong(0) + r.getLong(1)) / 2
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ext_q").toString)
+    try {
+      val s1 = Dedup.incrementalDedup(store, "idx.bands",
+        docs.filter(col("doc_id") <= cut), "doc_id", "text",
+        n = 3, bands = 4, rows = 2)
+      val s2 = Dedup.incrementalDedup(store, "idx.bands",
+        docs.filter(col("doc_id") > cut), "doc_id", "text",
+        n = 3, bands = 4, rows = 2)
+      s1.select(col("doc_id"), col("lang"))
+        .unionByName(s2.select(col("doc_id"), col("lang")))
+        .orderBy(col("doc_id"))
+    } finally store.detach()
+  }
+
   // x23: PII/noise scrub — URLs, e-mails and long digit runs replaced by
   // placeholder tokens, with per-document hit counts (the cheap pre-filter
   // pass every crawl corpus goes through before tokenization).
@@ -522,7 +547,25 @@ object ExtensionQueries {
         TextFunctions.tokenCount(col("text")), budget = 512L, bucketRows = 100L)
       .orderBy(col("doc_id"))
 
+  // x47: hybrid retrieval — lexical (n-gram Jaccard more-like-this) and
+  // semantic (embedding cosine) top-20 rankings fused by reciprocal-rank
+  // fusion with BIGINT micro-unit scores (exact cross-engine). The
+  // testdata's vec_id i is doc i's embedding, so both rankers speak the
+  // same id space. The production shape for "find more documents like
+  // these" curation sweeps.
+  def x47HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+    val lex = graft.operators.Retrieval.jaccardTopK(docs, col("doc_id") < 5, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
     "x38_countmin" -> x38CountMin _,
@@ -542,6 +585,7 @@ object ExtensionQueries {
     "x24_repetition" -> x24Repetition _,
     "x20_dataset_split" -> x20DatasetSplit _,
     "x28_firstseen_dedup" -> x28FirstSeenDedup _,
+    "x46_incremental_dedup" -> x46IncrementalDedup _,
     "x1_dedup_exact" -> x1DedupExact _,
     "x2_ngram_jaccard" -> x2NgramJaccard _,
     "x3_minhash_lsh" -> x3MinhashLsh _,
@@ -967,6 +1011,60 @@ object ExtensionQueries {
          |SELECT src AS doc_id, MIN(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "x28_firstseen_dedup" ->
+      s"""WITH $MinhashCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+         |  WHERE a.doc = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "x47_hybrid_retrieval" ->
+      s"""WITH $ShingleCte,
+         |qinter AS (
+         |  SELECT q.doc AS query_id, c.doc AS doc_id, COUNT(*) AS n_inter
+         |  FROM sh q JOIN sh c ON q.shingle = c.shingle
+         |    AND q.doc < 5 AND c.doc <> q.doc
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+         |      ROUND(n_inter * 1.0 / (sq.n_sh + sc.n_sh - n_inter), 6) DESC,
+         |      doc_id) AS rk
+         |  FROM qinter
+         |  JOIN sizes sq ON query_id = sq.doc JOIN sizes sc ON doc_id = sc.doc),
+         |nrm AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |semscore AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |      / (q.nrm * c.nrm), 6) AS cos_sim
+         |  FROM nrm q JOIN nrm c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |sem AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, doc_id) AS rk
+         |  FROM semscore),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(SUM(1000000000000 // (60 + rk)) AS BIGINT) AS rrf_micro,
+         |    COUNT(*) AS n_rankers
+         |  FROM (SELECT query_id, doc_id, rk FROM lex WHERE rk <= 20
+         |        UNION ALL
+         |        SELECT query_id, doc_id, rk FROM sem WHERE rk <= 20)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_micro, n_rankers,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS rk
+         |FROM fused
+         |QUALIFY rk <= 10
+         |ORDER BY query_id, rk""".stripMargin,
+    // x46's contract IS x28: incremental batches + persisted index must
+    // be indistinguishable from the single-pass run
+    "x46_incremental_dedup" ->
       s"""WITH $MinhashCtes
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE NOT EXISTS (

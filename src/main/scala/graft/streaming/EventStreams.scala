@@ -61,6 +61,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("win.start").as("win_start"), col("n_events"))
 
+  /** Stream-static dimension enrichment: events join a STATIC dimension
+    * frame (e.g. a store-table read — the static side is re-planned per
+    * micro-batch in streaming, and broadcast when small) on `user_id`,
+    * then tumbling 1-hour counts/sums per (window, segment). The standard
+    * streaming-medallion shape: facts stream, dimensions sit in the
+    * lakehouse. LEFT join — events from unknown users survive under
+    * segment 'N/A', the reference's unknown-member convention
+    * (01_Init.py:265-277, the -9 member's string twin). Works identically
+    * over a batch frame (oracle twin x48); StreamingSpec pins
+    * stream == batch. */
+  def enrichedTumblingAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim.select(col("user_id"), col("segment"))),
+        Seq("user_id"), "left_outer")
+      .withColumn("segment", coalesce(col("segment"), lit("N/A")))
+      .groupBy(window(col("ts"), "60 minutes").as("win"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 6).cast("double").as("sum_value"))
+      .select(col("win.start").as("win_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+
   /** Exactly-once-per-id stream: duplicates within the watermark horizon are
     * dropped by keyed state. */
   def dedupedStream(events: DataFrame): DataFrame =

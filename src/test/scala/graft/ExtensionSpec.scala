@@ -26,6 +26,33 @@ class ExtensionSpec extends AnyFunSuite {
     assert(exact.exceptAll(lsh).count() == 0, "LSH must not miss near-exact dups")
   }
 
+  test("incremental dedup over batches + persisted index == single-pass firstSeenDedup") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_incdedup").toString)
+    try {
+      val single = Dedup.firstSeenDedup(docs, "doc_id", "text", 3, 4, 2)
+        .select($"doc_id").as[Long].collect().sorted
+      val r = docs.agg(min($"doc_id").cast("long"), max($"doc_id").cast("long")).head()
+      val cut = (r.getLong(0) + r.getLong(1)) / 2
+      // three uneven batches, id-ordered — boundaries must be invisible
+      val b1 = Dedup.incrementalDedup(store, "idx.bands",
+        docs.filter($"doc_id" <= cut / 2), "doc_id", "text", 3, 4, 2)
+      val b2 = Dedup.incrementalDedup(store, "idx.bands",
+        docs.filter($"doc_id" > cut / 2 && $"doc_id" <= cut), "doc_id", "text", 3, 4, 2)
+      val b3 = Dedup.incrementalDedup(store, "idx.bands",
+        docs.filter($"doc_id" > cut), "doc_id", "text", 3, 4, 2)
+      val inc = (b1.select($"doc_id").as[Long].collect() ++
+        b2.select($"doc_id").as[Long].collect() ++
+        b3.select($"doc_id").as[Long].collect()).sorted
+      assert(inc.sameElements(single),
+        "batch boundaries changed the dedup decision")
+      // the index records EVERY seen doc's bands (dropped docs included):
+      // that is what makes a dropped doc still block later collisions
+      val indexed = store.read("idx.bands").select($"doc").distinct().count()
+      assert(indexed == docs.count(), "index must record all seen docs")
+    } finally store.detach()
+  }
+
   test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
     val s = Dedup.simhash(docs, "doc_id", "text")

@@ -32,6 +32,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: streaming events x store dimension == batch twin") {
+    // dimension lives in the table store — the streaming medallion shape
+    // (facts stream, dims sit in the lakehouse); the static side is
+    // re-planned per micro-batch and broadcast
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_dim").toString)
+    // PARTIAL dimension (odd keys only) so some events have no dim row —
+    // the left join's 'N/A' unknown-member branch is exercised too
+    store.createOrReplace("gold.user_seg",
+      spark.read.parquet(s"$dir/customer.parquet")
+        .filter($"c_custkey" % 2 === 1)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment")))
+    try {
+      val stream = EventStreams.readEventStream(spark, dir)
+      val q = EventStreams.enrichedTumblingAgg(stream, store.read("gold.user_seg"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("enrich_out").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("enrich_out")
+        val batch = EventStreams.enrichedTumblingAgg(
+          spark.read.parquet(s"$dir/events.parquet"), store.read("gold.user_seg"))
+        assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          "stream-static enrichment must equal its batch twin")
+        // unknown users (no dim row) survive under the 'N/A' member
+        assert(batch.filter($"segment" === "N/A").count() > 0,
+          "expected unmatched events under the N/A unknown member")
+      } finally q.stop()
+    } finally store.detach()
+  }
+
   test("streaming dropDuplicates removes replayed event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, Timestamp, Double)]
