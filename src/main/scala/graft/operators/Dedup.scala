@@ -214,6 +214,59 @@ object Dedup {
     kept
   }
 
+  /** Duplicated-SPAN detection (the "Deduplicating Training Data Makes
+    * Language Models Better" substring-dedup shape, Lee et al. 2022): for
+    * every document, the merged token intervals covered by some `w`-token
+    * window that also occurs in ANOTHER document. Training pipelines cut
+    * these spans (or drop the doc) — verbatim boilerplate repeated across
+    * a corpus is what LLMs memorize first.
+    *
+    * Returns one row per affected document: (doc, n_dup_spans,
+    * dup_tokens) where n_dup_spans counts maximal merged intervals and
+    * dup_tokens their total token length.
+    *
+    * Scale shape: one positional window explode (corpus-linear), one
+    * span-frequency aggregation with map-side combine, a semi-join back,
+    * and a per-doc interval merge (window functions over each doc's hit
+    * positions — partitioned by doc, never global). The quadratic suffix
+    * array of the paper is replaced by the fixed-window hash join, the
+    * standard distributed approximation: any duplicated substring of
+    * length ≥ w is found (windows tile it), shorter ones are ignored by
+    * declared contract. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 15): DataFrame = {
+    val words = split(normalizeText(col(textCol)), " ")
+    val positions = when(size(col("__w")) >= w,
+      sequence(lit(1), size(col("__w")) - (w - 1)))
+      .otherwise(array().cast("array<int>"))
+    val spans = docs.select(col(idCol).as("doc"), words.as("__w"))
+      .select(col("doc"), explode(transform(positions,
+        i => struct(i.as("pos"), concat_ws(" ", slice(col("__w"), i, lit(w))).as("span")))).as("s"))
+      .select(col("doc"), col("s.pos").as("pos"), col("s.span").as("span"))
+    val dupSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("span"))
+    val hits = spans.join(dupSpans, Seq("span"), "left_semi")
+      .select(col("doc"), col("pos"))
+    // merge overlapping/adjacent windows into maximal islands: a window
+    // starts a new island iff it begins past every previous window's end
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val prevEnd = max(col("end")).over(win.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("end", col("pos") + (w - 1))
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd + 1, 1)
+        .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(win))
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
+    islands.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+  }
+
   /** Cross-corpus contamination check: for every corpus document, how
     * many of its n-grams appear ANYWHERE in `benchmark` — the
     * train/eval decontamination pass every serious training pipeline runs
@@ -244,6 +297,14 @@ object Dedup {
         col(idCol).as("doc"),
         explode(split(normalizeText(col(textCol)), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
+      // explicit-width repartition on the dedup keys: it satisfies the
+      // distinct's distribution requirement (no second shuffle) and is
+      // exempt from AQE coalescing, so the md5 hashing and the 32-way
+      // vote partial-agg below stay parallel even inside a cached plan
+      // (input bytes are tiny, output work is not — AQE would fold the
+      // whole pipeline into one task)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc"), col("tok"))
       .distinct()
       // first 8 hex chars of md5 → 32-bit token hash (engine-portable)
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
@@ -372,7 +433,15 @@ object Dedup {
     }
     val buckets = s.select(col("doc"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    buckets.alias("a").join(buckets.alias("b"),
+    // The join INPUT is tiny (one row per doc per band) but its OUTPUT is
+    // the candidate-pair explosion — AQE sizes partitions by input and
+    // would run the whole Hamming filter in one task. Pin the probe side
+    // to full width (explicit N is exempt from AQE coalescing); the
+    // planner still broadcasts the build side when small.
+    val probe = buckets.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("band"), col("key"))
+    probe.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),

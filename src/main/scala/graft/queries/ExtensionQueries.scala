@@ -138,6 +138,14 @@ object ExtensionQueries {
     } finally store.detach()
   }
 
+  // x49: duplicated-span detection (substring dedup, Lee et al. 2022
+  // shape) — merged intervals of 15-token windows shared verbatim across
+  // documents; the spans a training pipeline cuts before tokenization.
+  def x49SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", w = 15)
+      .select(col("doc").as("doc_id"), col("n_dup_spans"), col("dup_tokens"))
+      .orderBy(col("doc_id"))
+
   // x23: PII/noise scrub — URLs, e-mails and long digit runs replaced by
   // placeholder tokens, with per-document hit counts (the cheap pre-filter
   // pass every crawl corpus goes through before tokenization).
@@ -586,6 +594,7 @@ object ExtensionQueries {
     "x20_dataset_split" -> x20DatasetSplit _,
     "x28_firstseen_dedup" -> x28FirstSeenDedup _,
     "x46_incremental_dedup" -> x46IncrementalDedup _,
+    "x49_span_dedup" -> x49SpanDedup _,
     "x1_dedup_exact" -> x1DedupExact _,
     "x2_ngram_jaccard" -> x2NgramJaccard _,
     "x3_minhash_lsh" -> x3MinhashLsh _,
@@ -1018,6 +1027,28 @@ object ExtensionQueries {
          |    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
          |  WHERE a.doc = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "x49_span_dedup" ->
+      s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
+         |w AS (SELECT doc, string_split(t, ' ') AS w FROM norm),
+         |spans AS (
+         |  SELECT doc, CAST(i AS INT) AS pos, array_to_string(w[i:i+14], ' ') AS span
+         |  FROM w, UNNEST(range(1, greatest(len(w)-14, 0)+1)) AS u(i)),
+         |dup AS (SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc) > 1),
+         |hits AS (SELECT doc, pos FROM spans WHERE span IN (SELECT span FROM dup)),
+         |flag AS (
+         |  SELECT doc, pos, pos + 14 AS e,
+         |    MAX(pos + 14) OVER (PARTITION BY doc ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc, pos, e,
+         |    SUM(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc ORDER BY pos) AS island
+         |  FROM flag),
+         |g AS (SELECT doc, island, MIN(pos) AS s, MAX(e) AS e FROM isl GROUP BY 1, 2)
+         |SELECT doc AS doc_id, COUNT(*) AS n_dup_spans,
+         |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+         |FROM g GROUP BY doc ORDER BY doc_id""".stripMargin,
     "x47_hybrid_retrieval" ->
       s"""WITH $ShingleCte,
          |qinter AS (

@@ -138,6 +138,24 @@ class MorMergeSpec extends AnyFunSuite {
       (5, 50, "delete"), (21, 210, "insert")))
   }
 
+  test("mor MERGE discovery stats-prunes candidates like the cow path") {
+    val store = freshStore()
+    // key-sorted multi-file table: a narrow-key source batch must scan
+    // only the files whose [min, max] admit its keys
+    store.createOrReplace("db.t",
+      (1 to 4000).map(i => (i, s"v$i")).toDF("k", "v"),
+      sortWithin = Seq("k"), statsFor = Seq("k"))
+    store.compact("db.t", targetFiles = 8)
+    store.setDmlMode("db.t", "mor")
+    store.merge("db.t", Seq((10, "u"), (12, "u2")).toDF("k", "sv"), Seq("k"),
+      matched = Seq(MatchedUpdate(None, Map("v" -> col("s.sv")))))
+    val (cand, total) = store.lastMergeDiscovery.get
+    assert(total >= 8 && cand < total,
+      s"mor merge discovery scanned $cand of $total files — expected a stats cut")
+    val m = store.read("db.t").as[(Int, String)].collect().toMap
+    assert(m(10) == "u" && m(12) == "u2" && m.size == 4000)
+  }
+
   test("OPTIMIZE folds mor-merge DVs back into clean files") {
     val store = freshStore()
     store.createOrReplace("db.t",
