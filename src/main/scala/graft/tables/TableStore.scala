@@ -2940,7 +2940,7 @@ final class TableStore(spark: SparkSession, root: String) {
         if (matched.nonEmpty) lastMergeDiscovery = Some((cand.size, entries.size))
         if (cand.isEmpty) Set.empty
         else {
-          // ONE left-outer pass over the candidates decides everything:
+          // ONE join pass over the candidates decides everything:
           //  - a matched row forces a rewrite only if some matched CLAUSE
           //    applies (first-match-wins leaves other rows byte-identical,
           //    so a full-snapshot SCD2 merge touches only files holding
@@ -2958,7 +2958,16 @@ final class TableStore(spark: SparkSession, root: String) {
           val anyClause = matched.map(_.cond.getOrElse(lit(true)))
             .reduceOption(_ || _).getOrElse(lit(false))
           val bsFlag = bsCond.getOrElse(lit(false))
-          val perFile = t.join(s, onCond, "left_outer")
+          // Join type follows the clause shape: a by-source clause must see
+          // UNmatched target rows (left_outer); a matched-only merge — the
+          // common SCD upsert — needs only matched rows, so an inner join
+          // bounds the discovery aggregation by the SOURCE batch even when
+          // stats pruning couldn't cut the candidate set (e.g. the first
+          // merge into a stats-blind layout). The __n === 0 branch below is
+          // then vacuously dead, which is exactly right: no by-source
+          // clause means unmatched rows never force a rewrite.
+          val discoveryJoin = if (bsCond.isEmpty) "inner" else "left_outer"
+          val perFile = t.join(s, onCond, discoveryJoin)
             .groupBy(col("__graft_file"), col("__graft_pos"))
             .agg(count(col("__graft_s")).as("__n"),
               max(when(anyClause, 1).otherwise(0)).as("__rw"),

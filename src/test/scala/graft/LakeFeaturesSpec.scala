@@ -880,6 +880,63 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("matched-only MERGE discovery joins INNER; by-source discovery joins left-outer") {
+    val root = Files.createTempDirectory("graft_mjoin").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.mj",
+      spark.range(0, 1000).select(col("id").as("k"), lit("old").as("v")))
+    // capture every executed plan during the merge; the discovery query is
+    // the only one grouping by the hidden (__graft_file, __graft_pos) pair
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      import graft.operators.MergeInto
+      // matched + insert (the reference's SCD upsert shape, no by-source
+      // clause): discovery must INNER-join so its shuffle is bounded by the
+      // source batch, not the candidate files
+      store.merge("db.mj", Seq((5L, "n5"), (2000L, "ins")).toDF("k", "v"), Seq("k"),
+        matched = Seq(MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))),
+        notMatched = Seq(MergeInto.NotMatchedInsert(None,
+          Map("k" -> col("s.k"), "v" -> col("s.v")))))
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      import scala.jdk.CollectionConverters._
+      val disc = plans.asScala.filter(p =>
+        p.contains("__graft_pos") && p.contains("Join")).toSeq
+      assert(disc.nonEmpty, "no discovery plan captured for the matched-only merge")
+      assert(disc.forall(p => !p.contains("LeftOuter")),
+        s"matched-only discovery must not left-outer join:\n${disc.head.take(1500)}")
+      assert(disc.exists(_.contains("Inner")),
+        s"matched-only discovery must inner-join:\n${disc.head.take(1500)}")
+
+      plans.clear()
+      // a by-source clause must see UNmatched target rows: left-outer stays
+      store.merge("db.mj", Seq((5L, "x5")).toDF("k", "v"), Seq("k"),
+        matched = Seq(MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))),
+        notMatchedBySource = Seq(MergeInto.BySourceDelete(Some(col("t.k") > 990))))
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      val disc2 = plans.asScala.filter(p =>
+        p.contains("__graft_pos") && p.contains("Join")).toSeq
+      assert(disc2.exists(_.contains("LeftOuter")),
+        "by-source discovery must left-outer join to see unmatched rows")
+      // semantics held through both merges
+      assert(store.read("db.mj").filter(col("k") === 5L)
+        .select(col("v")).as[String].head() == "x5")
+      assert(store.read("db.mj").filter(col("k") > 990).count() == 0,
+        "by-source delete removed every unmatched k>990 (991-999 and 2000)")
+    } finally {
+      spark.listenerManager.unregister(ql)
+      store.detach()
+    }
+  }
+
   test("bloom filter index skips files whose min/max box admits the key") {
     val root = Files.createTempDirectory("graft_bloom").toString
     val store = new TableStore(spark, root)
