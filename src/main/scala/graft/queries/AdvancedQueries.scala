@@ -125,15 +125,32 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
 
   // q26: approximate aggregates (HLL distinct counts, approximate
-  // percentiles) — sketch algorithms differ across engines, so this is a
-  // rows-only surface check; the exact twins q21/q25 are oracle-gated.
+  // percentiles). Sketch ESTIMATES can't hash-match across engines, so the
+  // query asserts its own accuracy contract and emits checkable output:
+  // the exact values plus booleans stating each sketch landed within
+  // tolerance (HLL at rsd 0.01 gated at 5% = 5 sigma; percentile_approx at
+  // accuracy 1000 gated at 5% of the exact p50). HLL is deterministic for
+  // a given input, so the booleans are stable; the DuckDB oracle
+  // recomputes the exact values and expects every boolean TRUE — a sketch
+  // accuracy regression now breaks the hash instead of going unchecked.
   def q26Approx(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
+      .select(col("l_returnflag"),
+        col("exact_orders"), col("exact_parts"), col("exact_p50"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * lit(0.05)).as("orders_ok"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.05)).as("parts_ok"),
+        (abs(col("approx_p50") - col("exact_p50"))
+          <= col("exact_p50") * lit(0.05)).as("p50_ok"))
       .orderBy(col("l_returnflag"))
 
   // x37: top-k-per-group via the native bounded_topk aggregate — the
@@ -211,6 +228,13 @@ object AdvancedQueries {
         |    PARTITION BY o_custkey ORDER BY day_num
         |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS trailing_90d
         |FROM o ORDER BY o_orderkey""".stripMargin,
+    "q26_approx" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |  TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS p50_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q25_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
