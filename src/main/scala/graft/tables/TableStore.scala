@@ -2266,7 +2266,15 @@ final class TableStore(spark: SparkSession, root: String) {
         import org.apache.spark.sql.types.{LongType, StructField}
         val schema2 = df.schema.add(StructField(colName, LongType, nullable = false))
         val rdd = df.rdd.cache()
-        val n = rdd.count()
+        // ONE counting pass (which also populates the cache) yields both
+        // the total row count and the per-partition index offsets, so the
+        // separate count() job that zipWithIndex would duplicate with its
+        // internal offset job is gone: the append runs exactly two jobs —
+        // this count pass and the keyed write reading from cache
+        val partCounts = rdd.mapPartitions(
+          it => Iterator.single(it.size.toLong), preservesPartitioning = true).collect()
+        val n = partCounts.sum
+        val offsets = partCounts.scanLeft(0L)(_ + _)
         val issued = withCommitLock(name) {
           // re-read under the lock: another append may have claimed since
           val cur = identityColumn(name).get._4
@@ -2274,9 +2282,14 @@ final class TableStore(spark: SparkSession, root: String) {
             (s"identity.${physicalName(name, colName)}" -> s"$start,$step,${cur + n}")))
           cur
         }
-        val counted = rdd.zipWithIndex().map { case (row, idx) =>
-          org.apache.spark.sql.Row.fromSeq(
-            row.toSeq :+ (start + step * (issued + idx)))
+        val counted = rdd.mapPartitionsWithIndex { case (pi, it) =>
+          var idx = offsets(pi)
+          it.map { row =>
+            val r = org.apache.spark.sql.Row.fromSeq(
+              row.toSeq :+ (start + step * (issued + idx)))
+            idx += 1
+            r
+          }
         }
         (spark.createDataFrame(counted, schema2), () => { rdd.unpersist(false); () })
     }

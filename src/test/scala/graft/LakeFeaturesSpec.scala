@@ -735,6 +735,38 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("identity append runs one counting pass + one write — no extra materialization job") {
+    val root = Files.createTempDirectory("graft_ident_jobs").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    store.createOrReplace("db.ij",
+      spark.range(0, 0).select(col("id").as("ik"), col("id").cast("string").as("v")))
+    store.setIdentity("db.ij", "ik", start = 1L, step = 1L)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val jobs = try {
+      // shuffle-free 4-partition source: a repartition here would add an
+      // AQE exchange-materialization job and blur the identity-path count
+      store.append("db.ij",
+        spark.range(0, 50, 1, 4).select(concat(lit("r"), col("id")).as("v")))
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      counter.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the count pass (which populates the cache) and the keyed write; a
+    // third job means the redundant count()/zipWithIndex materialization
+    // crept back into the identity path
+    assert(jobs <= 2,
+      s"identity append ran $jobs jobs; expected the count pass + the keyed write only")
+    assert(store.read("db.ij").select($"ik").as[Long].collect().sorted.toSeq
+      == (1L to 50L), "keys still a contiguous arithmetic sequence")
+    store.detach()
+  }
+
   test("identity high-water: concurrent appends claim disjoint blocks — no duplicate keys") {
     val root = Files.createTempDirectory("graft_ident_conc").toString
     val store = new TableStore(spark, root)
