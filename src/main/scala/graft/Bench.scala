@@ -7,11 +7,19 @@ import org.apache.spark.sql.SparkSession
   * line. Warmup excludes JVM/codegen cold-start — the throughput a resident
   * engine process delivers, which is what a single-node baseline comparison
   * measures; the cold total is reported alongside for transparency.
+  *
+  * Regression detection: per-query warm floors (the min over prior rounds'
+  * batch + recheck columns) live in BENCH_FLOOR.json. Any query whose
+  * batch-warm time reads >2x its floor is re-measured in a FRESH
+  * SparkSession after the batch session is stopped and GC'd — a 90-query
+  * shared-JVM batch accumulates old-gen/JIT/page-cache pressure that can
+  * inflate individual queries 4-8x over their isolated time, and a recheck
+  * inside the same JVM inherits that pressure. Both numbers are reported,
+  * so a phantom (environmental) regression shows as batch-high/recheck-
+  * at-floor while a real one stays high in both columns.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.ext.GraftExtensions)
       .master(s"local[$cpus]")
@@ -30,42 +38,61 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Releasing a superseded localCheckpoint (the dedup/clustering loops do
+    // it every round, deliberately, AFTER the successor materializes) makes
+    // Spark WARN that the truncated lineage cannot be recomputed — benign
+    // by construction here, and ~100 repeats per bench run bury real
+    // warnings, so that one logger is raised to ERROR
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    spark
+  }
 
-    // A failed query must fail the BENCH, not just stderr — otherwise a
-    // regression silently reports a fast "time" for a broken query. The
-    // error is carried per-query into the JSON and the process exits 1.
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] query failed: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
-      }
-      ((System.nanoTime() - t0) / 1e9, err)
+  private def runOnce(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err = try { fn(spark, sfDir).count(); None } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
     }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  private def clearState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = newSession(cpus)
 
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // A failed query must fail the BENCH, not just stderr — otherwise a
+    // regression silently reports a fast "time" for a broken query. The
+    // error is carried per-query into the JSON and the process exits 1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val (cold, coldErr) = runOnce(fn)
+      val (cold, coldErr) = runOnce(spark, sfDir, fn)
       // steady-state = best of two warm runs: single warm samples showed
       // ±3s run-to-run swings on a loaded 32-thread JVM (GC, compilation,
       // page cache) that made cross-round comparisons read as phantom
       // regressions; the min is the reproducible floor a resident engine
       // delivers
-      val (warm1, warmErr1) = runOnce(fn)
-      val (warm2, warmErr2) = runOnce(fn)
+      val (warm1, warmErr1) = runOnce(spark, sfDir, fn)
+      val (warm2, warmErr2) = runOnce(spark, sfDir, fn)
       val (warm, warmErr) = (math.min(warm1, warm2), warmErr1.orElse(warmErr2))
       // then drop cached frames + checkpointed RDDs so queries don't degrade
-      // each other under accumulated memory pressure across the 60+ entries,
+      // each other under accumulated memory pressure across the 100+ entries,
       // and nudge a GC so one query's garbage isn't billed to the next
       // (observed: late-run queries measuring 4-8x their isolated time from
       // old-gen churn alone)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
+      clearState(spark)
       (name, cold, warm, coldErr.orElse(warmErr))
     }
     // The driver keeps only the last ~2000 bytes of process output, so the
@@ -84,15 +111,8 @@ object Bench {
       val collide = pref.groupBy(_._2).filter(_._2.size > 1).keySet
       pref.map { case (full, p) => full -> (if (collide(p)) full else p) }.toMap
     }
-    // Outlier self-check: min-of-2 warm in a 90-query shared-JVM batch can
-    // still read far above a query's real floor (round 5: x3 measured
-    // 2.62s in-batch, 0.90s isolated — pure old-gen/JIT interference). Any
-    // query whose warm time regressed >2x against the committed floor file
-    // (tools/bench_floor.json, last round's numbers) is re-measured ONCE
-    // after the batch, post-GC, and both numbers are reported — phantom
-    // regressions become visible instead of gradable.
     val floors: Map[String, Double] = {
-      val f = new java.io.File("tools/bench_floor.json")
+      val f = new java.io.File("BENCH_FLOOR.json")
       if (!f.exists()) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
@@ -103,15 +123,33 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
-    val rechecked: Seq[(String, Double)] = results.collect {
-      case (k, _, w, None) if floors.get(shortIds(k)).exists(fl => w > 2 * fl && w - fl > 0.5) =>
-        System.gc()
-        val fn = SparkEntry.queries(k)
-        val (re, _) = runOnce(fn)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        (shortIds(k), re)
+    // every query whose batch-warm reads >2x its floor is re-measured
+    // (the 0.15s absolute guard only drops sub-tick jitter on ~0.1s
+    // queries, where 2x is within scheduler granularity)
+    val flagged = results.collect {
+      case (k, _, w, None)
+        if floors.get(shortIds(k)).exists(fl => w > 2 * fl && w - fl > 0.15) => k
     }
+    // recheck OUTSIDE the batch JVM session: stop it, drop its executor
+    // state, GC, and measure each flagged query in a fresh session — the
+    // only way to tell "this code got slower" from "the 100-query batch
+    // left the JVM hot"
+    val rechecked: Seq[(String, Double)] =
+      if (flagged.isEmpty) Nil
+      else {
+        spark.stop()
+        System.gc()
+        val fresh = newSession(cpus)
+        val out = flagged.map { k =>
+          val fn = SparkEntry.queries(k)
+          val (a, _) = runOnce(fresh, sfDir, fn) // session-cold: codegen+IO warm-up
+          val (b, _) = runOnce(fresh, sfDir, fn)
+          clearState(fresh)
+          (shortIds(k), math.min(a, b))
+        }
+        fresh.stop()
+        out
+      }
     val qs = results.map { case (k, _, w, _) => "\"" + shortIds(k) + "\":" + r2(w) }
       .mkString("{", ",", "}")
     val recheckJson =
@@ -125,7 +163,7 @@ object Bench {
     val warmTotal = results.map(_._3).sum
     val sfShort = sfDir.split('/').last
     println(s"""{"metric":"total_warm","value":${r2(warmTotal)},"unit":"sec","cold_total_sec":${r2(coldTotal)}$errJson$recheckJson,"queries":$qs,"sf":"$sfShort"}""")
-    spark.stop()
+    if (rechecked.isEmpty) spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }
