@@ -24,6 +24,11 @@ import graft.functions.TextFunctions.normalizeText
   */
 object Dedup {
 
+  /** Test/tooling observability for [[incrementalDedup]]'s index pruning:
+    * (candidate files scanned, manifest total) of the most recent call
+    * that probed an existing index. */
+  @volatile var lastIndexScan: Option[(Int, Int)] = None
+
   /** Exact dedup on normalized text: canonical row = min(id) per digest.
     * One shuffle on the 128-bit digest; at 100 TB this is the cheapest
     * possible dedup (digest is 16 bytes/row regardless of doc size). */
@@ -187,14 +192,23 @@ object Dedup {
     val bk = bandKeys(batch, idCol, textCol, n, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hasIndex = store.exists(indexTable)
+    lastIndexScan = None
     // the read plan resolves the manifest NOW — appending this batch's
-    // bands below cannot leak into the dedup decision
+    // bands below cannot leak into the dedup decision. The index side is
+    // point-pruned by the batch's (band, key) set against per-file stats
+    // boxes (dynamic file pruning): on an index kept clustered by
+    // (band, key), a batch probes only the files its keys can live in —
+    // the scan is bounded by the batch, not the index's history
     val dupVsIndex =
       if (!hasIndex) bk.filter(lit(false)).select(col("doc"))
-      else bk.alias("a").join(store.read(indexTable).alias("b"),
+      else {
+        val (idx, counts) = store.readPointPruned(indexTable, bk, Seq("band", "key"))
+        lastIndexScan = Some(counts)
+        bk.alias("a").join(idx.alias("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key"),
           "left_semi")
         .select(col("a.doc"))
+      }
     val dupInBatch = bk.alias("a").join(bk.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("b.doc") < col("a.doc"), "left_semi")
@@ -213,6 +227,19 @@ object Dedup {
     bk.unpersist(false)
     kept
   }
+
+  /** Periodic maintenance for [[incrementalDedup]]'s band index: rewrite
+    * it range-partitioned and sorted on (band, key) so every file carries
+    * a NARROW stats box — the precondition that lets the per-batch probe's
+    * dynamic file pruning skip most of the index (same contract as
+    * merge-discovery pruning: correct on any layout, fast on a clustered
+    * one). Run on a maintenance cadence, not per batch; cost is one index
+    * rewrite. */
+  def clusterIndex(store: graft.tables.TableStore, indexTable: String,
+      files: Int = 32): Unit =
+    store.createOrReplace(indexTable,
+      store.read(indexTable).repartitionByRange(files, col("band"), col("key")),
+      sortWithin = Seq("band", "key"), statsFor = Seq("band", "key"))
 
   /** Duplicated-SPAN detection (the "Deduplicating Training Data Makes
     * Language Models Better" substring-dedup shape, Lee et al. 2022): for

@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min, regexp_replace, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, element_at, input_file_name, lit, max, min, regexp_replace, sum, when}
 import org.apache.spark.sql.types._
 import graft.operators.MergeInto
 
@@ -1746,6 +1746,69 @@ final class TableStore(spark: SparkSession, root: String) {
   def readWhere(name: String, pred: Column): DataFrame = {
     val (schema, entries) = currentManifest(name)
     readEntries(name, schema, pruneEntries(name, schema, entries, pred)).filter(pred)
+  }
+
+  /** Dynamic file pruning for a point-lookup join: a scan of `name`
+    * bounded to the manifest files whose per-column [min, max] boxes admit
+    * at least one row of `points` on `cols` — the scale move a per-batch
+    * probe against a huge, clustered history table needs (Delta's dynamic
+    * file pruning makes the same cut with a runtime filter). The stats
+    * side is metadata-sized and BROADCAST; `points` is never collected, so
+    * the probe batch can be arbitrarily large. Conservative: files with no
+    * stats for some col, and non-numeric cols, prune nothing. Returns the
+    * pruned scan plus (candidate files, manifest total) for observability.
+    *
+    * The cut only bites when files carry narrow boxes — i.e. the table is
+    * kept clustered on `cols` (OPTIMIZE/ZORDER maintenance), exactly like
+    * merge-discovery pruning. On a stats-blind or unclustered layout every
+    * file survives, which is correct, just not fast. */
+  private[graft] def readPointPruned(name: String, points: DataFrame,
+      cols: Seq[String]): (DataFrame, (Int, Int)) = {
+    val (schema, entries) = currentManifest(name)
+    val total = entries.size
+    def full = (readEntries(name, schema, entries), (total, total))
+    if (total <= 2) return full
+    val rn = renames(name)
+    def statsOf(e: FileEntry): Map[String, ColStats] =
+      if (rn.isEmpty) e.stats
+      else e.stats.map { case (k, v) => (rn.getOrElse(k, k), v) }
+    val lschema = logicalizeSchema(name, schema)
+    // numeric cols compare after a cast of the stat string; string cols
+    // compare directly — Spark's string ordering is unsigned byte-wise,
+    // the same order the footer stats were computed under (see cmp)
+    val colTypes: Seq[(String, DataType)] = cols.flatMap(c =>
+      lschema.find(_.name.equalsIgnoreCase(c)).map(f => (c, f.dataType)))
+      .filter { case (_, dt) => numericKind(dt).isDefined }
+    if (colTypes.isEmpty) return full
+    // files lacking stats for any probe col are unconditional candidates
+    val (blind, boxed) = entries.partition(e =>
+      colTypes.exists { case (c, _) => !statsOf(e).contains(c) })
+    if (boxed.size <= 1) return full
+    val statsRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(boxed.map { e =>
+        val st = statsOf(e)
+        org.apache.spark.sql.Row(e.rel,
+          colTypes.map { case (c, _) => st(c).min },
+          colTypes.map { case (c, _) => st(c).max })
+      }: _*)
+    val statsSchema = StructType(Seq(
+      StructField("__rel", StringType),
+      StructField("__mins", org.apache.spark.sql.types.ArrayType(StringType)),
+      StructField("__maxs", org.apache.spark.sql.types.ArrayType(StringType))))
+    val statsDf = spark.createDataFrame(statsRows, statsSchema)
+    val pts = points.select(colTypes.map { case (c, _) => col(c) }: _*)
+      .na.drop("any", colTypes.map(_._1)).distinct()
+    val cond = colTypes.zipWithIndex.map { case ((c, dt), i) =>
+      val (mn, mx) = (element_at(col("__mins"), i + 1),
+        element_at(col("__maxs"), i + 1))
+      if (dt == StringType) pts(c) >= mn && pts(c) <= mx
+      else pts(c) >= mn.cast(dt) && pts(c) <= mx.cast(dt)
+    }.reduce(_ && _)
+    val hit = pts.join(broadcast(statsDf), cond)
+      .select(col("__rel")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val cand = blind ++ boxed.filter(e => hit(e.rel))
+    (readEntries(name, schema, cand), (cand.size, total))
   }
 
   /** Time travel: read a specific retained snapshot version. */

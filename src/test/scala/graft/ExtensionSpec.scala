@@ -53,6 +53,37 @@ class ExtensionSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("incremental dedup index pruning: a clustered index scans fewer files than the manifest") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_incprune").toString)
+    try {
+      // grow the index over three batches, then cluster it on the join
+      // keys so files carry narrow (band, key) stats boxes — the
+      // maintenance a production index runs (same precondition as
+      // merge-discovery pruning)
+      val r = docs.agg(min($"doc_id").cast("long"), max($"doc_id").cast("long")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * (hi - lo) / 3
+      Dedup.incrementalDedup(store, "idx.pb",
+        docs.filter($"doc_id" <= cut1), "doc_id", "text", 3, 4, 2)
+      Dedup.incrementalDedup(store, "idx.pb",
+        docs.filter($"doc_id" > cut1 && $"doc_id" <= cut2), "doc_id", "text", 3, 4, 2)
+      Dedup.incrementalDedup(store, "idx.pb",
+        docs.filter($"doc_id" > cut2), "doc_id", "text", 3, 4, 2)
+      Dedup.clusterIndex(store, "idx.pb", files = 16)
+      val total = store.prunedFileList("idx.pb", None).size
+      assert(total >= 8, s"clustering should leave a multi-file index, got $total")
+      // a tiny probe batch (2 docs ≈ 8 band keys) must scan only the files
+      // whose stats boxes admit its keys — the batch bounds the scan, not
+      // the index's history
+      val probe = docs.orderBy($"doc_id").limit(2)
+      Dedup.incrementalDedup(store, "idx.pb", probe, "doc_id", "text", 3, 4, 2)
+      val Some((cand, tot)) = Dedup.lastIndexScan: @unchecked
+      assert(tot == total, s"probe saw a different manifest ($tot vs $total)")
+      assert(cand < tot, s"index probe scanned every file ($cand/$tot)")
+    } finally store.detach()
+  }
+
   test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
     val s = Dedup.simhash(docs, "doc_id", "text")
