@@ -1767,7 +1767,10 @@ final class TableStore(spark: SparkSession, root: String) {
     val (schema, entries) = currentManifest(name)
     val total = entries.size
     def full = (readEntries(name, schema, entries), (total, total))
-    if (total <= 2) return full
+    // a small manifest has nothing worth the probe's extra jobs (a
+    // distinct + a broadcast stats join + a collect): scan it. The cut
+    // only matters at many-file scale, where it is a rounding error.
+    if (total <= 8) return full
     val rn = renames(name)
     def statsOf(e: FileEntry): Map[String, ColStats] =
       if (rn.isEmpty) e.stats
