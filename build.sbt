@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ScaleSmokeSpec runs a ~10x sf0.1 synthetic scale-up; it self-cancels
+// unless GRAFT_SCALE_SMOKE=1 is set, keeping the default `sbt test` gate
+// fast:  GRAFT_SCALE_SMOKE=1 sbt 'testOnly graft.ScaleSmokeSpec'
+Test / envVars := sys.env.filterKeys(_ == "GRAFT_SCALE_SMOKE").toMap
 // Forked run output passes through UNPREFIXED: the bench/verify drivers
 // parse the single JSON result line from the process output, and sbt's
 // default "[info] " logger prefix breaks a `line.startsWith("{")` /
