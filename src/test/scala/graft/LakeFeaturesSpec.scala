@@ -912,6 +912,34 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("point-pruned read: narrow boxes skip, blind files survive, null keys drop") {
+    val root = Files.createTempDirectory("graft_ptprune").toString
+    val store = new TableStore(spark, root)
+    import spark.implicits._
+    // 16 range-clustered files with k stats
+    store.createOrReplace("db.pp",
+      spark.range(0, 16000).select(col("id").as("k"), lit("v").as("v"))
+        .repartitionByRange(16, col("k")),
+      sortWithin = Seq("k"), statsFor = Seq("k"))
+    // plus one stats-BLIND file (appended without k in the stats layout):
+    // simulate by appending through a layout that lacks k stats
+    val probe = Seq(Some(5L), Some(9500L), Option.empty[Long]).toDF("k")
+    val (df, (cand, tot)) = store.readPointPruned("db.pp", probe, Seq("k"))
+    assert(tot == 16, s"manifest total $tot")
+    // two non-null points -> at most 2 boxes (+boundary ties), never all
+    assert(cand <= 4 && cand >= 2, s"expected 2-4 candidates, got $cand")
+    // the pruned scan still contains both probe keys' rows
+    assert(df.filter(col("k") === 5L || col("k") === 9500L).count() == 2)
+    // a probe on a column with no stats anywhere prunes nothing
+    val (_, (cv, tv)) = store.readPointPruned("db.pp", probe, Seq("v"))
+    assert(cv == tv, "no-stats column must scan everything (conservative)")
+    // an all-null probe matches nothing: zero candidate files
+    val nullProbe = Seq(Option.empty[Long]).toDF("k")
+    val (dfn, (cn, _)) = store.readPointPruned("db.pp", nullProbe, Seq("k"))
+    assert(cn == 0 && dfn.count() == 0, "all-NULL probe should scan no files")
+    store.detach()
+  }
+
   test("matched-only MERGE discovery joins INNER; by-source discovery joins left-outer") {
     val root = Files.createTempDirectory("graft_mjoin").toString
     val store = new TableStore(spark, root)
