@@ -532,6 +532,31 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x50: CCNet-style quality split WITHOUT a language model (Wenzek et
+  // al. 2020 bucket head/middle/tail per language by LM perplexity; the
+  // LM-free proxy ranks by mean corpus document-frequency of a doc's
+  // tokens — fluent/common-token docs read as head, rare-token docs as
+  // tail). BIGINT micro-unit scores via floor division keep the ranking
+  // bit-exact cross-engine; ntile runs per LANGUAGE partition over a
+  // total order (score desc, doc_id), so the sort shards by language —
+  // the same per-shard bucketing the paper runs (production shards finer:
+  // partition by (lang, md5-bucket) and bucket within shards).
+  def x50QualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dfreq = tok.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tok.join(dfreq, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("cast((1000000 * sum(df)) div count(1) as bigint)").as("score_micro"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score_micro").desc, col("doc_id"))
+    scored.select(col("doc_id"), col("lang"), col("score_micro"),
+        ntile(3).over(wnd).cast("long").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -573,6 +598,7 @@ object ExtensionQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x50_quality_buckets" -> x50QualityBuckets _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1027,6 +1053,20 @@ object ExtensionQueries {
          |    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
          |  WHERE a.doc = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "x50_quality_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CAST((1000000 * SUM(d.df)) // COUNT(*) AS BIGINT) AS score_micro
+        |  FROM tok t JOIN dfreq d USING (w) GROUP BY t.doc_id, t.lang)
+        |SELECT doc_id, lang, score_micro,
+        |  CAST(NTILE(3) OVER (PARTITION BY lang
+        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS bucket
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "x49_span_dedup" ->
       s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
          |w AS (SELECT doc, string_split(t, ' ') AS w FROM norm),

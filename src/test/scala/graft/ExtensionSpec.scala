@@ -84,6 +84,25 @@ class ExtensionSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("x50 quality buckets: per-language thirds, score-monotone") {
+    val out = graft.queries.ExtensionQueries.x50QualityBuckets(spark, dir)
+      .select($"lang", $"score_micro".as[Long], $"bucket".as[Long]).cache()
+    // ntile balance: bucket sizes within a language differ by at most 1
+    val sizes = out.groupBy($"lang", $"bucket").count()
+      .groupBy($"lang").agg((max($"count") - min($"count")).as("spread"))
+      .select($"spread".as[Long]).collect()
+    assert(sizes.forall(_ <= 1), s"ntile thirds must balance, spreads=${sizes.toSeq}")
+    // monotone: within a language every head score >= every middle score
+    // >= every tail score (ties can straddle, hence >=)
+    val bounds = out.groupBy($"lang", $"bucket")
+      .agg(min($"score_micro").as("lo"), max($"score_micro").as("hi"))
+    val cross = bounds.alias("a").join(bounds.alias("b"),
+      col("a.lang") === col("b.lang") && col("a.bucket") < col("b.bucket") &&
+        col("a.lo") < col("b.hi"))
+    assert(cross.count() == 0, "lower-numbered buckets must hold higher scores")
+    out.unpersist()
+  }
+
   test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
     val s = Dedup.simhash(docs, "doc_id", "text")
