@@ -1789,6 +1789,21 @@ final class TableStore(spark: SparkSession, root: String) {
     val (blind, boxed) = entries.partition(e =>
       colTypes.exists { case (c, _) => !statsOf(e).contains(c) })
     if (boxed.size <= 1) return full
+    // Futility check before spending any jobs: on an UNclustered layout
+    // (e.g. an append-only history before its maintenance pass) the boxes
+    // all span the full value range and the probe cannot skip anything.
+    // Judge it from manifest metadata alone — sort boxes by min on the
+    // leading probe col and count files overlapping their predecessor;
+    // mostly-overlapping boxes → scan directly, probe nothing.
+    val (c0, dt0) = colTypes.head
+    val isNum = numericKind(dt0).contains(true)
+    val sortedBoxes = boxed.map(e => statsOf(e)(c0))
+      .sortWith((a, b) => cmp(a.min, b.min, isNum) < 0)
+    val overlapping = sortedBoxes.sliding(2).count {
+      case Seq(prev, next) => cmp(next.min, prev.max, isNum) < 0
+      case _ => false
+    }
+    if (overlapping * 2 > boxed.size) return full
     val statsRows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(boxed.map { e =>
         val st = statsOf(e)
