@@ -70,6 +70,10 @@ class ScaleSmokeSpec extends AnyFunSuite {
   test("q44 zorder read completes at 10x") { requested(); run("q44_zorder_read") }
   test("x22 dup clusters completes at 10x") { requested(); run("x22_dup_clusters") }
   test("x46 incremental dedup completes at 10x") { requested(); run("x46_incremental_dedup") }
+  test("x3 minhash LSH completes at 10x") { requested(); run("x3_minhash_lsh") }
+  test("x42 incremental streaming medallion completes at 10x") {
+    requested(); run("x42_incremental_medallion")
+  }
 
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
