@@ -742,21 +742,31 @@ class LakeFeaturesSpec extends AnyFunSuite {
     store.createOrReplace("db.ij",
       spark.range(0, 0).select(col("id").as("ik"), col("id").cast("string").as("v")))
     store.setIdentity("db.ij", "ik", start = 1L, step = 1L)
+    // count only THIS thread's jobs (tagged via job group): suites run
+    // concurrently against the shared context, and a neighbor suite's job
+    // landing mid-append must not inflate the count
+    val group = s"graft-ident-probe-${System.nanoTime()}"
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        counter.incrementAndGet()
+        if (Option(js.properties)
+            .exists(p => group == p.getProperty("spark.jobGroup.id")))
+          counter.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     val jobs = try {
+      spark.sparkContext.setJobGroup(group, "identity append probe")
       // shuffle-free 4-partition source: a repartition here would add an
       // AQE exchange-materialization job and blur the identity-path count
       store.append("db.ij",
         spark.range(0, 50, 1, 4).select(concat(lit("r"), col("id")).as("v")))
       org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
       counter.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // the count pass (which populates the cache) and the keyed write; a
     // third job means the redundant count()/zipWithIndex materialization
     // crept back into the identity path
@@ -942,10 +952,14 @@ class LakeFeaturesSpec extends AnyFunSuite {
 
   test("matched-only MERGE discovery joins INNER; by-source discovery joins left-outer") {
     val root = Files.createTempDirectory("graft_mjoin").toString
-    val store = new TableStore(spark, root)
-    import spark.implicits._
+    // an ISOLATED session (shared context, own listenerManager): the plan
+    // capture below must not see merges that OTHER concurrently-running
+    // suites execute on the base session
+    val session = spark.newSession()
+    val store = new TableStore(session, root)
+    import session.implicits._
     store.createOrReplace("db.mj",
-      spark.range(0, 1000).select(col("id").as("k"), lit("old").as("v")))
+      session.range(0, 1000).select(col("id").as("k"), lit("old").as("v")))
     // capture every executed plan during the merge; the discovery query is
     // the only one grouping by the hidden (__graft_file, __graft_pos) pair
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -956,7 +970,7 @@ class LakeFeaturesSpec extends AnyFunSuite {
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
-    spark.listenerManager.register(ql)
+    session.listenerManager.register(ql)
     try {
       import graft.operators.MergeInto
       // matched + insert (the reference's SCD upsert shape, no by-source
@@ -966,7 +980,7 @@ class LakeFeaturesSpec extends AnyFunSuite {
         matched = Seq(MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))),
         notMatched = Seq(MergeInto.NotMatchedInsert(None,
           Map("k" -> col("s.k"), "v" -> col("s.v")))))
-      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(session)
       import scala.jdk.CollectionConverters._
       val disc = plans.asScala.filter(p =>
         p.contains("__graft_pos") && p.contains("Join")).toSeq
@@ -981,7 +995,7 @@ class LakeFeaturesSpec extends AnyFunSuite {
       store.merge("db.mj", Seq((5L, "x5")).toDF("k", "v"), Seq("k"),
         matched = Seq(MergeInto.MatchedUpdate(None, Map("v" -> col("s.v")))),
         notMatchedBySource = Seq(MergeInto.BySourceDelete(Some(col("t.k") > 990))))
-      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(session)
       val disc2 = plans.asScala.filter(p =>
         p.contains("__graft_pos") && p.contains("Join")).toSeq
       assert(disc2.exists(_.contains("LeftOuter")),
@@ -992,7 +1006,7 @@ class LakeFeaturesSpec extends AnyFunSuite {
       assert(store.read("db.mj").filter(col("k") > 990).count() == 0,
         "by-source delete removed every unmatched k>990 (991-999 and 2000)")
     } finally {
-      spark.listenerManager.unregister(ql)
+      session.listenerManager.unregister(ql)
       store.detach()
     }
   }
