@@ -557,6 +557,31 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Trusted reference slice for the model-based curation ops (x51/x52) —
+    * stands in for CCNet's Wikipedia / DSIR's target domain. Shared with
+    * the oracle texts. */
+  private val RefSlice = Seq("src0", "src1")
+  private val RefSliceSql = RefSlice.map(s => s"'$s'").mkString(", ")
+
+  // x51: CCNet-style bigram-LM fluency scoring (Wenzek et al. 2020) — a
+  // Laplace-smoothed bigram model trained on the trusted slice scores every
+  // document by mean smoothed bigram probability. Integer micro-units
+  // (floor division, no logs/floats) make the score bit-exact cross-engine.
+  // See operators/LangModel.scala for the 100 TB shape.
+  def x51BigramFluency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LangModel.bigramFluency(
+        t(s, dir, "documents"), col("source").isin(RefSlice: _*))
+      .orderBy(col("doc_id"))
+
+  // x52: DSIR importance-resampling selection (Xie et al. 2023) — hashed
+  // unigram buckets, target/raw smoothed probability ratio in exact
+  // DECIMAL(38,0) micro-units, per-doc mean weight, corpus-mean gate.
+  // See operators/LangModel.scala.
+  def x52DsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LangModel.dsirSelect(
+        t(s, dir, "documents"), col("source").isin(RefSlice: _*), buckets = 256)
+      .orderBy(col("doc_id"))
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -599,6 +624,8 @@ object ExtensionQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x50_quality_buckets" -> x50QualityBuckets _,
+    "x51_bigram_fluency" -> x51BigramFluency _,
+    "x52_dsir_select" -> x52DsirSelect _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1067,6 +1094,66 @@ object ExtensionQueries {
         |  CAST(NTILE(3) OVER (PARTITION BY lang
         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS bucket
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "x51_bigram_fluency" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+         |  FROM documents),
+         |t2 AS (SELECT * FROM toks WHERE len(ws) >= 2),
+         |big AS (
+         |  SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM t2, UNNEST(range(1, len(ws))) AS u(i)),
+         |c12 AS (
+         |  SELECT w1, w2, COUNT(*) AS c12 FROM big
+         |  WHERE source IN ($RefSliceSql) GROUP BY 1, 2),
+         |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (
+         |  SELECT COUNT(DISTINCT w) AS v FROM (
+         |    SELECT unnest(ws) AS w FROM t2 WHERE source IN ($RefSliceSql))),
+         |p AS (
+         |  SELECT b.doc_id,
+         |    (1000000 * (COALESCE(c12.c12, 0) + 1))
+         |      // (COALESCE(c1.c1, 0) + v.v) AS p_micro
+         |  FROM big b
+         |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+         |  LEFT JOIN c1 ON b.w1 = c1.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS fluency_micro
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x52_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, w FROM (
+         |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) WHERE length(w) > 0),
+         |h AS (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM tok),
+         |ct AS (
+         |  SELECT b, COUNT(*) AS ct FROM h
+         |  WHERE source IN ($RefSliceSql) GROUP BY 1),
+         |cq AS (SELECT b, COUNT(*) AS cq FROM h GROUP BY 1),
+         |tot AS (
+         |  SELECT
+         |    COUNT(*) FILTER (WHERE source IN ($RefSliceSql)) AS nt,
+         |    COUNT(*) AS nq
+         |  FROM h),
+         |r AS (
+         |  SELECT cq.b,
+         |    CAST((CAST(1000000 AS HUGEINT) * (COALESCE(ct.ct, 0) + 1) * (tot.nq + 256))
+         |      // ((cq.cq + 1) * (tot.nt + 256)) AS BIGINT) AS r_micro
+         |  FROM cq LEFT JOIN ct ON cq.b = ct.b CROSS JOIN tot),
+         |scored AS (
+         |  SELECT h.doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CAST(r.r_micro AS HUGEINT)) // COUNT(*) AS BIGINT) AS dsir_micro
+         |  FROM h JOIN r ON h.b = r.b GROUP BY h.doc_id),
+         |thr AS (
+         |  SELECT CAST(SUM(CAST(dsir_micro AS HUGEINT)) // COUNT(*) AS BIGINT) AS thr
+         |  FROM scored)
+         |SELECT doc_id, n_tokens, dsir_micro,
+         |  CAST(dsir_micro > thr AS INT) AS selected
+         |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
     "x49_span_dedup" ->
       s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
          |w AS (SELECT doc, string_split(t, ' ') AS w FROM norm),

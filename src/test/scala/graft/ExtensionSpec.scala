@@ -103,6 +103,56 @@ class ExtensionSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x51 bigram fluency: Laplace-smoothed micro-probabilities, hand-checked") {
+    // train doc "a b a c": bigrams (a,b),(b,a),(a,c); c1: a=2, b=1; V=3
+    val df = Seq((1L, "a b a c", "t"), (2L, "a b", "x"), (3L, "z z", "x"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.LangModel.bigramFluency(df, $"source" === "t")
+      .orderBy($"doc_id")
+      .select($"doc_id".as[Long], $"n_bigrams".as[Long], $"fluency_micro".as[Long])
+      .collect().toSeq
+    // doc1: (400000 + 500000 + 400000) div 3 = 433333
+    // doc2: (1+1)*1e6 div (2+3) = 400000
+    // doc3 (all-OOV): 1e6 div (0+3) = 333333
+    assert(out == Seq((1L, 3L, 433333L), (2L, 1L, 400000L), (3L, 1L, 333333L)))
+  }
+
+  test("x51 over the corpus: one row per doc, n_bigrams = tokens - 1, scores in (0, 1e6]") {
+    val out = graft.queries.ExtensionQueries.x51BigramFluency(spark, dir).cache()
+    val nTok = docs.select($"doc_id",
+      size(filter(split($"text", " "), w => length(w) > 0)).as("n"))
+    assert(out.count() == docs.count(), "every testdata doc has >= 2 tokens")
+    val bad = out.join(nTok, "doc_id")
+      .filter($"n_bigrams" =!= $"n" - 1 ||
+        $"fluency_micro" <= 0 || $"fluency_micro" > 1000000L)
+    assert(bad.count() == 0, "bigram count and probability bounds")
+    out.unpersist()
+  }
+
+  test("x52 DSIR: disjoint-vocabulary target docs are exactly the selected set") {
+    val df = Seq(
+      (1L, "aa bb aa", "tgt"), (2L, "bb aa bb", "tgt"),
+      (3L, "cc dd cc dd", "raw"), (4L, "dd cc", "raw"), (5L, "ee ff", "raw"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.LangModel.dsirSelect(df, $"source" === "tgt")
+    val sel = out.filter($"selected" === 1).select($"doc_id".as[Long]).collect().toSet
+    assert(sel == Set(1L, 2L), s"target-vocab docs outrank the corpus mean, got $sel")
+  }
+
+  test("x52 over the corpus: mean-weight gate splits the corpus, selected = above-mean") {
+    val out = graft.queries.ExtensionQueries.x52DsirSelect(spark, dir).cache()
+    val n = out.count()
+    val nSel = out.filter($"selected" === 1).count()
+    assert(nSel > 0 && nSel < n, s"gate must split the corpus ($nSel/$n)")
+    // the selected flag is exactly "dsir_micro > floor-mean", recomputed here
+    val thr = out.agg(expr(
+      "CAST(sum(CAST(dsir_micro AS decimal(38,0))) div count(1) AS BIGINT)"))
+      .head().getLong(0)
+    val mism = out.filter(($"dsir_micro" > thr).cast("int") =!= $"selected")
+    assert(mism.count() == 0, "selected flag must equal the above-mean predicate")
+    out.unpersist()
+  }
+
   test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
     val s = Dedup.simhash(docs, "doc_id", "text")
