@@ -181,6 +181,21 @@ class PlanSpec extends AnyFunSuite {
       "exactCanon feeds pairs/clusters/output and must come from the persisted copy")
   }
 
+  test("x52 DSIR: the 256-row bucket ratio table and the scalar gate broadcast") {
+    val plan = executed(SparkEntry.queries("x52_dsir_select")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the bucket-ratio join and mean-gate join must broadcast — a corpus-sized " +
+        "shuffle against a constant-size table is wrong at any scale")
+    assert(!plan.contains("CartesianProduct"), "scalar joins broadcast, never cartesian")
+  }
+
+  test("x51 bigram fluency: parquet scans read only the three needed columns") {
+    val plan = executedIsolated(SparkEntry.queries("x51_bigram_fluency")(spark, dir))
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      "model + scoring branches project doc_id/text/source only; unused document " +
+        "columns must be pruned from every scan")
+  }
+
   test("multi-probe LSH topk: superset of single-probe results") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
