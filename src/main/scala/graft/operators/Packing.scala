@@ -31,6 +31,45 @@ object Packing {
     * integer token-count expression (plug in
     * [[graft.functions.TextFunctions.tokenCount]] or a real tokenizer
     * count column). */
+  /** Encode each document as its ordered sequence of vocabulary token ids
+    * — the tokenize-to-ids step that feeds [[packSequences]] (which lays
+    * out counts; this produces the ids a trainer actually reads).
+    *
+    * The vocabulary is the corpus's `vocabSize` most frequent whitespace
+    * tokens (count desc, token asc — a total order, so the cut is
+    * deterministic), id 1..vocabSize by that rank; everything else maps to
+    * the UNK id 0. Output is one row per document: (idCol, n_tokens,
+    * ids) with `ids` the space-joined id sequence in token order — a
+    * string, not an array, so exact cross-engine compares stay trivially
+    * sortable.
+    *
+    * Scale shape: the count agg is one map-side-combined shuffle;
+    * top-vocabSize selection is TakeOrderedAndProject (no global sort
+    * materialization — vocabSize is a constant, independent of corpus
+    * size); the id join broadcasts the vocabulary; per-doc assembly is a
+    * row-local collect_list + array_sort (bounded by document length),
+    * so no window over the corpus and no skew pivot. */
+  def encodeTokenIds(docs: DataFrame, vocabSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => length(w) > 0)).as(Seq("pos", "w")))
+    // rank over the already-LIMITed vocabSize rows: the single-partition
+    // window touches a constant number of rows, never the corpus
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"),
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))).as("id"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("id"), lit(0)).as("id"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            s => s.getField("id").cast("string")),
+          " ").as("ids"))
+  }
+
   def packSequences(docs: DataFrame, tokens: Column, budget: Long,
       bucketRows: Long, idCol: String = "doc_id"): DataFrame = {
     require(budget > 0 && bucketRows > 0, "budget and bucketRows must be positive")

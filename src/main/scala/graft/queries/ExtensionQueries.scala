@@ -582,6 +582,14 @@ object ExtensionQueries {
         t(s, dir, "documents"), col("source").isin(RefSlice: _*), buckets = 256)
       .orderBy(col("doc_id"))
 
+  // x53: vocabulary-encoded token ids — top-512 corpus vocabulary (count
+  // desc, token asc), UNK id 0, per-doc ordered id sequence as a
+  // space-joined string. The tokenize-to-ids step between curation and
+  // x35's sequence packing. See operators/Packing.scala.
+  def x53TokenIds(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.encodeTokenIds(t(s, dir, "documents"), vocabSize = 512)
+      .orderBy(col("doc_id"))
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -626,6 +634,7 @@ object ExtensionQueries {
     "x50_quality_buckets" -> x50QualityBuckets _,
     "x51_bigram_fluency" -> x51BigramFluency _,
     "x52_dsir_select" -> x52DsirSelect _,
+    "x53_token_ids" -> x53TokenIds _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1154,6 +1163,22 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, dsir_micro,
          |  CAST(dsir_micro > thr AS INT) AS selected
          |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+    "x53_token_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS w
+        |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+        |cnt AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        |vocab AS (
+        |  SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS INT) AS id
+        |  FROM cnt ORDER BY cnt DESC, w LIMIT 512)
+        |SELECT tok.doc_id, COUNT(*) AS n_tokens,
+        |  string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' ' ORDER BY pos) AS ids
+        |FROM tok LEFT JOIN vocab v ON tok.w = v.w
+        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
     "x49_span_dedup" ->
       s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
          |w AS (SELECT doc, string_split(t, ' ') AS w FROM norm),

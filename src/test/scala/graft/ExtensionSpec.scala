@@ -153,6 +153,27 @@ class ExtensionSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x53 token ids: rank-ordered vocab, UNK=0, order-preserving — hand-checked") {
+    // counts: a=2, b=2, c=1; vocabSize=2 keeps {a, b} (count desc, token
+    // asc breaks the tie): a→1, b→2; c is out-of-vocab → 0
+    val df = Seq((1L, "b a b"), (2L, "c a")).toDF("doc_id", "text")
+    val out = graft.operators.Packing.encodeTokenIds(df, vocabSize = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id".as[Long], $"n_tokens".as[Long], $"ids".as[String])
+      .collect().toSeq
+    assert(out == Seq((1L, 3L, "2 1 2"), (2L, 2L, "0 1")))
+  }
+
+  test("x53 over the corpus: id sequence length = token count, ids within [0, 512]") {
+    val out = graft.queries.ExtensionQueries.x53TokenIds(spark, dir).cache()
+    assert(out.count() == docs.count())
+    val bad = out.filter(size(split($"ids", " ")) =!= $"n_tokens" ||
+      exists(transform(split($"ids", " "), _.cast("int")),
+        id => id < 0 || id > 512 || id.isNull))
+    assert(bad.count() == 0, "every token encodes to exactly one id in [0, 512]")
+    out.unpersist()
+  }
+
   test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
     val s = Dedup.simhash(docs, "doc_id", "text")

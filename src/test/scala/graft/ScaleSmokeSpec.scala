@@ -74,6 +74,8 @@ class ScaleSmokeSpec extends AnyFunSuite {
   test("x42 incremental streaming medallion completes at 10x") {
     requested(); run("x42_incremental_medallion")
   }
+  test("x51 bigram-LM fluency completes at 10x") { requested(); run("x51_bigram_fluency") }
+  test("x52 DSIR selection completes at 10x") { requested(); run("x52_dsir_select") }
 
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
