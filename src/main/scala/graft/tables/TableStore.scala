@@ -1128,20 +1128,24 @@ final class TableStore(spark: SparkSession, root: String) {
       writeManifest(name, next, stagedSchema, rebased, op)
       Some((next, tableDir(name).resolve(s"v_$next")))
     } else {
-      // renumber past the interloper: claim a fresh version, atomically
-      // move our staged dir to it, re-anchor our entries' paths. A
-      // concurrent STAGING writer can claim the freed number between
-      // delete and move (allocation is lock-free) — loop on the next one.
+      // renumber past the interloper: claim a fresh version and move the
+      // staged directory's CONTENTS into it, keeping the claimed dir
+      // itself — the allocated directory doubles as the writer mutex, and
+      // the earlier delete-then-rename-of-the-whole-dir shape freed the
+      // number for a concurrent stager while rename(2) then landed ON TOP
+      // of the empty directory that stager had just claimed: both writers
+      // "owned" the version, one failed writing data/ and its abort
+      // cleanup deleted the other's committed files. Child moves are
+      // same-filesystem atomic renames inside a dir only this writer can
+      // touch; readers cannot see the version until _MANIFEST promotes
+      // inside the commit lock.
       val old = tableDir(name).resolve(s"v_$next")
-      var claimed = -1
-      while (claimed < 0) {
-        val (nv, ndir) = allocateVersion(name)
-        try {
-          Files.delete(ndir)
-          Files.move(old, ndir, StandardCopyOption.ATOMIC_MOVE)
-          claimed = nv
-        } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val (claimed, ndir) = allocateVersion(name)
+      Files.list(old).iterator().asScala.toSeq.foreach { child =>
+        Files.move(child, ndir.resolve(child.getFileName.toString),
+          StandardCopyOption.ATOMIC_MOVE)
       }
+      Files.delete(old)
       def reanchor(p: String) =
         if (p.startsWith(s"v_$next/")) s"v_$claimed/" + p.stripPrefix(s"v_$next/") else p
       val reanchored = rebased.map(e =>

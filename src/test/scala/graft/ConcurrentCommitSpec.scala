@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path}
 import java.util.concurrent.CountDownLatch
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.tables.TableStore
@@ -143,6 +144,37 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     // the change feed reconstructs every interleaved append correctly
     val feed = store.changeFeed("db.t", 1, vs.max)
     assert(feed.filter(col("_change_type") === "insert").count() == 12)
+  }
+
+  test("renumber stress: six appenders hammer the rebase-renumber path without " +
+      "version-directory collisions") {
+    // regression guard for the delete-then-rename race: the renumber step
+    // used to free its allocated version number for a concurrent stager
+    // and then rename(2) on top of the stager's freshly-claimed empty
+    // directory — two writers co-owned one version, one failed on data/,
+    // and its abort cleanup deleted the other's committed files. Six
+    // writers x four appends drive the renumber path (a stager must hold
+    // a lower number than the committer that beats it) far harder than
+    // the three-writer case ever did.
+    val root = Files.createTempDirectory("graft_occ7").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", Seq((0, 0L)).toDF("k", "n"))
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { t =>
+      new Thread(() => {
+        gate.await()
+        try (0 until 4).foreach { i =>
+          store.append("db.t", Seq((t * 1000 + i, t.toLong)).toDF("k", "n"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(180000))
+    assert(errs.isEmpty, s"no append may fail under contention: ${errs.size} did " +
+      errs.asScala.map(_.getMessage).mkString("; ").take(300))
+    assert(store.read("db.t").count() == 25)
+    val vs = store.versions("db.t")
+    assert(vs == vs.sorted && vs.size == 25, s"25 linear commits expected: $vs")
   }
 
   test("change feed and time travel stay correct across a rebased update") {
