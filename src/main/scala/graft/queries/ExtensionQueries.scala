@@ -590,6 +590,29 @@ object ExtensionQueries {
     graft.operators.Packing.encodeTokenIds(t(s, dir, "documents"), vocabSize = 512)
       .orderBy(col("doc_id"))
 
+  // x54: corpus profile ("dataset card" stats) per source — docs, tokens,
+  // languages, chars, and exact-duplicate mass (docs whose normalized-text
+  // md5 repeats anywhere in the corpus). One token-size projection + one
+  // hash-key self-aggregation + one groupBy: three shuffles, all linear,
+  // all integer-exact. The audit table a curation run publishes next to
+  // the data it ships.
+  def x54CorpusProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("source"), col("lang"), col("n_chars"),
+      size(filter(split(col("text"), " "), w => length(w) > 0)).as("n_tok"),
+      md5(TextFunctions.normalizeText(col("text"))).as("h"))
+    val dup = d.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"), lit(1L).as("dup"))
+    d.join(dup, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("dup"), lit(0L))).as("dup_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -635,6 +658,7 @@ object ExtensionQueries {
     "x51_bigram_fluency" -> x51BigramFluency _,
     "x52_dsir_select" -> x52DsirSelect _,
     "x53_token_ids" -> x53TokenIds _,
+    "x54_corpus_profile" -> x54CorpusProfile _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1163,6 +1187,20 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, dsir_micro,
          |  CAST(dsir_micro > thr AS INT) AS selected
          |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+    "x54_corpus_profile" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars,
+         |    len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_tok,
+         |    md5($Norm) AS h
+         |  FROM documents),
+         |dup AS (SELECT h FROM d GROUP BY h HAVING COUNT(*) > 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "x53_token_ids" ->
       """WITH toks AS (
         |  SELECT doc_id,

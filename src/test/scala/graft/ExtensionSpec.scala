@@ -174,6 +174,19 @@ class ExtensionSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x54 corpus profile: totals reconcile with the corpus and the exact-dup mass") {
+    val out = graft.queries.ExtensionQueries.x54CorpusProfile(spark, dir).cache()
+    val totals = out.agg(sum($"n_docs"), sum($"dup_docs")).head()
+    assert(totals.getLong(0) == docs.count(), "every doc lands in exactly one source row")
+    val dupMass = docs
+      .select(md5(TextFunctions.normalizeText($"text")).as("h"))
+      .groupBy($"h").count().filter($"count" > 1)
+      .agg(coalesce(sum($"count"), lit(0L))).head().getLong(0)
+    assert(totals.getLong(1) == dupMass,
+      "per-source dup_docs must sum to the corpus-wide duplicate mass")
+    out.unpersist()
+  }
+
   test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
     val s = Dedup.simhash(docs, "doc_id", "text")
