@@ -196,6 +196,21 @@ class PlanSpec extends AnyFunSuite {
         "columns must be pruned from every scan")
   }
 
+  test("x53 token ids: vocab cut is TakeOrderedAndProject, id join broadcasts") {
+    val plan = executed(SparkEntry.queries("x53_token_ids")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-K vocab selection must not materialize a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the constant-size vocabulary must broadcast to the token stream")
+  }
+
+  test("x54 corpus profile: aggregations are partial (map-side combine) before the shuffle") {
+    val plan = executed(SparkEntry.queries("x54_corpus_profile")(spark, dir))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "profile aggregates must combine map-side — a 100 TB corpus profile " +
+        "cannot shuffle raw rows")
+  }
+
   test("multi-probe LSH topk: superset of single-probe results") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
