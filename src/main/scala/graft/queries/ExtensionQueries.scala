@@ -613,6 +613,42 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  // x55: incrementally-maintained corpus profile — the monitoring table a
+  // continuously-ingesting pipeline keeps current without ever rescanning
+  // the corpus: per-source doc/token/char totals as an incremental
+  // materialized view (signed per-group deltas through one file-pruned
+  // merge per refresh — q52's machinery on the curation surface). Ingest
+  // arrives in three id-range batches, then a curation pass deletes
+  // flagged docs and the profile follows. The non-incremental stats
+  // (distinct langs, dup mass) stay in the batch profile x54.
+  def x55IncrementalProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("source"), col("n_chars"),
+      size(filter(split(col("text"), " "), w => length(w) > 0))
+        .cast("long").as("n_tok"))
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ext_prof").toString)
+    try {
+      store.createOrReplace("cur.docs", docs.filter(col("doc_id") <= c1))
+      store.createMaterializedView("cur.profile", "cur.docs", Seq("source"),
+        Seq(("n_docs", "count", "*"), ("n_tokens", "sum", "n_tok"),
+          ("sum_chars", "sum", "n_chars")))
+      store.append("cur.docs", docs.filter(col("doc_id") > c1 && col("doc_id") <= c2))
+      store.refreshMaterializedView("cur.profile")
+      store.append("cur.docs", docs.filter(col("doc_id") > c2))
+      store.refreshMaterializedView("cur.profile")
+      store.delete("cur.docs", col("doc_id") % 97 === 0) // curation pass
+      store.refreshMaterializedView("cur.profile")
+      store.read("cur.profile")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"))
+        .orderBy(col("source"))
+    } finally store.detach()
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -659,6 +695,7 @@ object ExtensionQueries {
     "x52_dsir_select" -> x52DsirSelect _,
     "x53_token_ids" -> x53TokenIds _,
     "x54_corpus_profile" -> x54CorpusProfile _,
+    "x55_incremental_profile" -> x55IncrementalProfile _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1187,6 +1224,16 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, dsir_micro,
          |  CAST(dsir_micro > thr AS INT) AS selected
          |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+    "x55_incremental_profile" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_tok,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "x54_corpus_profile" ->
       s"""WITH d AS (
          |  SELECT source, lang, n_chars,

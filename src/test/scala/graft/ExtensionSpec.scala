@@ -187,6 +187,36 @@ class ExtensionSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x55 incremental profile: every refresh takes the incremental path and " +
+      "matches the batch profile") {
+    val docsF = docs.select($"doc_id", $"source", $"n_chars",
+      size(filter(split($"text", " "), w => length(w) > 0)).cast("long").as("n_tok"))
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_incprof").toString)
+    try {
+      store.createOrReplace("cur.docs", docsF.filter($"doc_id" % 2 === 0))
+      store.createMaterializedView("cur.profile", "cur.docs", Seq("source"),
+        Seq(("n_docs", "count", "*"), ("n_tokens", "sum", "n_tok")))
+      store.append("cur.docs", docsF.filter($"doc_id" % 2 === 1))
+      store.refreshMaterializedView("cur.profile")
+      store.delete("cur.docs", $"doc_id" % 11 === 0)
+      store.refreshMaterializedView("cur.profile")
+      // both refreshes must ride the signed-delta merge, never a rebuild —
+      // the rebuild fallback rescans the source, which is the 100 TB failure
+      val ops = store.history("cur.profile").map(_._3)
+      assert(ops.count(_.startsWith("mv_refresh:")) == 2,
+        s"expected 2 incremental refreshes in $ops")
+      val got = store.read("cur.profile")
+        .select($"source", $"n_docs", $"n_tokens").orderBy($"source")
+        .as[(String, Long, Long)].collect().toSeq
+      val want = docsF.filter($"doc_id" % 11 =!= 0)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"source").as[(String, Long, Long)].collect().toSeq
+      assert(got == want, "incrementally maintained profile must equal recompute")
+    } finally store.detach()
+  }
+
   test("banded simhash pairs equal brute-force hamming ≤ 3 pairs (pigeonhole completeness)") {
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", 3).select($"doc_a", $"doc_b")
     val s = Dedup.simhash(docs, "doc_id", "text")
