@@ -649,6 +649,49 @@ object ExtensionQueries {
     } finally store.detach()
   }
 
+  // x56: deterministic global shuffle + shard layout — the curated corpus
+  // laid out as 8 equally-loaded shards in a pseudo-random but exactly
+  // replayable training order, with each document's in-shard position and
+  // running token offset. No global sort anywhere: shard = hash of id,
+  // order = md5(seed|id) per shard; see operators/Sharding.scala for the
+  // 100 TB shape (one hash shuffle, window partitions bounded by shard
+  // count sized to the cluster).
+  def x56ShardLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.shardLayout(
+        t(s, dir, "documents"), col("doc_id"),
+        size(filter(split(TextFunctions.normalizeText(col("text")), " "),
+          w => length(w) > 0)),
+        nShards = 8)
+      .orderBy(col("shard"), col("pos"))
+
+  // x57: embedding-space decontamination — the semantic twin of x30's
+  // n-gram overlap check: drop training documents whose embedding is too
+  // close (cosine ≥ 0.45) to any held-out benchmark vector. The benchmark
+  // side (vec_id % 25 = 0 here; a few thousand rows in production) is
+  // broadcast, so the corpus side streams partition-local with no shuffle
+  // before the per-doc max — corpus-linear at any scale.
+  def x57EmbedDecontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val bench = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("embedding").as("b_emb"))
+    emb.filter(col("vec_id") % 25 =!= 0)
+      .join(broadcast(bench))
+      .groupBy(col("vec_id"))
+      .agg(max(Similarity.cosine(col("embedding"), col("b_emb"))).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= 0.4499995).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  // x58: C4-style segment dedup with rewrite — cut every document into
+  // 4-token segments, keep only the globally first occurrence of each
+  // repeated segment, and reassemble the surviving text. The removal
+  // counterpart of x49's span *detection*; see Dedup.segmentDedup for the
+  // two-hash-shuffle scale shape.
+  def x58SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.segmentDedup(t(s, dir, "documents"), segTokens = 4)
+      .orderBy(col("doc_id"))
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -696,6 +739,9 @@ object ExtensionQueries {
     "x53_token_ids" -> x53TokenIds _,
     "x54_corpus_profile" -> x54CorpusProfile _,
     "x55_incremental_profile" -> x55IncrementalProfile _,
+    "x56_shard_layout" -> x56ShardLayout _,
+    "x57_embed_decontam" -> x57EmbedDecontam _,
+    "x58_segment_dedup" -> x58SegmentDedup _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1224,6 +1270,61 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, dsir_micro,
          |  CAST(dsir_micro > thr AS INT) AS selected
          |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin,
+    "x56_shard_layout" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split($Norm, ' '), w -> length(w) > 0))
+         |      AS BIGINT) AS n_tok,
+         |    md5('shuf|' || CAST(doc_id AS VARCHAR)) AS key
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, n_tok, key,
+         |    CAST(CAST(('0x' || substring(key, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+         |  FROM d)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+         |    AS BIGINT) AS pos,
+         |  n_tok,
+         |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tok_offset
+         |FROM sh ORDER BY shard, pos""".stripMargin,
+    "x57_embed_decontam" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT c.vec_id,
+        |    MAX(ROUND(list_sum(list_transform(range(1, len(c.embedding)+1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (c.nrm * b.nrm), 6)) AS max_cos
+        |  FROM n c JOIN n b ON c.vec_id % 25 <> 0 AND b.vec_id % 25 = 0
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, max_cos, max_cos >= 0.4499995 AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "x58_segment_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($Norm, ' '), w -> length(w) > 0) AS toks
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, toks, len(toks) AS len FROM toks WHERE len(toks) > 0),
+         |segs AS (
+         |  SELECT doc_id, CAST(u.seg_id AS BIGINT) AS seg_id,
+         |    CAST(CEIL(len / 4.0) AS BIGINT) AS n_segs,
+         |    array_to_string(toks[(u.seg_id*4+1):(u.seg_id*4+4)], ' ') AS seg_text
+         |  FROM t2, UNNEST(range(0, CAST(CEIL(len / 4.0) AS BIGINT))) AS u(seg_id)),
+         |flagged AS (
+         |  SELECT doc_id, seg_id, n_segs, seg_text,
+         |    ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_id) = 1
+         |      AS kept
+         |  FROM segs)
+         |SELECT doc_id, MAX(n_segs) AS n_segs,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+         |  COALESCE(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg_id),
+         |    '') AS kept_text
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x55_incremental_profile" ->
       """WITH d AS (
         |  SELECT source,

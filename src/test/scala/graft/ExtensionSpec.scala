@@ -509,6 +509,62 @@ class ExtensionSpec extends AnyFunSuite {
     assert(a.filter($"doc_id" === $"neg_doc_id").count() == 0, "never pair a doc with itself")
   }
 
+  test("shard layout: dense positions, exact running offsets, full coverage, replayable") {
+    val out = graft.queries.ExtensionQueries.x56ShardLayout(spark, dir).cache()
+    assert(out.count() == docs.count(), "every document lands in exactly one shard")
+    assert(out.select($"doc_id").distinct().count() == docs.count())
+    // positions are dense 0..n-1 within every shard
+    val perShard = out.groupBy($"shard").agg(
+      count(lit(1)).as("n"), max($"pos").as("mx"), min($"pos").as("mn"))
+    assert(perShard.filter($"mn" =!= 0 || $"mx" =!= $"n" - 1).count() == 0)
+    // tok_offset is the exact running sum of earlier docs' token counts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val recomputed = out.withColumn("expect", coalesce(sum($"n_tok").over(w), lit(0L)))
+    assert(recomputed.filter($"tok_offset" =!= $"expect").count() == 0)
+    // deterministic: a second run reproduces the layout bit-for-bit
+    val again = graft.queries.ExtensionQueries.x56ShardLayout(spark, dir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
+
+  test("embedding decontamination: benchmark excluded, flags agree with brute-force recompute") {
+    val out = graft.queries.ExtensionQueries.x57EmbedDecontam(spark, dir).cache()
+    assert(out.filter($"vec_id" % 25 === 0).count() == 0, "benchmark rows never scored")
+    assert(out.count() == emb.filter($"vec_id" % 25 =!= 0).count())
+    // recompute the per-doc max via an independent non-broadcast join
+    val bench = emb.filter($"vec_id" % 25 === 0).select($"embedding".as("b_emb"))
+    val brute = emb.filter($"vec_id" % 25 =!= 0).crossJoin(bench)
+      .groupBy($"vec_id")
+      .agg(max(Similarity.cosine($"embedding", $"b_emb")).as("mc"))
+    assert(out.join(brute, "vec_id").filter($"max_cos" =!= $"mc").count() == 0)
+    assert(out.filter($"contaminated" =!= ($"max_cos" >= 0.4499995)).count() == 0)
+  }
+
+  test("segment dedup: keeps exactly the distinct segments, clean docs reassemble verbatim") {
+    val out = graft.queries.ExtensionQueries.x58SegmentDedup(spark, dir).cache()
+    val norm = docs.select($"doc_id",
+      TextFunctions.normalizeText($"text").as("t"))
+      .filter(length($"t") > 0)
+    assert(out.count() == norm.count(), "one row per non-empty document")
+    assert(out.filter($"kept_segs" > $"n_segs" || $"kept_segs" < 0).count() == 0)
+    // global first-occurrence keeps each distinct segment exactly once
+    val segs = docs.select($"doc_id",
+        filter(split(TextFunctions.normalizeText($"text"), " "),
+          t => length(t) > 0).as("toks"))
+      .withColumn("n", ceil(size($"toks") / 4.0).cast("long"))
+      .select(explode(sequence(lit(0L), $"n" - 1)).as("i"), $"toks")
+      .select(array_join(slice($"toks", ($"i" * 4 + 1).cast("int"), lit(4)), " ").as("seg"))
+    val distinctSegs = segs.distinct().count()
+    val keptTotal = out.agg(sum($"kept_segs")).head().getLong(0)
+    assert(keptTotal == distinctSegs,
+      s"kept $keptTotal segments but corpus has $distinctSegs distinct ones")
+    // a document that lost nothing reassembles to its normalized text
+    val clean = out.filter($"kept_segs" === $"n_segs").join(norm, "doc_id")
+    assert(clean.count() > 0, "testdata should contain undamaged docs")
+    assert(clean.filter($"kept_text" =!= $"t").count() == 0)
+  }
+
   test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
     val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
     assert(out.count() == emb.count(), "one row per vector")

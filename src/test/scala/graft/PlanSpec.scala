@@ -269,6 +269,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x56 shard layout: no global sort — one hash shuffle plus the output sort") {
+    // AQE prints Final AND Initial plan sections — count only the final one
+    val plan = executedIsolated(SparkEntry.queries("x56_shard_layout")(spark, dir))
+      .split("InMemoryRelation").head.split("== Initial Plan ==").head
+    // shard is a pure hash of the id: the ONLY data shuffle is
+    // hashpartitioning(shard) feeding the per-shard window; a global
+    // rangepartitioning before the window would mean a 100 TB total sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected one hash shuffle (on shard), got $hashEx:\n${plan.take(1200)}")
+    assert(rangeEx <= 1, s"range shuffle only for the presentation sort, got $rangeEx")
+  }
+
+  test("x57 embedding decontamination: benchmark side broadcast, corpus never shuffles before the max") {
+    val plan = executedIsolated(SparkEntry.queries("x57_embed_decontam")(spark, dir))
+      .split("InMemoryRelation").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"benchmark vectors must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), "never a cartesian product")
+    assert("partial_max|partial".r.findFirstIn(plan.toLowerCase).isDefined,
+      "per-doc max must combine map-side")
+  }
+
+  test("x58 segment dedup: exactly the two designed hash shuffles (segment hash, doc regroup)") {
+    val plan = executedIsolated(SparkEntry.queries("x58_segment_dedup")(spark, dir))
+      .split("InMemoryRelation").head.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"segment window + doc regroup only, got $hashEx:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "no join anywhere in the dedup pipeline")
+  }
+
   test("x37: bounded_topk aggregates partially before the shuffle (no full-group sort)") {
     val plan = executedIsolated(SparkEntry.queries("x37_topk_agg")(spark, dir))
     // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
