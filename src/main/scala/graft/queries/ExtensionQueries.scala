@@ -683,6 +683,37 @@ object ExtensionQueries {
       .orderBy(col("vec_id"))
   }
 
+  // x59: training-export manifest — the handoff artifact between the data
+  // engine and the training job: the x56 shard layout materialized as a
+  // store table PARTITIONED BY shard (each shard = one directory a data
+  // loader mounts, rows in training order), then the per-shard manifest
+  // the trainer checksums its input against: doc count, token total, and
+  // an order-sensitive md5 over the doc-id sequence. Reading one shard
+  // prunes to that shard's files alone (ExtensionSpec pins the file
+  // count), so a 1000-worker trainer never scans a byte of another
+  // worker's shard.
+  def x59ExportManifest(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Sharding.shardLayout(
+      t(s, dir, "documents"), col("doc_id"),
+      size(filter(split(TextFunctions.normalizeText(col("text")), " "),
+        w => length(w) > 0)),
+      nShards = 8)
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ext_export").toString)
+    try {
+      store.createOrReplace("export.shards", layout,
+        partitionBy = Seq("shard"), sortWithin = Seq("pos"))
+      store.read("export.shards")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+              r => r.getField("doc_id").cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("shard"))
+    } finally store.detach()
+  }
+
   // x58: C4-style segment dedup with rewrite — cut every document into
   // 4-token segments, keep only the globally first occurrence of each
   // repeated segment, and reassemble the surviving text. The removal
@@ -742,6 +773,7 @@ object ExtensionQueries {
     "x56_shard_layout" -> x56ShardLayout _,
     "x57_embed_decontam" -> x57EmbedDecontam _,
     "x58_segment_dedup" -> x58SegmentDedup _,
+    "x59_export_manifest" -> x59ExportManifest _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1289,6 +1321,25 @@ object ExtensionQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    AS tok_offset
          |FROM sh ORDER BY shard, pos""".stripMargin,
+    "x59_export_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split($Norm, ' '), w -> length(w) > 0))
+         |      AS BIGINT) AS n_tok,
+         |    md5('shuf|' || CAST(doc_id AS VARCHAR)) AS key
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, n_tok, key,
+         |    CAST(CAST(('0x' || substring(key, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+         |  FROM d),
+         |layout AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+         |  FROM sh)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+         |FROM layout GROUP BY shard ORDER BY shard""".stripMargin,
     "x57_embed_decontam" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -565,6 +565,34 @@ class ExtensionSpec extends AnyFunSuite {
     assert(clean.filter($"kept_text" =!= $"t").count() == 0)
   }
 
+  test("export manifest: checksums match a direct recompute, shard reads prune to shard files") {
+    val layout = graft.operators.Sharding.shardLayout(
+      docs, $"doc_id",
+      size(filter(split(TextFunctions.normalizeText($"text"), " "),
+        t => length(t) > 0)),
+      nShards = 8).cache()
+    val manifest = graft.queries.ExtensionQueries.x59ExportManifest(spark, dir).cache()
+    assert(manifest.count() == 8, "one manifest row per shard")
+    // totals reconcile with the layout the manifest claims to describe
+    val direct = layout.groupBy($"shard").agg(
+      count(lit(1)).as("d_docs"), sum($"n_tok").as("d_tokens"))
+    assert(manifest.join(direct, "shard")
+      .filter($"n_docs" =!= $"d_docs" || $"n_tokens" =!= $"d_tokens").count() == 0)
+    // the persisted export table prunes a single-shard read to that
+    // shard's files — the property a per-worker data loader depends on
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ext_export_spec").toString)
+    try {
+      store.createOrReplace("export.shards", layout,
+        partitionBy = Seq("shard"), sortWithin = Seq("pos"))
+      val total = store.prunedFileList("export.shards", None).size
+      val one = store.prunedFileList("export.shards", Some($"shard" === 3)).size
+      assert(one < total, s"shard read must prune: $one of $total files")
+      assert(store.readWhere("export.shards", $"shard" === 3).count() ==
+        layout.filter($"shard" === 3).count())
+    } finally store.detach()
+  }
+
   test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
     val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
     assert(out.count() == emb.count(), "one row per vector")
