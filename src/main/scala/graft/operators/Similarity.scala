@@ -309,6 +309,72 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Test/tooling observability for [[incrementalIvfTopK]]'s probe
+    * pruning: (candidate files scanned, manifest total) of the most
+    * recent probe. */
+  @volatile var lastIvfScan: Option[(Int, Int)] = None
+
+  /** Incrementally-maintained IVF index: the vector-side twin of
+    * [[graft.operators.Dedup.incrementalDedup]]'s band index. Centroids
+    * are trained ONCE (on the first batch — at 100 TB, on a sample) and
+    * persisted; every later batch is assigned with the FROZEN centroids
+    * and appended to a vectors table laid out by cluster
+    * (`repartitionByRange` + sortWithin + per-file stats), so ingest cost
+    * is ∝ batch — never ∝ index history — and the layout keeps each
+    * file's cluster range tight for the probe-side file skipping below.
+    * Re-training (index rebuild) is a deliberate, separate operation, as
+    * in every production IVF deployment. */
+  def incrementalIvfAppend(store: graft.tables.TableStore,
+      centroidsTable: String, vectorsTable: String, batch: DataFrame,
+      nCentroids: Int, iterations: Int, filesPerBatch: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids =
+      if (store.exists(centroidsTable)) store.read(centroidsTable)
+      else {
+        val c = trainCentroids(batch, nCentroids, iterations, idCol, vecCol)
+        store.createOrReplace(centroidsTable, c)
+        c
+      }
+    val assigned = nearestCentroids(batch, centroids, probes = 1, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cluster"))
+      .repartitionByRange(filesPerBatch, col("cluster"))
+    if (store.exists(vectorsTable)) store.append(vectorsTable, assigned)
+    else store.createOrReplace(vectorsTable, assigned,
+      sortWithin = Seq("cluster"), statsFor = Seq("cluster"))
+  }
+
+  /** Probe the incremental IVF index: queries pick their `probes` nearest
+    * stored centroids, and the candidate scan is point-pruned to the
+    * index files whose cluster range admits a probed cluster — on the
+    * cluster-ranged layout [[incrementalIvfAppend]] writes, a probe
+    * touches ~probes/nCentroids of each batch's files no matter how many
+    * batches the index has accumulated. Queries broadcast; exact cosine
+    * within candidates; per-query top-k. */
+  def incrementalIvfTopK(store: graft.tables.TableStore,
+      centroidsTable: String, vectorsTable: String, queries: DataFrame,
+      k: Int, probes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = store.read(centroidsTable)
+    val probed = nearestCentroids(queries, centroids, probes, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnrm"), col("cluster"))
+    val (cand, counts) = store.readPointPruned(vectorsTable,
+      probed.select(col("cluster")), Seq("cluster"))
+    lastIvfScan = Some(counts)
+    val scored = cand.alias("c").join(broadcast(probed), Seq("cluster"))
+      .filter(col("query_id") =!= col(s"c.$idCol"))
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        round(dot(col("qvec"), col(s"c.$vecCol")) /
+          (col("qnrm") * norm(col(s"c.$vecCol"))), 6).as("cos_sim"))
+    // probes > 1: a neighbor can surface via two probed clusters
+    val deduped =
+      if (probes > 1) scored.dropDuplicates("query_id", "neighbor_id")
+      else scored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    deduped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact quadratic
     * form for oracle duty; bucket with [[lshBucket]] first at scale.
     * Norms are computed once per vector (n rows), not once per pair (n²):

@@ -107,6 +107,34 @@ object TpchExtraQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // x60: incrementally-maintained IVF vector index — the ANN twin of
+  // x46's incremental dedup index. Centroids train ONCE on the first
+  // ingest batch and persist; the second batch is assigned with the
+  // frozen centroids and appended to a cluster-ranged vectors table, so
+  // ingest cost tracks the batch, never the index history. The query
+  // probes its 2 nearest centroids and the candidate scan is point-pruned
+  // to index files whose cluster range admits a probed cluster. The
+  // DuckDB oracle replays training on batch 1 bit-for-bit (kmeansCtes
+  // with a train filter) and the probe exactly.
+  def x60IncrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val r = emb.agg(min(col("vec_id")).cast("long"),
+      max(col("vec_id")).cast("long")).head()
+    val cut = (r.getLong(0) + r.getLong(1)) / 2
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ext_ivf").toString)
+    try {
+      Similarity.incrementalIvfAppend(store, "ivf.centroids", "ivf.vectors",
+        emb.filter(col("vec_id") <= cut), nCentroids = 8, iterations = 2)
+      Similarity.incrementalIvfAppend(store, "ivf.centroids", "ivf.vectors",
+        emb.filter(col("vec_id") > cut), nCentroids = 8, iterations = 2)
+      Similarity.incrementalIvfTopK(store, "ivf.centroids", "ivf.vectors",
+          emb.filter(col("vec_id") < 10), k = 5, probes = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    } finally store.detach()
+  }
+
   // x18: LSH-bucketed embedding near-dup pairs (16 buckets).
   def x18LshNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), threshold = 0.4, nBits = 4, dim = 64)
@@ -163,7 +191,8 @@ object TpchExtraQueries {
     "q30_country_code" -> q30CountryCode _,
     "x17_ivf_topk" -> x17IvfTopK _,
     "x19_range_join" -> x19RangeJoin _,
-    "x18_lsh_neardup" -> x18LshNearDup _)
+    "x18_lsh_neardup" -> x18LshNearDup _,
+    "x60_incremental_ivf" -> x60IncrementalIvf _)
 
   private val DotSql =
     "list_sum(list_transform(range(1, len(%s.embedding)+1), i -> CAST(%s.embedding[i] AS DOUBLE) * CAST(%s.embedding[i] AS DOUBLE)))"
@@ -187,7 +216,12 @@ object TpchExtraQueries {
     * `assigned` CTE of (vec_id, embedding, nrm, cluster) — the training
     * prefix of [[ivfOracle]], also reused by the x36 semantic-dedup
     * oracle. */
-  private def kmeansCtes(nCentroids: Int, iterations: Int): String = {
+  /** `trainWhere` (a SQL predicate over `n`, empty = whole corpus)
+    * restricts the k-means TRAINING slice; the final `assigned` CTE always
+    * covers the whole corpus with the trained centroids — the shape the
+    * incremental index (x60) needs, and a no-op for x17/x36. */
+  private def kmeansCtes(nCentroids: Int, iterations: Int,
+      trainWhere: String = "TRUE"): String = {
     val iterCtes = (1 to iterations).map { j =>
       val prev = s"cent${j - 1}"
       s"""a$j AS (
@@ -196,7 +230,7 @@ object TpchExtraQueries {
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
          |        ROUND(${dotL("e.embedding", "c.cvec")}
          |          / (e.nrm * ${cnrm("c.cvec")}), 6) DESC, c.centroid_id) AS rk
-         |    FROM n e CROSS JOIN $prev c) WHERE rk = 1),
+         |    FROM tr e CROSS JOIN $prev c) WHERE rk = 1),
          |s$j AS (
          |  SELECT cluster, u.i AS pos,
          |    SUM(CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
@@ -212,9 +246,10 @@ object TpchExtraQueries {
     s"""n AS (
        |  SELECT vec_id, embedding, ${cnrm("embedding")} AS nrm
        |  FROM embeddings),
+       |tr AS (SELECT * FROM n WHERE $trainWhere),
        |cent0 AS (
        |  SELECT vec_id AS centroid_id, embedding AS cvec
-       |  FROM n ORDER BY vec_id LIMIT $nCentroids),
+       |  FROM tr ORDER BY vec_id LIMIT $nCentroids),
        |$iterCtes,
        |assigned AS (
        |  SELECT vec_id, embedding, nrm, cluster FROM (
@@ -233,6 +268,32 @@ object TpchExtraQueries {
        |      / (q.nrm * c.nrm), 6) AS cos_sim
        |  FROM assigned q JOIN assigned c ON q.cluster = c.cluster
        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** DuckDB replay of the incremental IVF index (x60): train on the
+    * id-lower half only, assign the WHOLE corpus with the frozen
+    * centroids, then the nprobe-2 probe with exact cosine inside the
+    * probed clusters. */
+  private def incIvfOracle(nCentroids: Int, iterations: Int, k: Int,
+      probes: Int): String = {
+    val train = "vec_id <= (SELECT (MIN(vec_id)+MAX(vec_id))//2 FROM embeddings)"
+    s"""WITH ${kmeansCtes(nCentroids, iterations, train)},
+       |probed AS (
+       |  SELECT vec_id AS query_id, embedding AS qemb, nrm AS qnrm, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(${dotL("e.embedding", "c.cvec")}
+       |          / (e.nrm * ${cnrm("c.cvec")}), 6) DESC, c.centroid_id) AS rk
+       |    FROM n e CROSS JOIN cent$iterations c WHERE e.vec_id < 10) WHERE rk <= $probes),
+       |scored AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${dotL("p.qemb", "a.embedding")} / (p.qnrm * a.nrm), 6) AS cos_sim
+       |  FROM probed p JOIN assigned a ON p.cluster = a.cluster AND a.vec_id <> p.query_id),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
        |  FROM scored)
@@ -383,6 +444,8 @@ object TpchExtraQueries {
         |  ON CAST(o_orderdate AS DATE) BETWEEN week_start AND week_end
         |GROUP BY week_start ORDER BY week_start""".stripMargin,
     "x17_ivf_topk" -> ivfOracle(nCentroids = 8, iterations = 2, k = 5),
+    "x60_incremental_ivf" ->
+      incIvfOracle(nCentroids = 8, iterations = 2, k = 5, probes = 2),
     "x36_semantic_dedup" ->
       s"""WITH ${kmeansCtes(nCentroids = 8, iterations = 2)},
          |canon AS (

@@ -593,6 +593,39 @@ class ExtensionSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("incremental IVF: frozen centroids, batch-count independent, probe prunes index files") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ext_ivf_spec").toString)
+    try {
+      // ingest in FOUR uneven batches (vs x60's two)
+      val cuts = Seq(Long.MinValue, 100L, 150L, 320L, Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        Similarity.incrementalIvfAppend(store, "ivf.centroids", "ivf.vectors",
+          emb.filter($"vec_id" > lo && $"vec_id" <= hi), nCentroids = 8, iterations = 2)
+      }
+      // centroids froze after batch 1: identical to a direct train on it
+      val direct = Similarity.trainCentroids(
+        emb.filter($"vec_id" <= 100), nCentroids = 8, iterations = 2)
+      val stored = store.read("ivf.centroids")
+      assert(stored.exceptAll(direct).count() == 0 && direct.exceptAll(stored).count() == 0)
+      // assignments are per-row with frozen centroids, so the index equals
+      // a single-pass assignment of the whole corpus — batch boundaries
+      // never leak into the index contents
+      val single = Similarity.nearestCentroids(emb, direct, probes = 1,
+          "vec_id", "embedding")
+        .select($"vec_id", $"cluster")
+      val idx = store.read("ivf.vectors").select($"vec_id", $"cluster")
+      assert(idx.exceptAll(single).count() == 0 && single.exceptAll(idx).count() == 0)
+      // the probe scans only files whose cluster range admits a probed
+      // cluster — bounded per batch, regardless of index history
+      val res = Similarity.incrementalIvfTopK(store, "ivf.centroids", "ivf.vectors",
+        emb.filter($"vec_id" < 5), k = 3, probes = 1)
+      assert(res.count() > 0)
+      val (cand, total) = Similarity.lastIvfScan.get
+      assert(cand < total, s"probe must skip files: scanned $cand of $total")
+    } finally store.detach()
+  }
+
   test("semantic dedup: one canonical per cluster, canonicals are cluster minima, corpus preserved") {
     val out = Similarity.semanticDedup(emb, nCentroids = 4, iterations = 2).cache()
     assert(out.count() == emb.count(), "one row per vector")
