@@ -723,6 +723,24 @@ object ExtensionQueries {
     graft.operators.Dedup.segmentDedup(t(s, dir, "documents"), segTokens = 4)
       .orderBy(col("doc_id"))
 
+  // x61: data-quality expectations (the DLT EXPECT / EXPECT OR DROP /
+  // EXPECT OR FAIL idiom): a declared gate over the corpus produces the
+  // per-expectation pass/fail report in ONE aggregation pass — every
+  // predicate evaluated per row map-side, partial sums combined, no
+  // per-expectation jobs and no row-data shuffle. enforce()'s
+  // kept/quarantine split (with per-row violation reasons) is pinned in
+  // ExtensionSpec; this query is the report a run publishes to its
+  // quality dashboard.
+  def x61Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations.{Expectation => E}
+    graft.operators.Expectations.report(t(s, dir, "documents"), Seq(
+        E("has_id", col("doc_id").isNotNull, "fail"),
+        E("known_lang", col("lang").isin("en", "de", "fr"), "drop"),
+        E("nonempty_text", length(col("text")) > 0, "drop"),
+        E("short_doc", col("n_chars") <= 400, "warn")))
+      .orderBy(col("expectation"))
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -774,6 +792,7 @@ object ExtensionQueries {
     "x57_embed_decontam" -> x57EmbedDecontam _,
     "x58_segment_dedup" -> x58SegmentDedup _,
     "x59_export_manifest" -> x59ExportManifest _,
+    "x61_expectations" -> x61Expectations _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1321,6 +1340,24 @@ object ExtensionQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    AS tok_offset
          |FROM sh ORDER BY shard, pos""".stripMargin,
+    "x61_expectations" ->
+      """WITH c AS (SELECT
+        |  SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS p_id,
+        |  SUM(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS p_lang,
+        |  SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS p_txt,
+        |  SUM(CASE WHEN n_chars <= 400 THEN 1 ELSE 0 END) AS p_short,
+        |  COUNT(*) AS n
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'has_id' AS expectation, 'fail' AS action,
+        |    CAST(p_id AS BIGINT) AS n_pass, CAST(n - p_id AS BIGINT) AS n_fail FROM c
+        |  UNION ALL SELECT 'known_lang', 'drop',
+        |    CAST(p_lang AS BIGINT), CAST(n - p_lang AS BIGINT) FROM c
+        |  UNION ALL SELECT 'nonempty_text', 'drop',
+        |    CAST(p_txt AS BIGINT), CAST(n - p_txt AS BIGINT) FROM c
+        |  UNION ALL SELECT 'short_doc', 'warn',
+        |    CAST(p_short AS BIGINT), CAST(n - p_short AS BIGINT) FROM c)
+        |ORDER BY expectation""".stripMargin,
     "x59_export_manifest" ->
       s"""WITH d AS (
          |  SELECT doc_id,

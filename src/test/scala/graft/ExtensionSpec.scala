@@ -593,6 +593,34 @@ class ExtensionSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("expectations: kept/quarantine partition the corpus, reasons name every violated gate") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.{Expectation => E}
+    val exps = Seq(
+      E("known_lang", $"lang".isin("en", "de", "fr"), "drop"),
+      E("short_doc", $"n_chars" <= 400, "drop"),
+      E("nonempty", length($"text") > 0, "warn"))
+    val (kept, quarantine) = Expectations.enforce(docs, exps)
+    assert(kept.count() + quarantine.count() == docs.count(), "exact partition")
+    // kept rows violate no drop gate; quarantine rows violate at least one
+    assert(kept.filter(!$"lang".isin("en", "de", "fr") || $"n_chars" > 400).count() == 0)
+    assert(quarantine.filter(size($"_violations") === 0).count() == 0)
+    // reasons are exactly the violated gates
+    assert(quarantine.filter(
+      array_contains($"_violations", "known_lang") =!= !$"lang".isin("en", "de", "fr")).count() == 0)
+    assert(quarantine.filter(
+      array_contains($"_violations", "short_doc") =!= ($"n_chars" > 400)).count() == 0)
+    // warn never drops: corpus with only the warn gate passes through whole
+    val (w, wq) = Expectations.enforce(docs, exps.filter(_.action == "warn"))
+    assert(w.count() == docs.count() && wq.count() == 0)
+    // fail aborts on a violated gate, passes on a satisfied one
+    intercept[IllegalStateException] {
+      Expectations.enforce(docs, Seq(E("all_en", $"lang" === "en", "fail")))
+    }
+    val (ok, _) = Expectations.enforce(docs, Seq(E("has_id", $"doc_id".isNotNull, "fail")))
+    assert(ok.count() == docs.count())
+  }
+
   test("incremental IVF: frozen centroids, batch-count independent, probe prunes index files") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ext_ivf_spec").toString)
