@@ -741,6 +741,48 @@ object ExtensionQueries {
       .orderBy(col("expectation"))
   }
 
+  // x62: streaming quality gate — x61's expectations applied per
+  // micro-batch on a live ingest: bronze commits stream through the DSv2
+  // table source, each batch's kept rows and quarantine commit as ONE
+  // atomic store transaction (stream_append batch markers make replays
+  // no-ops), and the quarantine keeps WHY each row was rejected and in
+  // which batch. Two AvailableNow drains over one checkpoint make the
+  // batch boundaries deterministic, so the full quarantine table —
+  // violations, batch ids and all — is oracle-exact.
+  def x62StreamingQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Expectations.{Expectation => E}
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val cut = (r.getLong(0) + r.getLong(1)) / 2
+    val gates = Seq(
+      E("known_lang", col("lang").isin("en", "de", "fr"), "drop"),
+      E("short_doc", col("n_chars") <= 400, "drop"))
+    val root = java.nio.file.Files.createTempDirectory("graft_x62_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_x62_ckpt").toString
+    val store = new graft.tables.TableStore(s, root)
+    try {
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingIngest.gatedAppendSink(
+            store.readStream("bronze.docs"), store, "silver.docs",
+            "quality.quarantine", gates)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      store.createOrReplace("bronze.docs", docs.filter(col("doc_id") <= cut))
+      drain() // batch 0
+      store.append("bronze.docs", docs.filter(col("doc_id") > cut))
+      drain() // batch 1
+      store.read("quality.quarantine")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          array_join(array_sort(col("_violations")), ",").as("violations"),
+          col("_batch_id"))
+        .orderBy(col("doc_id"))
+    } finally store.detach()
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -793,6 +835,7 @@ object ExtensionQueries {
     "x58_segment_dedup" -> x58SegmentDedup _,
     "x59_export_manifest" -> x59ExportManifest _,
     "x61_expectations" -> x61Expectations _,
+    "x62_streaming_quality" -> x62StreamingQuality _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1340,6 +1383,19 @@ object ExtensionQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    AS tok_offset
          |FROM sh ORDER BY shard, pos""".stripMargin,
+    "x62_streaming_quality" ->
+      """WITH r AS (SELECT (MIN(doc_id)+MAX(doc_id))//2 AS cut FROM documents),
+        |v AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    lang NOT IN ('en','de','fr') AS kl,
+        |    n_chars > 400 AS sd,
+        |    CASE WHEN doc_id <= (SELECT cut FROM r) THEN 0 ELSE 1 END AS b
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CASE WHEN kl AND sd THEN 'known_lang,short_doc'
+        |       WHEN kl THEN 'known_lang' ELSE 'short_doc' END AS violations,
+        |  CAST(b AS BIGINT) AS _batch_id
+        |FROM v WHERE kl OR sd ORDER BY doc_id""".stripMargin,
     "x61_expectations" ->
       """WITH c AS (SELECT
         |  SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS p_id,

@@ -35,4 +35,42 @@ object StreamingIngest {
 
   def appendSink(stream: DataFrame, store: TableStore, table: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch(appendBatch(store, table) _)
+
+  /** Quality-gated streaming ingest: every micro-batch passes a
+    * [[graft.operators.Expectations]] gate; rows that clear every drop
+    * gate append to `table`, violating rows land in `quarantineTable`
+    * carrying the violated gate names and the batch id — and BOTH appends
+    * commit as ONE store transaction, so a concurrent reader never sees a
+    * batch's kept rows without its quarantine (or vice versa), and a
+    * crash cannot strand half the gate's verdict.
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: the batch
+    * id rides the transaction as each table's `stream_append:<id>`
+    * operation label (the [[appendBatch]] pattern), so a replayed batch
+    * is recognized and skipped whole. `fail`-action expectations abort
+    * the query, the streaming equivalent of failing the load. */
+  def gatedAppendBatch(store: TableStore, table: String, quarantineTable: String,
+      exps: Seq[graft.operators.Expectations.Expectation])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val already = Seq(table, quarantineTable)
+      .flatMap(t => store.lastStreamBatch(t)).exists(_ >= batchId)
+    if (already) return
+    val (kept, quarantine) = graft.operators.Expectations.enforce(batch, exps)
+    val q = quarantine.withColumn("_batch_id",
+      org.apache.spark.sql.functions.lit(batchId))
+    def ensure(name: String, like: DataFrame): Unit =
+      if (!store.exists(name))
+        store.createOrReplace(name, like.sparkSession.createDataFrame(
+          like.sparkSession.sparkContext.emptyRDD[Row], like.schema))
+    ensure(table, kept); ensure(quarantineTable, q)
+    store.transaction { txn =>
+      txn.append(table, kept, op = s"stream_append:$batchId")
+      txn.append(quarantineTable, q, op = s"stream_append:$batchId")
+    }
+  }
+
+  def gatedAppendSink(stream: DataFrame, store: TableStore, table: String,
+      quarantineTable: String,
+      exps: Seq[graft.operators.Expectations.Expectation]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch(gatedAppendBatch(store, table, quarantineTable, exps) _)
 }

@@ -105,13 +105,15 @@ final class Txn private[tables] (store: TableStore) {
     scala.collection.mutable.ArrayBuffer.empty[(String, Int, Path, Option[Int])]
 
   private def stage(name: String, df: DataFrame, partitionBy: Seq[String],
-      sortWithin: Seq[String], statsFor: Seq[String], append: Boolean): Unit = {
+      sortWithin: Seq[String], statsFor: Seq[String], append: Boolean,
+      op: Option[String] = None): Unit = {
     require(!staged.exists(_._1 == name),
       s"transaction already wrote $name — one write per table per transaction " +
         "(writes see pre-transaction state, so a second write would silently " +
         "discard the first)")
     staged += { val (v, d, b) = store.txnStage(name, df, partitionBy, sortWithin,
-      statsFor, append, if (append) "txn_append" else "txn_write"); (name, v, d, b) }
+      statsFor, append,
+      op.getOrElse(if (append) "txn_append" else "txn_write")); (name, v, d, b) }
   }
 
   /** Stage a full-snapshot write (createOrReplace semantics). */
@@ -120,9 +122,12 @@ final class Txn private[tables] (store: TableStore) {
     stage(name, df, partitionBy, sortWithin, statsFor, append = false)
 
   /** Stage an append to an existing table (its current files carry over,
-    * the new rows become new files — layout preserved). */
-  def append(name: String, df: DataFrame): Unit =
-    stage(name, df, Nil, Nil, Nil, append = true)
+    * the new rows become new files — layout preserved). `op` overrides the
+    * commit's operation label — e.g. a streaming sink records
+    * `stream_append:<batchId>` so [[TableStore.lastStreamBatch]] sees the
+    * progress marker inside the atomic transactional commit. */
+  def append(name: String, df: DataFrame, op: String = "txn_append"): Unit =
+    stage(name, df, Nil, Nil, Nil, append = true, Some(op))
 
   private[tables] def commitAll(): Unit = store.txnCommit(staged.toSeq)
   private[tables] def abort(): Unit = store.txnAbort(staged.map(_._3).toSeq)

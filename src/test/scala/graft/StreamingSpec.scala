@@ -238,6 +238,35 @@ class StreamingSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("gated streaming ingest: kept+quarantine partition each batch atomically, replays skip whole") {
+    import graft.operators.Expectations.{Expectation => E}
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_store").toString
+    val store = new graft.tables.TableStore(spark, root)
+    val gates = Seq(E("pos", col("v") > 0, "drop"), E("small", col("v") < 100, "drop"))
+    def gb = graft.streaming.StreamingIngest.gatedAppendBatch(
+      store, "silver.t", "quality.q", gates) _
+
+    gb(Seq((1, 5), (2, -1), (3, 500)).toDF("id", "v"), 0L)
+    gb(Seq((4, 7), (5, -2)).toDF("id", "v"), 1L)
+    assert(store.read("silver.t").select("id").as[Int].collect().sorted.toSeq == Seq(1, 4))
+    val q = store.read("quality.q")
+    assert(q.count() == 3)
+    // reasons name exactly the violated gates; batch ids recorded
+    assert(q.filter(col("id") === 2 &&
+      array_join(col("_violations"), ",") === "pos" && col("_batch_id") === 0L).count() == 1)
+    assert(q.filter(col("id") === 3 &&
+      array_join(col("_violations"), ",") === "small").count() == 1)
+    assert(q.filter(col("id") === 5 && col("_batch_id") === 1L).count() == 1)
+    // replay of either batch is skipped whole — neither table moves
+    gb(Seq((9, 9)).toDF("id", "v"), 1L)
+    assert(store.read("silver.t").count() == 2 && store.read("quality.q").count() == 3)
+    // both sides of a batch share one transactional commit: the tables'
+    // stream markers advanced in lockstep
+    assert(store.lastStreamBatch("silver.t").contains(1L))
+    assert(store.lastStreamBatch("quality.q").contains(1L))
+    store.detach()
+  }
+
   test("streaming minhash dedup == batch first-seen dedup; replayed batch is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_store").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sdedup_src").toString
