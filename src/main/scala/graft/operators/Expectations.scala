@@ -67,4 +67,22 @@ object Expectations {
     (df.filter(passAll),
       df.filter(!passAll).withColumn("_violations", violations))
   }
+
+  /** Dead-letter replay: after a gate change (fixed data, relaxed
+    * thresholds), re-run the CURRENT expectations over the quarantine —
+    * rows that now pass move to `table`, rows still failing stay
+    * quarantined with freshly computed `_violations`. Both sides commit
+    * as ONE store transaction (append + snapshot-replace), so no reader
+    * ever sees a row in both tables or in neither. The `_batch_id` each
+    * row arrived with is preserved on the rows that stay. */
+  def reprocessQuarantine(store: graft.tables.TableStore, table: String,
+      quarantineTable: String, exps: Seq[Expectation]): Unit = {
+    val cols = store.read(quarantineTable).columns
+    val cur = store.read(quarantineTable).drop("_violations")
+    val (admitted, still) = enforce(cur, exps)
+    store.transaction { txn =>
+      txn.append(table, admitted.drop("_batch_id"))
+      txn.createOrReplace(quarantineTable, still.select(cols.map(col): _*))
+    }
+  }
 }

@@ -783,6 +783,33 @@ object ExtensionQueries {
     } finally store.detach()
   }
 
+  // x63: quarantine reprocessing (dead-letter replay) — the lifecycle
+  // step after x62: the short-doc gate relaxes from 400 to 500 chars, the
+  // CURRENT gates re-run over the quarantine, newly-passing rows move to
+  // silver and the rest stay with freshly computed violations — one
+  // atomic transaction for the move. Output = the quarantine AFTER the
+  // replay; the spec pins the admitted silver side.
+  def x63QuarantineReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations.{Expectation => E}
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+    def gates(maxChars: Int) = Seq(
+      E("known_lang", col("lang").isin("en", "de", "fr"), "drop"),
+      E("short_doc", col("n_chars") <= maxChars, "drop"))
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_x63_store").toString)
+    try {
+      // initial gated load (strict gates), then the relaxed replay
+      graft.streaming.StreamingIngest.gatedAppendBatch(
+        store, "silver.docs", "quality.quarantine", gates(400))(docs, 0L)
+      graft.operators.Expectations.reprocessQuarantine(
+        store, "silver.docs", "quality.quarantine", gates(500))
+      store.read("quality.quarantine")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          array_join(array_sort(col("_violations")), ",").as("violations"))
+        .orderBy(col("doc_id"))
+    } finally store.detach()
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -836,6 +863,7 @@ object ExtensionQueries {
     "x59_export_manifest" -> x59ExportManifest _,
     "x61_expectations" -> x61Expectations _,
     "x62_streaming_quality" -> x62StreamingQuality _,
+    "x63_quarantine_replay" -> x63QuarantineReplay _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -1383,6 +1411,17 @@ object ExtensionQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    AS tok_offset
          |FROM sh ORDER BY shard, pos""".stripMargin,
+    "x63_quarantine_replay" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    lang NOT IN ('en','de','fr') AS kl,
+        |    n_chars > 500 AS sd
+        |  FROM documents
+        |  WHERE lang NOT IN ('en','de','fr') OR n_chars > 400)
+        |SELECT doc_id, lang, n_chars,
+        |  CASE WHEN kl AND sd THEN 'known_lang,short_doc'
+        |       WHEN kl THEN 'known_lang' ELSE 'short_doc' END AS violations
+        |FROM v WHERE kl OR sd ORDER BY doc_id""".stripMargin,
     "x62_streaming_quality" ->
       """WITH r AS (SELECT (MIN(doc_id)+MAX(doc_id))//2 AS cut FROM documents),
         |v AS (

@@ -267,6 +267,34 @@ class StreamingSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("quarantine replay: admitted rows move to silver atomically, the rest re-flag") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.{Expectation => E}
+    val root = java.nio.file.Files.createTempDirectory("graft_replay_store").toString
+    val store = new graft.tables.TableStore(spark, root)
+    def gates(cap: Int) = Seq(E("small", col("v") <= cap, "drop"),
+      E("pos", col("v") > 0, "drop"))
+    graft.streaming.StreamingIngest.gatedAppendBatch(
+      store, "silver.t", "quality.q",
+      gates(10))(Seq((1, 5), (2, 15), (3, 50), (4, -1)).toDF("id", "v"), 0L)
+    assert(store.read("silver.t").count() == 1) // only id=1
+    Expectations.reprocessQuarantine(store, "silver.t", "quality.q", gates(20))
+    // id=2 admitted by the relaxed cap; 3 and 4 stay with fresh reasons
+    assert(store.read("silver.t").select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    val q = store.read("quality.q")
+    assert(q.select("id").as[Int].collect().sorted.toSeq == Seq(3, 4))
+    assert(q.filter(col("id") === 3 &&
+      array_join(col("_violations"), ",") === "small").count() == 1)
+    assert(q.filter(col("id") === 4 &&
+      array_join(col("_violations"), ",") === "pos").count() == 1)
+    // silver and quarantine always partition the full load: no row lost,
+    // none duplicated across the move
+    assert(store.read("silver.t").count() + q.count() == 4)
+    // arrival batch ids survive the replay on the rows that stayed
+    assert(q.filter(col("_batch_id") =!= 0L).count() == 0)
+    store.detach()
+  }
+
   test("streaming minhash dedup == batch first-seen dedup; replayed batch is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_sdedup_store").toString
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sdedup_src").toString
