@@ -498,26 +498,40 @@ object Dedup {
     * replaces the paper's suffix array at 100 TB.
     */
   def segmentDedup(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", segTokens: Int = 4): DataFrame = {
+      textCol: String = "text", segTokens: Int = 4): DataFrame =
+    assembleKept(flagFirstSegments(segments(docs, idCol, textCol, segTokens)))
+
+  /** Explode a corpus into its non-overlapping `segTokens`-token segments:
+    * (doc_id, seg_id, n_segs, seg_text, h = md5(seg_text)). */
+  private def segments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
-    val toks = docs
+    docs
       .select(col(idCol).as("doc_id"),
         filter(split(normalizeText(col(textCol)), " "), t => length(t) > 0).as("toks"))
       .withColumn("len", size(col("toks")))
       .filter(col("len") > 0)
-    val segs = toks
       .withColumn("n_segs", ceil(col("len").cast("double") / segTokens).cast("long"))
       .select(col("doc_id"), col("toks"), col("n_segs"),
         explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_id"))
       .select(col("doc_id"), col("seg_id"), col("n_segs"),
         array_join(slice(col("toks"),
           (col("seg_id") * segTokens + 1).cast("int"), lit(segTokens)), " ").as("seg_text"))
-      // fixed-width shuffle key: the window partitions by the segment's
+      // fixed-width shuffle key: downstream grouping keys on the segment's
       // md5, not the segment text itself
       .withColumn("h", md5(col("seg_text")))
-    val flagged = segs.withColumn("kept",
+  }
+
+  /** Mark each segment row `kept` iff it is the first occurrence of its
+    * hash within `segs` — first = lowest (doc_id, seg_id). */
+  private def flagFirstSegments(segs: DataFrame): DataFrame =
+    segs.withColumn("kept",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("h")).orderBy(col("doc_id"), col("seg_id"))) === 1)
+
+  /** Per-doc reassembly of flagged segments:
+    * (doc_id, n_segs, kept_segs, kept_text). */
+  private def assembleKept(flagged: DataFrame): DataFrame =
     flagged.groupBy(col("doc_id"))
       .agg(max(col("n_segs")).as("n_segs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("kept_segs"),
@@ -527,5 +541,44 @@ object Dedup {
               struct(col("seg_id"), col("seg_text"))))),
             s => s.getField("seg_text")),
           " ").as("kept_text"))
+
+  /** Incremental [[segmentDedup]] against a PERSISTED segment-hash index —
+    * the third member of the incremental-dedup family (exact band index:
+    * [[incrementalDedup]]; here: segments). A batch's segment is kept iff
+    * its hash is absent from the index AND it is the batch's own first
+    * occurrence; the batch then appends exactly its NEW distinct hashes,
+    * so the index grows by novelty, not volume, and for id-ordered batches
+    * the union of batch outputs equals the single-pass [[segmentDedup]]
+    * verbatim (which is what the x64 oracle checks).
+    *
+    * Scale: batch cost is the batch's two hash shuffles plus one
+    * semi-join against the index, point-pruned by per-file hash ranges
+    * (bounded by the batch, not the index, on a hash-clustered layout);
+    * the history is never rescanned. */
+  def incrementalSegmentDedup(store: graft.tables.TableStore, indexTable: String,
+      batch: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      segTokens: Int = 4): DataFrame = {
+    val segs = segments(batch, idCol, textCol, segTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // resolve the index read NOW — this batch's append below must not
+    // leak into its own dedup decision
+    val hasIndex = store.exists(indexTable)
+    val inIndex =
+      if (!hasIndex) segs.filter(lit(false)).select(col("h"))
+      else {
+        val (idx, counts) = store.readPointPruned(indexTable, segs, Seq("h"))
+        lastIndexScan = Some(counts)
+        segs.join(idx, Seq("h"), "left_semi").select(col("h"))
+      }
+    val flagged = flagFirstSegments(segs)
+      .join(inIndex.distinct().withColumn("__old", lit(true)), Seq("h"), "left_outer")
+      .withColumn("kept", col("kept") && col("__old").isNull)
+    val out = assembleKept(flagged).localCheckpoint()
+    val newHashes = flagged.filter(col("kept")).select(col("h"))
+    if (!hasIndex)
+      store.createOrReplace(indexTable, newHashes, statsFor = Seq("h"))
+    else store.append(indexTable, newHashes)
+    segs.unpersist(false)
+    out
   }
 }

@@ -810,6 +810,27 @@ object ExtensionQueries {
     } finally store.detach()
   }
 
+  // x64: incremental segment dedup — x58 as a continuously-ingesting
+  // pipeline runs it: two id-ordered batches dedup against a persisted
+  // segment-hash index (batch cost ∝ batch; the index grows by novelty
+  // only). The oracle is x58's single-pass SQL VERBATIM: for id-ordered
+  // batches the incremental union must equal the one-shot result.
+  def x64IncrementalSegments(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val cut = (r.getLong(0) + r.getLong(1)) / 2
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_x64_store").toString)
+    try {
+      val b1 = graft.operators.Dedup.incrementalSegmentDedup(store, "idx.segs",
+        docs.filter(col("doc_id") <= cut), segTokens = 4)
+      val b2 = graft.operators.Dedup.incrementalSegmentDedup(store, "idx.segs",
+        docs.filter(col("doc_id") > cut), segTokens = 4)
+      b1.unionByName(b2).orderBy(col("doc_id"))
+    } finally store.detach()
+  }
+
   /** The literal query set for x34 — shared with the oracle text. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("spark", "join"),
@@ -864,6 +885,7 @@ object ExtensionQueries {
     "x61_expectations" -> x61Expectations _,
     "x62_streaming_quality" -> x62StreamingQuality _,
     "x63_quarantine_replay" -> x63QuarantineReplay _,
+    "x64_incremental_segments" -> x64IncrementalSegments _,
     "x47_hybrid_retrieval" -> x47HybridRetrieval _,
     "x34_bm25_topk" -> x34Bm25TopK _,
     "x35_seq_packing" -> x35SeqPacking _,
@@ -898,6 +920,30 @@ object ExtensionQueries {
     "x10_media_features" -> x10MediaFeatures _)
 
   private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  /** Single-pass segment-dedup oracle — shared by x58 (one shot) and x64
+    * (incremental index), whose results must be identical. */
+  private lazy val SegmentDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split($Norm, ' '), w -> length(w) > 0) AS toks
+       |  FROM documents),
+       |t2 AS (SELECT doc_id, toks, len(toks) AS len FROM toks WHERE len(toks) > 0),
+       |segs AS (
+       |  SELECT doc_id, CAST(u.seg_id AS BIGINT) AS seg_id,
+       |    CAST(CEIL(len / 4.0) AS BIGINT) AS n_segs,
+       |    array_to_string(toks[(u.seg_id*4+1):(u.seg_id*4+4)], ' ') AS seg_text
+       |  FROM t2, UNNEST(range(0, CAST(CEIL(len / 4.0) AS BIGINT))) AS u(seg_id)),
+       |flagged AS (
+       |  SELECT doc_id, seg_id, n_segs, seg_text,
+       |    ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_id) = 1
+       |      AS kept
+       |  FROM segs)
+       |SELECT doc_id, MAX(n_segs) AS n_segs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+       |  COALESCE(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg_id),
+       |    '') AS kept_text
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shingle/size/intersection CTEs over a source CTE exposing (doc, t). */
   private def shingleCtes(src: String): String =
@@ -1487,27 +1533,10 @@ object ExtensionQueries {
         |  GROUP BY c.vec_id)
         |SELECT vec_id, max_cos, max_cos >= 0.4499995 AS contaminated
         |FROM s ORDER BY vec_id""".stripMargin,
-    "x58_segment_dedup" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split($Norm, ' '), w -> length(w) > 0) AS toks
-         |  FROM documents),
-         |t2 AS (SELECT doc_id, toks, len(toks) AS len FROM toks WHERE len(toks) > 0),
-         |segs AS (
-         |  SELECT doc_id, CAST(u.seg_id AS BIGINT) AS seg_id,
-         |    CAST(CEIL(len / 4.0) AS BIGINT) AS n_segs,
-         |    array_to_string(toks[(u.seg_id*4+1):(u.seg_id*4+4)], ' ') AS seg_text
-         |  FROM t2, UNNEST(range(0, CAST(CEIL(len / 4.0) AS BIGINT))) AS u(seg_id)),
-         |flagged AS (
-         |  SELECT doc_id, seg_id, n_segs, seg_text,
-         |    ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_id) = 1
-         |      AS kept
-         |  FROM segs)
-         |SELECT doc_id, MAX(n_segs) AS n_segs,
-         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
-         |  COALESCE(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg_id),
-         |    '') AS kept_text
-         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x58_segment_dedup" -> SegmentDedupSql,
+    // for id-ordered batches the incremental index run must reproduce the
+    // single pass verbatim — the oracle IS x58's SQL
+    "x64_incremental_segments" -> SegmentDedupSql,
     "x55_incremental_profile" ->
       """WITH d AS (
         |  SELECT source,

@@ -621,6 +621,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(ok.count() == docs.count())
   }
 
+  test("incremental segment dedup: uneven batches == single pass, index grows by novelty only") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ext_segidx").toString)
+    try {
+      // three uneven id-ordered batches must reproduce the one-shot result
+      val cuts = Seq(Long.MinValue, 120L, 180L, Long.MaxValue)
+      val parts = cuts.sliding(2).map { case Seq(lo, hi) =>
+        graft.operators.Dedup.incrementalSegmentDedup(store, "idx.segs",
+          docs.filter($"doc_id" > lo && $"doc_id" <= hi), segTokens = 4)
+      }.toSeq
+      val inc = parts.reduce(_ unionByName _)
+      val once = graft.operators.Dedup.segmentDedup(docs, segTokens = 4)
+      assert(inc.exceptAll(once).count() == 0 && once.exceptAll(inc).count() == 0,
+        "incremental union must equal the single pass verbatim")
+      // the index holds each distinct segment hash exactly once
+      val idx = store.read("idx.segs")
+      assert(idx.count() == idx.select($"h").distinct().count())
+      val distinctSegs = once.agg(sum($"kept_segs")).head().getLong(0)
+      assert(idx.count() == distinctSegs,
+        "index rows == corpus distinct segments (novelty growth)")
+    } finally store.detach()
+  }
+
   test("incremental IVF: frozen centroids, batch-count independent, probe prunes index files") {
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ext_ivf_spec").toString)
