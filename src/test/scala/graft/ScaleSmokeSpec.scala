@@ -78,6 +78,9 @@ class ScaleSmokeSpec extends AnyFunSuite {
   test("x52 DSIR selection completes at 10x") { requested(); run("x52_dsir_select") }
   test("x56 shard layout completes at 10x") { requested(); run("x56_shard_layout") }
   test("x58 segment dedup completes at 10x") { requested(); run("x58_segment_dedup") }
+  test("x64 incremental segment dedup completes at 10x") {
+    requested(); run("x64_incremental_segments")
+  }
 
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
