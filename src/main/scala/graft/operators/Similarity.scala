@@ -49,6 +49,36 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most cosine-similar corpus vectors carrying a DIFFERENT label —
+    * high-similarity cross-label examples are exactly the negatives a
+    * contrastive objective learns most from (cf. the cyclic-walk easy
+    * negatives in ExtensionQueries.x43NegativeSampling — this is the
+    * ANN-shaped hard counterpart).
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: the anchor set broadcasts (it
+    * is a small sample by construction), the corpus streams partition-local
+    * through score+filter, and only the per-anchor top-k window shuffles.
+    * For a billion-vector corpus swap the scoring join for [[lshTopK]]'s
+    * bucketed candidates and keep the label filter — same contract. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cn = corpus.select(col(idCol), col(vecCol), col(labelCol),
+      norm(col(vecCol)).as("cnrm"))
+    val scored = cn.alias("c").join(
+        broadcast(anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("qvec"),
+          col(labelCol).as("anchor_label"), norm(col(vecCol)).as("qnrm"))),
+        col("anchor_label") =!= col(s"c.$labelCol"))
+      .select(
+        col("anchor_id"), col(s"c.$idCol").as("neg_id"),
+        col(s"c.$labelCol").as("neg_label"),
+        round(dot(col("qvec"), col(s"c.$vecCol")) / (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("cos_sim").desc, col("neg_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** md5-derived component index per LSH bit — public so oracle SQL can be
     * generated from the same constants. */
   def lshComponents(nBits: Int, dim: Int): Seq[Int] =

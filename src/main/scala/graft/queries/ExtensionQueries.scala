@@ -871,7 +871,57 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // x65: hard-negative mining — for each anchor embedding (every 25th
+  // vector), the 5 most cosine-similar vectors with a DIFFERENT label.
+  // The ANN-shaped hard counterpart to x43's cyclic easy negatives:
+  // high-similarity cross-label pairs are the examples a contrastive
+  // objective learns most from. Anchors broadcast; corpus-linear scoring.
+  def x65HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 25 === 0), k = 5)
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"), col("cos_sim"), col("rk"))
+      .orderBy(col("anchor_id"), col("rk"))
+  }
+
+  // x66: leakage-safe dataset split — near-dup clusters (x22's connected
+  // components) are assigned to train/val/test ATOMICALLY, so no
+  // near-duplicate pair ever straddles a split boundary (the train→test
+  // leak a doc-level split like x20 permits). The split decision hashes
+  // the cluster id, not the doc id; singletons degrade to x20's behavior.
+  def x66LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, bands = 4, rows = 2, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.dupClusters(docs.select(col("doc_id")), pairs, "doc_id")
+    val bucket = conv(substring(md5(concat(lit("cl|"), col("cluster_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    clusters.select(col("doc_id"), col("cluster_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  // x67: per-source token-budget sampling — deterministic md5 shuffle
+  // order within each source, running token total via one window, keep
+  // docs while the total fits the budget. The assembly step that turns
+  // mixture weights (x41) into an actual capped corpus; at 100 TB this is
+  // one window per source partition — no global shuffle, no collect.
+  def x67TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("prio"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        TextFunctions.wordCount(col("text")).cast("long").as("n_tokens"),
+        md5(concat(lit("prio|"), col("doc_id").cast("string"))).as("prio"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 800)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x65_hard_negatives" -> x65HardNegatives _,
+    "x66_leakage_split" -> x66LeakageSplit _,
+    "x67_token_budget" -> x67TokenBudget _,
     "x50_quality_buckets" -> x50QualityBuckets _,
     "x51_bigram_fluency" -> x51BigramFluency _,
     "x52_dsir_select" -> x52DsirSelect _,
@@ -988,6 +1038,54 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x65_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
+        |    ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * c.nrm), 6) AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id % 25 = 0 AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id) AS rk
+        |  FROM scored)
+        |SELECT anchor_id, neg_id, neg_label, cos_sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY anchor_id, rk""".stripMargin,
+    "x66_leakage_split" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+         |  UNION SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substring(md5('cl|' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "x67_token_budget" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN LENGTH($Norm) = 0 THEN 0
+         |              ELSE len(string_split($Norm, ' ')) END AS BIGINT) AS n_tokens,
+         |    md5('prio|' || CAST(doc_id AS VARCHAR)) AS prio
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM b)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin,
     "x43_negative_sampling" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -180,7 +180,25 @@ object TpchExtraQueries {
     Similarity.semanticDedup(t(s, dir, "embeddings"), nCentroids = 8, iterations = 2)
       .orderBy(col("vec_id"))
 
+  // x68: fixed-iteration PageRank over the part co-purchase graph (parts
+  // sharing an order are linked). All arithmetic in BIGINT micro-units
+  // (rank×1e6, damping 17/20, integral div) so long sums are exact and
+  // order-independent — the DuckDB oracle replays all 3 unrolled
+  // iterations bit-for-bit. One shuffle per iteration (the contribution
+  // aggregation); the edge list materializes once.
+  def x68PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.Graph.pageRank(e, iterations = 3)
+      .select(col("id").as("part_id"), col("pr"))
+      .orderBy(col("pr").desc, col("part_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x68_pagerank" -> x68PageRank _,
     "x36_semantic_dedup" -> x36SemanticDedup _,
     "x29_pq_topk" -> x29PqTopK _,
     "x21_lsh_topk" -> x21LshTopK _,
@@ -378,7 +396,31 @@ object TpchExtraQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** One PageRank round in SQL: contributions (rank // outdeg) summed per
+    * destination, damped in integer space. HUGEINT sums are cast back to
+    * BIGINT so the schema matches Spark's. */
+  private def prRound(prev: String, next: String): String =
+    s"""s_$next AS (
+       |  SELECT e.dst AS id, SUM($prev.pr // deg.outdeg) AS s
+       |  FROM e JOIN deg USING (src) JOIN $prev ON $prev.id = e.src
+       |  GROUP BY e.dst),
+       |$next AS (
+       |  SELECT n.id, CAST(150000 + (17 * COALESCE(s_$next.s, 0)) // 20 AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN s_$next ON s_$next.id = n.id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x68_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${prRound("r0", "r1")},
+         |${prRound("r1", "r2")},
+         |${prRound("r2", "r3")}
+         |SELECT id AS part_id, pr FROM r3 ORDER BY pr DESC, part_id""".stripMargin,
     "x29_pq_topk" -> pqOracle(m = 4, dim = 64, nCentroids = 8, iterations = 2, k = 5),
     "x21_lsh_topk" ->
       s"""WITH n AS (

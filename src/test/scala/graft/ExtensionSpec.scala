@@ -688,4 +688,81 @@ class ExtensionSpec extends AnyFunSuite {
     assert(perCluster.filter($"min_id" =!= $"kept_id").count() == 0, "canonical is the min id")
     assert(out.filter($"canonical_id" > $"vec_id").count() == 0)
   }
+
+  test("hard negatives: cross-label only, exactly k per anchor, and no easier negative skipped") {
+    val anchors = emb.filter($"vec_id" % 25 === 0)
+    val out = Similarity.hardNegatives(emb, anchors, k = 3).cache()
+    // every negative carries a different label than its anchor
+    val joined = out.join(anchors.select($"vec_id".as("anchor_id"), $"label".as("al")), "anchor_id")
+    assert(joined.filter($"neg_label" === $"al").count() == 0, "negatives must be cross-label")
+    // k per anchor (corpus has >k cross-label vectors for every anchor here)
+    val counts = out.groupBy($"anchor_id").count()
+    assert(counts.filter($"count" =!= 3).count() == 0)
+    // hardness: the worst kept similarity per anchor dominates every
+    // non-kept cross-label candidate (top-k really is top-k)
+    val kept = out.groupBy($"anchor_id").agg(min($"cos_sim").as("floor"))
+    val all = Similarity.hardNegatives(emb, anchors, k = Int.MaxValue)
+      .join(out.select($"anchor_id", $"neg_id", lit(true).as("kept_row")),
+        Seq("anchor_id", "neg_id"), "left_outer")
+      .filter($"kept_row".isNull)
+      .join(kept, "anchor_id")
+    assert(all.filter($"cos_sim" > $"floor").count() == 0, "a skipped candidate beat a kept one")
+  }
+
+  test("leakage-safe split: near-dup pairs never straddle a split boundary") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 4, 2, 0.6)
+      .select($"doc_a", $"doc_b").cache()
+    val clusters = Dedup.dupClusters(docs.select($"doc_id"), pairs, "doc_id")
+    val bucket = conv(substring(md5(concat(lit("cl|"), $"cluster_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    val split = clusters.select($"doc_id",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")).cache()
+    val straddling = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+    assert(straddling.count() == 0, "a near-dup pair crossed a split boundary")
+    // and the split is non-degenerate: all three splits are populated
+    assert(split.select($"split").distinct().count() == 3)
+  }
+
+  test("token budget: per-source cap respected and selection is maximal in priority order") {
+    val budget = 300L
+    val w = Window.partitionBy($"source").orderBy($"prio", $"doc_id")
+    val ranked = docs.select($"doc_id", $"source",
+        TextFunctions.wordCount($"text").cast("long").as("n_tokens"),
+        md5(concat(lit("prio|"), $"doc_id".cast("string"))).as("prio"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w)).cache()
+    val kept = ranked.filter($"cum_tokens" <= budget)
+    // cap respected per source
+    assert(kept.groupBy($"source").agg(max($"cum_tokens").as("m"))
+      .filter($"m" > budget).count() == 0)
+    // maximality: the first dropped doc of every source would blow the cap
+    val firstDropped = ranked.filter($"cum_tokens" > budget)
+      .withColumn("rk", row_number().over(w.orderBy($"cum_tokens")))
+      .filter($"rk" === 1)
+    assert(firstDropped.filter($"cum_tokens" <= budget).count() == 0)
+  }
+
+  test("pageRank: hand-computed 3-node chain, exact micro-unit arithmetic") {
+    // graph: 1 -> 2, 2 -> 3, 3 -> 1 (a directed cycle: every node has
+    // outdeg 1, so ranks stay uniform at scale forever)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cr = graft.operators.Graph.pageRank(cycle, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cr == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // star: 1->3, 2->3 plus 3->1 — replay the integer recurrence by hand
+    val star = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def step(r: Map[Long, Long]): Map[Long, Long] = {
+      val in = Map(3L -> Seq((1L, 1L), (2L, 1L)), 1L -> Seq((3L, 1L)), 2L -> Seq.empty[(Long, Long)])
+      in.map { case (v, srcs) =>
+        v -> (150000L + (17L * srcs.map { case (u, d) => r(u) / d }.sum) / 20L)
+      }
+    }
+    val expected = Iterator.iterate(Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))(step)
+      .drop(3).next()
+    val sr = graft.operators.Graph.pageRank(star, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sr == expected, s"got $sr expected $expected")
+  }
 }
