@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event stream: how many users reach
+  * step i having performed steps 1..i-1 in order, each step within
+  * `windowSecs` of the previous one. The standard product-analytics
+  * query (view → click → purchase) the reference's Power BI layer would
+  * issue against the gold warehouse (tb-lakehouse-enhanced
+  * README.md:143-161) — expressed here as a chain of per-step
+  * earliest-qualifying-event aggregations.
+  *
+  * Semantics: step 1's timestamp is the user's earliest event of that
+  * type; step i's is the earliest event of type i STRICTLY AFTER the
+  * user's step i-1 time and within the window of it. "Earliest
+  * qualifying" makes the funnel greedy-deterministic — no RNG, no tie
+  * ambiguity at microsecond event resolution — and matches the usual
+  * "first conversion" product definition.
+  *
+  * Scale shape: each step is one filtered partial-agg groupBy on the
+  * user key plus an equi-join back on that same key — every shuffle in
+  * the chain hashes on user_id, so Catalyst reuses one exchange layout
+  * across all steps instead of re-partitioning per step, and AQE
+  * collapses the later (funnel-shrunk) sides to broadcasts when they
+  * fall under the threshold. State per user is one timestamp per step,
+  * never the event history.
+  */
+object Funnel {
+
+  /** Per-step conversion counts. Returns (step, step_name, users)
+    * ordered by step — one row per funnel step, counting distinct users
+    * whose ordered journey reached it. */
+  def conversion(events: DataFrame, steps: Seq[String], windowSecs: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    // fold: each stage joins candidates to the previous stage's per-user
+    // time and keeps the earliest in-window follow-up
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col(typeCol) === step).as("e")
+        .join(prev.select(col(userCol), col("t").as("t_prev")), userCol)
+        .filter(col(tsCol) > col("t_prev") &&
+          col(tsCol) <= col("t_prev") + expr(s"INTERVAL $windowSecs SECONDS"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+    stages.zip(steps).zipWithIndex
+      .map { case ((stage, name), i) =>
+        stage.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("users"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("step"))
+  }
+}

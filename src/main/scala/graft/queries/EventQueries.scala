@@ -89,7 +89,15 @@ object EventQueries {
           col("c_mktsegment").as("segment")))
       .orderBy(col("win_start"), col("segment"))
 
+  // x72: ordered view → click → purchase funnel, each step within 24 h
+  // of the previous — see operators.Funnel for the one-exchange-layout
+  // scale shape and the earliest-qualifying-event semantics.
+  def x72Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversion(
+      t(s, dir, "events"), Seq("view", "click", "purchase"), windowSecs = 86400L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_funnel" -> x72Funnel _,
     "x48_stream_static" -> x48StreamStaticEnrich _,
     "x16_events_sliding" -> x16EventsSliding _,
     "x11_events_tumbling" -> x11EventsTumbling _,
@@ -99,6 +107,29 @@ object EventQueries {
     "x27_attribution_join" -> x27Attribution _)
 
   val oracles: Map[String, String] = Map(
+    "x72_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+        |    AND CAST(e.ts AS TIMESTAMP) <= s1.t + INTERVAL 86400 SECOND
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+        |    AND CAST(e.ts AS TIMESTAMP) <= s2.t + INTERVAL 86400 SECOND
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, COUNT(*) AS users FROM s1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3)
+        |ORDER BY step""".stripMargin,
     "x48_stream_static" ->
       """SELECT time_bucket(INTERVAL '60 minutes', CAST(e.ts AS TIMESTAMP)) AS win_start,
         |  COALESCE(c.c_mktsegment, 'N/A') AS segment,

@@ -918,7 +918,34 @@ object ExtensionQueries {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  // x69: bigram collocation mining — top-20 word pairs by integer
+  // micro-unit lift (monotone twin of PMI) with a min-count cut. The
+  // boilerplate-phrase / domain-vocabulary probe; see Collocations for
+  // the BIGINT exactness and no-shuffle-pair-formation design.
+  def x69PmiBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.bigramLift(
+      t(s, dir, "documents"), "doc_id", "text", minCount = 5, k = 20)
+
+  // x70: inverted-index posting lists — term → (df, total_tf,
+  // "docId:tf,…" sorted posting string). The retrieval/decontamination
+  // index as a first-class table; the maxDf stop-word guard is wide open
+  // here (its cut semantics are spec-pinned in AdvancedOpsSpec) so the
+  // query exercises full posting construction at every scale factor.
+  def x70InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.invertedIndex(
+      t(s, dir, "documents"), "doc_id", "text", minDf = 5, maxDf = 1000000L)
+
+  // x71: weighted sample — 50 docs drawn without replacement with
+  // probability ∝ n_chars, via the exact-BIGINT hash-priority race
+  // (Sampling.weightedPriority). No RNG: replayable across engines.
+  def x71WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedPriority(
+      t(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x69_pmi_bigrams" -> x69PmiBigrams _,
+    "x70_inverted_index" -> x70InvertedIndex _,
+    "x71_weighted_sample" -> x71WeightedSample _,
     "x65_hard_negatives" -> x65HardNegatives _,
     "x66_leakage_split" -> x66LeakageSplit _,
     "x67_token_budget" -> x67TokenBudget _,
@@ -1038,6 +1065,40 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x69_pmi_bigrams" ->
+      s"""WITH d AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
+         |toks AS (SELECT u.term FROM d, UNNEST(d.ws) AS u(term) WHERE len(u.term) > 0),
+         |uni AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+         |bg AS (SELECT ws[u.i] AS w1, ws[u.i + 1] AS w2
+         |       FROM d, UNNEST(range(1, len(ws))) AS u(i)
+         |       WHERE len(ws[u.i]) > 0 AND len(ws[u.i + 1]) > 0),
+         |cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2
+         |        HAVING COUNT(*) >= 5)
+         |SELECT c.w1, c.w2, c.c_xy, x.c AS c_x, y.c AS c_y,
+         |  (c.c_xy * t.n_tokens * 1000000) // (x.c * y.c) AS lift_micro
+         |FROM cxy c JOIN uni x ON c.w1 = x.term JOIN uni y ON c.w2 = y.term, tot t
+         |ORDER BY lift_micro DESC, c_xy DESC, w1, w2 LIMIT 20""".stripMargin,
+    "x70_inverted_index" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, u.term FROM (
+         |    SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) d,
+         |    UNNEST(d.ws) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM words GROUP BY 1, 2)
+         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+         |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+         |             ',' ORDER BY doc_id) AS postings
+         |FROM tf GROUP BY term
+         |HAVING COUNT(*) BETWEEN 5 AND 1000000
+         |ORDER BY term""".stripMargin,
+    "x71_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(('0x' || substring(md5('wps|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, weight, (h * 1000000) // weight AS priority
+        |FROM b ORDER BY priority, doc_id LIMIT 50""".stripMargin,
     "x65_hard_negatives" ->
       """WITH n AS (
         |  SELECT vec_id, label, embedding,

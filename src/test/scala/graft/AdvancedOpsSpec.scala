@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AsOfJoin, Salting}
+import graft.operators.{AsOfJoin, Collocations, Funnel, Salting, Sampling}
 
-/** As-of join tie/miss semantics and salting result-parity. */
+/** As-of join tie/miss semantics, salting result-parity, funnel step
+  * semantics, collocation/posting-list fixtures, and weighted-sample
+  * replay against a sequential reference. */
 class AdvancedOpsSpec extends AnyFunSuite {
 
   lazy val spark = graft.core.GraftSession.local(4)
@@ -37,5 +39,60 @@ class AdvancedOpsSpec extends AnyFunSuite {
     val combos = big.withColumn("s", Salting.saltCol(8, big.columns.map(col): _*))
       .select($"k", $"s").distinct().count()
     assert(combos > 3, s"expected hot keys spread over salt buckets, got $combos combos")
+  }
+
+  test("funnel: ordered steps, strict-after, per-step window, out-of-order never counts") {
+    // u1 full journey; u2 clicks only BEFORE its view; u3 purchases before
+    // clicking; u4 clicks one second past the window
+    val events = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 8L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      (4L, "view", 10L), (4L, "click", 111L))
+      .toDF("user_id", "event_type", "sec")
+      .select($"user_id", $"event_type", $"sec".cast("timestamp").as("ts"))
+    val out = Funnel.conversion(events, Seq("view", "click", "purchase"),
+        windowSecs = 100L)
+      .select($"step", $"step_name", $"users")
+      .as[(Long, String, Long)].collect().toList
+    assert(out == List((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("bigram lift: exact integer arithmetic on a hand-computed corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Collocations.bigramLift(docs, "doc_id", "text", minCount = 1, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // N=7 tokens; c(a)=3, c(b)=3, c(c)=1; bigrams ab×3, ba×1, bc×1
+    assert(out == List(
+      ("a", "b", 3L, 3L, 3L, 7L * 3 * 1000000 / 9),
+      ("b", "c", 1L, 3L, 1L, 7L * 1000000 / 3),
+      ("b", "a", 1L, 3L, 3L, 7L * 1000000 / 9)))
+  }
+
+  test("inverted index: postings sorted by doc, df window applied") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val all = Collocations.invertedIndex(docs, "doc_id", "text", minDf = 1, maxDf = 2)
+      .as[(String, Long, Long, String)].collect().toList
+    assert(all == List(
+      ("a", 1L, 2L, "1:2"), ("b", 2L, 2L, "1:1,2:1"), ("c", 1L, 1L, "2:1")))
+    val noHot = Collocations.invertedIndex(docs, "doc_id", "text", minDf = 1, maxDf = 1)
+      .as[(String, Long, Long, String)].collect().toList
+    assert(noHot.map(_._1) == List("a", "c"), "maxDf must drop the hot term")
+  }
+
+  test("weighted sample: equals a sequential replay of the hash-priority race") {
+    val rows = (1L to 200L).map(i => (i, (i % 7) + 1L))
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedPriority(df, "doc_id", "w", k = 20)
+      .as[(Long, Long, Long)].collect().toList
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"wps|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = rows.map { case (id, w) => (id, w, h(id) * 1000000L / w) }
+      .sortBy { case (id, _, p) => (p, id) }.take(20).toList
+    assert(got == want)
   }
 }
