@@ -311,4 +311,38 @@ class PlanSpec extends AnyFunSuite {
       || plan.toLowerCase.contains("partial"), "partial top-k aggregation expected")
     assert(!plan.contains("Window"), "bounded_topk must not fall back to a window sort")
   }
+
+  test("x69 bigrams: pairs form array-locally (no positional self-join), vocab joins broadcast") {
+    val plan = executedIsolated(SparkEntry.queries("x69_pmi_bigrams")(spark, dir))
+    // adjacent pairs come from Generate(explode(transform(...))) over each
+    // row's own token array — a positional self-join would add a non-
+    // broadcast join keyed on (doc, pos)
+    assert(plan.contains("Generate"), "bigram formation must be an array-local explode")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both unigram-count joins must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "a vocabulary-sized frame must never sort-merge against bigram counts")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k collocations must not materialize a global sort")
+  }
+
+  test("x71 weighted sample: global top-k is TakeOrdered, no exchange before the hash projection") {
+    val plan = executedIsolated(SparkEntry.queries("x71_weighted_sample")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-smallest priorities must be a TakeOrdered, not Sort+Limit:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the priority projection is per-row; nothing may shuffle before the take")
+  }
+
+  test("x72 funnel: every shuffle hashes on the user key; later steps join, never re-scan state") {
+    val plan = executedIsolated(SparkEntry.queries("x72_funnel")(spark, dir))
+    // all hash exchanges must key on user_id — a funnel that re-partitions
+    // on anything else re-shuffles the event stream per step
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(_.contains("user_id")),
+      s"every funnel exchange must hash on user_id, got: $exchanges")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
