@@ -96,8 +96,36 @@ object EventQueries {
     graft.operators.Funnel.conversion(
       t(s, dir, "events"), Seq("view", "click", "purchase"), windowSecs = 86400L)
 
+  // x73: the funnel as a STREAM — file-source read of the events table,
+  // per-user step state in flatMapGroupsWithState, hits re-aggregated to
+  // the same (step, step_name, users) shape as x72. A single file-source
+  // batch is event-time-complete, so the stream's greedy state walk equals
+  // the batch funnel exactly (batch-split invariance is StreamingSpec's
+  // job); sharing x72's oracle hash-gates the whole stateful path.
+  def x73FunnelStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val src = EventStreams.normalizeTs(EventStreams.readEventStream(s, dir))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventStreams.FunnelEvent]
+    val name = s"funnel_hits_${System.nanoTime()}"
+    val q = EventStreams.funnelStream(src, steps, windowSecs = 86400L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val spine = steps.zipWithIndex
+      .map { case (n, i) => (i + 1L, n) }.toDF("step", "step_name")
+    spine.join(
+        s.table(name).groupBy(col("step"), col("step_name"))
+          .agg(count(lit(1)).as("n")),
+        Seq("step", "step_name"), "left_outer")
+      .select(col("step"), col("step_name"),
+        coalesce(col("n"), lit(0L)).as("users"))
+      .orderBy(col("step"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x72_funnel" -> x72Funnel _,
+    "x73_funnel_stream" -> x73FunnelStream _,
     "x48_stream_static" -> x48StreamStaticEnrich _,
     "x16_events_sliding" -> x16EventsSliding _,
     "x11_events_tumbling" -> x11EventsTumbling _,
@@ -106,8 +134,8 @@ object EventQueries {
     "x45_variant" -> x45Variant _,
     "x27_attribution_join" -> x27Attribution _)
 
-  val oracles: Map[String, String] = Map(
-    "x72_funnel" ->
+  /** Shared by x72 (batch) and x73 (stream) — identical required results. */
+  private val FunnelSql =
       """WITH s1 AS (
         |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
@@ -129,7 +157,11 @@ object EventQueries {
         |  SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3)
-        |ORDER BY step""".stripMargin,
+        |ORDER BY step""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x72_funnel" -> FunnelSql,
+    "x73_funnel_stream" -> FunnelSql,
     "x48_stream_static" ->
       """SELECT time_bucket(INTERVAL '60 minutes', CAST(e.ts AS TIMESTAMP)) AS win_start,
         |  COALESCE(c.c_mktsegment, 'N/A') AS segment,

@@ -158,4 +158,56 @@ object EventStreams {
           }
         })
   }
+
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelHit(user_id: Long, step: Long, step_name: String, ts: Timestamp)
+  /** Attained step times so far (epoch millis, earliest-qualifying), in
+    * step order — at most `steps.length` longs per user, NEVER the event
+    * history. */
+  final case class FunnelState(times: List[Long])
+
+  /** Streaming twin of [[graft.operators.Funnel.conversion]]: per-user
+    * ordered-step progress kept in `flatMapGroupsWithState`, one
+    * [[FunnelHit]] emitted the moment a user attains a step. Step i
+    * qualifies when its event lands strictly after step i-1's time and
+    * within `windowSecs` of it — the same earliest-qualifying greedy the
+    * batch operator computes, so on event-time-ordered batches the
+    * emitted hits aggregate to exactly the batch funnel (asserted by
+    * StreamingSpec). State is a fixed-size vector of attained step
+    * times; a completed vector is its own tombstone. */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+      windowSecs: Long): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val stepArr = steps.toIndexedSeq
+    val windowMs = windowSecs * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          if (times.length == stepArr.length) Iterator.empty
+          else {
+            val hits = List.newBuilder[FunnelHit]
+            // event-time order inside the batch: a step time may only
+            // depend on strictly earlier events
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val k = times.length // next step index
+              if (k < stepArr.length && e.event_type == stepArr(k)) {
+                val t = e.ts.getTime
+                val qualifies = k == 0 ||
+                  (t > times.last && t <= times.last + windowMs)
+                if (qualifies) {
+                  times = times :+ t
+                  hits += FunnelHit(user, k + 1L, stepArr(k), e.ts)
+                }
+              }
+            }
+            // a completed vector stays as its own tombstone — removing it
+            // would let a later event of the first step type restart the
+            // funnel and double-emit
+            if (times.nonEmpty) state.update(FunnelState(times))
+            hits.result().iterator
+          }
+        })
+  }
 }

@@ -107,6 +107,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel over event-time-split batches == batch funnel; no restart after completion") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.FunnelEvent
+    val steps = Seq("view", "click", "purchase")
+    val all = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type")
+      .as[FunnelEvent].collect().sortBy(_.ts.getTime)
+    val events = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStream(events.toDS(), steps, windowSecs = 86400L)
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out").start()
+    try {
+      // three uneven event-time-ordered batches — boundaries must be invisible
+      val (b1, rest) = all.splitAt(all.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => events.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("funnel_out")
+        .groupBy($"step", $"step_name").agg(count(lit(1)).as("users"))
+      val batch = graft.operators.Funnel.conversion(
+        spark.read.parquet(s"$dir/events.parquet"), steps, windowSecs = 86400L)
+        .filter($"users" > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streaming hits must aggregate to exactly the batch funnel")
+      // replaying the whole history emits nothing new: every user's state
+      // vector (tombstone included) already covers it
+      val before = spark.table("funnel_out").count()
+      events.addData(all.toIndexedSeq); q.processAllAvailable()
+      val after = spark.table("funnel_out").count()
+      assert(before == after, s"replay must be a no-op, got $before -> $after")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join == batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
