@@ -942,7 +942,15 @@ object ExtensionQueries {
     graft.operators.Sampling.weightedPriority(
       t(s, dir, "documents"), "doc_id", "n_chars", k = 50)
 
+  // x74: T5-style span-corruption examples — 15% deterministic token
+  // masking, consecutive masked runs collapse to one <extra_id_k>
+  // sentinel, (input, target) reassembled exactly (see Denoising).
+  def x74SpanCorruption(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Denoising.spanCorruption(
+      t(s, dir, "documents"), "doc_id", "text", maskPct = 15)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_span_corruption" -> x74SpanCorruption _,
     "x69_pmi_bigrams" -> x69PmiBigrams _,
     "x70_inverted_index" -> x70InvertedIndex _,
     "x71_weighted_sample" -> x71WeightedSample _,
@@ -1065,6 +1073,32 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x74_span_corruption" ->
+      s"""WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
+         |toks AS (SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS term
+         |         FROM d, UNNEST(range(1, len(ws) + 1)) AS u(i)
+         |         WHERE len(ws[u.i]) > 0),
+         |flags AS (SELECT doc_id, pos, term,
+         |    CAST(('0x' || substring(md5('mask|' || CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15 AS masked
+         |  FROM toks),
+         |seg AS (SELECT doc_id, pos, term, masked,
+         |    masked AND NOT COALESCE(LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS seg_start
+         |  FROM flags),
+         |sp AS (SELECT doc_id, pos, term, masked, seg_start,
+         |    CAST(SUM(CASE WHEN seg_start THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_idx
+         |  FROM seg),
+         |pieces AS (SELECT doc_id, pos, masked, span_idx,
+         |    CASE WHEN NOT masked THEN term
+         |         WHEN seg_start THEN '<extra_id_' || CAST(span_idx - 1 AS VARCHAR) || '>' END AS ip,
+         |    CASE WHEN masked AND seg_start THEN '<extra_id_' || CAST(span_idx - 1 AS VARCHAR) || '> ' || term
+         |         WHEN masked THEN term END AS tp
+         |  FROM sp)
+         |SELECT doc_id,
+         |  CAST(COALESCE(MAX(CASE WHEN masked THEN span_idx END), 0) AS BIGINT) AS n_spans,
+         |  COALESCE(string_agg(ip, ' ' ORDER BY pos), '') AS input_text,
+         |  COALESCE(string_agg(tp, ' ' ORDER BY pos), '') AS target_text
+         |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x69_pmi_bigrams" ->
       s"""WITH d AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
          |toks AS (SELECT u.term FROM d, UNNEST(d.ws) AS u(term) WHERE len(u.term) > 0),

@@ -80,6 +80,44 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(noHot.map(_._1) == List("a", "c"), "maxDf must drop the hot term")
   }
 
+  test("span corruption: sentinels collapse runs, round trip reconstructs the document") {
+    import graft.operators.Denoising
+    val docs = Seq((1L, "w0 w1 w2 w3 w4 w5 w6 w7"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Denoising.spanCorruption(docs, "doc_id", "text", maskPct = 40)
+      .as[(Long, Long, String, String)].collect().toList
+    // replay the mask rule sequentially and rebuild both strings
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def masked(doc: Long, pos: Int): Boolean = {
+      val hex = md.digest(s"mask|$doc|$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 40
+    }
+    val want = Seq((1L, "w0 w1 w2 w3 w4 w5 w6 w7"), (2L, "a b")).map { case (id, text) =>
+      val toks = text.split(" ")
+      val flags = toks.indices.map(masked(id, _))
+      var span = 0
+      val in = new StringBuilder; val tg = new StringBuilder
+      toks.indices.foreach { i =>
+        val start = flags(i) && (i == 0 || !flags(i - 1))
+        if (start) span += 1
+        val sep = (sb: StringBuilder) => if (sb.nonEmpty) sb.append(' ')
+        if (!flags(i)) { sep(in); in.append(toks(i)) }
+        else {
+          if (start) { sep(in); in.append(s"<extra_id_${span - 1}>")
+            sep(tg); tg.append(s"<extra_id_${span - 1}>") }
+          sep(tg); tg.append(toks(i))
+        }
+      }
+      (id, span.toLong, in.toString, tg.toString)
+    }.toList
+    assert(out == want)
+    // every example must actually mask something OR pass through verbatim
+    out.zip(want).foreach { case ((_, n, in, tg), _) =>
+      if (n == 0) assert(tg.isEmpty && !in.contains("<extra_id_"))
+      else assert(in.contains("<extra_id_0>") && tg.contains("<extra_id_0>"))
+    }
+  }
+
   test("weighted sample: equals a sequential replay of the hash-priority race") {
     val rows = (1L to 200L).map(i => (i, (i % 7) + 1L))
     val df = rows.toDF("doc_id", "w")
