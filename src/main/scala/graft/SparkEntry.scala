@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.AdvancedQueries.all ++
       graft.queries.TpchExtraQueries.all ++
       graft.queries.ReshapeQueries.all ++
-      graft.queries.SqlDmlQueries.all
+      graft.queries.SqlDmlQueries.all ++
+      graft.queries.BpeQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.AdvancedQueries.oracles ++
       graft.queries.TpchExtraQueries.oracles ++
       graft.queries.ReshapeQueries.oracles ++
-      graft.queries.SqlDmlQueries.oracles
+      graft.queries.SqlDmlQueries.oracles ++
+      graft.queries.BpeQueries.oracles
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
+  * 2016) — the step a pretraining pipeline runs before it can tokenize
+  * anything: learn the merge table itself from corpus statistics.
+  *
+  * The classic BPE trick makes this tractable at corpus scale: merges are
+  * a function of the WORD-FREQUENCY table, not the corpus. The corpus is
+  * touched exactly once (token explode → `groupBy(word).count`, one
+  * map-side-combined shuffle); every learning round after that runs over
+  * the vocabulary-sized table — at 100 TB of text the distinct-word table
+  * is millions of rows, not billions of tokens, and it is persisted once
+  * and re-derived per round from a bounded replace chain (never an
+  * iteratively-growing lineage, never a checkpoint).
+  *
+  * Representation: a word's current symbol segmentation is a
+  * delimiter-wrapped string — "low" → `"|l||o||w|"`, every symbol wrapped
+  * in its own `|…|`. Merging the pair (l,o) is then the codegen'd built-in
+  * `replace(s, "|l||o|", "|lo|")`: because each symbol carries BOTH its
+  * delimiters, a pattern can never match across a symbol boundary or
+  * half-consume a neighbouring pair, and left-to-right non-overlapping
+  * `replace` semantics are exactly BPE's greedy merge order (`"|a||a||a|"`
+  * → `"|aa||a|"`). Training is restricted to `^[a-z]+$` word forms so the
+  * delimiter can never collide with corpus bytes.
+  *
+  * Each round is: symbols from the delimited form (one `split`), adjacent
+  * pairs (one bounded `transform`+`explode`), weighted pair counts (partial
+  * agg before the exchange), argmax by (count DESC, lhs, rhs) — a total
+  * order, so learning is deterministic and the DuckDB oracle replays the
+  * merge table bit-for-bit. The argmax is `TakeOrderedAndProject(limit=1)`:
+  * the only driver-side data is one row per round.
+  *
+  * Reference anchor: the reference pipeline ships text to an external
+  * tokenizer; this closes the loop in-engine, the same way the dedup
+  * family extends its curation surface (22_ETL_Silver_PySpark.py:32-58 has
+  * only constraint gates).
+  */
+object Bpe {
+
+  /** Trained-on word shape — lowercase alpha only, so the `|` delimiter is
+    * provably absent from every symbol. */
+  val WordRe = "^[a-z]+$"
+
+  /** One learned merge: at `rank`, the adjacent pair (lhs, rhs) had the
+    * highest weighted frequency `pairCount` and became symbol `merged`. */
+  final case class Merge(rank: Int, lhs: String, rhs: String,
+      merged: String, pairCount: Long)
+
+  /** (w, cnt): corpus word-frequency table over `^[a-z]+$` whitespace
+    * tokens — the single corpus-sized pass of BPE training. */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike(WordRe))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** "low" → "|l||o||w|" — every character wrapped in its own delimiters. */
+  def delimited(c: Column): Column = regexp_replace(c, "(.)", "|$1|")
+
+  /** Apply a learned merge table (in rank order) to a delimited-form
+    * column — a chain of codegen'd `replace` calls, one per merge. */
+  def applyMerges(s: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(s) { (acc, m) =>
+      replace(acc, lit(s"|${m.lhs}||${m.rhs}|"), lit(s"|${m.merged}|"))
+    }
+
+  /** One learning round's argmax plan over a (s, cnt) word table —
+    * exposed so the plan audit can pin its shape (partial agg before the
+    * exchange, TakeOrderedAndProject(1) instead of a global sort). */
+  def topPairPlan(cur: DataFrame): DataFrame =
+    pairCounts(cur).orderBy(col("c").desc, col("lhs"), col("rhs")).limit(1)
+
+  /** Adjacent symbol pairs of the delimited form `s`, weighted by `cnt`,
+    * aggregated to ((lhs, rhs) → total count). */
+  private def pairCounts(cur: DataFrame): DataFrame =
+    cur.select(col("cnt"),
+        split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|").as("sym"))
+      .filter(size(col("sym")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(sym) - 2), i -> struct(sym[i] AS lhs, sym[i + 1] AS rhs))"))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Learn up to `rounds` merges from the corpus. Stops early only if no
+    * adjacent pair remains (every word fused to one symbol). */
+  def learnMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): Seq[Merge] = {
+    require(rounds > 0, "rounds must be positive")
+    val base = wordFreq(docs, textCol)
+      .select(delimited(col("w")).as("s"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val acc = ArrayBuffer.empty[Merge]
+      var exhausted = false
+      while (acc.length < rounds && !exhausted) {
+        // re-derive from the persisted base through the bounded replace
+        // chain: plan depth ≤ rounds, lineage never compounds
+        val cur = base.select(applyMerges(col("s"), acc.toSeq).as("s"), col("cnt"))
+        val top = topPairPlan(cur).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val r = top(0)
+          val (l, rr) = (r.getString(0), r.getString(1))
+          acc += Merge(acc.length + 1, l, rr, l + rr, r.getLong(2))
+        }
+      }
+      acc.toSeq
+    } finally { base.unpersist(); () }
+  }
+
+  /** The learned merge table as a DataFrame:
+    * (rank, lhs, rhs, merged, pair_count). */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Encode every document with a learned merge table and report
+    * (idCol, n_words, n_subwords) — the "tokenizer fertility" audit
+    * (subwords per word) run before committing to a vocabulary.
+    *
+    * Scale shape: per-(doc, word) counts are one corpus shuffle; the
+    * replace chain runs on the DISTINCT word table only (vocabulary-sized,
+    * each word encoded once no matter how often it occurs); the encode
+    * join is equi-keyed on the word. Docs with no `^[a-z]+$` words carry
+    * no rows. Merges ride the plan as literals — nothing is broadcast or
+    * collected.
+    */
+  def subwordStats(docs: DataFrame, merges: Seq[Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").rlike(WordRe))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    val forms = words.select(col("w")).distinct()
+      .select(col("w"), applyMerges(delimited(col("w")), merges).as("s"))
+      // |a||b||c| has n-1 inner "||" seams: symbols = seams + 1
+      .select(col("w"), expr(
+        "(length(s) - length(replace(s, '||', ''))) div 2 + 1").as("n_sub"))
+    words.join(forms, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("n_sub")).as("n_subwords"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+import graft.sources.Tables.t
+
+/** Tokenizer-training surface: distributed BPE merge learning (x75) and
+  * the fertility audit of the learned tokenizer (x76). Both are exact —
+  * learning is deterministic (total-order argmax per round), so the DuckDB
+  * oracle re-learns the identical merge table with a mechanically
+  * generated CTE chain (one pair-count + argmax + replace block per round)
+  * and the driver hash-gates the result like any other query.
+  */
+object BpeQueries {
+
+  /** Learning rounds for the oracle-gated queries: enough to produce
+    * multi-character subword symbols on the testdata corpus while keeping
+    * the generated oracle SQL readable. */
+  val Rounds = 12
+
+  // x75: learn the merge table itself.
+  def x75BpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.mergeTable(s, Bpe.learnMerges(t(s, dir, "documents"), Rounds))
+      .orderBy(col("rank"))
+
+  // x76: encode the corpus with the learned merges; per-doc fertility.
+  def x76BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Bpe.subwordStats(docs, Bpe.learnMerges(docs, Rounds))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_bpe_merges" -> x75BpeMerges _,
+    "x76_bpe_encode" -> x76BpeEncode _)
+
+  /** CTE chain replaying BPE training in DuckDB: w0 = delimited
+    * word-frequency table; per round k, pK = weighted adjacent-pair
+    * counts, mK = argmax (count DESC, lhs, rhs), wK = the merge applied.
+    * Mirrors Bpe.learnMerges exactly (same delimiter algebra, same greedy
+    * left-to-right replace, same tie-break). */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """w0 AS (
+        |  SELECT w, regexp_replace(w, '(.)', '|\1|', 'g') AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |p$k AS (
+        |  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (SELECT sym, cnt, unnest(range(1, len(sym))) AS i
+        |        FROM (SELECT string_split(substr(s, 2, length(s) - 2), '||') AS sym, cnt
+        |              FROM w${k - 1}))
+        |  GROUP BY 1, 2),
+        |m$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1),
+        |w$k AS (
+        |  SELECT w, replace(s, '|' || lhs || '||' || rhs || '|',
+        |                    '|' || lhs || rhs || '|') AS s, cnt
+        |  FROM w${k - 1}, m$k)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def mergesSql(rounds: Int): String = {
+    val rows = (1 to rounds).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM m$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(rounds)}
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY rank""".stripMargin
+  }
+
+  private def encodeSql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |sub AS (
+       |  SELECT w, CAST((length(s) - length(replace(s, '||', ''))) // 2 + 1 AS BIGINT) AS n_sub
+       |  FROM w$rounds),
+       |docw AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY doc_id, w)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+       |       CAST(sum(k * n_sub) AS BIGINT) AS n_subwords
+       |FROM docw JOIN sub USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x75_bpe_merges" -> mergesSql(Rounds),
+    "x76_bpe_encode" -> encodeSql(Rounds))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+/** BPE training semantics pinned against a hand-computed corpus: merge
+  * order, tie-breaking, greedy left-to-right (non-overlapping) merge
+  * application, early exhaustion, and the fertility-encode arithmetic. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  import spark.implicits._
+
+  // corpus: "aaab" ×3, "aab" ×2 (as two docs so doc grouping is exercised)
+  private def tiny = Seq(
+    (1L, "aaab aaab aab"),
+    (2L, "aaab aab")).toDF("doc_id", "text")
+
+  test("learnMerges reproduces the hand-computed merge table (incl. tie-break)") {
+    // round 1: (a,a)=8 beats (a,b)=5
+    // round 2: after |aa||a||b| / |aa||b|: (aa,a)=3 TIES (a,b)=3 → lhs
+    //          order picks (a,b)
+    // round 3: (aa,ab)=3 beats (aa,b)=2; round 4: (aa,b)=2
+    // round 5: every word is one symbol → exhausted before rounds=6
+    val merges = Bpe.learnMerges(tiny, rounds = 6)
+    assert(merges == Seq(
+      Merge(1, "a", "a", "aa", 8L),
+      Merge(2, "a", "b", "ab", 3L),
+      Merge(3, "aa", "ab", "aaab", 3L),
+      Merge(4, "aa", "b", "aab", 2L)))
+  }
+
+  test("merge application is greedy left-to-right: aaa + (a,a) → [aa, a]") {
+    val df = Seq("aaa").toDF("w")
+      .select(Bpe.applyMerges(Bpe.delimited($"w"),
+        Seq(Merge(1, "a", "a", "aa", 0L))).as("s"))
+    assert(df.head().getString(0) == "|aa||a|")
+  }
+
+  test("a merged symbol never matches across its own boundary") {
+    // (a,b) then (b,a): "abab" → [ab, ab]; the second merge must not see a
+    // (b,a) pair inside the fused "ab" symbols
+    val df = Seq("abab").toDF("w")
+      .select(Bpe.applyMerges(Bpe.delimited($"w"),
+        Seq(Merge(1, "a", "b", "ab", 0L), Merge(2, "b", "a", "ba", 0L))).as("s"))
+    assert(df.head().getString(0) == "|ab||ab|")
+  }
+
+  test("subwordStats: per-doc fertility under a 2-merge table") {
+    // merges (a,a),(a,b): aaab → [aa, ab] (2), aab → [aa, b] (2)
+    val m = Bpe.learnMerges(tiny, rounds = 2)
+    val stats = Bpe.subwordStats(tiny, m).orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(stats.toSeq == Seq((1L, 3L, 6L), (2L, 2L, 4L)))
+  }
+
+  test("non-[a-z]+ tokens never train or count; wordless docs drop out") {
+    val df = Seq((1L, "Abc a1 ? aaab"), (2L, "123 ///")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(df, rounds = 1)
+    assert(m == Seq(Merge(1, "a", "a", "aa", 2L)))
+    val stats = Bpe.subwordStats(df, m).as[(Long, Long, Long)].collect()
+    assert(stats.toSeq == Seq((1L, 1L, 3L))) // aaab → [aa, a, b]
+  }
+
+  test("learning is deterministic on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Bpe.learnMerges(docs, rounds = 3)
+    val b = Bpe.learnMerges(docs, rounds = 3)
+    assert(a == b && a.length == 3)
+    assert(a.forall(_.pairCount > 0))
+  }
+}

@@ -204,6 +204,19 @@ class PlanSpec extends AnyFunSuite {
       "the constant-size vocabulary must broadcast to the token stream")
   }
 
+  test("x75 BPE round: pair argmax is TakeOrdered(1) over a partial agg — never a global sort") {
+    import org.apache.spark.sql.functions._
+    val base = graft.operators.Bpe
+      .wordFreq(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(graft.operators.Bpe.delimited(col("w")).as("s"), col("cnt"))
+    val plan = executed(graft.operators.Bpe.topPairPlan(base))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "per-round top pair must not materialize a vocabulary-wide sort")
+    assert(plan.contains("partial_sum"),
+      "pair counts must combine map-side before the exchange — at 100 TB " +
+        "the pair stream is corpus-vocabulary-sized per round")
+  }
+
   test("x54 corpus profile: aggregations are partial (map-side combine) before the shuffle") {
     val plan = executed(SparkEntry.queries("x54_corpus_profile")(spark, dir))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
