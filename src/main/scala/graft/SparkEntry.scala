@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TpchExtraQueries.all ++
       graft.queries.ReshapeQueries.all ++
       graft.queries.SqlDmlQueries.all ++
-      graft.queries.BpeQueries.all
+      graft.queries.BpeQueries.all ++
+      graft.queries.ClassifierQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.TpchExtraQueries.oracles ++
       graft.queries.ReshapeQueries.oracles ++
       graft.queries.SqlDmlQueries.oracles ++
-      graft.queries.BpeQueries.oracles
+      graft.queries.BpeQueries.oracles ++
+      graft.queries.ClassifierQueries.oracles
 }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Classifier
+import graft.sources.Tables.t
+
+/** Model-based curation surface, trainable member: batch-perceptron
+  * training of a linear quality/language classifier (x77) and its
+  * corpus-scoring deployment (x78). Training is exact integer arithmetic
+  * from w=0, so the DuckDB oracle re-RUNS the whole training loop (one
+  * generated CTE block per iteration) and the driver hash-gates the
+  * training curve and every per-doc margin. */
+object ClassifierQueries {
+
+  /** Fixed iteration count for the oracle-gated queries. */
+  val Iters = 5
+
+  private val label = col("lang") === "en"
+
+  // x77: the training curve (iter, errors, w0..w4).
+  def x77PerceptronTrain(s: SparkSession, dir: String): DataFrame =
+    Classifier.trainTable(s,
+        Classifier.train(t(s, dir, "documents"), label, Iters))
+      .orderBy(col("iter"))
+
+  // x78: score the corpus with the final weights.
+  def x78PerceptronScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Classifier.train(docs, label, Iters).last
+    Classifier.scoreDocs(docs, label, Seq(w.w0, w.w1, w.w2, w.w3, w.w4))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x77_perceptron_train" -> x77PerceptronTrain _,
+    "x78_perceptron_score" -> x78PerceptronScore _)
+
+  /** Feature CTE shared by both oracles — the SQL twin of
+    * [[Classifier.features]] (plus doc_id for the scoring join). */
+  private val FeatCte =
+    """f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+      |    CAST(1 AS BIGINT) AS f0,
+      |    CAST(length(text) AS BIGINT) AS f1,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS f2,
+      |    CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> length(w) > 0))) AS BIGINT) AS f3,
+      |    CAST(coalesce(list_max(list_transform(list_filter(string_split(text, ' '), w -> length(w) > 0), w -> length(w))), 0) AS BIGINT) AS f4
+      |  FROM documents),
+      |i0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+      |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+      |              CAST(0 AS BIGINT) AS w4)""".stripMargin
+
+  /** One update + apply block per iteration: uK aggregates the error count
+    * and the summed misclassified updates under the PREVIOUS weights; iK
+    * is the post-update weight row. */
+  private def iterCtes(iters: Int): String = {
+    val sb = new StringBuilder(FeatCte)
+    for (k <- 1 to iters) {
+      val ds = (0 until 5).map(d =>
+        s"CAST(coalesce(sum(CASE WHEN m <= 0 THEN y * f$d END), 0) AS BIGINT) AS d$d")
+        .mkString(",\n        ")
+      sb ++= s""",
+        |u$k AS (
+        |  SELECT CAST(sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |        $ds
+        |  FROM (SELECT f.*, y * (w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4) AS m
+        |        FROM f, i${k - 1})),
+        |i$k AS (SELECT w0 + d0 AS w0, w1 + d1 AS w1, w2 + d2 AS w2,
+        |               w3 + d3 AS w3, w4 + d4 AS w4 FROM i${k - 1}, u$k)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def trainSql(iters: Int): String = {
+    val rows = (1 to iters).map { k =>
+      s"SELECT CAST($k AS INT) AS iter, errors, w0, w1, w2, w3, w4 FROM u$k, i$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${iterCtes(iters)}
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY iter""".stripMargin
+  }
+
+  private def scoreSql(iters: Int): String =
+    s"""WITH ${iterCtes(iters)}
+       |SELECT doc_id, y,
+       |       y * (w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4) AS margin,
+       |       y * (w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4) > 0 AS correct
+       |FROM f, i$iters ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x77_perceptron_train" -> trainSql(Iters),
+    "x78_perceptron_score" -> scoreSql(Iters))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Classifier
+import graft.operators.Classifier.IterStat
+
+/** Batch-perceptron semantics pinned against a hand-computed two-doc
+  * corpus (zero-margin counts as misclassified; update = summed y·x over
+  * the misclassified set), plus score/train consistency on real data. */
+class ClassifierSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.GraftSession.local(4)
+  import spark.implicits._
+
+  // doc1: y=+1, f=[1,5,2,2,2]; doc2: y=-1, f=[1,2,1,1,2]
+  private def tiny = Seq(
+    (1L, "aa bb", "en"),
+    (2L, "aa", "zh")).toDF("doc_id", "text", "lang")
+
+  test("training replays the hand-computed weight trajectory") {
+    val stats = Classifier.train(tiny, col("lang") === "en", iters = 3)
+    assert(stats == Seq(
+      // w=0: every margin is 0 → both misclassified
+      IterStat(1, 2L, 0L, 3L, 1L, 1L, 0L),
+      // doc1 margin 19 ok; doc2 margin -8 → w -= x2
+      IterStat(2, 1L, -1L, 1L, 0L, 0L, -2L),
+      // doc1 margin 0 → misclassified again; doc2 margin 3 ok
+      IterStat(3, 1L, 0L, 6L, 2L, 2L, 0L)))
+  }
+
+  test("scoreDocs under w_{k-1} reproduces iteration k's error count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val label = col("lang") === "en"
+    val stats = Classifier.train(docs, label, iters = 3)
+    val w2 = stats(1) // weights after iteration 2
+    val mis = Classifier.scoreDocs(docs, label,
+        Seq(w2.w0, w2.w1, w2.w2, w2.w3, w2.w4))
+      .filter(!col("correct")).count()
+    assert(mis == stats(2).errors,
+      "iteration 3's error count must equal the misclassified set under w_2")
+  }
+
+  test("empty-text docs carry [1, 0, 0, 0, 0] features (no null poisoning)") {
+    val df = Seq((1L, "", "en"), (2L, " ", "zh")).toDF("doc_id", "text", "lang")
+    val stats = Classifier.train(df, col("lang") === "en", iters = 1)
+    // both margin 0 → misclassified; updates: +[1,0,0,0,0] + -[1,1,0,0,0]
+    assert(stats == Seq(IterStat(1, 2L, 0L, -1L, 0L, 0L, 0L)))
+  }
+}
