@@ -418,4 +418,60 @@ object Similarity {
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** One MMR-selected row: at `rank`, `vecId` maximized
+    * relevance − max-similarity-to-already-selected. */
+  final case class MmrPick(rank: Int, vecId: Long, relevance: Double,
+      penalty: Double, score: Double)
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` corpus vectors maximizing
+    *
+    *   score(c) = rel(c) − max_{s ∈ selected} sim(c, s)
+    *
+    * (equal-weight MMR — λ = ½ up to an argmax-preserving ×2) — the
+    * diversity-aware retrieval used to assemble demonstration/eval sets
+    * without near-duplicate picks. `rel` and `sim` are cosines rounded to
+    * 6 decimals (the engine-portable convention of the whole ANN family),
+    * ties broken by id, so selection is deterministic and the DuckDB
+    * oracle replays every pick.
+    *
+    * Scale shape: each of the k steps is ONE corpus-linear codegen
+    * projection (the ≤ k selected vectors ride the plan as literals — the
+    * penalty is a `greatest` over k dot products, no join, no shuffle)
+    * followed by TakeOrderedAndProject(1); driver state is k rows. At
+    * billion-vector scale, pre-filter candidates with [[lshTopK]] and run
+    * the same k steps over the bounded pool — identical contract. */
+  def mmrSelect(corpus: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[MmrPick] = {
+    require(k > 0, "k must be positive")
+    val cn = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+    val q = cn.filter(col("id") === queryId).head()
+    val (qv, qn) = (q.getSeq[Float](1), q.getDouble(2))
+    val rel = cn.filter(col("id") =!= queryId)
+      .select(col("id"), col("v"), col("nrm"),
+        round(dot(typedLit(qv), col("v")) / (lit(qn) * col("nrm")), 6).as("rel"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(MmrPick, Seq[Float], Double)]
+    for (r <- 1 to k) {
+      val pen: Column =
+        if (picks.isEmpty) lit(0.0)
+        else {
+          val sims = picks.toSeq.map { case (_, sv, snrm) =>
+            round(dot(typedLit(sv), col("v")) / (lit(snrm) * col("nrm")), 6)
+          }
+          if (sims.length == 1) sims.head else greatest(sims: _*)
+        }
+      val top = rel.filter(!col("id").isin(picks.toSeq.map(_._1.vecId): _*))
+        .select(col("id"), col("v"), col("nrm"), col("rel"), pen.as("pen"),
+          (col("rel") - pen).as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(1).head()
+      picks += ((MmrPick(r, top.getLong(0), top.getDouble(3),
+        top.getDouble(4), top.getDouble(5)),
+        top.getSeq[Float](1), top.getDouble(2)))
+    }
+    picks.toSeq.map(_._1)
+  }
 }

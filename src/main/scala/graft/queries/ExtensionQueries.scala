@@ -50,6 +50,18 @@ object ExtensionQueries {
     Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  // x79: MMR diversity selection — 8 picks for query vector 0, each step
+  // maximizing relevance minus max-cosine-to-already-selected. The picks
+  // are collected driver-side by construction (k rows); re-lifted to a
+  // DataFrame for the gate.
+  def x79MmrSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.mmrSelect(t(s, dir, "embeddings"), queryId = 0L, k = 8)
+      .toDF().select(col("rank"), col("vecId").as("vec_id"),
+        col("relevance"), col("penalty"), col("score"))
+      .orderBy(col("rank"))
+  }
+
   // x7: per-document text statistics + quality score.
   def x7TextStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -1002,9 +1014,58 @@ object ExtensionQueries {
     "x7_text_stats" -> x7TextStats _,
     "x8_lang_id" -> x8LangId _,
     "x9_fingerprint" -> x9Fingerprint _,
-    "x10_media_features" -> x10MediaFeatures _)
+    "x10_media_features" -> x10MediaFeatures _,
+    "x79_mmr_select" -> x79MmrSelect _)
 
   private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  /** DuckDB dot-product text between two embedding-carrying aliases —
+    * the shared arithmetic of the ANN oracles. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a.embedding)+1),
+       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))""".stripMargin
+
+  /** x79 oracle: replay all k greedy MMR picks (relevance − max cosine to
+    * the selected set, rounded-6, id tie-break) as a generated CTE chain. */
+  private def mmrSql(queryId: Long, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH n AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embeddings", "embeddings")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT embedding, nrm FROM n WHERE vec_id = $queryId),
+         |r AS MATERIALIZED (
+         |  SELECT c.vec_id, c.embedding, c.nrm,
+         |    ROUND(${dotSql("q", "c")} / (q.nrm * c.nrm), 6) AS rel
+         |  FROM n c, q WHERE c.vec_id <> $queryId),
+         |s1 AS MATERIALIZED (
+         |  SELECT vec_id, embedding, nrm, rel, CAST(0 AS DOUBLE) AS pen, rel AS score
+         |  FROM r ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    for (j <- 2 to k) {
+      val selUnion = (1 until j).map(i =>
+        s"SELECT vec_id, embedding, nrm FROM s$i").mkString(" UNION ALL ")
+      val selIds = (1 until j).map(i =>
+        s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      sb ++= s""",
+         |s$j AS MATERIALIZED (
+         |  SELECT c.vec_id, c.embedding, c.nrm, c.rel, p.pen, c.rel - p.pen AS score
+         |  FROM r c JOIN (
+         |      SELECT c2.vec_id, max(ROUND(${dotSql("c2", "s")} / (c2.nrm * s.nrm), 6)) AS pen
+         |      FROM r c2, ($selUnion) s
+         |      GROUP BY c2.vec_id) p ON c.vec_id = p.vec_id
+         |  WHERE c.vec_id NOT IN ($selIds)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val rows = (1 to k).map(j =>
+      s"SELECT CAST($j AS INT) AS rank, vec_id, rel AS relevance, pen AS penalty, score FROM s$j")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"""
+         |SELECT * FROM (
+         |  $rows
+         |) ORDER BY rank""".stripMargin
+    sb.toString
+  }
 
   /** Single-pass segment-dedup oracle — shared by x58 (one shot) and x64
     * (incremental index), whose results must be identical. */
@@ -1863,6 +1924,7 @@ object ExtensionQueries {
          |FROM fp a JOIN fp b ON a.doc < b.doc
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x79_mmr_select" -> mmrSql(queryId = 0L, k = 8),
     "x5_ann_topk" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -765,4 +765,33 @@ class ExtensionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sr == expected, s"got $sr expected $expected")
   }
+
+  test("MMR: first pick is the relevance argmax; diversity flips the second pick") {
+    // ids 1 and 2 are a tight near-duplicate pair close to the query; id 3
+    // is moderately relevant but angularly separated from id 1. Pure
+    // relevance ranks [1, 2, 3]; MMR must rank [1, 3, 2]: id 2's penalty
+    // (~0.9999) sinks its score to ≈ −0.022 while id 3 keeps
+    // 0.7071 − 0.6934 ≈ +0.014.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0.2f, 0f)),
+      (2L, Array(0.99f, 0.21f, 0f)),
+      (3L, Array(0.7f, 0f, 0.7f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(vecs, queryId = 0L, k = 3)
+    assert(picks.map(_.vecId) == Seq(1L, 3L, 2L))
+    assert(picks.map(_.rank) == Seq(1, 2, 3))
+    assert(picks.head.penalty == 0.0 && picks.head.score == picks.head.relevance)
+    // every later score must already be penalty-discounted
+    assert(picks.tail.forall(p => p.score == p.relevance - p.penalty))
+  }
+
+  test("MMR on the real corpus: k distinct picks, query excluded, pick 1 = brute-force top-1") {
+    val picks = Similarity.mmrSelect(emb, queryId = 0L, k = 5)
+    assert(picks.map(_.vecId).distinct.length == 5)
+    assert(!picks.map(_.vecId).contains(0L))
+    val bf = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), k = 1)
+      .select($"neighbor_id").as[Long].head()
+    assert(picks.head.vecId == bf,
+      "with no selected set yet, MMR's first pick IS the nearest neighbor")
+  }
 }
