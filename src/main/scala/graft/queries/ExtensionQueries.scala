@@ -569,6 +569,34 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x80: robust per-source outlier detection (median/MAD) — the quality
+  // monitor a continuously-ingesting pipeline runs per source: a doc is
+  // anomalous when its length deviates from the source median by more than
+  // 3 MADs. Median/MAD (not mean/stddev) so a burst of junk can't drag its
+  // own threshold. Two grouped percentile aggs + two joins, all keyed on
+  // `source` (a low-cardinality dimension, so the stats frames broadcast);
+  // the corpus is scanned twice and never shuffled on doc rows.
+  def x80QualityOutliers(s: SparkSession, dir: String): DataFrame =
+    robustOutliers(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")))
+      .orderBy(col("doc_id"))
+
+  /** Median/MAD outlier core of x80 over (doc_id, source, n_chars) —
+    * public so the spec can drive degenerate fixtures (e.g. MAD = 0, where
+    * EVERY deviation flags). */
+  def robustOutliers(d: DataFrame): DataFrame = {
+    val meds = d.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dev = d.join(broadcast(meds), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mads = dev.groupBy(col("source"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mads), "source")
+      .filter(col("dev") > lit(3.0) * col("mad"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
+
   /** Trusted reference slice for the model-based curation ops (x51/x52) —
     * stands in for CCNet's Wikipedia / DSIR's target domain. Shared with
     * the oracle texts. */
@@ -1015,7 +1043,8 @@ object ExtensionQueries {
     "x8_lang_id" -> x8LangId _,
     "x9_fingerprint" -> x9Fingerprint _,
     "x10_media_features" -> x10MediaFeatures _,
-    "x79_mmr_select" -> x79MmrSelect _)
+    "x79_mmr_select" -> x79MmrSelect _,
+    "x80_quality_outliers" -> x80QualityOutliers _)
 
   private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
@@ -1925,6 +1954,18 @@ object ExtensionQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x79_mmr_select" -> mmrSql(queryId = 0L, k = 8),
+    "x80_quality_outliers" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |meds AS (SELECT source, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY source),
+        |dev AS (SELECT d.doc_id, d.source, d.n_chars, meds.med,
+        |               abs(d.n_chars - meds.med) AS dev
+        |        FROM d JOIN meds USING (source)),
+        |mads AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY source)
+        |SELECT doc_id, source, n_chars,
+        |       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad
+        |FROM dev JOIN mads USING (source)
+        |WHERE dev > 3.0 * mad
+        |ORDER BY doc_id""".stripMargin,
     "x5_ann_topk" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

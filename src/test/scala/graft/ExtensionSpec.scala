@@ -794,4 +794,17 @@ class ExtensionSpec extends AnyFunSuite {
     assert(picks.head.vecId == bf,
       "with no selected set yet, MMR's first pick IS the nearest neighbor")
   }
+
+  test("robust outliers: median/MAD flags the spike; MAD=0 flags every deviation") {
+    // src A: [10,10,10,10,100] → med 10, MAD 0: only the 100 deviates (and
+    // 0 > 3·0 is false for the 10s). src B: [10,20,30,40,1000] → med 30,
+    // MAD 10: only 1000 clears |x−30| > 30.
+    val d = Seq(
+      (1L, "A", 10), (2L, "A", 10), (3L, "A", 10), (4L, "A", 10), (5L, "A", 100),
+      (6L, "B", 10), (7L, "B", 20), (8L, "B", 30), (9L, "B", 40), (10L, "B", 1000))
+      .toDF("doc_id", "source", "n_chars")
+    val out = graft.queries.ExtensionQueries.robustOutliers(d)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(5L, 10L))
+  }
 }
