@@ -81,6 +81,21 @@ class ScaleSmokeSpec extends AnyFunSuite {
   test("x64 incremental segment dedup completes at 10x") {
     requested(); run("x64_incremental_segments")
   }
+  test("x75 BPE merge learning completes at 10x") {
+    requested()
+    // plain replication (no word suffixing — the scaled corpus's replica
+    // digits would fall outside BPE's ^[a-z]+$ training charset): BPE
+    // only sees the word-frequency table, so dup structure is irrelevant
+    val docs = (0 until R).map(i =>
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
+      .reduce(_ unionAll _)
+    val t0 = System.nanoTime()
+    val merges = graft.operators.Bpe.learnMerges(docs, rounds = 12)
+    info(f"[scale] x75 merges=${merges.length} wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    assert(merges.length == 12)
+  }
+  test("x77 perceptron training completes at 10x") { requested(); run("x77_perceptron_train") }
 
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
