@@ -597,6 +597,38 @@ object ExtensionQueries {
         round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
   }
 
+  // x81: boilerplate mass / shingle novelty (the RefinedWeb-style shared-
+  // content signal): per doc, the fraction of its DISTINCT 5-gram shingles
+  // that occur in at least one other document — header/footer/template
+  // mass that repetition stats (x24, within-doc) and span dedup (x49,
+  // exact positions) don't isolate. Integer micro-units, floor division.
+  // Scale shape: one shingle explode + a (doc, shingle) distinct + a
+  // shingle-keyed df agg + one join back — every shuffle is keyed on the
+  // shingle, all corpus-linear; at 100 TB swap the shingle string for a
+  // 64-bit hash to cut shuffle bytes (strings kept here for oracle
+  // transparency). Docs with < 5 tokens carry no shingles and drop out.
+  def x81ShingleNovelty(s: SparkSession, dir: String): DataFrame =
+    shingleNovelty(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Shared-shingle core of x81 — public so the spec can drive fixtures
+    * (within-doc repeats, short docs, exact micro arithmetic). */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 5)
+    val sh = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
+        .as("sh")).distinct()
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("shared_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("shared_shingles"),
+        expr("(1000000 * shared_shingles) div n_shingles").as("boilerplate_micro"))
+  }
+
   /** Trusted reference slice for the model-based curation ops (x51/x52) —
     * stands in for CCNet's Wikipedia / DSIR's target domain. Shared with
     * the oracle texts. */
@@ -1044,7 +1076,8 @@ object ExtensionQueries {
     "x9_fingerprint" -> x9Fingerprint _,
     "x10_media_features" -> x10MediaFeatures _,
     "x79_mmr_select" -> x79MmrSelect _,
-    "x80_quality_outliers" -> x80QualityOutliers _)
+    "x80_quality_outliers" -> x80QualityOutliers _,
+    "x81_shingle_novelty" -> x81ShingleNovelty _)
 
   private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
@@ -1954,6 +1987,20 @@ object ExtensionQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x79_mmr_select" -> mmrSql(queryId = 0L, k = 8),
+    "x81_shingle_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM toks WHERE len(ws) >= 5)),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_shingles,
+        |  CAST((1000000 * sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+        |    AS boilerplate_micro
+        |FROM sh JOIN df USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x80_quality_outliers" ->
       """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
         |meds AS (SELECT source, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY source),

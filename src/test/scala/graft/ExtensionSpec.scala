@@ -807,4 +807,21 @@ class ExtensionSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(5L, 10L))
   }
+
+  test("shingle novelty: cross-doc shares count, within-doc repeats don't, short docs drop") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // shingles {a b c d e, b c d e f}: first shared
+      (2L, "a b c d e"),     // {a b c d e}: shared
+      (3L, "x y z w v"),     // unique
+      (4L, "a a a a a a"),   // one DISTINCT shingle, only in this doc
+      (5L, "a b"))           // too short — no shingles, no row
+      .toDF("doc_id", "text")
+    val r = graft.queries.ExtensionQueries.shingleNovelty(d)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L, 500000L),
+      (2L, 1L, 1L, 1000000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 1L, 0L, 0L)))
+  }
 }
