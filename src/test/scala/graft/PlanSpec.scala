@@ -217,6 +217,32 @@ class PlanSpec extends AnyFunSuite {
         "the pair stream is corpus-vocabulary-sized per round")
   }
 
+  test("x78 classifier scoring: one exchange-free codegen projection over the scan") {
+    val plan = executed(SparkEntry.queries("x78_perceptron_score")(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "deploying a trained linear filter is a projection — weights are plan " +
+        "literals; no join, no aggregation, nothing corpus-shaped to shuffle " +
+        "(the single exchange is the presentation orderBy)")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      "the scoring projection must stay inside whole-stage codegen")
+  }
+
+  test("x81 shingle novelty: partial aggregation, equi-joined on the shingle, no nested loop") {
+    val plan = executed(SparkEntry.queries("x81_shingle_novelty")(spark, dir))
+    assert("partial_count|partial_sum".r.findFirstIn(plan).isDefined,
+      "shingle df and per-doc sums must combine map-side")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the df join must stay equi-keyed on the shingle")
+  }
+
+  test("x80 outlier monitor: per-source stats broadcast; the corpus never shuffles on doc rows") {
+    val plan = executed(SparkEntry.queries("x80_quality_outliers")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the low-cardinality source stats must broadcast to the doc stream")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join belongs in a monitoring query")
+  }
+
   test("x54 corpus profile: aggregations are partial (map-side combine) before the shuffle") {
     val plan = executed(SparkEntry.queries("x54_corpus_profile")(spark, dir))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
