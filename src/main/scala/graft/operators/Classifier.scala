@@ -109,4 +109,40 @@ object Classifier {
       .select(col(idCol), col("y"), (col("y") * col("wx")).as("margin"),
         (col("y") * col("wx") > 0).as("correct"))
   }
+
+  /** Evaluate a weight vector on a labeled corpus: one row of confusion
+    * counts plus precision/recall/F1 in exact integer micro-units (floor
+    * division — the cross-engine convention of the whole scoring surface;
+    * `pred positive` ⇔ w·x > 0). ONE corpus-linear partial-agg pass; the
+    * metric arithmetic runs on the four aggregated longs. */
+  def evaluate(docs: DataFrame, label: Column, w: Seq[Long],
+      textCol: String = "text"): DataFrame = {
+    require(w.length == Dim, s"expected $Dim weights")
+    val ws = filter(split(col(textCol), " "), x => length(x) > 0)
+    val feats = Seq[Column](
+      lit(1L),
+      length(col(textCol)).cast("long"),
+      size(ws).cast("long"),
+      size(array_distinct(ws)).cast("long"),
+      coalesce(array_max(transform(ws, x => length(x))), lit(0)).cast("long"))
+    val wx = feats.zip(w).map { case (fc, wd) => fc * lit(wd) }.reduce(_ + _)
+    docs.select(
+        when(label, lit(1L)).otherwise(lit(-1L)).as("y"), wx.as("wx"))
+      .agg(
+        sum(when(col("y") === 1 && col("wx") > 0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1 && col("wx") > 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("wx") <= 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === -1 && col("wx") <= 0, 1L).otherwise(0L)).as("tn"))
+      // undefined ratios (empty denominator) report 0, in both engines —
+      // a filter that predicts no positives has precision 0 by convention
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE (1000000 * tp) div (tp + fp) END")
+          .as("precision_micro"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE (1000000 * tp) div (tp + fn) END")
+          .as("recall_micro"))
+      .select(col("*"),
+        expr("CASE WHEN precision_micro + recall_micro = 0 THEN 0L ELSE " +
+          "(2 * precision_micro * recall_micro) div (precision_micro + recall_micro) END")
+          .as("f1_micro"))
+  }
 }

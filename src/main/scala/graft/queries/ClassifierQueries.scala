@@ -32,9 +32,18 @@ object ClassifierQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x82: confusion counts + integer-micro precision/recall/F1 of the
+  // trained filter — the acceptance gate before a curation model ships.
+  def x82ClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Classifier.train(docs, label, Iters).last
+    Classifier.evaluate(docs, label, Seq(w.w0, w.w1, w.w2, w.w3, w.w4))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x77_perceptron_train" -> x77PerceptronTrain _,
-    "x78_perceptron_score" -> x78PerceptronScore _)
+    "x78_perceptron_score" -> x78PerceptronScore _,
+    "x82_classifier_eval" -> x82ClassifierEval _)
 
   /** Feature CTE shared by both oracles — the SQL twin of
     * [[Classifier.features]] (plus doc_id for the scoring join). */
@@ -90,7 +99,31 @@ object ClassifierQueries {
        |       y * (w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4) > 0 AS correct
        |FROM f, i$iters ORDER BY doc_id""".stripMargin
 
+  private def evalSql(iters: Int): String =
+    s"""WITH ${iterCtes(iters)},
+       |scored AS (
+       |  SELECT y, w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4 AS wx FROM f, i$iters),
+       |conf AS (
+       |  SELECT CAST(sum(CASE WHEN y = 1 AND wx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN y = -1 AND wx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN y = 1 AND wx <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(sum(CASE WHEN y = -1 AND wx <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scored),
+       |pr AS (
+       |  SELECT tp, fp, fn, tn,
+       |         CAST(CASE WHEN tp + fp = 0 THEN 0
+       |              ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_micro,
+       |         CAST(CASE WHEN tp + fn = 0 THEN 0
+       |              ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_micro
+       |  FROM conf)
+       |SELECT tp, fp, fn, tn, precision_micro, recall_micro,
+       |       CAST(CASE WHEN precision_micro + recall_micro = 0 THEN 0
+       |            ELSE (2 * precision_micro * recall_micro)
+       |                 // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
+       |FROM pr""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x77_perceptron_train" -> trainSql(Iters),
-    "x78_perceptron_score" -> scoreSql(Iters))
+    "x78_perceptron_score" -> scoreSql(Iters),
+    "x82_classifier_eval" -> evalSql(Iters))
 }

@@ -41,6 +41,18 @@ class ClassifierSpec extends AnyFunSuite {
       "iteration 3's error count must equal the misclassified set under w_2")
   }
 
+  test("evaluate: hand-computed confusion + floor-division metrics, zero-denominator guards") {
+    val label = col("lang") === "en"
+    // w = chars-only: doc1 wx=5 (tp), doc2 wx=2 (fp)
+    val r = graft.operators.Classifier.evaluate(tiny, label, Seq(0L, 1L, 0L, 0L, 0L))
+      .head()
+    assert(r.toSeq == Seq(1L, 1L, 0L, 0L, 500000L, 1000000L, 666666L))
+    // all-negative filter: no positives predicted → all ratios 0, no div-by-zero
+    val z = graft.operators.Classifier.evaluate(tiny, label, Seq(-1L, 0L, 0L, 0L, 0L))
+      .head()
+    assert(z.toSeq == Seq(0L, 0L, 1L, 1L, 0L, 0L, 0L))
+  }
+
   test("empty-text docs carry [1, 0, 0, 0, 0] features (no null poisoning)") {
     val df = Seq((1L, "", "en"), (2L, " ", "zh")).toDF("doc_id", "text", "lang")
     val stats = Classifier.train(df, col("lang") === "en", iters = 1)
