@@ -88,10 +88,22 @@ object Bpe {
       .agg(sum(col("cnt")).as("c"))
 
   /** Learn up to `rounds` merges from the corpus. Stops early only if no
-    * adjacent pair remains (every word fused to one symbol). */
+    * adjacent pair remains (every word fused to one symbol).
+    *
+    * `batch` = merges accepted per counting pass. 1 (default) is EXACT
+    * BPE — recount between every merge — and what the x75 oracle replays.
+    * batch > 1 is the standard parallel-BPE approximation for production
+    * vocabularies (a 32k-merge table cannot run 32k Spark jobs): after one
+    * counting pass, accept the top pairs in (count DESC, lhs, rhs) order,
+    * greedily skipping any pair that shares a symbol with — or whose side
+    * EQUALS the fused symbol of — an already-accepted pair of the same
+    * pass, so the accepted merges touch disjoint symbols and their chained
+    * application is order-independent within the pass. Determinism is
+    * unchanged; only the count-refresh granularity coarsens. */
   def learnMerges(docs: DataFrame, rounds: Int,
-      textCol: String = "text"): Seq[Merge] = {
+      textCol: String = "text", batch: Int = 1): Seq[Merge] = {
     require(rounds > 0, "rounds must be positive")
+    require(batch > 0, "batch must be positive")
     val base = wordFreq(docs, textCol)
       .select(delimited(col("w")).as("s"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -102,12 +114,25 @@ object Bpe {
         // re-derive from the persisted base through the bounded replace
         // chain: plan depth ≤ rounds, lineage never compounds
         val cur = base.select(applyMerges(col("s"), acc.toSeq).as("s"), col("cnt"))
-        val top = topPairPlan(cur).collect()
+        val want = (rounds - acc.length).min(batch)
+        // over-fetch: some candidates are rejected for symbol conflicts
+        val top = pairCounts(cur)
+          .orderBy(col("c").desc, col("lhs"), col("rhs"))
+          .limit(if (batch == 1) 1 else 4 * batch).collect()
         if (top.isEmpty) exhausted = true
         else {
-          val r = top(0)
-          val (l, rr) = (r.getString(0), r.getString(1))
-          acc += Merge(acc.length + 1, l, rr, l + rr, r.getLong(2))
+          val used = scala.collection.mutable.Set.empty[String]
+          var taken = 0
+          for (r <- top if taken < want) {
+            val (l, rr) = (r.getString(0), r.getString(1))
+            if (!used(l) && !used(rr) && !used(l + rr)) {
+              used ++= Seq(l, rr, l + rr)
+              acc += Merge(acc.length + 1, l, rr, l + rr, r.getLong(2))
+              taken += 1
+            }
+          }
+          // the first candidate always passes (nothing `used` yet), so
+          // every non-empty pass advances — no livelock possible
         }
       }
       acc.toSeq

@@ -64,6 +64,28 @@ class BpeSpec extends AnyFunSuite {
     assert(stats.toSeq == Seq((1L, 1L, 3L))) // aaab → [aa, a, b]
   }
 
+  test("batched learning: batch=1 is exact; batched passes accept only symbol-disjoint pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Bpe.learnMerges(docs, rounds = 6)
+    assert(Bpe.learnMerges(docs, rounds = 6, batch = 1) == exact)
+    val batched = Bpe.learnMerges(docs, rounds = 12, batch = 4)
+    assert(batched.length == 12)
+    assert(batched.map(_.rank) == (1 to 12))
+    // within each 4-merge pass, no symbol may repeat across accepted pairs
+    // (sides or fused results) — that is what makes the pass's chained
+    // application order-independent
+    batched.grouped(4).foreach { pass =>
+      val syms = pass.flatMap(m => Seq(m.lhs, m.rhs, m.merged))
+      assert(syms.distinct.length == syms.length, s"conflicting pass: $pass")
+    }
+    // the batched table's FIRST pick of each pass matches exact-BPE's pick
+    // under the same accumulated state only for the first pass; globally it
+    // is an approximation — but it must still encode: fertility is sane
+    val stats = Bpe.subwordStats(docs, batched)
+    assert(stats.filter(col("n_subwords") < col("n_words")).count() == 0,
+      "a word is never fewer than one subword")
+  }
+
   test("learning is deterministic on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.learnMerges(docs, rounds = 3)
