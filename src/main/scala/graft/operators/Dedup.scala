@@ -241,6 +241,58 @@ object Dedup {
       store.read(indexTable).repartitionByRange(files, col("band"), col("key")),
       sortWithin = Seq("band", "key"), statsFor = Seq("band", "key"))
 
+  /** Novelty-AT-ARRIVAL boilerplate scoring against a persisted shingle
+    * index — the continuously-ingesting twin of the one-shot shingle-
+    * novelty audit (x81): a batch doc's distinct 5-gram shingle counts as
+    * shared when the INDEX already holds it (any earlier batch) or a
+    * second doc of the SAME batch carries it. The index is a presence set
+    * of shingles with `sh` recorded as stats layout, so the per-batch
+    * probe is point-pruned by the batch's shingle set — a batch against a
+    * 100 TB shingle history costs the batch, never the history (same
+    * contract as [[incrementalDedup]]'s band index). Because batches
+    * partition docs, the FINAL batch's rows coincide with the one-shot
+    * x81 values (it sees everyone), and earlier batches are ≤ them —
+    * both pinned by the spec. */
+  def incrementalNovelty(store: graft.tables.TableStore, indexTable: String,
+      batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = batch.select(col(idCol).as("doc"),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
+        .as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hasIndex = store.exists(indexTable)
+    val seen =
+      if (!hasIndex) sh.filter(lit(false))
+      else {
+        val (idx, _) = store.readPointPruned(indexTable, sh, Seq("sh"))
+        sh.alias("a").join(idx.alias("b"), col("a.sh") === col("b.sh"), "left_semi")
+          .select(col("a.doc"), col("a.sh"))
+      }
+    val inBatch = sh.alias("a").join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"), "left_semi")
+      .select(col("a.doc"), col("a.sh"))
+    val shared = seen.union(inBatch).distinct()
+      .groupBy(col("doc")).agg(count(lit(1)).as("shared_shingles"))
+    // materialize the (batch-bounded) result before the index append
+    // below re-triggers the pipeline, then release the shingle cache
+    val result = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+      .join(shared, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_shingles"),
+        coalesce(col("shared_shingles"), lit(0L)).as("shared_shingles"))
+      .withColumn("boilerplate_micro",
+        expr("(1000000 * shared_shingles) div n_shingles"))
+      .localCheckpoint()
+    val newIdx = sh.select(col("sh")).distinct()
+    if (!hasIndex) store.createOrReplace(indexTable, newIdx, statsFor = Seq("sh"))
+    else store.append(indexTable, newIdx)
+    sh.unpersist(false)
+    result
+  }
+
   /** Duplicated-SPAN detection (the "Deduplicating Training Data Makes
     * Language Models Better" substring-dedup shape, Lee et al. 2022): for
     * every document, the merged token intervals covered by some `w`-token

@@ -629,6 +629,29 @@ object ExtensionQueries {
         expr("(1000000 * shared_shingles) div n_shingles").as("boilerplate_micro"))
   }
 
+  // x83: novelty-at-arrival boilerplate monitor — x81's semantics run
+  // incrementally over three id-ordered ingest batches against a persisted
+  // shingle index (see Dedup.incrementalNovelty). A doc's shingle counts
+  // as shared when an earlier batch indexed it or a same-batch sibling
+  // carries it; later arrivals never rewrite history.
+  def x83IncrementalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val cut = (r.getLong(0) + r.getLong(1)) / 2
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_x83_store").toString)
+    try {
+      val b1 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
+        docs.filter(col("doc_id") <= cut / 2))
+      val b2 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
+        docs.filter(col("doc_id") > cut / 2 && col("doc_id") <= cut))
+      val b3 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
+        docs.filter(col("doc_id") > cut))
+      b1.unionByName(b2).unionByName(b3).orderBy(col("doc_id"))
+    } finally store.detach()
+  }
+
   /** Trusted reference slice for the model-based curation ops (x51/x52) —
     * stands in for CCNet's Wikipedia / DSIR's target domain. Shared with
     * the oracle texts. */
@@ -1077,7 +1100,8 @@ object ExtensionQueries {
     "x10_media_features" -> x10MediaFeatures _,
     "x79_mmr_select" -> x79MmrSelect _,
     "x80_quality_outliers" -> x80QualityOutliers _,
-    "x81_shingle_novelty" -> x81ShingleNovelty _)
+    "x81_shingle_novelty" -> x81ShingleNovelty _,
+    "x83_incremental_novelty" -> x83IncrementalNovelty _)
 
   private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
@@ -1987,6 +2011,31 @@ object ExtensionQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "x79_mmr_select" -> mmrSql(queryId = 0L, k = 8),
+    "x83_incremental_novelty" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(doc_id) AS BIGINT) AS mn, CAST(max(doc_id) AS BIGINT) AS mx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id <= ((mn + mx) // 2) // 2 THEN 1
+        |         WHEN doc_id <= (mn + mx) // 2 THEN 2 ELSE 3 END AS bat
+        |  FROM documents, bounds),
+        |toks AS (SELECT doc_id, bat,
+        |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws FROM b),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, bat, array_to_string(ws[i:i+4], ' ') AS sh
+        |  FROM (SELECT doc_id, bat, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM toks WHERE len(ws) >= 5)),
+        |sc AS (
+        |  SELECT a.doc_id, a.sh,
+        |         max(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS shared
+        |  FROM sh a LEFT JOIN sh o
+        |    ON a.sh = o.sh AND o.doc_id <> a.doc_id AND o.bat <= a.bat
+        |  GROUP BY a.doc_id, a.sh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(shared) AS BIGINT) AS shared_shingles,
+        |  CAST((1000000 * sum(shared)) // count(*) AS BIGINT) AS boilerplate_micro
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x81_shingle_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws

@@ -808,6 +808,28 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(5L, 10L))
   }
 
+  test("incremental novelty: final batch equals the one-shot audit; earlier batches never exceed it") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_incnov").toString)
+    try {
+      val r = docs.agg(min($"doc_id").cast("long"), max($"doc_id").cast("long")).head()
+      val cut = (r.getLong(0) + r.getLong(1)) / 2
+      val b1 = graft.operators.Dedup.incrementalNovelty(store, "idx.sh",
+        docs.filter($"doc_id" <= cut))
+      val b2 = graft.operators.Dedup.incrementalNovelty(store, "idx.sh",
+        docs.filter($"doc_id" > cut))
+      val oneShot = graft.queries.ExtensionQueries.shingleNovelty(docs)
+        .select($"doc_id".as[Long], $"shared_shingles".as[Long]).collect().toMap
+      // the LAST batch has seen every other doc (index ∪ same batch) — its
+      // rows must coincide with the one-shot x81 values
+      b2.select($"doc_id".as[Long], $"shared_shingles".as[Long]).collect()
+        .foreach { case (id, s) => assert(s == oneShot(id), s"doc $id final-batch mismatch") }
+      // an EARLier batch sees a subset of the corpus — never more shares
+      b1.select($"doc_id".as[Long], $"shared_shingles".as[Long]).collect()
+        .foreach { case (id, s) => assert(s <= oneShot(id), s"doc $id early-batch excess") }
+    } finally store.detach()
+  }
+
   test("shingle novelty: cross-doc shares count, within-doc repeats don't, short docs drop") {
     val d = Seq(
       (1L, "a b c d e f"),   // shingles {a b c d e, b c d e f}: first shared
