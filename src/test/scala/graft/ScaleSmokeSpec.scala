@@ -98,6 +98,7 @@ class ScaleSmokeSpec extends AnyFunSuite {
   test("x77 perceptron training completes at 10x") { requested(); run("x77_perceptron_train") }
   test("x81 shingle novelty completes at 10x") { requested(); run("x81_shingle_novelty") }
   test("x82 classifier eval completes at 10x") { requested(); run("x82_classifier_eval") }
+  test("x83 incremental novelty completes at 10x") { requested(); run("x83_incremental_novelty") }
 
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
