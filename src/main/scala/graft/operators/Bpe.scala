@@ -5,6 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.core.Materialize.MatOps
 
 /** Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
   * 2016) — the step a pretraining pipeline runs before it can tokenize
@@ -16,8 +17,10 @@ import org.apache.spark.storage.StorageLevel
   * map-side-combined shuffle); every learning round after that runs over
   * the vocabulary-sized table — at 100 TB of text the distinct-word table
   * is millions of rows, not billions of tokens, and it is persisted once
-  * and re-derived per round from a bounded replace chain (never an
-  * iteratively-growing lineage, never a checkpoint).
+  * and re-derived per round from a replace chain bounded at [[Segment]]
+  * merges — every Segment accepted merges the current forms are
+  * re-materialized (localCheckpoint, vocabulary-sized) so lineage and
+  * expression depth never compound past the segment size.
   *
   * Representation: a word's current symbol segmentation is a
   * delimiter-wrapped string — "low" → `"|l||o||w|"`, every symbol wrapped
@@ -63,11 +66,45 @@ object Bpe {
   def delimited(c: Column): Column = regexp_replace(c, "(.)", "|$1|")
 
   /** Apply a learned merge table (in rank order) to a delimited-form
-    * column — a chain of codegen'd `replace` calls, one per merge. */
+    * column — a chain of codegen'd `replace` calls, one per merge.
+    *
+    * SCALE BOUND: callers must never hand this more than [[Segment]]
+    * merges in one projection — a 32k-merge production vocabulary chained
+    * into a single expression exceeds the JVM/codegen method-size limit
+    * and silently degrades to interpreted per-row eval. Use
+    * [[applyMergesBounded]] for full merge tables; this raw form exists
+    * for the per-round re-derivation (whose chain is already ≤ Segment)
+    * and for tests. */
   def applyMerges(s: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(s) { (acc, m) =>
       replace(acc, lit(s"|${m.lhs}||${m.rhs}|"), lit(s"|${m.merged}|"))
     }
+
+  /** Merges applied per materialized projection segment. Empirically a
+    * 128-replace chain stays comfortably inside whole-stage codegen
+    * (BpeSpec asserts it); the per-segment localCheckpoint between chains
+    * truncates lineage so a 32k-merge vocabulary is 32k/128 ≈ 250
+    * vocabulary-sized materializations, never one 32k-deep expression. */
+  val Segment = 128
+
+  /** Apply a full learned merge table to the delimited-form column `sCol`
+    * of `df`, re-materializing (localCheckpoint, vocabulary-sized) every
+    * `segment` merges so no single projection carries more than `segment`
+    * chained replaces and no logical plan compounds across segments. */
+  def applyMergesBounded(df: DataFrame, sCol: String, merges: Seq[Merge],
+      segment: Int = Segment): DataFrame = {
+    val sorted = merges.sortBy(_.rank)
+    if (sorted.length <= segment)
+      df.withColumn(sCol, applyMerges(col(sCol), sorted))
+    else {
+      val groups = sorted.grouped(segment).toSeq
+      groups.zipWithIndex.foldLeft(df) { case (acc, (seg, i)) =>
+        val next = acc.withColumn(sCol, applyMerges(col(sCol), seg))
+        // the last segment stays lazy: downstream ops fuse into its plan
+        if (i < groups.length - 1) next.materialized else next
+      }
+    }
+  }
 
   /** One learning round's argmax plan over a (s, cnt) word table —
     * exposed so the plan audit can pin its shape (partial agg before the
@@ -109,11 +146,25 @@ object Bpe {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val acc = ArrayBuffer.empty[Merge]
+      // `mat` holds the word forms with the first `matCount` merges already
+      // applied AND materialized (localCheckpoint every Segment accepted
+      // merges) — each round re-derives through a replace chain of at most
+      // Segment merges, so a 32k-round run never builds a 32k-deep
+      // expression or a compounding logical plan.
+      var mat: DataFrame = base
+      var matCount = 0
       var exhausted = false
       while (acc.length < rounds && !exhausted) {
-        // re-derive from the persisted base through the bounded replace
-        // chain: plan depth ≤ rounds, lineage never compounds
-        val cur = base.select(applyMerges(col("s"), acc.toSeq).as("s"), col("cnt"))
+        if (acc.length - matCount >= Segment) {
+          mat = mat.select(
+            applyMerges(col("s"), acc.drop(matCount).toSeq).as("s"), col("cnt"))
+            .materialized
+          matCount = acc.length
+        }
+        // re-derive from the latest materialized form through the bounded
+        // replace chain: plan depth ≤ Segment, lineage never compounds
+        val cur = mat.select(
+          applyMerges(col("s"), acc.drop(matCount).toSeq).as("s"), col("cnt"))
         val want = (rounds - acc.length).min(batch)
         // over-fetch: some candidates are rejected for symbol conflicts
         val top = pairCounts(cur)
@@ -162,8 +213,10 @@ object Bpe {
     val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike(WordRe))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
-    val forms = words.select(col("w")).distinct()
-      .select(col("w"), applyMerges(delimited(col("w")), merges).as("s"))
+    val forms = applyMergesBounded(
+        words.select(col("w")).distinct()
+          .select(col("w"), delimited(col("w")).as("s")),
+        "s", merges)
       // |a||b||c| has n-1 inner "||" seams: symbols = seams + 1
       .select(col("w"), expr(
         "(length(s) - length(replace(s, '||', ''))) div 2 + 1").as("n_sub"))

@@ -70,7 +70,9 @@ object Classifier {
         val margin = col("y") *
           (0 until Dim).map(d => lit(w(d)) * col(s"f$d")).reduce(_ + _)
         val mis = when(margin <= 0, lit(1L)).otherwise(lit(0L))
-        val aggs = sum(mis).as("errors") +:
+        // coalesce like the weight deltas: on an empty (or fully
+        // filtered) corpus sum() is NULL and getLong would NPE
+        val aggs = coalesce(sum(mis), lit(0L)).as("errors") +:
           (0 until Dim).map(d =>
             coalesce(sum(when(margin <= 0, col("y") * col(s"f$d"))), lit(0L))
               .as(s"d$d"))
@@ -129,10 +131,12 @@ object Classifier {
     docs.select(
         when(label, lit(1L)).otherwise(lit(-1L)).as("y"), wx.as("wx"))
       .agg(
-        sum(when(col("y") === 1 && col("wx") > 0, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("y") === -1 && col("wx") > 0, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("y") === 1 && col("wx") <= 0, 1L).otherwise(0L)).as("fn"),
-        sum(when(col("y") === -1 && col("wx") <= 0, 1L).otherwise(0L)).as("tn"))
+        // coalesced: an empty corpus evaluates to an all-zero confusion
+        // row (micro-metrics 0), not a downstream null blowup
+        coalesce(sum(when(col("y") === 1 && col("wx") > 0, 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("y") === -1 && col("wx") > 0, 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("y") === 1 && col("wx") <= 0, 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(col("y") === -1 && col("wx") <= 0, 1L).otherwise(0L)), lit(0L)).as("tn"))
       // undefined ratios (empty denominator) report 0, in both engines —
       // a filter that predicts no positives has precision 0 by convention
       .select(col("tp"), col("fp"), col("fn"), col("tn"),

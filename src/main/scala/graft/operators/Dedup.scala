@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.normalizeText
+import graft.core.Materialize.MatOps
 
 /** Document deduplication for training-data pipelines: exact, word-shingle
   * Jaccard, MinHash+LSH, and SimHash. All are pure DataFrame programs
@@ -28,6 +29,9 @@ object Dedup {
     * (candidate files scanned, manifest total) of the most recent call
     * that probed an existing index. */
   @volatile var lastIndexScan: Option[(Int, Int)] = None
+
+  /** Same observability for [[incrementalNovelty]]'s shingle-index probe. */
+  @volatile var lastNoveltyScan: Option[(Int, Int)] = None
 
   /** Exact dedup on normalized text: canonical row = min(id) per digest.
     * One shuffle on the 128-bit digest; at 100 TB this is the cheapest
@@ -217,13 +221,19 @@ object Dedup {
     val kept = batch.join(dropped, batch(idCol) === dropped("doc"), "left_anti")
       // materialize the (batch-bounded) result before the index append
       // below re-triggers the pipeline, then release the band cache
-      .localCheckpoint()
+      .materialized
     val bands3 = bk.select(col("band"), col("key"), col("doc"))
     // (band, key) are the index's join columns — recorded as stats layout
-    // so file skipping bounds the index-side scan as it grows
-    if (!hasIndex)
-      store.createOrReplace(indexTable, bands3, statsFor = Seq("band", "key"))
-    else store.append(indexTable, bands3)
+    // so file skipping bounds the index-side scan as it grows; `key` also
+    // carries a per-file parquet bloom, so between clusterIndex
+    // maintenance passes (when append files have full-range boxes) the
+    // probe still skips files holding none of the batch's keys
+    if (!hasIndex) {
+      store.createOrReplace(indexTable, bands3.limit(0),
+        statsFor = Seq("band", "key"))
+      store.setBloomFilterIndex(indexTable, Seq("key"), ndv = 1000000L)
+      store.append(indexTable, bands3)
+    } else store.append(indexTable, bands3)
     bk.unpersist(false)
     kept
   }
@@ -241,18 +251,31 @@ object Dedup {
       store.read(indexTable).repartitionByRange(files, col("band"), col("key")),
       sortWithin = Seq("band", "key"), statsFor = Seq("band", "key"))
 
+  /** 60-bit engine-portable shingle hash: the first 15 hex chars of md5,
+    * parsed base-16 — DuckDB replays it exactly as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`. Shuffles and persisted
+    * indexes carry an 8-byte key instead of a ~30+ byte shingle string
+    * (~10x fewer shuffle/index bytes at 100 TB); 60 bits keeps the
+    * birthday-collision odds negligible at corpus shingle cardinalities
+    * while staying inside a signed BIGINT for both engines. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Novelty-AT-ARRIVAL boilerplate scoring against a persisted shingle
     * index — the continuously-ingesting twin of the one-shot shingle-
     * novelty audit (x81): a batch doc's distinct 5-gram shingle counts as
     * shared when the INDEX already holds it (any earlier batch) or a
     * second doc of the SAME batch carries it. The index is a presence set
-    * of shingles with `sh` recorded as stats layout, so the per-batch
-    * probe is point-pruned by the batch's shingle set — a batch against a
-    * 100 TB shingle history costs the batch, never the history (same
-    * contract as [[incrementalDedup]]'s band index). Because batches
-    * partition docs, the FINAL batch's rows coincide with the one-shot
-    * x81 values (it sees everyone), and earlier batches are ≤ them —
-    * both pinned by the spec. */
+    * of [[shingleHash]]es with `shh` recorded as stats layout, so the
+    * per-batch probe is point-pruned by the batch's shingle set — a batch
+    * against a 100 TB shingle history costs the batch, never the history
+    * (same contract as [[incrementalDedup]]'s band index) — and the index
+    * grows by NOVELTY only: each batch appends the shingles the index has
+    * not seen (anti-join against the already-point-pruned probe frame), so
+    * a hot boilerplate shingle occupies ONE index row no matter how many
+    * batches carry it. Because batches partition docs, the FINAL batch's
+    * rows coincide with the one-shot x81 values (it sees everyone), and
+    * earlier batches are ≤ them — both pinned by the spec. */
   def incrementalNovelty(store: graft.tables.TableStore, indexTable: String,
       batch: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -261,20 +284,31 @@ object Dedup {
       .filter(size(col("ws")) >= 5)
       .select(col("doc"), explode(expr(
         "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
-        .as("sh"))
+        .as("s"))
+      .select(col("doc"), shingleHash(col("s")).as("shh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hasIndex = store.exists(indexTable)
-    val seen =
-      if (!hasIndex) sh.filter(lit(false))
+    // point-pruned probe frame: files whose [min,max] stats exclude every
+    // batch shingle are skipped — and a skipped file by construction holds
+    // NO batch shingle, so the same frame is valid for both the semi-join
+    // (seen) and the anti-join (novel) below
+    val idx =
+      if (!hasIndex) None
       else {
-        val (idx, _) = store.readPointPruned(indexTable, sh, Seq("sh"))
-        sh.alias("a").join(idx.alias("b"), col("a.sh") === col("b.sh"), "left_semi")
-          .select(col("a.doc"), col("a.sh"))
+        val (pruned, counts) = store.readPointPruned(indexTable, sh, Seq("shh"))
+        lastNoveltyScan = Some(counts)
+        Some(pruned)
       }
+    val seen = idx match {
+      case None => sh.filter(lit(false))
+      case Some(i) =>
+        sh.alias("a").join(i.alias("b"), col("a.shh") === col("b.shh"), "left_semi")
+          .select(col("a.doc"), col("a.shh"))
+    }
     val inBatch = sh.alias("a").join(sh.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"), "left_semi")
-      .select(col("a.doc"), col("a.sh"))
+        col("a.shh") === col("b.shh") && col("a.doc") =!= col("b.doc"), "left_semi")
+      .select(col("a.doc"), col("a.shh"))
     val shared = seen.union(inBatch).distinct()
       .groupBy(col("doc")).agg(count(lit(1)).as("shared_shingles"))
     // materialize the (batch-bounded) result before the index append
@@ -285,10 +319,22 @@ object Dedup {
         coalesce(col("shared_shingles"), lit(0L)).as("shared_shingles"))
       .withColumn("boilerplate_micro",
         expr("(1000000 * shared_shingles) div n_shingles"))
-      .localCheckpoint()
-    val newIdx = sh.select(col("sh")).distinct()
-    if (!hasIndex) store.createOrReplace(indexTable, newIdx, statsFor = Seq("sh"))
-    else store.append(indexTable, newIdx)
+      .materialized
+    val batchShingles = sh.select(col("shh")).distinct()
+    val novel = idx match {
+      case None => batchShingles
+      case Some(i) => batchShingles.join(i, Seq("shh"), "left_anti")
+    }
+    if (!hasIndex) {
+      // declare the bloom index BEFORE the first data write so every file
+      // carries a bloom on shh — that is what keeps the per-batch probe's
+      // candidate set flat as the index grows (novelty-only appends mean
+      // each shingle lives in exactly one file; the bloom stage of
+      // readPointPruned skips the files holding none of the batch's keys)
+      store.createOrReplace(indexTable, novel.limit(0), statsFor = Seq("shh"))
+      store.setBloomFilterIndex(indexTable, Seq("shh"), ndv = 1000000L)
+      store.append(indexTable, novel)
+    } else store.append(indexTable, novel)
     sh.unpersist(false)
     result
   }
@@ -422,7 +468,7 @@ object Dedup {
     // the end; singletons self-label through the coalesce.
     val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint() // materialize once; pair generation can be expensive
+      .materialized // materialize once; pair generation can be expensive
     // The iterate set is usually TINY relative to the corpus (only paired
     // docs), but each round would still shuffle it across the session's
     // full shuffle-partition count — at 32+ partitions the loop's cost is
@@ -434,7 +480,7 @@ object Dedup {
       val cap = pairs.sparkSession.sessionState.conf.numShufflePartitions
       math.max(1, math.min(cap, ((n + 65535) / 65536).toInt))
     }
-    val edges = edges0.repartition(loopParts, col("dst")).localCheckpoint()
+    val edges = edges0.repartition(loopParts, col("dst")).materialized
     // the repartitioned checkpoint supersedes edges0's blocks — release
     // them now, or every dupClusters call pins a dead edge copy in
     // executor storage for the life of the session
@@ -444,7 +490,7 @@ object Dedup {
     // superlinearly with iteration count while the data stays tiny
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("id"), col("src").as("label"))
-      .localCheckpoint()
+      .materialized
     // superseded per-round checkpoints are released as soon as the next
     // round's is materialized; only the FINAL one stays (the returned
     // plan reads it)
@@ -476,7 +522,7 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.l1"), coalesce(col("b.l1"), col("a.l1"))).as("label"),
           col("a.old").as("old"))
-        .localCheckpoint()
+        .materialized
       // tiny scan over the materialized blocks — no recompute, no join
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
@@ -625,11 +671,17 @@ object Dedup {
     val flagged = flagFirstSegments(segs)
       .join(inIndex.distinct().withColumn("__old", lit(true)), Seq("h"), "left_outer")
       .withColumn("kept", col("kept") && col("__old").isNull)
-    val out = assembleKept(flagged).localCheckpoint()
+    val out = assembleKept(flagged).materialized
     val newHashes = flagged.filter(col("kept")).select(col("h"))
-    if (!hasIndex)
-      store.createOrReplace(indexTable, newHashes, statsFor = Seq("h"))
-    else store.append(indexTable, newHashes)
+    if (!hasIndex) {
+      // per-file bloom on the segment hash: kept-only growth means each
+      // hash lives in ONE file, so the per-batch probe stays flat (the
+      // bloom stage of readPointPruned skips files with none of the
+      // batch's hashes — md5 strings defeat [min,max] boxes)
+      store.createOrReplace(indexTable, newHashes.limit(0), statsFor = Seq("h"))
+      store.setBloomFilterIndex(indexTable, Seq("h"), ndv = 1000000L)
+      store.append(indexTable, newHashes)
+    } else store.append(indexTable, newHashes)
     segs.unpersist(false)
     out
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Materialize.MatOps
 
 /** Iterative graph analytics over edge-list DataFrames.
   *
@@ -47,12 +48,12 @@ object Graph {
     // blocks instead of re-running the (possibly expensive) edge derivation
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().materialized
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(outdeg, "src").localCheckpoint() // (src, dst, outdeg)
+    val eo = e.join(outdeg, "src").materialized // (src, dst, outdeg)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().materialized
     val base = scale - (dampNum * scale) / dampDen
     var ranks = nodes.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to iterations) {

@@ -441,20 +441,29 @@ object Similarity {
     * penalty is a `greatest` over k dot products, no join, no shuffle)
     * followed by TakeOrderedAndProject(1); driver state is k rows. At
     * billion-vector scale, pre-filter candidates with [[lshTopK]] and run
-    * the same k steps over the bounded pool — identical contract. */
+    * the same k steps over the bounded pool — identical contract.
+    *
+    * Degenerate inputs: a `queryId` absent from the corpus throws a
+    * descriptive IllegalArgumentException; `k` exceeding the candidate
+    * pool (k > corpus − 1) returns the picks gathered when the pool
+    * drains, never a mid-selection crash. */
   def mmrSelect(corpus: DataFrame, queryId: Long, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[MmrPick] = {
     require(k > 0, "k must be positive")
     val cn = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
-    val q = cn.filter(col("id") === queryId).head()
+    val q = cn.filter(col("id") === queryId).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"mmrSelect: query vector $idCol=$queryId not found in the corpus"))
     val (qv, qn) = (q.getSeq[Float](1), q.getDouble(2))
     val rel = cn.filter(col("id") =!= queryId)
       .select(col("id"), col("v"), col("nrm"),
         round(dot(typedLit(qv), col("v")) / (lit(qn) * col("nrm")), 6).as("rel"))
     val picks = scala.collection.mutable.ArrayBuffer.empty[(MmrPick, Seq[Float], Double)]
-    for (r <- 1 to k) {
+    var r = 1
+    var drained = false
+    while (r <= k && !drained) {
       val pen: Column =
         if (picks.isEmpty) lit(0.0)
         else {
@@ -463,14 +472,21 @@ object Similarity {
           }
           if (sims.length == 1) sims.head else greatest(sims: _*)
         }
-      val top = rel.filter(!col("id").isin(picks.toSeq.map(_._1.vecId): _*))
+      rel.filter(!col("id").isin(picks.toSeq.map(_._1.vecId): _*))
         .select(col("id"), col("v"), col("nrm"), col("rel"), pen.as("pen"),
           (col("rel") - pen).as("score"))
         .orderBy(col("score").desc, col("id"))
-        .limit(1).head()
-      picks += ((MmrPick(r, top.getLong(0), top.getDouble(3),
-        top.getDouble(4), top.getDouble(5)),
-        top.getSeq[Float](1), top.getDouble(2)))
+        .limit(1).collect().headOption match {
+        case None =>
+          // k exceeded the candidate pool (k > corpus − 1): return the
+          // picks gathered so far instead of crashing mid-selection
+          drained = true
+        case Some(top) =>
+          picks += ((MmrPick(r, top.getLong(0), top.getDouble(3),
+            top.getDouble(4), top.getDouble(5)),
+            top.getSeq[Float](1), top.getDouble(2)))
+          r += 1
+      }
     }
     picks.toSeq.map(_._1)
   }

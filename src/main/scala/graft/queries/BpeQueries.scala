@@ -39,7 +39,11 @@ object BpeQueries {
     * word-frequency table; per round k, pK = weighted adjacent-pair
     * counts, mK = argmax (count DESC, lhs, rhs), wK = the merge applied.
     * Mirrors Bpe.learnMerges exactly (same delimiter algebra, same greedy
-    * left-to-right replace, same tie-break). */
+    * left-to-right replace, same tie-break). wK LEFT JOINs its (0- or
+    * 1-row) merge so that if merges exhaust before `rounds` (every word
+    * fused to one symbol, mK empty) the word table survives unchanged —
+    * matching the engine's early-stop — instead of going empty and
+    * zeroing every later round's oracle. */
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++=
@@ -58,9 +62,9 @@ object BpeQueries {
         |  GROUP BY 1, 2),
         |m$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1),
         |w$k AS (
-        |  SELECT w, replace(s, '|' || lhs || '||' || rhs || '|',
-        |                    '|' || lhs || rhs || '|') AS s, cnt
-        |  FROM w${k - 1}, m$k)""".stripMargin
+        |  SELECT w, coalesce(replace(s, '|' || lhs || '||' || rhs || '|',
+        |                             '|' || lhs || rhs || '|'), s) AS s, cnt
+        |  FROM w${k - 1} LEFT JOIN m$k ON TRUE)""".stripMargin
     }
     sb.toString
   }

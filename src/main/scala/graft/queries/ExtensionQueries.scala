@@ -604,9 +604,12 @@ object ExtensionQueries {
   // exact positions) don't isolate. Integer micro-units, floor division.
   // Scale shape: one shingle explode + a (doc, shingle) distinct + a
   // shingle-keyed df agg + one join back — every shuffle is keyed on the
-  // shingle, all corpus-linear; at 100 TB swap the shingle string for a
-  // 64-bit hash to cut shuffle bytes (strings kept here for oracle
-  // transparency). Docs with < 5 tokens carry no shingles and drop out.
+  // shingle, all corpus-linear. The shingle is hashed to 60 bits right at
+  // the explode (md5-prefix, the repo's engine-portable hash convention —
+  // DuckDB replays it exactly via ('0x'||substr(md5(s),1,15))::BIGINT), so
+  // every shuffle and the df table carry an 8-byte key instead of a ~30+
+  // byte string — ~10x fewer shuffle bytes at 100 TB. Docs with < 5 tokens
+  // carry no shingles and drop out.
   def x81ShingleNovelty(s: SparkSession, dir: String): DataFrame =
     shingleNovelty(t(s, dir, "documents")).orderBy(col("doc_id"))
 
@@ -619,9 +622,11 @@ object ExtensionQueries {
       .filter(size(col("ws")) >= 5)
     val sh = toks.select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))"))
-        .as("sh")).distinct()
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
+        .as("s"))
+      .select(col("doc_id"), Dedup.shingleHash(col("s")).as("shh"))
+      .distinct()
+    val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "shh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("shared_shingles"))
@@ -639,8 +644,8 @@ object ExtensionQueries {
     val r = docs.agg(min(col("doc_id")).cast("long"),
       max(col("doc_id")).cast("long")).head()
     val cut = (r.getLong(0) + r.getLong(1)) / 2
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_x83_store").toString)
+    val root = java.nio.file.Files.createTempDirectory("graft_x83_store")
+    val store = new graft.tables.TableStore(s, root.toString)
     try {
       val b1 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
         docs.filter(col("doc_id") <= cut / 2))
@@ -648,8 +653,18 @@ object ExtensionQueries {
         docs.filter(col("doc_id") > cut / 2 && col("doc_id") <= cut))
       val b3 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
         docs.filter(col("doc_id") > cut))
+      // the union is batch-bounded and already localCheckpoint'ed per
+      // batch, so the query-local index directory can be deleted below
+      // without dangling lineage
       b1.unionByName(b2).unionByName(b3).orderBy(col("doc_id"))
-    } finally store.detach()
+    } finally {
+      store.detach()
+      // query-local scratch index: delete it, or repeated bench /
+      // correctness rounds leak a shingle index per invocation
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Trusted reference slice for the model-based curation ops (x51/x52) —
@@ -2023,7 +2038,8 @@ object ExtensionQueries {
         |toks AS (SELECT doc_id, bat,
         |  list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws FROM b),
         |sh AS (
-        |  SELECT DISTINCT doc_id, bat, array_to_string(ws[i:i+4], ' ') AS sh
+        |  SELECT DISTINCT doc_id, bat,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT) AS sh
         |  FROM (SELECT doc_id, bat, ws, unnest(range(1, len(ws) - 3)) AS i
         |        FROM toks WHERE len(ws) >= 5)),
         |sc AS (
@@ -2041,7 +2057,8 @@ object ExtensionQueries {
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT) AS sh
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
         |        FROM toks WHERE len(ws) >= 5)),
         |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)

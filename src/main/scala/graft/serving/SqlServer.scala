@@ -3,8 +3,8 @@ package graft.serving
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.Executors
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.{Executors, TimeoutException, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 import org.apache.spark.sql.SparkSession
 
@@ -34,8 +34,17 @@ import org.apache.spark.sql.SparkSession
   * against any warehouse). Values cross the wire as strings (exact
   * `CAST(x AS STRING)` of each column) — a BI client's display layer, not
   * an exchange format.
+  *
+  * Runaway isolation: every statement runs under its own Spark job group
+  * (keyed by connection + statement ordinal) with a wall-clock budget of
+  * `queryTimeoutSec`. On expiry the server `cancelJobGroup`s it —
+  * `interruptOnCancel` kills its tasks — and answers that client with an
+  * error line; every other connection's statements keep running untouched
+  * (job groups are per-thread, cancellation is per-group). One hung or
+  * hostile client can therefore never wedge the warehouse role.
   */
-final class SqlServer(spark: SparkSession, port: Int = 0, maxRows: Int = 10000) {
+final class SqlServer(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
+    queryTimeoutSec: Int = 300) {
 
   private val server = new ServerSocket(port)
   private val pool = Executors.newCachedThreadPool { r =>
@@ -70,8 +79,12 @@ final class SqlServer(spark: SparkSession, port: Int = 0, maxRows: Int = 10000) 
     pool.shutdownNow()
   }
 
+  private val connSeq = new AtomicLong(0L)
+
   private def serve(sock: Socket): Unit = {
     val session = spark.newSession()
+    val connId = connSeq.incrementAndGet()
+    var stmtSeq = 0L
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
@@ -79,12 +92,62 @@ final class SqlServer(spark: SparkSession, port: Int = 0, maxRows: Int = 10000) 
       var line = in.readLine()
       while (line != null) {
         val sql = line.trim
-        if (sql.nonEmpty) out.println(execute(session, sql))
+        if (sql.nonEmpty) {
+          stmtSeq += 1
+          out.println(executeGoverned(session, sql, s"graft-sql-$connId-$stmtSeq"))
+        }
         line = in.readLine()
       }
     } catch {
       case _: SocketException => () // client went away mid-statement
     } finally sock.close()
+  }
+
+  /** Run one statement under its own job group with a wall-clock budget.
+    * The statement executes on a pool thread (job groups are thread-local,
+    * so the group is set THERE); this thread owns the clock and, on
+    * expiry, cancels exactly that group — tasks of every other connection
+    * are in other groups and unaffected. */
+  private def executeGoverned(session: SparkSession, sql: String,
+      group: String): String = {
+    val finished = new AtomicBoolean(false)
+    val task = pool.submit(new java.util.concurrent.Callable[String] {
+      def call(): String = {
+        session.sparkContext.setJobGroup(group,
+          s"sql: ${sql.take(80)}", interruptOnCancel = true)
+        try execute(session, sql)
+        finally {
+          finished.set(true)
+          session.sparkContext.clearJobGroup()
+        }
+      }
+    })
+    try task.get(queryTimeoutSec.toLong, TimeUnit.SECONDS)
+    catch {
+      case _: TimeoutException =>
+        session.sparkContext.cancelJobGroup(group)
+        task.cancel(true) // interrupts the statement thread too
+        // RACE GUARD: if the timeout fired while the statement was still
+        // PLANNING, no job existed to cancel and one submitted a moment
+        // later would run as an orphan hogging the cluster. Keep
+        // re-cancelling the group until the statement thread actually
+        // exits (bounded; daemon pool).
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var tries = 0
+            while (!finished.get() && tries < 600) {
+              Thread.sleep(500)
+              session.sparkContext.cancelJobGroup(group)
+              tries += 1
+            }
+          }
+        })
+        s"""{"error":${jstr(s"query exceeded ${queryTimeoutSec}s and was cancelled")}}"""
+      case e: java.util.concurrent.ExecutionException =>
+        // execute() catches per-statement errors itself; this is the
+        // pool-level belt-and-braces path
+        s"""{"error":${jstr(Option(e.getCause).getOrElse(e).getMessage.take(500))}}"""
+    }
   }
 
   private def execute(session: SparkSession, sql: String): String =

@@ -1769,15 +1769,35 @@ final class TableStore(spark: SparkSession, root: String) {
     * stats for some col, and non-numeric cols, prune nothing. Returns the
     * pruned scan plus (candidate files, manifest total) for observability.
     *
-    * The cut only bites when files carry narrow boxes — i.e. the table is
-    * kept clustered on `cols` (OPTIMIZE/ZORDER maintenance), exactly like
-    * merge-discovery pruning. On a stats-blind or unclustered layout every
-    * file survives, which is correct, just not fast. */
+    * The box cut only bites when files carry narrow boxes — i.e. the
+    * table is kept clustered on `cols` (OPTIMIZE/ZORDER maintenance),
+    * exactly like merge-discovery pruning. For HASH-keyed probes (uniform
+    * keys — every file's box spans the full range, so boxes never skip) a
+    * SECOND stage runs when the probe is a single bloom-indexed column
+    * ([[setBloomFilterIndex]]) and its distinct key set is driver-bounded:
+    * each box survivor is kept only if its parquet-native bloom might
+    * contain ≥1 probe key. Combined with append-by-novelty indexes (each
+    * key lives in exactly one file) that keeps per-batch candidates FLAT
+    * as history grows — the files actually holding the batch's keys, plus
+    * bloom false positives. On a stats-blind or unclustered layout with no
+    * bloom every file survives, which is correct, just not fast. */
   private[graft] def readPointPruned(name: String, points: DataFrame,
       cols: Seq[String]): (DataFrame, (Int, Int)) = {
     val (schema, entries) = currentManifest(name)
     val total = entries.size
-    def full = (readEntries(name, schema, entries), (total, total))
+    val boxCand = boxPointCandidates(name, entries, points, cols)
+    val cand =
+      if (boxCand.size < total) boxCand // boxes bit — clustered layout
+      else bloomRefineSet(name, boxCand, points, cols)
+    (readEntries(name, schema, cand), (cand.size, total))
+  }
+
+  /** [min, max]-box stage of [[readPointPruned]]: the manifest files
+    * whose per-column boxes admit at least one probe row. */
+  private def boxPointCandidates(name: String, entries: Seq[FileEntry],
+      points: DataFrame, cols: Seq[String]): Seq[FileEntry] = {
+    val total = entries.size
+    def full = entries
     // a small manifest has nothing worth the probe's extra jobs (a
     // distinct + a broadcast stats join + a collect): scan it. The cut
     // only matters at many-file scale, where it is a rounding error.
@@ -1786,7 +1806,7 @@ final class TableStore(spark: SparkSession, root: String) {
     def statsOf(e: FileEntry): Map[String, ColStats] =
       if (rn.isEmpty) e.stats
       else e.stats.map { case (k, v) => (rn.getOrElse(k, k), v) }
-    val lschema = logicalizeSchema(name, schema)
+    val lschema = logicalizeSchema(name, currentManifest(name)._1)
     // numeric cols compare after a cast of the stat string; string cols
     // compare directly — Spark's string ordering is unsigned byte-wise,
     // the same order the footer stats were computed under (see cmp)
@@ -1836,8 +1856,53 @@ final class TableStore(spark: SparkSession, root: String) {
     val hit = pts.join(broadcast(statsDf), cond)
       .select(col("__rel")).distinct()
       .collect().map(_.getString(0)).toSet
-    val cand = blind ++ boxed.filter(e => hit(e.rel))
-    (readEntries(name, schema, cand), (cand.size, total))
+    blind ++ boxed.filter(e => hit(e.rel))
+  }
+
+  /** Driver-side cap on the distinct probe-key set the bloom stage will
+    * collect: past it the stage declines (keeps the box candidates). Keys
+    * hash ONCE (per physical type) and then each file costs at most
+    * |keys| bitset lookups of its cached bloom (~tens of ns each, early
+    * exit on the first hit) — bounded by the BATCH, never the table. */
+  private val BloomProbeCap = 1 << 20
+
+  /** Bloom stage of [[readPointPruned]]: when some probe column carries a
+    * bloom index, keep only the candidates whose parquet bloom might
+    * contain at least one probe key of that column — ignoring the other
+    * probe columns is conservative (a kept file may still be irrelevant,
+    * never the reverse). Missing blooms, over-cap probes, non-indexed
+    * probes and unreconstructable values all keep every candidate,
+    * exactly like [[bloomRefine]]. */
+  private def bloomRefineSet(name: String, cand: Seq[FileEntry],
+      points: DataFrame, cols: Seq[String]): Seq[FileEntry] = {
+    if (cand.size <= 1) return cand
+    val c = cols.find(c0 =>
+      bloomIndexCols(name).exists(_.equalsIgnoreCase(c0)))
+      .getOrElse(return cand)
+    val keys = points.select(col(c).cast("string")).na.drop()
+      .distinct().limit(BloomProbeCap + 1)
+      .collect().map(_.getString(0))
+    if (keys.length > BloomProbeCap) return cand
+    val phys = { val rev = renames(name).map(_.swap); rev.getOrElse(c, c) }
+    // the parquet block-split bloom hash is value-only (XxHash of the
+    // plain encoding) — hash each key ONCE per physical-type signature
+    // and reuse across every file/row group of that type
+    val hashCache =
+      scala.collection.mutable.Map.empty[String, Option[Array[Long]]]
+    cand.filter { e =>
+      fileBlooms(name, e.rel, phys) match {
+        case None => true // no bloom → cannot exclude
+        case Some(per) => per.exists { case (prim, bf) =>
+          hashCache.getOrElseUpdate(prim.toString, {
+            val hs = keys.map(k => bloomHash(prim, bf, k))
+            if (hs.exists(_.isEmpty)) None else Some(hs.flatten)
+          }) match {
+            case None => true
+            case Some(hs) => hs.exists(bf.findHash)
+          }
+        }
+      }
+    }
   }
 
   /** Time travel: read a specific retained snapshot version. */

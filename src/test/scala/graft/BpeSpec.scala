@@ -86,6 +86,59 @@ class BpeSpec extends AnyFunSuite {
       "a word is never fewer than one subword")
   }
 
+  test("applyMergesBounded segments match the raw chain exactly") {
+    val merges = Seq(
+      Merge(1, "a", "a", "aa", 0L), Merge(2, "a", "b", "ab", 0L),
+      Merge(3, "aa", "ab", "aaab", 0L), Merge(4, "b", "a", "ba", 0L),
+      Merge(5, "aa", "b", "aab", 0L))
+    val df = Seq("aaab", "aab", "baba", "abba", "aaaab")
+      .toDF("w").select($"w", Bpe.delimited($"w").as("s"))
+    val raw = df.select($"w", Bpe.applyMerges($"s", merges).as("s"))
+      .as[(String, String)].collect().sortBy(_._1)
+    // segment=2 forces two localCheckpoint boundaries inside the table
+    val seg = Bpe.applyMergesBounded(df, "s", merges, segment = 2)
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(seg.toSeq == raw.toSeq)
+  }
+
+  test("512-merge vocabulary: learning completes and every encode segment stays codegen-compilable") {
+    // synthetic corpus: enough distinct adjacent pairs to accept 512
+    // merges (4k random 8-char words over a-z)
+    val rnd = new scala.util.Random(42)
+    val words = Vector.fill(4000)((0 until 8)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, rounds = 512, batch = 64)
+    assert(merges.length == 512, s"expected 512 merges, got ${merges.length}")
+    assert(merges.map(_.rank) == (1 to 512))
+
+    // a full-Segment encode projection must compile inside whole-stage
+    // codegen with every generated method under the JIT huge-method limit
+    // (8000 bytecode bytes) — i.e. no silent interpreted fallback and no
+    // JIT bailout on the hot path
+    import org.apache.spark.sql.execution.debug.codegenStringSeq
+    val segDf = docs.select(explode(split($"text", " ")).as("w")).distinct()
+      .select(Bpe.delimited($"w").as("s"))
+      .select(Bpe.applyMerges($"s", merges.take(Bpe.Segment)).as("s"))
+    segDf.collect() // finalize the adaptive plan
+    val plan = segDf.queryExecution.executedPlan
+    assert("\\*\\(\\d+\\) ".r.findFirstIn(plan.toString).isDefined,
+      "encode segment must plan as whole-stage codegen")
+    val stats = codegenStringSeq(plan)
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, _, bc) =>
+      assert(bc.maxMethodCodeSize > 0 && bc.maxMethodCodeSize < 8000,
+        s"a $bc-sized method would bail out of JIT / fall back interpreted")
+    }
+
+    // and the bounded full-table encode agrees with fertility invariants
+    val fert = Bpe.subwordStats(docs, merges)
+    assert(fert.filter($"n_subwords" < $"n_words").count() == 0)
+    assert(fert.filter($"n_subwords" > $"n_words" * 8).count() == 0)
+  }
+
   test("learning is deterministic on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.learnMerges(docs, rounds = 3)

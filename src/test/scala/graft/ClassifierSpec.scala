@@ -53,6 +53,18 @@ class ClassifierSpec extends AnyFunSuite {
     assert(z.toSeq == Seq(0L, 0L, 1L, 1L, 0L, 0L, 0L))
   }
 
+  test("empty (or fully filtered) corpus: train and evaluate return zeros, not an NPE") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val stats = Classifier.train(empty, col("source") === "src0", iters = 2)
+    assert(stats.map(_.errors) == Seq(0L, 0L))
+    assert(stats.forall(s => Seq(s.w0, s.w1, s.w2, s.w3, s.w4).forall(_ == 0L)))
+    val ev = Classifier.evaluate(empty, col("source") === "src0",
+      Seq(1L, 0L, 0L, 0L, 0L)).head()
+    assert((0 until 4).forall(i => ev.getLong(i) == 0L),
+      "confusion counts on an empty corpus must be 0, not null")
+  }
+
   test("empty-text docs carry [1, 0, 0, 0, 0] features (no null poisoning)") {
     val df = Seq((1L, "", "en"), (2L, " ", "zh")).toDF("doc_id", "text", "lang")
     val stats = Classifier.train(df, col("lang") === "en", iters = 1)

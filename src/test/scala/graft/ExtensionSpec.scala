@@ -84,6 +84,29 @@ class ExtensionSpec extends AnyFunSuite {
     } finally store.detach()
   }
 
+  test("incremental dedup: an UNclustered (append-only) index still prunes via key blooms") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_incbloom").toString)
+    try {
+      // 12 appends, never clustered — between maintenance passes every
+      // file's (band, key) box spans the full range, so only the bloom
+      // stage can skip anything
+      def batch(i: Int) = (0 until 4).map(j =>
+        (i * 100L + j, s"w${i}a$j w${i}b$j w${i}c$j w${i}d$j w${i}e$j"))
+        .toSeq.toDF("doc_id", "text")
+      (1 to 12).foreach(i =>
+        Dedup.incrementalDedup(store, "idx.bloom", batch(i), "doc_id", "text", 3, 4, 2))
+      val total = store.prunedFileList("idx.bloom", None).size
+      assert(total > 8, s"need a many-file manifest, got $total")
+      // probe with batch 1's docs: their band keys live in the EARLIEST
+      // file(s); the bloom stage must skip the later files wholesale
+      Dedup.incrementalDedup(store, "idx.bloom", batch(1), "doc_id", "text", 3, 4, 2)
+      val Some((cand, tot)) = Dedup.lastIndexScan: @unchecked
+      assert(cand < tot / 2,
+        s"append-only index probe must stay bloom-bounded ($cand/$tot)")
+    } finally store.detach()
+  }
+
   test("x50 quality buckets: per-language thirds, score-monotone") {
     val out = graft.queries.ExtensionQueries.x50QualityBuckets(spark, dir)
       .select($"lang", $"score_micro".as[Long], $"bucket".as[Long]).cache()
@@ -785,6 +808,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(picks.tail.forall(p => p.score == p.relevance - p.penalty))
   }
 
+  test("MMR degenerate inputs: missing query throws descriptively; k past the pool returns what exists") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(vecs, queryId = 99L, k = 2)
+    }
+    assert(e.getMessage.contains("99"))
+    // k = 5 against a 2-candidate pool: both candidates picked, no crash
+    val picks = Similarity.mmrSelect(vecs, queryId = 0L, k = 5)
+    assert(picks.map(_.vecId).sorted == Seq(1L, 2L))
+    assert(picks.map(_.rank) == Seq(1, 2))
+  }
+
   test("MMR on the real corpus: k distinct picks, query excluded, pick 1 = brute-force top-1") {
     val picks = Similarity.mmrSelect(emb, queryId = 0L, k = 5)
     assert(picks.map(_.vecId).distinct.length == 5)
@@ -827,6 +864,52 @@ class ExtensionSpec extends AnyFunSuite {
       // an EARLier batch sees a subset of the corpus — never more shares
       b1.select($"doc_id".as[Long], $"shared_shingles".as[Long]).collect()
         .foreach { case (id, s) => assert(s <= oneShot(id), s"doc $id early-batch excess") }
+    } finally store.detach()
+  }
+
+  test("incremental novelty index grows by novelty only: a hot shingle stays ONE row") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_incnov_hot").toString)
+    try {
+      // every batch carries the same hot boilerplate shingle "h1 h2 h3 h4
+      // h5" plus one batch-unique shingle
+      def batch(i: Int) = Seq(
+        (i * 10L, "h1 h2 h3 h4 h5"),
+        (i * 10L + 1, s"u$i a b c d")).toDF("doc_id", "text")
+      (1 to 4).foreach(i =>
+        graft.operators.Dedup.incrementalNovelty(store, "idx.hot", batch(i)))
+      val hot = graft.operators.Dedup.shingleHash(lit("h1 h2 h3 h4 h5"))
+      val idx = store.read("idx.hot")
+      assert(idx.filter($"shh" === hot).count() == 1L,
+        "a shingle seen by every batch must occupy exactly one index row")
+      // 1 hot + 4 batch-unique shingles — the index holds the distinct
+      // shingle universe, nothing more
+      assert(idx.count() == 5L)
+      assert(idx.select($"shh").distinct().count() == idx.count())
+    } finally store.detach()
+  }
+
+  test("novelty probe candidates stay FLAT as the index grows (bloom stage)") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_incnov_flat").toString)
+    try {
+      // every batch: the same hot boilerplate doc + 3 batch-unique docs —
+      // the web-crawl shape (shared template mass + novel content)
+      def batch(i: Int) = (Seq((i * 10L, "h1 h2 h3 h4 h5")) ++
+        (1 to 3).map(j => (i * 10L + j, s"u${i}x$j a$i b$i c$i d$i e$i")))
+        .toDF("doc_id", "text")
+      val scans = (1 to 14).map { i =>
+        graft.operators.Dedup.incrementalNovelty(store, "idx.flat", batch(i))
+          .count()
+        graft.operators.Dedup.lastNoveltyScan
+      }
+      val Some((cand, total)) = scans.last: @unchecked
+      assert(total > 8, s"need a many-file manifest to exercise pruning ($total)")
+      // the batch's keys live in: the hot shingle's ONE original file +
+      // nowhere (its novel shingles are new) — candidates must not track
+      // the manifest as it grows (bloom false positives allow slack)
+      assert(cand < total / 2,
+        s"novelty probe must stay flat: $cand of $total files scanned")
     } finally store.detach()
   }
 

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One sf1-equivalent (100x the sf0.01 correctness scale, 10x the sf0.1
+  * bench scale) pass for the HEAVIEST iterative/incremental operators —
+  * the ones whose scale story depends on per-batch cost staying flat as
+  * persisted indexes grow: BPE at a production-ish merge count, PageRank
+  * at more iterations, the incremental novelty index over many batches,
+  * and the incremental IVF index over many batches. Assertions are
+  * completion + the flatness invariants the COVERAGE rows claim (probe
+  * candidate counts exposed via lastNoveltyScan / lastIvfScan); wall
+  * times land in SCALE100.json for the committed per-round artifact. */
+class Scale100Spec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  private def requested(): Unit =
+    assume(sys.env.get("GRAFT_SCALE_100").contains("1"),
+      "set GRAFT_SCALE_100=1 to run the 100x pass")
+
+  lazy val spark = graft.core.GraftSession.local(16)
+  private val src = "/root/testdata/sf0.1"
+  private val R = 10
+
+  private val walls =
+    scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+  private def record(name: String, n: Long, wall: Double): Unit =
+    synchronized { walls(name) = (n, wall) }
+
+  override def afterAll(): Unit = {
+    if (walls.nonEmpty) {
+      val rows = walls.map { case (n, (r, w)) =>
+        f"""  "$n": {"rows": $r, "wall_sec": $w%.1f}""" }.mkString(",\n")
+      Files.write(java.nio.file.Paths.get(
+          sys.env.getOrElse("GRAFT_SCALE100_JSON", "SCALE100.json")),
+        s"""{\n  "_sf": "sf0.1 x$R (sf1-equivalent)",\n$rows\n}\n""".getBytes("UTF-8"))
+    }
+    super.afterAll()
+  }
+
+  /** 10x documents: replica words suffixed with the replica ordinal's
+    * letter so cross-replica text is distinct (realistic novelty mix)
+    * while within-replica dup/boilerplate structure is preserved. */
+  private lazy val docs10 = {
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    (0 until R).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\w+)", "$1" + ('a' + i).toChar))
+    }.reduce(_ unionAll _).localCheckpoint()
+  }
+
+  private def timed[A](name: String, n: => Long)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val out = body
+    val wall = (System.nanoTime() - t0) / 1e9
+    record(name, n, wall)
+    info(f"[scale100] $name wall=$wall%.1fs")
+    out
+  }
+
+  test("x75 BPE: up-to-512 merges at batch=64 over the 10x corpus") {
+    requested()
+    val merges = timed("x75_bpe_512", 512L) {
+      graft.operators.Bpe.learnMerges(docs10, rounds = 512, batch = 64)
+    }
+    // the synthetic corpus EXHAUSTS short of 512 (every word fuses to one
+    // symbol — correct early stop); what the pass must prove is that the
+    // table crosses multiple Segment boundaries, i.e. learning and encode
+    // both ran the re-materialized bounded-chain path
+    assert(merges.length > 2 * graft.operators.Bpe.Segment,
+      s"corpus too small to cross 2 segment boundaries: ${merges.length}")
+    assert(merges.map(_.rank) == (1 to merges.length))
+    // encode the corpus with the full table — exercises the segmented
+    // (materialized every Segment merges) bounded-chain path end to end
+    val fert = timed("x76_encode_512", merges.length.toLong) {
+      val df = graft.operators.Bpe.subwordStats(docs10, merges)
+      df.filter(col("n_subwords") < col("n_words")).count()
+    }
+    assert(fert == 0L)
+  }
+
+  test("x68 PageRank: 6 iterations over the 10x co-occurrence graph") {
+    requested()
+    val li = (0 until R).map { i =>
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .select((col("l_orderkey") + lit(i * 10_000_000L)).as("l_orderkey"),
+          col("l_partkey"))
+    }.reduce(_ unionAll _)
+    val e = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val n = timed("x68_pagerank_6it", -1L) {
+      graft.operators.Graph.pageRank(e, iterations = 6).count()
+    }
+    assert(n > 0)
+  }
+
+  test("x83 novelty: 12 batches; probe candidates stay flat as the index grows") {
+    requested()
+    val store = new graft.tables.TableStore(spark,
+      Files.createTempDirectory("graft_s100_nov").toString)
+    try {
+      val ids = docs10.select(col("doc_id").cast("long")).as[Long](
+        spark.implicits.newLongEncoder).collect().sorted
+      val cuts = (1 to 11).map(i => ids((ids.length.toLong * i / 12).toInt))
+      val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+      val scans = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.Dedup.incrementalNovelty(store, "idx.nov",
+          docs10.filter(col("doc_id") > lo && col("doc_id") <= hi)).count()
+        record(f"x83_batch_${i + 1}%02d", n, (System.nanoTime() - t0) / 1e9)
+        graft.operators.Dedup.lastNoveltyScan
+      }
+      val counts = scans.flatten
+      info(s"[scale100] x83 probe (cand, total) per batch: ${counts.mkString(", ")}")
+      assert(counts.nonEmpty)
+      val (candLast, totalLast) = counts.last
+      assert(totalLast > 8)
+      assert(candLast < totalLast / 2,
+        s"novelty probe must not track the manifest: $candLast/$totalLast")
+      // flat = later probes don't scan more files than early ones did,
+      // within slack, even though the manifest kept growing
+      val early = counts.take(3).map(_._1).max
+      assert(counts.last._1 <= math.max(4, early * 3),
+        s"candidate growth: early=$early last=${counts.last._1}")
+    } finally store.detach()
+  }
+
+  test("x60 IVF: 8 ingest batches; probe scans a flat FRACTION of the index") {
+    requested()
+    val emb10 = (0 until R).map { i =>
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(i * 10_000_000L))
+    }.reduce(_ unionAll _).localCheckpoint()
+    val store = new graft.tables.TableStore(spark,
+      Files.createTempDirectory("graft_s100_ivf").toString)
+    try {
+      val batches = (0 until R).map(i =>
+        emb10.filter(col("vec_id") >= i * 10_000_000L &&
+          col("vec_id") < (i + 1) * 10_000_000L))
+      val ratios = batches.take(8).zipWithIndex.map { case (b, i) =>
+        timed(f"x60_batch_${i + 1}", -1L) {
+          graft.operators.Similarity.incrementalIvfAppend(store,
+            "ivf.centroids", "ivf.vectors", b, nCentroids = 8, iterations = 2)
+        }
+        // ONE query, 2 probed clusters — the per-lookup serving shape;
+        // a 10-query batch would legitimately probe most clusters
+        graft.operators.Similarity.incrementalIvfTopK(store,
+            "ivf.centroids", "ivf.vectors",
+            emb10.filter(col("vec_id") === 0), k = 5, probes = 2).count()
+        val Some((cand, total)) = graft.operators.Similarity.lastIvfScan: @unchecked
+        (cand, total)
+      }
+      info(s"[scale100] x60 probe (cand, total) per batch: ${ratios.mkString(", ")}")
+      // contract: a probe touches ~probes/nCentroids (= 1/4) of each
+      // batch's cluster-ranged files no matter how many batches exist
+      ratios.drop(1).foreach { case (cand, total) =>
+        assert(cand <= (total * 6) / 10,
+          s"IVF probe fraction must stay bounded: $cand/$total") }
+      val firstFrac = ratios.head._1.toDouble / ratios.head._2
+      val lastFrac = ratios.last._1.toDouble / ratios.last._2
+      assert(lastFrac <= math.max(0.5, firstFrac * 2),
+        f"probe fraction drifted: first=$firstFrac%.2f last=$lastFrac%.2f")
+    } finally store.detach()
+  }
+}

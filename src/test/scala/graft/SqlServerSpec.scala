@@ -57,6 +57,40 @@ class SqlServerSpec extends AnyFunSuite {
     }
   }
 
+  test("a runaway query is cancelled at the timeout; other sessions keep serving") {
+    val srv = new SqlServer(spark, port = 0, maxRows = 100,
+      queryTimeoutSec = 2).start()
+    try {
+      val slow = new Client(srv.boundPort)
+      val fast = new Client(srv.boundPort)
+      try {
+        // ~1e11 generated rows — minutes of work if uncancelled. The agg
+        // is modulo-bounded so ANSI mode can never overflow it into an
+        // early error: the statement must die by CANCELLATION, not by
+        // arithmetic
+        val runaway = new Thread {
+          var resp: String = _
+          override def run(): Unit = resp = slow.sql(
+            "SELECT sum((a.id + b.id) % 7) FROM range(1000000) a CROSS JOIN range(100000) b")
+        }
+        val t0 = System.nanoTime()
+        runaway.start()
+        // the other connection stays responsive WHILE the runaway burns
+        Thread.sleep(500)
+        assert(fast.sql("SELECT 7 AS v").contains("\"7\""),
+          "a second session must answer while the runaway query runs")
+        runaway.join(90000)
+        val wall = (System.nanoTime() - t0) / 1e9
+        assert(runaway.resp != null, "runaway client never got an answer")
+        assert(runaway.resp.contains("cancelled"), runaway.resp)
+        assert(wall < 90, f"cancellation took $wall%.1fs — not a cancel")
+        // the slow CONNECTION survives its cancelled statement
+        assert(slow.sql("SELECT 1 AS v").contains("\"1\""),
+          "a cancelled statement must not kill the connection")
+      } finally { slow.close(); fast.close() }
+    } finally srv.stop()
+  }
+
   test("statements from concurrent clients interleave without cross-talk") {
     withServer { port =>
       val threads = (0 until 4).map { i =>
