@@ -101,7 +101,13 @@ object Bpe {
       groups.zipWithIndex.foldLeft(df) { case (acc, (seg, i)) =>
         val next = acc.withColumn(sCol, applyMerges(col(sCol), seg))
         // the last segment stays lazy: downstream ops fuse into its plan
-        if (i < groups.length - 1) next.materialized else next
+        if (i < groups.length - 1) {
+          val m = next.materialized
+          // the predecessor checkpoint is dead the moment its successor
+          // materializes — release it (never the caller's input frame)
+          if (acc ne df) org.apache.spark.sql.GraftShims.unpersistCheckpoint(acc)
+          m
+        } else next
       }
     }
   }
@@ -156,9 +162,15 @@ object Bpe {
       var exhausted = false
       while (acc.length < rounds && !exhausted) {
         if (acc.length - matCount >= Segment) {
-          mat = mat.select(
+          val next = mat.select(
             applyMerges(col("s"), acc.drop(matCount).toSeq).as("s"), col("cnt"))
             .materialized
+          // release the superseded materialization (never the persisted
+          // base): a 32k-merge run would otherwise pin rounds/Segment
+          // dead copies of the vocab table in executor storage
+          if (mat ne base)
+            org.apache.spark.sql.GraftShims.unpersistCheckpoint(mat)
+          mat = next
           matCount = acc.length
         }
         // re-derive from the latest materialized form through the bounded
@@ -186,6 +198,10 @@ object Bpe {
           // every non-empty pass advances — no livelock possible
         }
       }
+      // the merge table (plain data) is the result — the last
+      // materialization is dead too
+      if (mat ne base)
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(mat)
       acc.toSeq
     } finally { base.unpersist(); () }
   }
