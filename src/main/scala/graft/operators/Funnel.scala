@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered funnel analysis over an event stream: how many users reach
@@ -53,5 +54,45 @@ object Funnel {
       }
       .reduce(_.unionAll(_))
       .orderBy(col("step"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * — the "what happens after X" complement to [[conversion]]'s fixed
+    * funnel: for every ordered pair of event types, how often does the
+    * second immediately follow the first in some user's timeline, and
+    * with what conditional probability. The exploratory path-analysis
+    * query behind sankey/flow dashboards (the reference's Power BI layer,
+    * README.md:143-161).
+    *
+    * Sequencing is total-ordered by (ts, event id) so simultaneous
+    * events — real at microsecond resolution — break ties
+    * deterministically and the SQL-window oracle replays the exact same
+    * neighbor pairs. Probabilities are integer per-mille-of-a-thousand
+    * micro-units (`1e6 · n div Σn` per source type): long division, no
+    * floats, order-independent.
+    *
+    * Scale shape: ONE user-keyed window (the shuffle Structured
+    * Streaming / sessionization already pays — partitionBy user hashes
+    * the same key as every other per-user analytic, so AQE reuses the
+    * exchange when composed), then a map-side-combined count on the
+    * (prev, next) pair key — cardinality |types|², tiny — and a
+    * broadcast-sized per-source total joined back. State per row is one
+    * lag value; nothing accumulates per user.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+        expr("(n * 1000000L) div n_from").as("p_micro"))
   }
 }

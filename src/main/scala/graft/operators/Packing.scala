@@ -89,4 +89,52 @@ object Packing {
           .otherwise(floor((col("__end") - 1) / budget).cast("long") -
             floor(col("__start") / budget).cast("long") + 1L).as("n_packs"))
   }
+
+  /** Length-bucketed batch layout — the OTHER standard batching scheme
+    * (complement of [[packSequences]]'s concat-and-chunk): documents are
+    * padded, not concatenated, so each keeps its own attention span;
+    * bucketing by length ladder keeps the padding loss bounded. Used for
+    * SFT / evaluation batches where examples must not bleed into each
+    * other.
+    *
+    * Each document is assigned the smallest rung of a fixed power-of-two
+    * `ladder` that fits its token count (oversized docs take the top
+    * rung — the trainer truncates them to it). Per rung the operator
+    * reports the padded-batch economics for a `batchSize`-example batch:
+    * documents, token mass, batch count, padded token slots
+    * (batches · batchSize · rung) and the padding waste in per-mille of
+    * slot capacity — the number a curation run watches to tune the
+    * ladder. A FIXED ladder (not data-derived powers of two) keeps the
+    * assignment a pure per-row expression: no aggregation or float
+    * log2 on the assignment path, bit-identical across engines.
+    *
+    * Scale shape: one narrow projection (token count + rung CASE chain,
+    * whole-stage codegen) and ONE map-side-combined aggregation on the
+    * ~10-value rung key. No window, no sort, no skew pivot — the rung
+    * histogram is the only shuffle and its cardinality is the ladder
+    * length.
+    */
+  def lengthBuckets(docs: DataFrame, ladder: Seq[Long], batchSize: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.distinct == ladder,
+      "ladder must be a sorted list of distinct rung sizes")
+    require(batchSize > 0, "batchSize must be positive")
+    val tokens = size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long")
+    val rung = ladder.init.reverse.foldLeft(lit(ladder.last)) { (acc, r) =>
+      when(col("n_tokens") <= r, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol), tokens.as("n_tokens"))
+      .select(col(idCol), col("n_tokens"), rung.as("rung"))
+      // tokens beyond the top rung are truncated to it — count the kept mass
+      .withColumn("kept_tokens", least(col("n_tokens"), col("rung")))
+      .groupBy(col("rung"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept_tokens")).as("sum_tokens"))
+      .select(col("rung"), col("n_docs"), col("sum_tokens"),
+        expr(s"(n_docs + ${batchSize - 1}L) div ${batchSize}L").as("n_batches"),
+        expr(s"((n_docs + ${batchSize - 1}L) div ${batchSize}L) * ${batchSize}L * rung")
+          .as("padded_slots"))
+      .withColumn("waste_permille",
+        expr("((padded_slots - sum_tokens) * 1000L) div padded_slots"))
+  }
 }

@@ -1059,7 +1059,52 @@ object ExtensionQueries {
     graft.operators.Denoising.spanCorruption(
       t(s, dir, "documents"), "doc_id", "text", maskPct = 15)
 
+  // x84: blocked fuzzy self-join (entity resolution) on document titles
+  // (first 60 chars) — prefix+suffix blocking, levenshtein <= 8 scored
+  // only inside blocks. Finds the near-identical intro boilerplate pairs
+  // without an all-pairs comparison.
+  def x84FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.fuzzySelfJoin(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 60).as("title")),
+        "doc_id", "title", maxDist = 8, blockLen = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // x85: exact triangle census of the part co-purchase graph (subsampled
+  // to every 7th order so the wedge stage stays bench-bounded at sf0.1)
+  // via degree-ordered orientation — one row: nodes/edges/wedges/
+  // triangles/global-clustering-coefficient in micro-units.
+  def x85Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.Graph.triangles(e)
+  }
+
+  // x86: length-bucketed padded-batch economics over a fixed power-of-two
+  // ladder (32..512 tokens, batches of 8) — per-rung doc counts, batch
+  // counts, padded slots and padding waste in per-mille.
+  def x86LengthBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.lengthBuckets(t(s, dir, "documents"),
+        ladder = Seq(32L, 64L, 128L, 256L, 512L), batchSize = 8L)
+      .orderBy(col("rung"))
+
+  // x87: first-order Markov transition matrix over per-user event
+  // sequences — counts and integer micro-unit conditional probabilities
+  // for every (prev_type, next_type) adjacency.
+  def x87Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(t(s, dir, "events"))
+      .orderBy(col("prev_type"), col("next_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x84_fuzzy_join" -> x84FuzzyJoin _,
+    "x85_triangles" -> x85Triangles _,
+    "x86_length_buckets" -> x86LengthBuckets _,
+    "x87_transitions" -> x87Transitions _,
     "x74_span_corruption" -> x74SpanCorruption _,
     "x69_pmi_bigrams" -> x69PmiBigrams _,
     "x70_inverted_index" -> x70InvertedIndex _,
@@ -1235,6 +1280,83 @@ object ExtensionQueries {
        |$minhashTail""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x84_fuzzy_join" ->
+      """WITH d AS (SELECT doc_id AS id, substr(text, 1, 60) AS k FROM documents),
+        |blk AS (
+        |  SELECT id, k, substr(k, 1, 8) AS blk FROM d
+        |  UNION ALL
+        |  SELECT id, k, substr(k, greatest(length(k) - 7, 1)) AS blk FROM d),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
+        |  FROM blk a JOIN blk b
+        |    ON a.blk = b.blk AND a.id < b.id
+        |   AND abs(length(a.k) - length(b.k)) <= 8)
+        |SELECT id_a, id_b, levenshtein(ka, kb) AS dist FROM cand
+        |WHERE levenshtein(ka, kb) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x85_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+        |                  greatest(a.l_partkey, b.l_partkey) AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 7 = 0),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM (
+        |  SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) GROUP BY id),
+        |o AS (
+        |  SELECT CASE WHEN ord THEN lo ELSE hi END AS u,
+        |         CASE WHEN ord THEN hi ELSE lo END AS v,
+        |         CASE WHEN ord THEN dh ELSE dl END AS vdeg
+        |  FROM (SELECT u.lo, u.hi, dl.deg AS dl, dh.deg AS dh,
+        |          (dl.deg < dh.deg OR (dl.deg = dh.deg AND u.lo < u.hi)) AS ord
+        |        FROM und u JOIN deg dl ON dl.id = u.lo
+        |                   JOIN deg dh ON dh.id = u.hi)),
+        |wp AS (
+        |  SELECT a.v AS wu, b.v AS wv FROM o a JOIN o b
+        |    ON a.u = b.u AND (a.vdeg < b.vdeg OR (a.vdeg = b.vdeg AND a.v < b.v))),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles FROM wp
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wp.wu AND o.v = wp.wv)),
+        |stats AS (
+        |  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |         (SELECT COUNT(*) FROM und) AS n_edges,
+        |         (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT) AS gcc_micro
+        |FROM stats, tri""".stripMargin,
+    "x86_length_buckets" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64
+        |         WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256
+        |         ELSE 512 END AS rung
+        |  FROM d),
+        |a AS (SELECT CAST(rung AS BIGINT) AS rung, COUNT(*) AS n_docs,
+        |    CAST(SUM(LEAST(n_tokens, rung)) AS BIGINT) AS sum_tokens
+        |  FROM r GROUP BY rung),
+        |b AS (SELECT rung, n_docs, sum_tokens,
+        |    CAST((n_docs + 7) // 8 AS BIGINT) AS n_batches,
+        |    CAST(((n_docs + 7) // 8) * 8 * rung AS BIGINT) AS padded_slots
+        |  FROM a)
+        |SELECT rung, n_docs, sum_tokens, n_batches, padded_slots,
+        |  CAST(((padded_slots - sum_tokens) * 1000) // padded_slots AS BIGINT)
+        |    AS waste_permille
+        |FROM b ORDER BY rung""".stripMargin,
+    "x87_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |p AS (SELECT prev_type, next_type, COUNT(*) AS n FROM seq
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n, t.n_from,
+        |  CAST((p.n * 1000000) // t.n_from AS BIGINT) AS p_micro
+        |FROM p JOIN tot t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
     "x74_span_corruption" ->
       s"""WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
          |toks AS (SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS term

@@ -929,4 +929,100 @@ class ExtensionSpec extends AnyFunSuite {
       (3L, 1L, 0L, 0L),
       (4L, 1L, 0L, 0L)))
   }
+
+  test("fuzzy self-join: prefix-edit pairs via suffix block, suffix-edit via prefix block, once each") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumpy"),  // suffix edit -> shares PREFIX block
+      (3L, "THE quick brown fox jumps"),  // prefix edit -> shares SUFFIX block
+      (4L, "completely different string"),
+      (5L, "the quick brown fox jumps"))  // exact dup of 1 (both blocks agree)
+      .toDF("id", "k")
+    val r = graft.operators.Fuzzy.fuzzySelfJoin(d, "id", "k", maxDist = 3, blockLen = 8)
+      .orderBy($"id_a", $"id_b").as[(Long, Long, Int)].collect().toSeq
+    // (1,3) found ONLY by the suffix pass; (1,2) only by the prefix pass;
+    // the exact dup (1,5) lands in both blocks but is emitted once;
+    // (2,3) is 4 edits apart — over maxDist, absent
+    assert(r == Seq((1L, 2L, 1), (1L, 3L, 3), (1L, 5L, 0), (2L, 5L, 1), (3L, 5L, 3)),
+      s"got $r")
+  }
+
+  test("fuzzy self-join on the corpus: finds every exact-title duplicate pair") {
+    val titled = docs.select($"doc_id", substring($"text", 1, 60).as("title"))
+    val exactPairs = titled.as("a").join(titled.as("b"),
+        $"a.title" === $"b.title" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+    val fuzzy = graft.operators.Fuzzy.fuzzySelfJoin(titled, "doc_id", "title",
+      maxDist = 8, blockLen = 8)
+    assert(exactPairs.exceptAll(fuzzy.select($"id_a", $"id_b")).count() == 0,
+      "identical titles share both blocks — fuzzy join must find all of them")
+    // and every reported pair really is within the threshold
+    assert(fuzzy.filter($"dist" > 8 || $"dist" < 0).count() == 0)
+  }
+
+  test("triangles: K4 counts 4, square counts 0, micro-unit gcc exact") {
+    // K4 (complete graph on 4 nodes): C(4,3)=4 triangles, 12 wedges
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
+      .toDF("src", "dst")
+    val r = graft.operators.Graph.triangles(k4)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((4L, 6L, 12L, 4L, 1000000L)), s"K4 gave $r")
+    // 4-cycle: 4 wedges, no triangles
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r2 = graft.operators.Graph.triangles(sq)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r2 == ((4L, 4L, 4L, 0L, 0L)), s"square gave $r2")
+  }
+
+  test("triangles: orientation bounds the wedge stage on a hub (star graph stays linear)") {
+    // star: hub 0 connected to 100 leaves. Raw wedge count at the hub is
+    // C(100,2); DEGREE-ORIENTED wedges are 0 (every edge points INTO the
+    // hub), so the join-side cardinality collapses. The result must still
+    // report the analytic wedge count (for gcc) while counting 0 triangles.
+    val star = (1L to 100L).map(i => (0L, i)).toDF("src", "dst")
+    val r = graft.operators.Graph.triangles(star)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((101L, 100L, 4950L, 0L, 0L)), s"star gave $r")
+  }
+
+  test("length buckets: rung assignment, truncation at the top rung, batch rounding") {
+    val d = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),   // 10 tokens  -> rung 16
+      (2L, Seq.fill(16)("w").mkString(" ")),   // boundary   -> rung 16
+      (3L, Seq.fill(17)("w").mkString(" ")),   // just over  -> rung 32
+      (4L, Seq.fill(100)("w").mkString(" ")),  // oversize   -> top rung 64, truncated
+      (5L, ""))                                // empty      -> 0 tokens, rung 16
+      .toDF("doc_id", "text")
+    val r = graft.operators.Packing.lengthBuckets(d, Seq(16L, 32L, 64L), batchSize = 2L)
+      .orderBy($"rung").as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      // rung 16: docs {1,2,5}, 26 kept tokens, 2 batches, 64 slots
+      (16L, 3L, 26L, 2L, 64L, ((64L - 26L) * 1000L) / 64L),
+      (32L, 1L, 17L, 1L, 64L, ((64L - 17L) * 1000L) / 64L),
+      // oversize doc truncates to the 64-token rung
+      (64L, 1L, 64L, 1L, 128L, 500L)), s"got $r")
+  }
+
+  test("transition matrix: deterministic tie-break, per-source probabilities sum to ≤ 1e6") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    val ev = Seq(
+      (1L, at(0), 7L, "view"), (2L, at(1), 7L, "click"), (3L, at(2), 7L, "buy"),
+      // user 8: two events at the SAME timestamp — event_id breaks the tie
+      (4L, at(0), 8L, "view"), (5L, at(0), 8L, "click"), (6L, at(5), 8L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.operators.Funnel.transitionMatrix(ev)
+      .orderBy($"prev_type", $"next_type")
+      .select($"prev_type", $"next_type", $"n", $"p_micro")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("click", "buy", 2L, 1000000L),
+      ("view", "click", 2L, 1000000L)), s"got $r")
+    // probability mass per source never exceeds 1e6 on the real corpus
+    val bad = graft.operators.Funnel.transitionMatrix(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy($"prev_type").agg(sum($"p_micro").as("m"))
+      .filter($"m" > 1000000L).count()
+    assert(bad == 0)
+  }
 }

@@ -384,4 +384,51 @@ class PlanSpec extends AnyFunSuite {
       s"every funnel exchange must hash on user_id, got: $exchanges")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("x84 fuzzy join: candidates hash-join on the block key — no cartesian, no all-pairs") {
+    val plan = executedIsolated(SparkEntry.queries("x84_fuzzy_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking exists to avoid the all-pairs comparison:\n${plan.take(1500)}")
+    // the levenshtein scorer must sit ABOVE the deduplicated candidate set,
+    // not inside the join condition (where it would run per block pair
+    // before the distinct)
+    assert(plan.contains("levenshtein"), "scorer must be visible in the plan")
+    assert(plan.contains("HashAggregate") || plan.contains("Exchange hashpartitioning"),
+      "candidate dedup must be a hash distinct")
+  }
+
+  test("x85 triangles: wedge closure is a semi-join on equi-keys — no cartesian, no nested loop") {
+    val plan = executedIsolated(SparkEntry.queries("x85_triangles")(spark, dir))
+      .split("== Initial Plan ==").head
+    // the only non-equi joins are the final single-row stats crossJoins
+    // (BroadcastNestedLoopJoin over 1-row frames — the codebase's scalar
+    // pattern); the wedge/closure path itself must never go cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"every data-sized join in the census is equi-keyed:\n${plan.take(1500)}")
+    assert("BroadcastNestedLoopJoin BuildRight, LeftSemi|LeftSemi".r.findFirstIn(plan).isDefined,
+      "wedge closure must be a semi-join (never materialize the closed wedges)")
+  }
+
+  test("x86 length buckets: one map-side-combined aggregation, no window, no sort before output") {
+    // AQE prints Final AND Initial plan sections — count only the final one
+    val plan = executedIsolated(SparkEntry.queries("x86_length_buckets")(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), "rung assignment is a per-row CASE, never a window")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly ONE shuffle (the rung-key aggregation):\n${plan.take(1500)}")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "the rung histogram must combine map-side")
+  }
+
+  test("x87 transitions: one user-keyed window shuffle; totals join broadcasts") {
+    val plan = executedIsolated(SparkEntry.queries("x87_transitions")(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-source totals (|types| rows) must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "a types-cardinality frame must never sort-merge")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"the event stream shuffles ONCE on user_id, got $userExchanges")
+  }
 }
