@@ -79,6 +79,38 @@ object Funnel {
     * broadcast-sized per-source total joined back. State per row is one
     * lag value; nothing accumulates per user.
     */
+  /** Top-k most frequent length-`depth` event paths — the generalization
+    * of [[transitionMatrix]] from adjacent pairs to short journeys
+    * ("view > click > purchase"), the input to any path-explorer / sankey
+    * with more than one hop. Same total order (ts, event id), same single
+    * user-keyed window shuffle: each event row looks back depth−1 lags,
+    * so path formation is row-local after the one sort — no self-joins,
+    * no per-user collect. The count agg is map-side combined on the path
+    * string and the final cut is a TakeOrdered (k constant, never a
+    * global sort).
+    */
+  def topPaths(events: DataFrame, depth: Int, k: Int,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(depth >= 2, "a path needs at least two steps")
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val lagCols = (depth - 1 to 1 by -1).map(i => s"__lag$i")
+    val withLags = lagCols.zip(depth - 1 to 1 by -1).foldLeft(
+        events.select(col(userCol), col(tsCol), col(idCol), col(typeCol))) {
+      case (df, (name, i)) => df.withColumn(name, lag(col(typeCol), i).over(w))
+    }
+    withLags
+      // a row whose earliest lag is NULL has fewer than `depth` predecessors
+      .filter(col(lagCols.head).isNotNull)
+      .withColumn("path",
+        concat_ws(" > ", lagCols.map(col) :+ col(typeCol): _*))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("path"))))
+  }
+
   def transitionMatrix(events: DataFrame, userCol: String = "user_id",
       typeCol: String = "event_type", tsCol: String = "ts",
       idCol: String = "event_id"): DataFrame = {

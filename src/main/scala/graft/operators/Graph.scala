@@ -137,4 +137,53 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         expr("(3 * n_triangles * 1000000L) div n_wedges").as("gcc_micro"))
   }
+
+  /** Fixed-round k-core peeling: repeatedly drop nodes with (undirected)
+    * degree < k and the edges they carried, reporting the shrinking
+    * (round, n_nodes, n_edges) trace — the standard "dense cohesive core"
+    * extraction that separates structural hubs from incidental
+    * neighbors (spam/boilerplate link farms peel away; genuine
+    * communities survive).
+    *
+    * Fixed `rounds` rather than convergence detection keeps the whole
+    * trace ONE deterministic plan shape — the trace itself shows whether
+    * the census converged (two equal consecutive rows), and an oracle can
+    * replay every round verbatim. Each round is two shuffles (degree agg
+    * + the two-sided semi-join back onto the surviving edge set), both
+    * keyed on node ids; the edge set only ever SHRINKS, so per-round cost
+    * is monotone decreasing and the loop materializes each survivor set
+    * to cut lineage (reliable checkpoints via `spark.graft.checkpointDir`
+    * like every iterative operator here).
+    *
+    * @param edges edge list, either direction; canonicalized like
+    *              [[triangles]]
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(rounds >= 1, "need at least one peeling round")
+    var cur = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("lo"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .distinct().materialized
+    val trace = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val alive = cur.select(col("lo").as("id"))
+        .unionAll(cur.select(col("hi").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+      val next = cur
+        .join(alive.select(col("id").as("lo")), Seq("lo"), "left_semi")
+        .join(alive.select(col("id").as("hi")), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi"))
+        .materialized
+      trace += alive.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      cur = next
+    }
+    trace.result().reduce(_ unionAll _)
+  }
 }

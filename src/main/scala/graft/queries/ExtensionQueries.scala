@@ -1100,7 +1100,30 @@ object ExtensionQueries {
     graft.operators.Funnel.transitionMatrix(t(s, dir, "events"))
       .orderBy(col("prev_type"), col("next_type"))
 
+  // x88: top-10 most frequent 3-step event paths — multi-hop journey
+  // mining over the same (ts, event_id) total order as x87.
+  def x88TopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.topPaths(t(s, dir, "events"), depth = 3, k = 10)
+      .orderBy(col("rk"))
+
+  // x89: k-core peeling trace (k=20, 4 rounds) over the x85 co-purchase
+  // graph — per-round surviving node/edge counts; equal consecutive rows
+  // mean the core converged.
+  def x89KCore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.Graph.kCore(e, k = 20, rounds = 4)
+      .orderBy(col("round"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x88_top_paths" -> x88TopPaths _,
+    "x89_kcore" -> x89KCore _,
     "x84_fuzzy_join" -> x84FuzzyJoin _,
     "x85_triangles" -> x85Triangles _,
     "x86_length_buckets" -> x86LengthBuckets _,
@@ -1279,7 +1302,48 @@ object ExtensionQueries {
     s"""$ShingleCte,
        |$minhashTail""".stripMargin
 
+  /** One k-core peeling round: edges eR-1 -> alive aR (deg >= 20) ->
+    * edges eR (both endpoints alive) -> trace row rR. */
+  private def kcoreRound(r: Int): String = {
+    val p = r - 1
+    s"""d$r AS (SELECT id, COUNT(*) AS deg FROM (
+       |  SELECT lo AS id FROM e$p UNION ALL SELECT hi FROM e$p) GROUP BY id),
+       |a$r AS (SELECT id FROM d$r WHERE deg >= 20),
+       |e$r AS (SELECT lo, hi FROM e$p
+       |  WHERE lo IN (SELECT id FROM a$r) AND hi IN (SELECT id FROM a$r)),
+       |r$r AS (SELECT CAST($r AS BIGINT) AS round,
+       |  (SELECT COUNT(*) FROM a$r) AS n_nodes,
+       |  (SELECT COUNT(*) FROM e$r) AS n_edges)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x88_top_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1
+        |  FROM events),
+        |p AS (SELECT l2 || ' > ' || l1 || ' > ' || event_type AS path, COUNT(*) AS n
+        |      FROM seq WHERE l2 IS NOT NULL GROUP BY 1)
+        |SELECT path, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rk
+        |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "x89_kcore" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+         |                  greatest(a.l_partkey, b.l_partkey) AS hi
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_orderkey % 7 = 0),
+         |${kcoreRound(1)},
+         |${kcoreRound(2)},
+         |${kcoreRound(3)},
+         |${kcoreRound(4)}
+         |SELECT round, n_nodes, n_edges FROM r1
+         |UNION ALL SELECT round, n_nodes, n_edges FROM r2
+         |UNION ALL SELECT round, n_nodes, n_edges FROM r3
+         |UNION ALL SELECT round, n_nodes, n_edges FROM r4
+         |ORDER BY round""".stripMargin,
     "x84_fuzzy_join" ->
       """WITH d AS (SELECT doc_id AS id, substr(text, 1, 60) AS k FROM documents),
         |blk AS (

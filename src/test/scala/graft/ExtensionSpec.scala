@@ -1003,6 +1003,33 @@ class ExtensionSpec extends AnyFunSuite {
       (64L, 1L, 64L, 1L, 128L, 500L)), s"got $r")
   }
 
+  test("top paths: trigrams respect the total order, truncated journeys drop, rank total") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    val ev = Seq(
+      (1L, at(0), 7L, "a"), (2L, at(1), 7L, "b"), (3L, at(2), 7L, "c"), (4L, at(3), 7L, "d"),
+      // user 8 contributes the SAME a>b>c once; their 2-event tail is no path
+      (5L, at(0), 8L, "a"), (6L, at(1), 8L, "b"), (7L, at(2), 8L, "c"),
+      // user 9 has only 2 events — no trigram at all
+      (8L, at(0), 9L, "a"), (9L, at(1), 9L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.operators.Funnel.topPaths(ev, depth = 3, k = 5)
+      .orderBy($"rk").as[(String, Long, Int)].collect().toSeq
+    assert(r == Seq(("a > b > c", 2L, 1), ("b > c > d", 1L, 2)), s"got $r")
+  }
+
+  test("k-core peeling: the cascade removes a node whose support itself peeled") {
+    // K4 {1,2,3,4}; node 5 hangs on {1,2,6}; node 6 hangs on 5 alone.
+    // k=3: round 1 drops 6 (deg 1) — 5 SURVIVES round 1 (deg 3) but its
+    // support is gone, so round 2 drops 5; round 3 repeats round 2
+    // (converged). A single-pass degree filter would wrongly keep 5.
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (5L, 6L))).toDF("src", "dst")
+    val r = graft.operators.Graph.kCore(edges, k = 3, rounds = 3)
+      .orderBy($"round").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 5L, 8L), (2L, 4L, 6L), (3L, 4L, 6L)), s"got $r")
+  }
+
   test("transition matrix: deterministic tie-break, per-source probabilities sum to ≤ 1e6") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)

@@ -144,6 +144,17 @@ class ScaleSmokeSpec extends AnyFunSuite
   test("x82 classifier eval completes at 10x") { requested(); run("x82_classifier_eval") }
   test("x83 incremental novelty completes at 10x") { requested(); run("x83_incremental_novelty") }
 
+  test("x84 blocked fuzzy join completes at 10x (replica-suffixed titles keep blocks bounded)") {
+    requested(); run("x84_fuzzy_join")
+  }
+
+  test("x85 triangle census completes at 10x (orientation bounds the densified graph)") {
+    // the replicated lineitem densifies the co-purchase graph 10x over the
+    // SAME 20k parts — the exact shape (more orders, fixed catalog) where
+    // a raw-degree wedge join melts and the degree-ordered one must not
+    requested(); run("x85_triangles")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
