@@ -123,7 +123,37 @@ object EventQueries {
       .orderBy(col("step"))
   }
 
+  // x90: the transition matrix as a STREAM — per-user last-event state in
+  // flatMapGroupsWithState emits adjacency pairs at arrival; the pair
+  // stream re-aggregates to exactly x87's (prev, next, n, n_from,
+  // p_micro) shape. Sharing x87's oracle hash-gates the stateful path;
+  // batch-split invariance (the pair spanning two batches forms from
+  // carried state) is StreamingSpec's job.
+  def x90TransitionsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = EventStreams.normalizeTs(EventStreams.readEventStream(s, dir))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[EventStreams.TransEvent]
+    val name = s"trans_pairs_${System.nanoTime()}"
+    val q = EventStreams.transitionStream(src)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val pairs = s.table(name)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    // fresh scan for the totals side: deriving it from `pairs` re-uses the
+    // memory-sink view's attribute ids and the self-join fails to resolve
+    val totals = s.table(name)
+      .groupBy(col("prev_type").as("prev_type"))
+      .agg(count(lit(1)).as("n_from"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+        expr("(n * 1000000L) div n_from").as("p_micro"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x90_transitions_stream" -> x90TransitionsStream _,
     "x72_funnel" -> x72Funnel _,
     "x73_funnel_stream" -> x73FunnelStream _,
     "x48_stream_static" -> x48StreamStaticEnrich _,
@@ -162,6 +192,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "x72_funnel" -> FunnelSql,
     "x73_funnel_stream" -> FunnelSql,
+    "x90_transitions_stream" -> ExtensionQueries.TransitionsSql,
     "x48_stream_static" ->
       """SELECT time_bucket(INTERVAL '60 minutes', CAST(e.ts AS TIMESTAMP)) AS win_start,
         |  COALESCE(c.c_mktsegment, 'N/A') AS segment,

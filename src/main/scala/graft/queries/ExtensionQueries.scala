@@ -1302,6 +1302,23 @@ object ExtensionQueries {
     s"""$ShingleCte,
        |$minhashTail""".stripMargin
 
+  /** Shared by x87 (batch) and x90 (stream) — identical required
+    * results: the stream's carried-state pair formation must aggregate
+    * to exactly the batch window's. */
+  val TransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |p AS (SELECT prev_type, next_type, COUNT(*) AS n FROM seq
+      |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+      |SELECT p.prev_type, p.next_type, p.n, t.n_from,
+      |  CAST((p.n * 1000000) // t.n_from AS BIGINT) AS p_micro
+      |FROM p JOIN tot t USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   /** One k-core peeling round: edges eR-1 -> alive aR (deg >= 20) ->
     * edges eR (both endpoints alive) -> trace row rR. */
   private def kcoreRound(r: Int): String = {
@@ -1408,19 +1425,7 @@ object ExtensionQueries {
         |  CAST(((padded_slots - sum_tokens) * 1000) // padded_slots AS BIGINT)
         |    AS waste_permille
         |FROM b ORDER BY rung""".stripMargin,
-    "x87_transitions" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_type AS next_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev_type
-        |  FROM events),
-        |p AS (SELECT prev_type, next_type, COUNT(*) AS n FROM seq
-        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
-        |SELECT p.prev_type, p.next_type, p.n, t.n_from,
-        |  CAST((p.n * 1000000) // t.n_from AS BIGINT) AS p_micro
-        |FROM p JOIN tot t USING (prev_type)
-        |ORDER BY prev_type, next_type""".stripMargin,
+    "x87_transitions" -> TransitionsSql,
     "x74_span_corruption" ->
       s"""WITH d AS (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents),
          |toks AS (SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS term

@@ -210,4 +210,38 @@ object EventStreams {
           }
         })
   }
+
+  final case class TransEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String)
+  final case class TransPair(user_id: Long, prev_type: String, next_type: String)
+  /** The user's LAST event under the (ts, event_id) total order — one
+    * fixed-size record per user, never the event history. */
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+
+  /** Streaming twin of [[graft.operators.Funnel.transitionMatrix]]'s pair
+    * formation: per-user adjacency pairs emitted as events arrive, with
+    * `flatMapGroupsWithState` carrying only the last-seen event. On
+    * event-time-ordered batches the emitted pairs aggregate to exactly
+    * the batch matrix (batch-boundary invariance is StreamingSpec's job —
+    * the pair spanning two batches forms from the carried state). The
+    * downstream count/probability aggregation is ordinary relational code
+    * over the pair stream. */
+  def transitionStream(events: Dataset[TransEvent]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) => {
+          val out = List.newBuilder[TransPair]
+          var last = state.getOption
+          // event-time order inside the batch (same contract as the
+          // funnel: batches arrive event-time ordered)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            last.foreach(s => out += TransPair(user, s.lastType, e.event_type))
+            last = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
 }

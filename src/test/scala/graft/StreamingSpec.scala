@@ -138,6 +138,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions over event-time-split batches == batch matrix (pairs span boundaries)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.TransEvent
+    val all = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id", $"event_type")
+      .as[TransEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val events = MemoryStream[TransEvent]
+    val q = EventStreams.transitionStream(events.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("trans_out").start()
+    try {
+      // three uneven event-time-ordered batches: each user's boundary-
+      // spanning pair must form from the carried last-event state
+      val (b1, rest) = all.splitAt(all.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => events.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("trans_out")
+        .groupBy($"prev_type", $"next_type").agg(count(lit(1)).as("n"))
+      val batch = graft.operators.Funnel.transitionMatrix(
+          spark.read.parquet(s"$dir/events.parquet"))
+        .select($"prev_type", $"next_type", $"n")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed pairs must aggregate to exactly the batch transition matrix")
+      // state is ONE record per user: total pairs == events - distinct users
+      val nEvents = all.length.toLong
+      val nUsers = all.map(_.user_id).distinct.length.toLong
+      assert(spark.table("trans_out").count() == nEvents - nUsers,
+        "every event except each user's first forms exactly one pair")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join == batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
