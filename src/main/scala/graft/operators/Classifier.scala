@@ -149,4 +149,46 @@ object Classifier {
           "(2 * precision_micro * recall_micro) div (precision_micro + recall_micro) END")
           .as("f1_micro"))
   }
+
+  /** Calibration curve (reliability diagram) of a trained filter: bucket
+    * the raw model score w·x into `nBuckets` equal-width bins over the
+    * corpus score range and report, per bin, how often the positive class
+    * actually occurs — the audit that decides whether a score threshold
+    * can be trusted as a keep/drop dial (a well-calibrated filter's
+    * positive rate rises monotonically with the score; a memorizing one
+    * is flat then vertical).
+    *
+    * All integer: bin = `((wx − min) · nBuckets) div (span + 1)` on the
+    * broadcast corpus min/max (span+1 keeps the max score inside the last
+    * bin and guards the degenerate one-score corpus), positive rate and
+    * mean score in floor-division micro-units. Scale shape: ONE stats agg
+    * (broadcast as a 1-row frame) + ONE map-side-combined aggregation on
+    * the nBuckets-cardinality bin key — no sort, no window, no ntile
+    * (an ntile decile would be a single-partition global sort).
+    */
+  def calibration(docs: DataFrame, label: Column, w: Seq[Long],
+      nBuckets: Int = 10, textCol: String = "text"): DataFrame = {
+    require(w.length == Dim, s"expected $Dim weights")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val ws = filter(split(col(textCol), " "), x => length(x) > 0)
+    val feats = Seq[Column](
+      lit(1L),
+      length(col(textCol)).cast("long"),
+      size(ws).cast("long"),
+      size(array_distinct(ws)).cast("long"),
+      coalesce(array_max(transform(ws, x => length(x))), lit(0)).cast("long"))
+    val wx = feats.zip(w).map { case (fc, wd) => fc * lit(wd) }.reduce(_ + _)
+    val scored = docs.select(
+      when(label, lit(1L)).otherwise(lit(0L)).as("pos"), wx.as("wx"))
+    val range = scored.agg(min(col("wx")).as("lo"), max(col("wx")).as("hi"))
+    scored.crossJoin(broadcast(range))
+      .select(col("pos"), col("wx"),
+        expr(s"((wx - lo) * $nBuckets) div (hi - lo + 1)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("wx")).as("sum_wx"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("pos_rate_micro"),
+        expr("sum_wx div n").as("mean_wx"))
+  }
 }

@@ -87,4 +87,57 @@ object Collocations {
       .select(col("term"), col("df"), col("total_tf"), col("postings"))
       .orderBy(col("term"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — words are linked when they appear
+    * within `window` positions of each other in some document — then the
+    * top-`k` words by rank. The unsupervised "what is this corpus about"
+    * primitive: centrality in the co-occurrence graph beats raw frequency
+    * because a word that co-occurs with many DISTINCT central words
+    * outranks a word that merely repeats.
+    *
+    * Composition of the engine's own parts: pair formation is array-local
+    * like [[bigramLift]] (each doc's token array yields its own
+    * within-window pairs — no positional self-join), the distinct edge
+    * set is keyed by the 60-bit [[Dedup.shingleHash]] so the three
+    * PageRank iterations shuffle 8-byte ids instead of word strings, and
+    * [[Graph.pageRank]] supplies the exact BIGINT micro-unit iteration.
+    * The word↔id dictionary is vocabulary-sized and broadcasts back onto
+    * the final ranks; the cut is a TakeOrdered.
+    */
+  def textRank(docs: DataFrame, textCol: String = "text", window: Int = 2,
+      iterations: Int = 3, k: Int = 20): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(k > 0, "k must be positive")
+    val ws = split(TextFunctions.normalizeText(col(textCol)), " ")
+    val pairs = docs.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, least($window, size(ws) - 1)),
+           |  o -> transform(sequence(0, size(ws) - 1 - o),
+           |    i -> struct(ws[i] AS wa, ws[i + o] AS wb))))""".stripMargin)).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(length(col("wa")) > 0 && length(col("wb")) > 0 &&
+        col("wa") =!= col("wb"))
+    val und = pairs
+      .select(least(col("wa"), col("wb")).as("a"),
+        greatest(col("wa"), col("wb")).as("b"))
+      .distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val ranks = Graph.pageRank(
+      sym.select(Dedup.shingleHash(col("a")).as("src"),
+        Dedup.shingleHash(col("b")).as("dst")),
+      iterations = iterations)
+    val dict = und.select(col("a").as("word"))
+      .union(und.select(col("b").as("word")))
+      .select(col("word"), Dedup.shingleHash(col("word")).as("id"))
+      .distinct()
+    ranks.join(broadcast(dict), "id")
+      .select(col("word"), col("pr"))
+      .orderBy(col("pr").desc, col("word"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("word"))))
+  }
 }

@@ -186,4 +186,53 @@ object Graph {
     }
     trace.result().reduce(_ unionAll _)
   }
+
+  /** Fixed-round label propagation: extend a sparse trusted labeling
+    * (human labels, high-precision heuristics) across an undirected
+    * similarity graph — each round, every still-unlabeled node adopts the
+    * majority label among its ALREADY-labeled neighbors (ties broken by
+    * label order, so the walk is deterministic and an oracle replays it).
+    * The semi-supervised data-labeling move: near-duplicate / high-cosine
+    * neighborhoods share labels, so a 1% seed set labels the dense part
+    * of a corpus without a model.
+    *
+    * Returns (id, label, round): round 0 = seeds, round r = adopted in
+    * round r. Unreached nodes simply don't appear. Per round: ONE join of
+    * the symmetrized edge list onto the labeled frontier (both keyed on
+    * node id), an anti-join excluding already-labeled nodes, a
+    * (node, label)-keyed partial-agg count, and a per-node argmax window
+    * whose partitions are label-cardinality-bounded — nothing scans
+    * history, and the labeled set is materialized per round
+    * ([[graft.core.Materialize]], reliable-checkpoint aware).
+    *
+    * @param edges undirected pair list (one row per pair is enough)
+    * @param seeds (idCol, labelCol) trusted assignments
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    require(rounds >= 1, "need at least one propagation round")
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val sym = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+      .distinct().materialized
+    var labeled = seeds.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("string").as("label"), lit(0L).as("round"))
+      .materialized
+    for (r <- 1 to rounds) {
+      val votes = sym
+        .join(labeled.select(col("id").as("d"), col("label")), Seq("d"))
+        .select(col("s").as("id"), col("label"))
+        .join(labeled.select(col("id")), Seq("id"), "left_anti")
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+      val adopted = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label"), lit(r.toLong).as("round"))
+      labeled = labeled.unionAll(adopted).materialized
+    }
+    labeled
+  }
 }

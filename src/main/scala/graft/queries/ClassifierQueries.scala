@@ -40,10 +40,23 @@ object ClassifierQueries {
     Classifier.evaluate(docs, label, Seq(w.w0, w.w1, w.w2, w.w3, w.w4))
   }
 
+  // x91: calibration curve (reliability diagram) of the trained filter —
+  // 10 equal-width score bins, per-bin positive rate and mean score in
+  // integer micro-units. The audit that decides whether the score is a
+  // trustworthy keep/drop dial.
+  def x91Calibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Classifier.train(docs, label, Iters).last
+    Classifier.calibration(docs, label, Seq(w.w0, w.w1, w.w2, w.w3, w.w4),
+        nBuckets = 10)
+      .orderBy(col("bin"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x77_perceptron_train" -> x77PerceptronTrain _,
     "x78_perceptron_score" -> x78PerceptronScore _,
-    "x82_classifier_eval" -> x82ClassifierEval _)
+    "x82_classifier_eval" -> x82ClassifierEval _,
+    "x91_calibration" -> x91Calibration _)
 
   /** Feature CTE shared by both oracles — the SQL twin of
     * [[Classifier.features]] (plus doc_id for the scoring join). */
@@ -122,8 +135,29 @@ object ClassifierQueries {
        |                 // (precision_micro + recall_micro) END AS BIGINT) AS f1_micro
        |FROM pr""".stripMargin
 
+  private def calibSql(iters: Int, nBuckets: Int): String =
+    s"""WITH ${iterCtes(iters)},
+       |scored AS (
+       |  SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos,
+       |         w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4 AS wx
+       |  FROM f, i$iters),
+       |rng AS (SELECT MIN(wx) AS lo, MAX(wx) AS hi FROM scored),
+       |binned AS (
+       |  SELECT pos, wx, ((wx - lo) * $nBuckets) // (hi - lo + 1) AS bin
+       |  FROM scored, rng),
+       |agg AS (
+       |  SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+       |         CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |         CAST(SUM(wx) AS BIGINT) AS sum_wx
+       |  FROM binned GROUP BY bin)
+       |SELECT bin, n, n_pos,
+       |  CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_micro,
+       |  CAST(sum_wx // n AS BIGINT) AS mean_wx
+       |FROM agg ORDER BY bin""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x77_perceptron_train" -> trainSql(Iters),
     "x78_perceptron_score" -> scoreSql(Iters),
-    "x82_classifier_eval" -> evalSql(Iters))
+    "x82_classifier_eval" -> evalSql(Iters),
+    "x91_calibration" -> calibSql(Iters, nBuckets = 10))
 }

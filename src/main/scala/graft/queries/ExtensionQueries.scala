@@ -1121,7 +1121,32 @@ object ExtensionQueries {
       .orderBy(col("round"))
   }
 
+  // x92: TextRank keywords — PageRank over the within-2-window word
+  // co-occurrence graph, top-20 by exact micro-unit rank.
+  def x92TextRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.textRank(t(s, dir, "documents"),
+        window = 2, iterations = 3, k = 20)
+      .orderBy(col("rk"))
+
+  // x93: label propagation — extend the lang labels of the doc_id%5==0
+  // seed slice across the MinHash-LSH near-dup graph, 2 rounds; ties
+  // break by label order, so the walk is oracle-exact.
+  def x93LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, bands = 4, rows = 2, threshold = 0.6)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val seeds = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"))
+    graft.operators.Graph.labelPropagation(edges, seeds, rounds = 2,
+        idCol = "doc_id", labelCol = "lang")
+      .select(col("id").as("doc_id"), col("label"), col("round"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x92_textrank" -> x92TextRank _,
+    "x93_label_prop" -> x93LabelProp _,
     "x88_top_paths" -> x88TopPaths _,
     "x89_kcore" -> x89KCore _,
     "x84_fuzzy_join" -> x84FuzzyJoin _,
@@ -1333,7 +1358,74 @@ object ExtensionQueries {
        |  (SELECT COUNT(*) FROM e$r) AS n_edges)""".stripMargin
   }
 
+  /** 60-bit md5-prefix word hash — [[graft.operators.Dedup.shingleHash]]'s
+    * SQL twin, applied to a word expression. */
+  private def wordHash(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** One PageRank round over the x92 co-occurrence graph (damping 17/20,
+    * micro-units) — mirrors the engine's Graph.pageRank arithmetic. */
+  private def trRound(prev: String, next: String): String =
+    s"""s_$next AS (
+       |  SELECT e.dst AS id, SUM($prev.pr // deg.outdeg) AS s
+       |  FROM e JOIN deg USING (src) JOIN $prev ON $prev.id = e.src
+       |  GROUP BY e.dst),
+       |$next AS (
+       |  SELECT n.id, CAST(150000 + (17 * COALESCE(s_$next.s, 0)) // 20 AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN s_$next ON s_$next.id = n.id)""".stripMargin
+
+  /** One label-propagation round: votes from the labeled set lP, per-node
+    * majority (count desc, label asc), newly adopted appended as lR. */
+  private def lpRound(r: Int): String = {
+    val p = r - 1
+    s"""v$r AS (
+       |  SELECT sym.s AS id, l$p.label, COUNT(*) AS c
+       |  FROM sym JOIN l$p ON sym.d = l$p.id
+       |  WHERE sym.s NOT IN (SELECT id FROM l$p)
+       |  GROUP BY 1, 2),
+       |n$r AS (SELECT id, label FROM (
+       |  SELECT id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+       |  FROM v$r) WHERE rn = 1),
+       |l$r AS (SELECT * FROM l$p
+       |  UNION ALL SELECT id, label, CAST($r AS BIGINT) FROM n$r)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x92_textrank" ->
+      s"""WITH d AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
+         |pr_pairs AS (
+         |  SELECT ws[i] AS wa, ws[i + o] AS wb
+         |  FROM d, UNNEST([1, 2]) AS o_(o),
+         |       UNNEST(range(1, len(ws) + 1 - o)) AS i_(i)
+         |  WHERE len(ws[i]) > 0 AND len(ws[i + o]) > 0 AND ws[i] <> ws[i + o]),
+         |und AS (SELECT DISTINCT least(wa, wb) AS a, greatest(wa, wb) AS b
+         |        FROM pr_pairs),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT ${wordHash("a")} AS src, ${wordHash("b")} AS dst FROM und
+         |  UNION ALL
+         |  SELECT ${wordHash("b")}, ${wordHash("a")} FROM und)),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${trRound("r0", "r1")},
+         |${trRound("r1", "r2")},
+         |${trRound("r2", "r3")},
+         |dict AS (SELECT DISTINCT a AS word FROM und
+         |         UNION SELECT b FROM und)
+         |SELECT word, pr,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, word) AS INT) AS rk
+         |FROM r3 JOIN dict ON r3.id = ${wordHash("word")}
+         |ORDER BY pr DESC, word LIMIT 20""".stripMargin,
+    "x93_label_prop" ->
+      s"""WITH $MinhashCtes,
+         |sym AS (SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |l0 AS (SELECT doc_id AS id, lang AS label, CAST(0 AS BIGINT) AS round
+         |       FROM documents WHERE doc_id % 5 = 0),
+         |${lpRound(1)},
+         |${lpRound(2)}
+         |SELECT id AS doc_id, label, round FROM l2 ORDER BY doc_id""".stripMargin,
     "x88_top_paths" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -1030,6 +1030,51 @@ class ExtensionSpec extends AnyFunSuite {
     assert(r == Seq((1L, 5L, 8L), (2L, 4L, 6L), (3L, 4L, 6L)), s"got $r")
   }
 
+  test("calibration: equal-width bins over the score range, degenerate one-score corpus -> bin 0") {
+    // weights (0,1,0,0,0) make the score exactly the char length
+    val w = Seq(0L, 1L, 0L, 0L, 0L)
+    val d = Seq(
+      (1L, "aaaa", true),        // len 4  -> wx 4
+      (2L, "aaaaaaaa", false),   // len 8
+      (3L, "a" * 24, true),      // len 24 = max
+      (4L, "aaaa", false))       // len 4 = min
+      .toDF("doc_id", "text", "lab")
+    val r = graft.operators.Classifier.calibration(d, $"lab", w, nBuckets = 2)
+      .orderBy($"bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // span+1 = 21: bin = (wx-4)*2/21 -> len4->0, len8->0, len24->1
+    assert(r == Seq(
+      (0L, 3L, 1L, 333333L, (4L + 8L + 4L) / 3L),
+      (1L, 1L, 1L, 1000000L, 24L)), s"got $r")
+    val one = Seq((1L, "aa", true), (2L, "aa", false)).toDF("doc_id", "text", "lab")
+    val r2 = graft.operators.Classifier.calibration(one, $"lab", w, nBuckets = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r2 == Seq((0L, 2L, 1L, 500000L, 2L)), s"degenerate gave $r2")
+  }
+
+  test("textrank: a hub co-occurring with many distinct words outranks its satellites") {
+    // 'hub' sits mid-window of 8 distinct (a_i, b_i) pairs -> degree 16;
+    // every satellite touches only hub and its line partner (degree 2)
+    val d = (0 until 8).map(i => (i.toLong, s"a$i hub b$i")).toDF("doc_id", "text")
+    val r = graft.operators.Collocations.textRank(d, window = 2, iterations = 3, k = 5)
+      .orderBy($"rk").as[(String, Long, Int)].collect().toSeq
+    assert(r.head._1 == "hub", s"hub must rank first, got $r")
+    assert(r.map(_._3) == Seq(1, 2, 3, 4, 5), "ranks must be dense from 1")
+    assert(r.map(_._2) == r.map(_._2).sorted.reverse, "pr must be non-increasing in rank")
+  }
+
+  test("label propagation: majority + tie-break, round-2 cascade, labeled nodes never relabel") {
+    // seeds: 1 -> 'a', 2 -> 'b'. Node 3 sees {a, b} (tie -> 'a').
+    // Node 4 sees only node 3 -> cascades 'a' in round 2.
+    // Node 1 also neighbors 2 but keeps its seed label.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 2L)).toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (2L, "b")).toDF("id", "lab")
+    val r = graft.operators.Graph.labelPropagation(edges, seeds, rounds = 2,
+        idCol = "id", labelCol = "lab")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "a", 1L), (4L, "a", 2L)),
+      s"got $r")
+  }
+
   test("transition matrix: deterministic tie-break, per-source probabilities sum to ≤ 1e6") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
