@@ -1144,7 +1144,42 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x94: corpus drift report — unigram distribution delta between two
+  // ingest slices (even vs odd doc ids standing in for "last week vs this
+  // week"): per-term probability in integer micro-units on each side, the
+  // top-20 movers by absolute delta. The monitoring query a continuously-
+  // ingesting pipeline runs to catch a source going off-distribution
+  // before it poisons a training mix. Scale shape: one tokenize +
+  // map-side-combined count per slice (vocabulary-sized results), a
+  // vocabulary-sized full-outer join, scalar totals broadcast via 1-row
+  // crossJoins, TakeOrdered cut — the corpus itself is never joined or
+  // re-shuffled.
+  def x94Drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def slice(side: org.apache.spark.sql.Column) = docs.filter(side)
+      .select(explode(filter(
+        split(graft.functions.TextFunctions.normalizeText(col("text")), " "),
+        w => length(w) > 0)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val a = slice(col("doc_id") % 2 === 0)
+    val b = slice(col("doc_id") % 2 =!= 0)
+    val ta = a.agg(sum(col("c")).cast("long").as("tot_a"))
+    val tb = b.agg(sum(col("c")).cast("long").as("tot_b"))
+    a.select(col("term"), col("c").as("c_a"))
+      .join(b.select(col("term"), col("c").as("c_b")), Seq("term"), "full_outer")
+      .crossJoin(ta).crossJoin(tb)
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"),
+        expr("(coalesce(c_a, 0L) * 1000000L) div tot_a").as("p_a_micro"),
+        expr("(coalesce(c_b, 0L) * 1000000L) div tot_b").as("p_b_micro"))
+      .withColumn("delta_micro", abs(col("p_a_micro") - col("p_b_micro")))
+      .orderBy(col("delta_micro").desc, col("term"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x94_drift" -> x94Drift _,
     "x92_textrank" -> x92TextRank _,
     "x93_label_prop" -> x93LabelProp _,
     "x88_top_paths" -> x88TopPaths _,
@@ -1392,6 +1427,29 @@ object ExtensionQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "x94_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 = 0 AS side_a, u.term
+         |  FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) d,
+         |       UNNEST(d.ws) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |ca AS (SELECT term, COUNT(*) AS c FROM tok WHERE side_a GROUP BY 1),
+         |cb AS (SELECT term, COUNT(*) AS c FROM tok WHERE NOT side_a GROUP BY 1),
+         |ta AS (SELECT CAST(SUM(c) AS BIGINT) AS tot_a FROM ca),
+         |tb AS (SELECT CAST(SUM(c) AS BIGINT) AS tot_b FROM cb),
+         |j AS (
+         |  SELECT COALESCE(ca.term, cb.term) AS term,
+         |    CAST(COALESCE(ca.c, 0) AS BIGINT) AS c_a,
+         |    CAST(COALESCE(cb.c, 0) AS BIGINT) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |p AS (
+         |  SELECT term, c_a, c_b,
+         |    CAST((c_a * 1000000) // tot_a AS BIGINT) AS p_a_micro,
+         |    CAST((c_b * 1000000) // tot_b AS BIGINT) AS p_b_micro
+         |  FROM j, ta, tb)
+         |SELECT term, c_a, c_b, p_a_micro, p_b_micro,
+         |  abs(p_a_micro - p_b_micro) AS delta_micro
+         |FROM p ORDER BY delta_micro DESC, term LIMIT 20""".stripMargin,
     "x92_textrank" ->
       s"""WITH d AS (SELECT string_split($Norm, ' ') AS ws FROM documents),
          |pr_pairs AS (

@@ -409,6 +409,28 @@ class PlanSpec extends AnyFunSuite {
       "wedge closure must be a semi-join (never materialize the closed wedges)")
   }
 
+  test("x92 textrank: dictionary joins broadcast; the rank cut is a TakeOrdered, no cartesian") {
+    val plan = executedIsolated(SparkEntry.queries("x92_textrank")(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized dictionary must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k keywords must not materialize a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x94 drift: corpus tokenizes once per slice, vocab join only, totals broadcast") {
+    val plan = executedIsolated(SparkEntry.queries("x94_drift")(spark, dir))
+      .split("== Initial Plan ==").head
+    // the only non-broadcast join is the vocabulary-sized full-outer —
+    // doc rows must never join
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top movers must be a TakeOrdered:\n${plan.take(1200)}")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      "slice counts must combine map-side")
+  }
+
   test("x86 length buckets: one map-side-combined aggregation, no window, no sort before output") {
     // AQE prints Final AND Initial plan sections — count only the final one
     val plan = executedIsolated(SparkEntry.queries("x86_length_buckets")(spark, dir))
