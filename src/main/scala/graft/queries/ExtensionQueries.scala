@@ -1178,7 +1178,49 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** x95's target mixture (micro-units, sums to 1e6) — deliberately
+    * over-asks de (exhausts round 1) and fr (exhausts only in round 2,
+    * AFTER de's surplus redistributes — the cascade single-pass
+    * proportional splitting gets wrong). */
+  val MixTargets: Seq[(String, Long)] = Seq(
+    "en" -> 300000L, "de" -> 250000L, "fr" -> 225000L,
+    "es" -> 150000L, "zh" -> 75000L)
+
+  // x95: water-filling mixture allocation — per-language token
+  // allocations for a 60% corpus budget under MixTargets; 3 fixed
+  // redistribution rounds on the language-cardinality frame.
+  def x95WaterFill(s: SparkSession, dir: String): DataFrame = {
+    val avail = t(s, dir, "documents")
+      .groupBy(col("lang").as("grp"))
+      .agg(sum(size(filter(split(col("text"), " "),
+        w => length(w) > 0)).cast("long")).as("avail"))
+    graft.operators.Sampling.waterFill(avail, MixTargets.toMap,
+        budgetNum = 3L, budgetDen = 5L, rounds = 3)
+      .select(col("grp").as("lang"), col("avail"), col("share_micro"),
+        col("budget"), col("alloc"), col("exhausted"))
+      .orderBy(col("lang"))
+  }
+
+  // x96: cluster-size-balanced sampling weights — every doc weighted
+  // 1e6/|its near-dup cluster|, so a 50-copy boilerplate family carries
+  // the same total sampling mass as a singleton. The soft alternative to
+  // hard dedup (x22 keeps one per cluster; this keeps all, downweighted).
+  def x96ClusterWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, bands = 4, rows = 2, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.dupClusters(docs.select(col("doc_id")), pairs, "doc_id")
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        expr("1000000L div csize").as("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x95_water_fill" -> x95WaterFill _,
+    "x96_cluster_weights" -> x96ClusterWeights _,
     "x94_drift" -> x94Drift _,
     "x92_textrank" -> x92TextRank _,
     "x93_label_prop" -> x93LabelProp _,
@@ -1426,7 +1468,61 @@ object ExtensionQueries {
        |  UNION ALL SELECT id, label, CAST($r AS BIGINT) FROM n$r)""".stripMargin
   }
 
+  /** One water-filling redistribution round for the x95 oracle. */
+  private def wfRound(r: Int): String = {
+    val p = r - 1
+    s"""s$p AS (
+       |  SELECT CAST(SUM(alloc) AS BIGINT) AS allocated,
+       |    CAST(COALESCE(SUM(CASE WHEN alloc < avail THEN share_micro END), 0)
+       |      AS BIGINT) AS rem_share
+       |  FROM r$p),
+       |r$r AS (
+       |  SELECT grp, avail, share_micro, budget,
+       |    CASE WHEN alloc = avail THEN alloc
+       |         ELSE LEAST(avail, alloc + CASE WHEN rem_share = 0 THEN 0
+       |           ELSE ((budget - allocated) * share_micro) // rem_share END)
+       |    END AS alloc
+       |  FROM r$p, s$p)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x95_water_fill" ->
+      s"""WITH avail AS (
+         |  SELECT lang AS grp,
+         |    CAST(SUM(len(list_filter(string_split(text, ' '), w -> len(w) > 0)))
+         |      AS BIGINT) AS avail
+         |  FROM documents GROUP BY 1),
+         |tgt(grp, share_micro) AS (VALUES
+         |  ${MixTargets.map { case (g, m) => s"('$g', CAST($m AS BIGINT))" }
+                .mkString(", ")}),
+         |base AS (SELECT a.grp, a.avail, t.share_micro
+         |         FROM avail a JOIN tgt t USING (grp)),
+         |b AS (SELECT CAST((SUM(avail) * 3) // 5 AS BIGINT) AS budget FROM base),
+         |r1 AS (
+         |  SELECT grp, avail, share_micro, budget,
+         |    LEAST(avail, (budget * share_micro) // 1000000) AS alloc
+         |  FROM base, b),
+         |${wfRound(2)},
+         |${wfRound(3)}
+         |SELECT grp AS lang, avail, share_micro, budget,
+         |  CAST(alloc AS BIGINT) AS alloc, alloc = avail AS exhausted
+         |FROM r3 ORDER BY lang""".stripMargin,
+    "x96_cluster_weights" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+         |  UNION SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         |       FROM reach GROUP BY src),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+         |       FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster_id, sz.csize,
+         |  CAST(1000000 // csize AS BIGINT) AS weight_micro
+         |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "x94_drift" ->
       s"""WITH tok AS (
          |  SELECT doc_id % 2 = 0 AS side_a, u.term

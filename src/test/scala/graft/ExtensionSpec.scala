@@ -1075,6 +1075,41 @@ class ExtensionSpec extends AnyFunSuite {
       s"got $r")
   }
 
+  test("water-fill: round-1 exhaustion redistributes, cascading a second exhaustion in round 2") {
+    // budget = 100 (whole corpus). a wants 50 but has 30 (exhausts r1,
+    // surplus 20); b wants 30, +surplus*30/50=12 -> 42 > 40 (exhausts r2);
+    // c absorbs the rest, never exhausted
+    val avail = Seq(("a", 30L), ("b", 40L), ("c", 100L)).toDF("grp", "avail")
+    val r = graft.operators.Sampling.waterFill(avail,
+        Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L),
+        budgetNum = 10L, budgetDen = 17L, rounds = 3) // 170 total -> budget 100
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // r1: a=30(exh), b=30, c=20 (alloc 80, surplus 20, rem_share .5)
+    // r2: b=30+12=42>40 -> 40(exh), c=20+8=28 (alloc 98, surplus 2, rem .2)
+    // r3: c=28+2=30
+    assert(r == Seq(
+      ("a", 30L, 500000L, 100L, 30L, true),
+      ("b", 40L, 300000L, 100L, 40L, true),
+      ("c", 100L, 200000L, 100L, 30L, false)), s"got $r")
+    // allocation never exceeds the budget and exhausted groups cap at avail
+    assert(r.map(_._5).sum <= 100L)
+  }
+
+  test("cluster weights: each near-dup family carries ~1e6 total mass, singletons exactly 1e6") {
+    val r = graft.queries.ExtensionQueries.x96ClusterWeights(spark, dir)
+    import org.apache.spark.sql.functions.{sum => fsum, countDistinct, min => fmin, max => fmax}
+    // per-cluster mass: csize * (1e6 div csize) ∈ (1e6 - csize, 1e6]
+    val bad = r.groupBy($"cluster_id")
+      .agg(fsum($"weight_micro").as("mass"), fmax($"csize").as("cs"))
+      .filter($"mass" > 1000000L || $"mass" <= org.apache.spark.sql.functions.lit(1000000L) - $"cs").count()
+    assert(bad == 0, "per-cluster sampling mass must be ~1e6")
+    assert(r.filter($"csize" === 1 && $"weight_micro" =!= 1000000L).count() == 0)
+    // every document appears exactly once
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(r.count() == docs && r.select(countDistinct($"doc_id")).as[Long].head() == docs)
+  }
+
   test("transition matrix: deterministic tie-break, per-source probabilities sum to ≤ 1e6") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
