@@ -69,4 +69,47 @@ object Fuzzy {
         levenshtein(col("k_a"), col("k_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Two-table fuzzy lookup — the record-linkage shape proper: match each
+    * left record against a reference dictionary (master data, canonical
+    * titles, a gazetteer) and keep the single BEST match within
+    * `maxDist`, ties broken by the lower right id. Same prefix+suffix
+    * blocking and length guard as [[fuzzySelfJoin]]; the per-left argmin
+    * is a window over the (small) surviving candidate set, partitioned by
+    * left id — never the corpus.
+    *
+    * Returns (left id, right id, left key, right key, dist) — one row per
+    * MATCHED left record; unmatched records simply don't appear (left-join
+    * the result back for a match-rate audit).
+    */
+  def fuzzyLookup(left: DataFrame, right: DataFrame,
+      leftId: String, leftKey: String, rightId: String, rightKey: String,
+      maxDist: Int, blockLen: Int = 8): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(blockLen > 0, "blockLen must be positive")
+    def blocked(df: DataFrame, idCol: String, keyCol: String, side: String) = {
+      val keyed = df.select(col(idCol).cast("long").as(s"${side}_id"),
+        col(keyCol).cast("string").as(s"${side}_k"))
+      keyed.select(col(s"${side}_id"), col(s"${side}_k"),
+          substring(col(s"${side}_k"), 1, blockLen).as("blk"))
+        .unionAll(keyed.select(col(s"${side}_id"), col(s"${side}_k"),
+          expr(s"substring(${side}_k, greatest(length(${side}_k) - ${blockLen - 1}, 1))")
+            .as("blk")))
+    }
+    val candidates = blocked(left, leftId, leftKey, "l")
+      .join(blocked(right, rightId, rightKey, "r"),
+        Seq("blk"))
+      .filter(abs(length(col("l_k")) - length(col("r_k"))) <= maxDist)
+      .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"))
+      .distinct()
+      .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"),
+        levenshtein(col("l_k"), col("r_k")).as("dist"))
+      .filter(col("dist") <= maxDist)
+    candidates
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_id"))
+          .orderBy(col("dist"), col("r_id"))))
+      .filter(col("rn") === 1)
+      .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"), col("dist"))
+  }
 }

@@ -152,7 +152,31 @@ object EventQueries {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  // x98: top paths as a STREAM — per-user sliding window of the last
+  // depth-1 event types in flatMapGroupsWithState emits each completed
+  // journey at arrival; the path stream re-aggregates to exactly x88's
+  // top-10. Shares x88's oracle like x90 shares x87's.
+  def x98PathsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = EventStreams.normalizeTs(EventStreams.readEventStream(s, dir))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[EventStreams.TransEvent]
+    val name = s"path_hits_${System.nanoTime()}"
+    val q = EventStreams.pathStream(src, depth = 3)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("path"))))
+      .orderBy(col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x98_paths_stream" -> x98PathsStream _,
     "x90_transitions_stream" -> x90TransitionsStream _,
     "x72_funnel" -> x72Funnel _,
     "x73_funnel_stream" -> x73FunnelStream _,
@@ -193,6 +217,7 @@ object EventQueries {
     "x72_funnel" -> FunnelSql,
     "x73_funnel_stream" -> FunnelSql,
     "x90_transitions_stream" -> ExtensionQueries.TransitionsSql,
+    "x98_paths_stream" -> ExtensionQueries.TopPathsSql,
     "x48_stream_static" ->
       """SELECT time_bucket(INTERVAL '60 minutes', CAST(e.ts AS TIMESTAMP)) AS win_start,
         |  COALESCE(c.c_mktsegment, 'N/A') AS segment,

@@ -1218,7 +1218,22 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x97: fuzzy dictionary lookup — link odd-doc titles to the even-doc
+  // canonical dictionary, best match (lowest dist, then lowest ref id)
+  // within 8 edits; same prefix+suffix blocking as x84.
+  def x97FuzzyLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("title"))
+    graft.operators.Fuzzy.fuzzyLookup(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "title", "doc_id", "title", maxDist = 8, blockLen = 8)
+      .select(col("l_id").as("doc_id"), col("r_id").as("ref_id"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x97_fuzzy_lookup" -> x97FuzzyLookup _,
     "x95_water_fill" -> x95WaterFill _,
     "x96_cluster_weights" -> x96ClusterWeights _,
     "x94_drift" -> x94Drift _,
@@ -1485,7 +1500,46 @@ object ExtensionQueries {
        |  FROM r$p, s$p)""".stripMargin
   }
 
+  /** Shared by x88 (batch) and x98 (stream) — identical required
+    * results: the stream's carried-window path emission must aggregate to
+    * exactly the batch window's trigram counts. */
+  val TopPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1
+      |  FROM events),
+      |p AS (SELECT l2 || ' > ' || l1 || ' > ' || event_type AS path, COUNT(*) AS n
+      |      FROM seq WHERE l2 IS NOT NULL GROUP BY 1)
+      |SELECT path, n,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rk
+      |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x97_fuzzy_lookup" ->
+      """WITH l AS (SELECT doc_id AS id, substr(text, 1, 60) AS k
+        |           FROM documents WHERE doc_id % 2 = 1),
+        |r AS (SELECT doc_id AS id, substr(text, 1, 60) AS k
+        |      FROM documents WHERE doc_id % 2 = 0),
+        |lb AS (SELECT id, k, substr(k, 1, 8) AS blk FROM l
+        |       UNION ALL
+        |       SELECT id, k, substr(k, greatest(length(k) - 7, 1)) FROM l),
+        |rb AS (SELECT id, k, substr(k, 1, 8) AS blk FROM r
+        |       UNION ALL
+        |       SELECT id, k, substr(k, greatest(length(k) - 7, 1)) FROM r),
+        |cand AS (
+        |  SELECT DISTINCT lb.id AS l_id, rb.id AS r_id, lb.k AS lk, rb.k AS rk2
+        |  FROM lb JOIN rb ON lb.blk = rb.blk
+        |   AND abs(length(lb.k) - length(rb.k)) <= 8),
+        |scored AS (
+        |  SELECT l_id, r_id, levenshtein(lk, rk2) AS dist FROM cand
+        |  WHERE levenshtein(lk, rk2) <= 8),
+        |best AS (
+        |  SELECT l_id, r_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY l_id ORDER BY dist, r_id) AS rn
+        |  FROM scored)
+        |SELECT l_id AS doc_id, r_id AS ref_id, dist FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "x95_water_fill" ->
       s"""WITH avail AS (
          |  SELECT lang AS grp,
@@ -1580,17 +1634,7 @@ object ExtensionQueries {
          |${lpRound(1)},
          |${lpRound(2)}
          |SELECT id AS doc_id, label, round FROM l2 ORDER BY doc_id""".stripMargin,
-    "x88_top_paths" ->
-      """WITH seq AS (
-        |  SELECT event_type,
-        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
-        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1
-        |  FROM events),
-        |p AS (SELECT l2 || ' > ' || l1 || ' > ' || event_type AS path, COUNT(*) AS n
-        |      FROM seq WHERE l2 IS NOT NULL GROUP BY 1)
-        |SELECT path, n,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rk
-        |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "x88_top_paths" -> TopPathsSql,
     "x89_kcore" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,

@@ -244,4 +244,35 @@ object EventStreams {
           out.result().iterator
         })
   }
+
+  final case class PathHit(user_id: Long, path: String)
+  /** The types of the user's most recent depth−1 events in order — a
+    * fixed-size window, never the event history. */
+  final case class PathState(recent: List[String])
+
+  /** Streaming twin of [[graft.operators.Funnel.topPaths]]' path
+    * formation: emit each length-`depth` journey the moment its last
+    * event arrives, carrying only the previous depth−1 event types as
+    * state. Boundary-spanning paths form from the carried window, so on
+    * event-time-ordered batches the emitted paths aggregate to exactly
+    * the batch operator's counts (StreamingSpec pins it); the global
+    * top-k over the path stream is ordinary relational code. */
+  def pathStream(events: Dataset[TransEvent], depth: Int): Dataset[PathHit] = {
+    require(depth >= 2, "a path needs at least two steps")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[TransEvent], state: GroupState[PathState]) => {
+          val out = List.newBuilder[PathHit]
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (recent.length == depth - 1)
+              out += PathHit(user, (recent :+ e.event_type).mkString(" > "))
+            recent = (recent :+ e.event_type).takeRight(depth - 1)
+          }
+          if (recent.nonEmpty) state.update(PathState(recent))
+          out.result().iterator
+        })
+  }
 }

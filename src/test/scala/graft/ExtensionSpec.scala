@@ -960,6 +960,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(fuzzy.filter($"dist" > 8 || $"dist" < 0).count() == 0)
   }
 
+  test("fuzzy lookup: best match wins, ties break low, out-of-range and unmatched drop") {
+    val left = Seq((1L, "the quick brown fox"), (2L, "zzzz unmatched zzzz")).toDF("id", "k")
+    val dict = Seq(
+      (10L, "the quick brown fax"),  // dist 1
+      (11L, "the quick brown fix"),  // dist 1 — tie, higher id loses
+      (12L, "the quick brown foxes"), // dist 2
+      (13L, "totally different dict entry"))
+      .toDF("id", "k")
+    val r = graft.operators.Fuzzy.fuzzyLookup(left, dict, "id", "k", "id", "k",
+        maxDist = 3, blockLen = 8)
+      .select($"l_id", $"r_id", $"dist")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((1L, 10L, 1)), s"got $r")
+  }
+
   test("triangles: K4 counts 4, square counts 0, micro-unit gcc exact") {
     // K4 (complete graph on 4 nodes): C(4,3)=4 triangles, 12 wedges
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))

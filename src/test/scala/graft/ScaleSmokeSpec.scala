@@ -155,6 +155,24 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x85_triangles")
   }
 
+  test("x92 textrank completes at 10x (replica-suffixed vocab grows the graph 10x)") {
+    requested(); run("x92_textrank")
+  }
+
+  test("x93 label propagation completes at 10x (LSH graph + 2 voting rounds)") {
+    requested(); run("x93_label_prop")
+  }
+
+  test("x96 cluster-balanced weights complete at 10x and cover every doc once") {
+    requested()
+    val t0 = System.nanoTime()
+    val r = SparkEntry.queries("x96_cluster_weights")(spark, dir)
+    val n = r.count()
+    record("x96_cluster_weights", n, (System.nanoTime() - t0) / 1e9)
+    assert(n == spark.read.parquet(s"$dir/documents.parquet").count(),
+      "every doc needs exactly one weight at 10x")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto

@@ -168,6 +168,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming paths over event-time-split batches == batch trigrams (window spans boundaries)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.TransEvent
+    val all = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id", $"event_type")
+      .as[TransEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val events = MemoryStream[TransEvent]
+    val q = EventStreams.pathStream(events.toDS(), depth = 3)
+      .writeStream.outputMode("append").format("memory").queryName("path_out").start()
+    try {
+      val (b1, rest) = all.splitAt(all.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => events.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table("path_out")
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+      // batch twin: same window/lag trigram formation over the full table
+      val batch = graft.operators.Funnel.topPaths(
+          spark.read.parquet(s"$dir/events.parquet"), depth = 3, k = Int.MaxValue)
+        .select($"path", $"n")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed paths must aggregate to exactly the batch trigram counts")
+      // state is a (depth-1)-window: paths == events - 2*users (each user's
+      // first two events complete no trigram)
+      val nEvents = all.length.toLong
+      val nUsers = all.map(_.user_id).distinct.length.toLong
+      assert(spark.table("path_out").count() == nEvents - 2 * nUsers)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join == batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
