@@ -1257,7 +1257,48 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x100: dedup-decision audit — for every document x28's first-seen
+  // dedup would drop, WHO shadowed it (the earliest band-key partner) and
+  // the VERIFIED Jaccard of that pair in micro-units. The provenance
+  // trail a curation pipeline keeps so a dedup decision can be appealed:
+  // a low jaccard_micro on a dropped row is a banding false positive made
+  // visible. Scale shape: the shadow map is the same bucket self-join x28
+  // already pays; exact verification then runs ONLY on the shadow pairs —
+  // the shingle relation is semi-join-restricted to the involved docs
+  // before the quadratic intersection, so audit cost tracks the dropped
+  // set, not the corpus.
+  def x100DedupAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bk = Dedup.bandKeys(docs, "doc_id", "text", n = 3, bands = 4, rows = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shadow = bk.alias("a").join(bk.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.doc") < col("a.doc"))
+      .groupBy(col("a.doc").as("dropped_doc"))
+      .agg(min(col("b.doc")).as("shadowed_by"))
+    val ids = shadow.select(col("dropped_doc").as("doc"))
+      .unionAll(shadow.select(col("shadowed_by").as("doc"))).distinct()
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .join(ids, Seq("doc"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("pa"), col("b.doc").as("pb"))
+      .agg(count(lit(1)).as("n_inter"))
+    shadow
+      .join(sizes.select(col("doc").as("shadowed_by"), col("n_sh").as("n_a")), "shadowed_by")
+      .join(sizes.select(col("doc").as("dropped_doc"), col("n_sh").as("n_b")), "dropped_doc")
+      .join(inter, col("pa") === col("shadowed_by") && col("pb") === col("dropped_doc"),
+        "left_outer")
+      .select(col("dropped_doc"), col("shadowed_by"),
+        expr("(1000000L * coalesce(n_inter, 0L)) div (n_a + n_b - coalesce(n_inter, 0L))")
+          .as("jaccard_micro"))
+      .orderBy(col("dropped_doc"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x100_dedup_audit" -> x100DedupAudit _,
     "x99_mixed_lang" -> x99MixedLang _,
     "x97_fuzzy_lookup" -> x97FuzzyLookup _,
     "x95_water_fill" -> x95WaterFill _,
@@ -1560,6 +1601,23 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x100_dedup_audit" ->
+      s"""WITH $MinhashCtes,
+         |shadow AS (
+         |  SELECT a.doc AS dropped_doc, MIN(b.doc) AS shadowed_by
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND b.doc < a.doc
+         |  GROUP BY 1)
+         |SELECT s.dropped_doc, s.shadowed_by,
+         |  CAST((1000000 * COALESCE(i.n_inter, 0))
+         |    // (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+         |    AS jaccard_micro
+         |FROM shadow s
+         |JOIN sizes sa ON sa.doc = s.shadowed_by
+         |JOIN sizes sb ON sb.doc = s.dropped_doc
+         |LEFT JOIN inter i
+         |  ON i.doc_a = s.shadowed_by AND i.doc_b = s.dropped_doc
+         |ORDER BY s.dropped_doc""".stripMargin,
     "x99_mixed_lang" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang,

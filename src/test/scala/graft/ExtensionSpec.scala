@@ -997,6 +997,18 @@ class ExtensionSpec extends AnyFunSuite {
       Seq("doc_id", "lang", "head_lang", "tail_lang", "mixed"))
   }
 
+  test("dedup audit covers exactly the first-seen drops, shadower precedes, jaccard bounded") {
+    val audit = graft.queries.ExtensionQueries.x100DedupAudit(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val kept = graft.operators.Dedup.firstSeenDedup(docs, "doc_id", "text", 3, 4, 2)
+      .select($"doc_id").as[Long].collect().toSet
+    val allIds = docs.select($"doc_id").as[Long].collect().toSet
+    assert(audit.map(_._1).toSet == allIds -- kept,
+      "the audit must explain exactly the docs first-seen dedup drops")
+    assert(audit.forall { case (d, s, j) => s < d && j >= 0 && j <= 1000000L },
+      "shadower must precede its dropped doc; jaccard in [0, 1e6]")
+  }
+
   test("triangles: K4 counts 4, square counts 0, micro-unit gcc exact") {
     // K4 (complete graph on 4 nodes): C(4,3)=4 triangles, 12 wedges
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
