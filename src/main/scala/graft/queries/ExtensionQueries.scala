@@ -1297,7 +1297,31 @@ object ExtensionQueries {
       .orderBy(col("dropped_doc"))
   }
 
+  // x101: per-source quality-percentile normalization — each doc's x7
+  // quality score re-expressed as its integer micro-unit percentile
+  // WITHIN its source, so a single global keep-threshold compares docs
+  // across sources with wildly different raw-score distributions (the
+  // normalize-before-threshold step of mixed-source curation). One
+  // source-keyed window; at 100 TB a single hot source serializes its
+  // partition, so the production variant ranks via a two-pass score
+  // histogram per source — same contract, documented here.
+  def x101QualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .select(col("doc_id"), col("source"), col("quality"),
+        expr("CASE WHEN n = 1 THEN 1000000L ELSE ((rk - 1) * 1000000L) div (n - 1) END")
+          .as("pct_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x101_quality_percentile" -> x101QualityPercentile _,
     "x100_dedup_audit" -> x100DedupAudit _,
     "x99_mixed_lang" -> x99MixedLang _,
     "x97_fuzzy_lookup" -> x97FuzzyLookup _,
@@ -1601,6 +1625,29 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x101_quality_percentile" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text, $Norm AS t,
+         |    CASE WHEN LENGTH($Norm) = 0 THEN 0
+         |         ELSE len(string_split($Norm, ' ')) END AS wc
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    ROUND(least(LENGTH(text) / 200.0, 1.0) * 0.4 +
+         |      least((CASE WHEN wc = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(t, '\\b(the|a|an|and|of|to|in|is|it|that|for|on|as|with|was|at|by|be)\\b')) * 1.0 / wc END) * 5.0, 1.0) * 0.3 +
+         |      greatest(1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+         |        ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / LENGTH(text) END) * 5.0, 0.0) * 0.3, 6) AS quality
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM q)
+         |SELECT doc_id, source, quality,
+         |  CAST(CASE WHEN n = 1 THEN 1000000
+         |       ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_micro
+         |FROM r ORDER BY doc_id""".stripMargin,
     "x100_dedup_audit" ->
       s"""WITH $MinhashCtes,
          |shadow AS (

@@ -997,6 +997,22 @@ class ExtensionSpec extends AnyFunSuite {
       Seq("doc_id", "lang", "head_lang", "tail_lang", "mixed"))
   }
 
+  test("quality percentile: per-source endpoints hit 0 and 1e6, ranks follow the score order") {
+    val r = graft.queries.ExtensionQueries.x101QualityPercentile(spark, dir)
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val ends = r.groupBy($"source")
+      .agg(fmin($"pct_micro").as("lo"), fmax($"pct_micro").as("hi"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(($"n" > 1) && ($"lo" =!= 0L || $"hi" =!= 1000000L)).count()
+    assert(ends == 0, "each multi-doc source must span the full percentile range")
+    // monotone: within a source, a strictly higher quality never gets a
+    // lower percentile
+    val viol = r.as("a").join(r.as("b"),
+        $"a.source" === $"b.source" && $"a.quality" > $"b.quality" &&
+          $"a.pct_micro" < $"b.pct_micro").count()
+    assert(viol == 0, "percentile must be monotone in the quality score")
+  }
+
   test("dedup audit covers exactly the first-seen drops, shadower precedes, jaccard bounded") {
     val audit = graft.queries.ExtensionQueries.x100DedupAudit(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
