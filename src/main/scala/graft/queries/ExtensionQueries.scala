@@ -1320,7 +1320,60 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x102: incremental drift monitor — x94's "did the ingest shift" check
+  // as a CONTINUOUS process: a persisted unigram profile table absorbs
+  // each id-ordered batch through an additive store MERGE (matched c+=c,
+  // unmatched insert), and an arriving batch is compared against the
+  // profile BEFORE it merges — the alert fires at arrival, not in a
+  // nightly rescan. Completes the monitoring pairing the one-shot/
+  // incremental families follow (x81/x83, x54/x55, x58/x64). Per batch:
+  // one tokenize + count (vocab-sized), one vocab-keyed file-pruned
+  // merge, one vocab-sized full-outer compare; corpus rows never rejoin
+  // history.
+  def x102IncrementalDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def counts(df: DataFrame) = df
+      .select(explode(filter(
+        split(TextFunctions.normalizeText(col("text")), " "),
+        w => length(w) > 0)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val store = new graft.tables.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_x102_prof").toString)
+    try {
+      store.createOrReplace("mon.profile", counts(docs.filter(col("doc_id") <= c1)),
+        statsFor = Seq("term"))
+      store.merge("mon.profile", counts(
+          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2)), Seq("term"),
+        matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
+          Map("c" -> (col("t.c") + col("s.c"))))),
+        notMatched = Seq(graft.operators.MergeInto.NotMatchedInsert(None,
+          Map("term" -> col("s.term"), "c" -> col("s.c")))))
+      // batch 3 arrives: compare BEFORE merging it
+      val batch = counts(docs.filter(col("doc_id") > c2))
+      val prof = store.read("mon.profile")
+      val ptot = prof.agg(sum(col("c")).cast("long").as("ptot"))
+      val btot = batch.agg(sum(col("c")).cast("long").as("btot"))
+      prof.select(col("term"), col("c").as("c_profile"))
+        .join(batch.select(col("term"), col("c").as("c_batch")),
+          Seq("term"), "full_outer")
+        .crossJoin(broadcast(ptot)).crossJoin(broadcast(btot))
+        .select(col("term"),
+          coalesce(col("c_profile"), lit(0L)).as("c_profile"),
+          coalesce(col("c_batch"), lit(0L)).as("c_batch"),
+          expr("(coalesce(c_profile, 0L) * 1000000L) div ptot").as("p_profile_micro"),
+          expr("(coalesce(c_batch, 0L) * 1000000L) div btot").as("p_batch_micro"))
+        .withColumn("delta_micro", abs(col("p_profile_micro") - col("p_batch_micro")))
+        .orderBy(col("delta_micro").desc, col("term"))
+        .limit(10)
+    } finally store.detach()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x102_incremental_drift" -> x102IncrementalDrift _,
     "x101_quality_percentile" -> x101QualityPercentile _,
     "x100_dedup_audit" -> x100DedupAudit _,
     "x99_mixed_lang" -> x99MixedLang _,
@@ -1625,6 +1678,31 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x102_incremental_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, u.term FROM (
+         |    SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) d,
+         |    UNNEST(d.ws) AS u(term)
+         |  WHERE len(u.term) > 0),
+         |bd AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+         |cut AS (SELECT lo + (2 * (hi - lo)) // 3 AS c2 FROM bd),
+         |prof AS (SELECT term, COUNT(*) AS c FROM tok, cut
+         |         WHERE doc_id <= c2 GROUP BY term),
+         |b3 AS (SELECT term, COUNT(*) AS c FROM tok, cut
+         |       WHERE doc_id > c2 GROUP BY term),
+         |pt AS (SELECT CAST(SUM(c) AS BIGINT) AS ptot FROM prof),
+         |bt AS (SELECT CAST(SUM(c) AS BIGINT) AS btot FROM b3),
+         |j AS (SELECT COALESCE(p.term, q.term) AS term,
+         |    CAST(COALESCE(p.c, 0) AS BIGINT) AS c_profile,
+         |    CAST(COALESCE(q.c, 0) AS BIGINT) AS c_batch
+         |  FROM prof p FULL OUTER JOIN b3 q ON p.term = q.term),
+         |x AS (SELECT term, c_profile, c_batch,
+         |    CAST((c_profile * 1000000) // ptot AS BIGINT) AS p_profile_micro,
+         |    CAST((c_batch * 1000000) // btot AS BIGINT) AS p_batch_micro
+         |  FROM j, pt, bt)
+         |SELECT term, c_profile, c_batch, p_profile_micro, p_batch_micro,
+         |  abs(p_profile_micro - p_batch_micro) AS delta_micro
+         |FROM x ORDER BY delta_micro DESC, term LIMIT 10""".stripMargin,
     "x101_quality_percentile" ->
       s"""WITH base AS (
          |  SELECT doc_id, source, text, $Norm AS t,

@@ -1013,6 +1013,16 @@ class ExtensionSpec extends AnyFunSuite {
     assert(viol == 0, "percentile must be monotone in the quality score")
   }
 
+  test("incremental drift: top movers ordered, probabilities bounded, both sides populated") {
+    val r = graft.queries.ExtensionQueries.x102IncrementalDrift(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.size == 10 && r.map(_._1).distinct.size == 10)
+    assert(r.map(_._6) == r.map(_._6).sorted.reverse, "movers must order by delta desc")
+    assert(r.forall { case (_, cp, cb, pp, pb, d) =>
+      cp >= 0 && cb >= 0 && pp >= 0 && pp <= 1000000L && pb >= 0 && pb <= 1000000L &&
+        d == math.abs(pp - pb) })
+  }
+
   test("dedup audit covers exactly the first-seen drops, shadower precedes, jaccard bounded") {
     val audit = graft.queries.ExtensionQueries.x100DedupAudit(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
