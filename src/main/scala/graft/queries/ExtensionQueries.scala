@@ -1372,7 +1372,33 @@ object ExtensionQueries {
     } finally store.detach()
   }
 
+  // x103: join-skew diagnosis — the pre-flight report that decides
+  // whether a key needs x15's salting (or AQE skew handling) BEFORE the
+  // join melts: per-key row counts reduced map-side, exact p50/p99 of the
+  // count distribution, and the top-10 hottest keys with their integer
+  // micro-unit share of all rows. One map-side-combined count + one
+  // key-cardinality percentile agg + a TakeOrdered; the fact table
+  // shuffles once, on the key being diagnosed.
+  def x103SkewReport(s: SparkSession, dir: String): DataFrame = {
+    val cnts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+    cnts.orderBy(col("cnt").desc, col("l_orderkey")).limit(10)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("l_orderkey"))))
+      .crossJoin(broadcast(stats))
+      .select(col("rk"), col("l_orderkey").as("key"), col("cnt"),
+        expr("(cnt * 1000000L) div total_rows").as("share_micro"),
+        col("n_keys"), col("total_rows"), col("p50_cnt"), col("p99_cnt"))
+      .orderBy(col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x103_skew_report" -> x103SkewReport _,
     "x102_incremental_drift" -> x102IncrementalDrift _,
     "x101_quality_percentile" -> x101QualityPercentile _,
     "x100_dedup_audit" -> x100DedupAudit _,
@@ -1678,6 +1704,20 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x103_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |    ROUND(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |    ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+        |  FROM c),
+        |top AS (
+        |  SELECT l_orderkey AS key, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, l_orderkey) AS rk
+        |  FROM c ORDER BY cnt DESC, l_orderkey LIMIT 10)
+        |SELECT CAST(rk AS INT) AS rk, key, cnt,
+        |  CAST((cnt * 1000000) // total_rows AS BIGINT) AS share_micro,
+        |  n_keys, total_rows, p50_cnt, p99_cnt
+        |FROM top, s ORDER BY rk""".stripMargin,
     "x102_incremental_drift" ->
       s"""WITH tok AS (
          |  SELECT doc_id, u.term FROM (

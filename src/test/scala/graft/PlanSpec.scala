@@ -431,6 +431,16 @@ class PlanSpec extends AnyFunSuite {
       "slice counts must combine map-side")
   }
 
+  test("x103 skew report: per-key counts combine map-side, hot-key cut is a TakeOrdered") {
+    val plan = executedIsolated(SparkEntry.queries("x103_skew_report")(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"the per-key histogram must combine map-side:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-10 hot keys must not materialize a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("x86 length buckets: one map-side-combined aggregation, no window, no sort before output") {
     // AQE prints Final AND Initial plan sections — count only the final one
     val plan = executedIsolated(SparkEntry.queries("x86_length_buckets")(spark, dir))
