@@ -30,9 +30,13 @@ object Materialize {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey) match {
       case Some(dir) if dir.nonEmpty =>
-        // setCheckpointDir is idempotent for a same-path reset; RDD
-        // checkpoints land in per-RDD subdirectories under it
-        if (!spark.sparkContext.getCheckpointDir.contains(dir))
+        // setCheckpointDir qualifies the path and appends a random UUID
+        // subdirectory, so getCheckpointDir never string-equals `dir`:
+        // the guard has to compare the configured ROOT (its last path
+        // segment), or every loop round re-runs the remote mkdirs and
+        // scatters checkpoints over fresh UUID directories
+        val rootName = new org.apache.hadoop.fs.Path(dir).getName
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(rootName)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()

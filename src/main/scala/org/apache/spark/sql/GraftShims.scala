@@ -26,14 +26,28 @@ object GraftShims {
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
-  /** Release the executor-storage blocks behind a `localCheckpoint()`ed
-    * DataFrame (`Dataset.unpersist` only talks to the cache manager, which
-    * never sees checkpoint blocks). ONLY for checkpoints that are truly
-    * dead: a localCheckpoint has no lineage to recompute from, so touching
-    * the frame after this throws. No-op on non-checkpoint plans. */
+  /** Release the storage behind a checkpointed DataFrame
+    * (`Dataset.unpersist` only talks to the cache manager, which never
+    * sees checkpoint state). Covers BOTH materialization modes:
+    * executor-storage blocks of a `localCheckpoint()`, and the
+    * `ReliableCheckpointRDD` files a reliable `checkpoint()` wrote under
+    * the session's checkpoint dir — Spark never deletes those on its own,
+    * so without the file delete every superseded loop round (BPE
+    * segments, dupClusters labels, incremental indexes) would leave a
+    * dead table copy on HDFS/S3 for the job's lifetime. ONLY for
+    * checkpoints that are truly dead: a checkpoint has no lineage to
+    * recompute from, so touching the frame after this throws. No-op on
+    * non-checkpoint plans. */
   def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          ()
+        }
       case _ => ()
     }
 

@@ -55,6 +55,33 @@ class CheckpointModeSpec extends AnyFunSuite {
     assert(local.nonEmpty)
   }
 
+  test("reliable mode: superseded loop checkpoints are deleted and the dir is set once") {
+    // a 48-hop chain drives ~6 pointer-doubling rounds in dupClusters;
+    // every round checkpoints a labels table and releases its predecessor
+    val chain = (1L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = spark.range(1, 50).toDF("doc_id")
+    withReliable { dir =>
+      val out = graft.operators.Dedup.dupClusters(ids, chain, "doc_id")
+        .as[(Long, Long)].collect()
+      assert(out.forall(_._2 == 1L))
+      val root = java.nio.file.Paths.get(dir)
+      // setCheckpointDir appends ONE random UUID subdir — a second one
+      // means the idempotence guard re-ran the (remote) mkdirs per round
+      import scala.jdk.CollectionConverters._
+      val uuidDirs = Files.list(root).iterator().asScala.toSeq
+      assert(uuidDirs.size == 1,
+        s"checkpoint dir must be initialized once, found ${uuidDirs.size} UUID dirs")
+      // superseded ReliableCheckpointRDD directories must be DELETED, not
+      // accumulate one dead labels/edges copy per round: the loop keeps
+      // only the final labels checkpoint (the returned plan reads it)
+      val rddDirs = Files.list(uuidDirs.head).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toSeq
+      assert(rddDirs.size <= 2,
+        s"expected at most the live final checkpoint(s), found ${rddDirs.size} rdd dirs: " +
+          rddDirs.map(_.getFileName).mkString(", "))
+    }
+  }
+
   test("pageRank: reliable-checkpoint run is identical to the local run") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (2L, 1L))
       .toDF("src", "dst")
