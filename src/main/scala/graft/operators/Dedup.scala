@@ -289,6 +289,20 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hasIndex = store.exists(indexTable)
+    // index format guard: the v1 index stored raw shingle STRINGS in `sh`;
+    // v2 stores 60-bit hashes in `shh`. Probing a v1 table would throw an
+    // opaque AnalysisException mid-plan on a continuously-ingesting
+    // pipeline's first post-upgrade batch — fail at open with the remedy
+    // instead (metadata-only check; no file is read).
+    if (hasIndex) {
+      val fields = store.read(indexTable).schema.fieldNames.map(_.toLowerCase)
+      if (!fields.contains("shh"))
+        throw new IllegalStateException(
+          s"$indexTable is a v1 shingle index (raw-string '${fields.mkString(",")}' " +
+            "layout); this build probes the v2 60-bit-hash format ('shh'). Either " +
+            "drop and re-seed the index, or migrate it once: CREATE the v2 table " +
+            "from SELECT doc, shingleHash(sh) AS shh and re-run clusterIndex.")
+    }
     // point-pruned probe frame: files whose [min,max] stats exclude every
     // batch shingle are skipped — and a skipped file by construction holds
     // NO batch shingle, so the same frame is valid for both the semi-join
