@@ -1786,9 +1786,16 @@ final class TableStore(spark: SparkSession, root: String) {
     val (schema, entries) = currentManifest(name)
     val total = entries.size
     val boxCand = boxPointCandidates(name, entries, points, cols)
-    val cand =
-      if (boxCand.size < total) boxCand // boxes bit — clustered layout
-      else bloomRefineSet(name, boxCand, points, cols)
+    // blooms refine the box survivors UNCONDITIONALLY (not only when the
+    // boxes pruned nothing): on a mixed layout — a few narrow-box files
+    // among many full-range hash-key files — the box stage prunes a
+    // handful and would otherwise skip the bloom stage entirely, scanning
+    // nearly the whole index despite blooms that could keep candidates
+    // flat. The stage is cheap by construction: footers are cached, keys
+    // hash once per physical type, and the probe's distinct key set is
+    // driver-capped inside bloomRefineSet (over-cap probes fall through
+    // to the box result).
+    val cand = bloomRefineSet(name, boxCand, points, cols)
     (readEntries(name, schema, cand), (cand.size, total))
   }
 
