@@ -135,9 +135,8 @@ object ExtensionQueries {
     val r = docs.agg(min(col("doc_id")).cast("long"),
       max(col("doc_id")).cast("long")).head()
     val cut = (r.getLong(0) + r.getLong(1)) / 2
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_ext_q").toString)
-    try {
+    val store = Scratch.store(s, "graft_ext_q")
+    Scratch.sealing(store) {
       val s1 = Dedup.incrementalDedup(store, "idx.bands",
         docs.filter(col("doc_id") <= cut), "doc_id", "text",
         n = 3, bands = 4, rows = 2)
@@ -147,7 +146,7 @@ object ExtensionQueries {
       s1.select(col("doc_id"), col("lang"))
         .unionByName(s2.select(col("doc_id"), col("lang")))
         .orderBy(col("doc_id"))
-    } finally store.detach()
+    }
   }
 
   // x49: duplicated-span detection (substring dedup, Lee et al. 2022
@@ -300,28 +299,27 @@ object ExtensionQueries {
   // table, so any row the source dropped, duplicated, or mangled across
   // the two micro-batches breaks the hash.
   def x33TableStream(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_x33_store").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_x33_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_x33_ckpt").toString
-    val store = new graft.tables.TableStore(s, root)
-    try {
+    val out = Scratch.dir("graft_x33_out")
+    val ckpt = Scratch.dir("graft_x33_ckpt")
+    val store = Scratch.store(s, "graft_x33_store")
+    Scratch.sealing(store, Seq(out, ckpt)) {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
       store.createOrReplace("stream.docs", docs.filter(col("doc_id") % 2 === 0))
       store.append("stream.docs", docs.filter(col("doc_id") % 2 === 1))
       val q = s.readStream.format("graft-table")
-        .option("root", root).option("table", "stream.docs").load()
+        .option("root", store.rootDir).option("table", "stream.docs").load()
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally store.detach()
-    s.read.parquet(out)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).as("sum_chars"),
-        sum(col("doc_id")).as("sum_ids"))
-      .orderBy(col("lang"))
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }
   }
 
   // x38: count-min-sketch heavy hitters — frequency estimation in O(d·w)
@@ -452,10 +450,9 @@ object ExtensionQueries {
   // new keys insert, and keys absent from the load close as deleted.
   def x42IncrementalMedallion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val root = java.nio.file.Files.createTempDirectory("graft_x42_store").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_x42_ckpt").toString
-    val store = new graft.tables.TableStore(s, root)
-    try {
+    val ckpt = Scratch.dir("graft_x42_ckpt")
+    val store = Scratch.store(s, "graft_x42_store")
+    Scratch.sealing(store, Seq(ckpt)) {
       val cust = t(s, dir, "customer")
       val b1 = cust.filter(col("c_custkey") % 10 < 8)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -480,7 +477,7 @@ object ExtensionQueries {
       drain()                                      // batch 1 → atomic SCD2 merge @ ts(1)
       store.read("silver.dim_customer")
         .orderBy(col("c_custkey"), col(graft.operators.Scd.ValidFrom))
-    } finally store.detach()
+    }
   }
 
   // x43: deterministic negative sampling — k pseudo-random partners per
@@ -644,26 +641,15 @@ object ExtensionQueries {
     val r = docs.agg(min(col("doc_id")).cast("long"),
       max(col("doc_id")).cast("long")).head()
     val cut = (r.getLong(0) + r.getLong(1)) / 2
-    val root = java.nio.file.Files.createTempDirectory("graft_x83_store")
-    val store = new graft.tables.TableStore(s, root.toString)
-    try {
+    val store = Scratch.store(s, "graft_x83_store")
+    Scratch.sealing(store) {
       val b1 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
         docs.filter(col("doc_id") <= cut / 2))
       val b2 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
         docs.filter(col("doc_id") > cut / 2 && col("doc_id") <= cut))
       val b3 = graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
         docs.filter(col("doc_id") > cut))
-      // the union is batch-bounded and already localCheckpoint'ed per
-      // batch, so the query-local index directory can be deleted below
-      // without dangling lineage
       b1.unionByName(b2).unionByName(b3).orderBy(col("doc_id"))
-    } finally {
-      store.detach()
-      // query-local scratch index: delete it, or repeated bench /
-      // correctness rounds leak a shingle index per invocation
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
@@ -740,9 +726,8 @@ object ExtensionQueries {
       max(col("doc_id")).cast("long")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_ext_prof").toString)
-    try {
+    val store = Scratch.store(s, "graft_ext_prof")
+    Scratch.sealing(store) {
       store.createOrReplace("cur.docs", docs.filter(col("doc_id") <= c1))
       store.createMaterializedView("cur.profile", "cur.docs", Seq("source"),
         Seq(("n_docs", "count", "*"), ("n_tokens", "sum", "n_tok"),
@@ -756,7 +741,7 @@ object ExtensionQueries {
       store.read("cur.profile")
         .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"))
         .orderBy(col("source"))
-    } finally store.detach()
+    }
   }
 
   // x56: deterministic global shuffle + shard layout — the curated corpus
@@ -808,9 +793,8 @@ object ExtensionQueries {
       size(filter(split(TextFunctions.normalizeText(col("text")), " "),
         w => length(w) > 0)),
       nShards = 8)
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_ext_export").toString)
-    try {
+    val store = Scratch.store(s, "graft_ext_export")
+    Scratch.sealing(store) {
       store.createOrReplace("export.shards", layout,
         partitionBy = Seq("shard"), sortWithin = Seq("pos"))
       store.read("export.shards")
@@ -821,7 +805,7 @@ object ExtensionQueries {
             transform(array_sort(collect_list(struct(col("pos"), col("doc_id")))),
               r => r.getField("doc_id").cast("string")), ",")).as("ids_md5"))
         .orderBy(col("shard"))
-    } finally store.detach()
+    }
   }
 
   // x58: C4-style segment dedup with rewrite — cut every document into
@@ -869,10 +853,9 @@ object ExtensionQueries {
     val gates = Seq(
       E("known_lang", col("lang").isin("en", "de", "fr"), "drop"),
       E("short_doc", col("n_chars") <= 400, "drop"))
-    val root = java.nio.file.Files.createTempDirectory("graft_x62_store").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_x62_ckpt").toString
-    val store = new graft.tables.TableStore(s, root)
-    try {
+    val ckpt = Scratch.dir("graft_x62_ckpt")
+    val store = Scratch.store(s, "graft_x62_store")
+    Scratch.sealing(store, Seq(ckpt)) {
       def drain(): Unit = {
         val q = graft.streaming.StreamingIngest.gatedAppendSink(
             store.readStream("bronze.docs"), store, "silver.docs",
@@ -890,7 +873,7 @@ object ExtensionQueries {
           array_join(array_sort(col("_violations")), ",").as("violations"),
           col("_batch_id"))
         .orderBy(col("doc_id"))
-    } finally store.detach()
+    }
   }
 
   // x63: quarantine reprocessing (dead-letter replay) — the lifecycle
@@ -905,9 +888,8 @@ object ExtensionQueries {
     def gates(maxChars: Int) = Seq(
       E("known_lang", col("lang").isin("en", "de", "fr"), "drop"),
       E("short_doc", col("n_chars") <= maxChars, "drop"))
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_x63_store").toString)
-    try {
+    val store = Scratch.store(s, "graft_x63_store")
+    Scratch.sealing(store) {
       // initial gated load (strict gates), then the relaxed replay
       graft.streaming.StreamingIngest.gatedAppendBatch(
         store, "silver.docs", "quality.quarantine", gates(400))(docs, 0L)
@@ -917,7 +899,7 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           array_join(array_sort(col("_violations")), ",").as("violations"))
         .orderBy(col("doc_id"))
-    } finally store.detach()
+    }
   }
 
   // x64: incremental segment dedup — x58 as a continuously-ingesting
@@ -930,15 +912,14 @@ object ExtensionQueries {
     val r = docs.agg(min(col("doc_id")).cast("long"),
       max(col("doc_id")).cast("long")).head()
     val cut = (r.getLong(0) + r.getLong(1)) / 2
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_x64_store").toString)
-    try {
+    val store = Scratch.store(s, "graft_x64_store")
+    Scratch.sealing(store) {
       val b1 = graft.operators.Dedup.incrementalSegmentDedup(store, "idx.segs",
         docs.filter(col("doc_id") <= cut), segTokens = 4)
       val b2 = graft.operators.Dedup.incrementalSegmentDedup(store, "idx.segs",
         docs.filter(col("doc_id") > cut), segTokens = 4)
       b1.unionByName(b2).orderBy(col("doc_id"))
-    } finally store.detach()
+    }
   }
 
   /** The literal query set for x34 — shared with the oracle text. */
@@ -1286,7 +1267,7 @@ object ExtensionQueries {
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("pa"), col("b.doc").as("pb"))
       .agg(count(lit(1)).as("n_inter"))
-    shadow
+    val audit = shadow
       .join(sizes.select(col("doc").as("shadowed_by"), col("n_sh").as("n_a")), "shadowed_by")
       .join(sizes.select(col("doc").as("dropped_doc"), col("n_sh").as("n_b")), "dropped_doc")
       .join(inter, col("pa") === col("shadowed_by") && col("pb") === col("dropped_doc"),
@@ -1341,9 +1322,8 @@ object ExtensionQueries {
       max(col("doc_id")).cast("long")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_x102_prof").toString)
-    try {
+    val store = Scratch.store(s, "graft_x102_prof")
+    Scratch.sealing(store) {
       store.createOrReplace("mon.profile", counts(docs.filter(col("doc_id") <= c1)),
         statsFor = Seq("term"))
       store.merge("mon.profile", counts(
@@ -1369,7 +1349,7 @@ object ExtensionQueries {
         .withColumn("delta_micro", abs(col("p_profile_micro") - col("p_batch_micro")))
         .orderBy(col("delta_micro").desc, col("term"))
         .limit(10)
-    } finally store.detach()
+    }
   }
 
   // x103: join-skew diagnosis — the pre-flight report that decides

@@ -18,18 +18,18 @@ import graft.tables.TableStore
 object PipelineQueries {
 
   def q23PipelineFact(s: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_pipeline_q").toString
-    val store = new TableStore(s, root)
-    new Medallion(s, store, dir).run(lit("2024-01-01 00:00:00"))
-    store.detach() // throwaway store: unregister from SQL-DML routing
-    store.read("gold.fact_sales")
-      .select(
-        col("sales_order_key"), col("sales_line_number"),
-        col("_tf_dim_calendar_id"), col("_tf_dim_customer_id"), col("_tf_dim_geography_id"),
-        col("sales_qty").cast("double").as("sales_qty"),
-        col("sales_extended_price").cast("double").as("sales_extended_price"),
-        col("sales_net_price").cast("double").as("sales_net_price"))
-      .orderBy(col("sales_order_key"), col("sales_line_number"))
+    val store = Scratch.store(s, "graft_pipeline_q")
+    Scratch.sealing(store) {
+      new Medallion(s, store, dir).run(lit("2024-01-01 00:00:00"))
+      store.read("gold.fact_sales")
+        .select(
+          col("sales_order_key"), col("sales_line_number"),
+          col("_tf_dim_calendar_id"), col("_tf_dim_customer_id"), col("_tf_dim_geography_id"),
+          col("sales_qty").cast("double").as("sales_qty"),
+          col("sales_extended_price").cast("double").as("sales_extended_price"),
+          col("sales_net_price").cast("double").as("sales_net_price"))
+        .orderBy(col("sales_order_key"), col("sales_line_number"))
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

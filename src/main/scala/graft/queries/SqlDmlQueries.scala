@@ -40,7 +40,7 @@ object SqlDmlQueries {
 
   // q34: the reference's 2-phase SCD2 as verbatim SQL MERGE text.
   def q34SqlMergeScd2(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
 
     store.createOrReplace("silver.customer",
       batch1(s, dir)
@@ -83,13 +83,14 @@ object SqlDmlQueries {
          |  )
          |""".stripMargin)
 
-    store.detach() // throwaway store: unregister from SQL-DML routing
-    store.read("silver.customer").orderBy(col("c_custkey"), col("_tf_valid_from"))
+    Scratch.seal(
+    store.read("silver.customer").orderBy(col("c_custkey"), col("_tf_valid_from")),
+      store)
   }
 
   // q35: SQL-text UPDATE + DELETE (copy-on-write rewrites, ref 23:40-64).
   def q35SqlUpdateDelete(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.orders",
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 3 === 0)
@@ -98,14 +99,15 @@ object SqlDmlQueries {
     s.sql("UPDATE silver.orders SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) WHERE o_orderstatus = 'O'")
     s.sql("DELETE FROM silver.orders WHERE o_totalprice < CAST(100000 AS DOUBLE)")
 
-    store.detach()
-    store.read("silver.orders").orderBy(col("o_orderkey"))
+    Scratch.seal(
+    store.read("silver.orders").orderBy(col("o_orderkey")),
+      store)
   }
 
   // q37: SQL-text INSERT — the reference's unknown-member seed statement
   // (01_Init.py:265-321) plus a bulk INSERT…SELECT append.
   def q37SqlInsert(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("gold.dim_customer",
       t(s, dir, "customer")
         .filter(col("c_custkey") % 5 === 0)
@@ -119,15 +121,16 @@ object SqlDmlQueries {
       """INSERT INTO gold.dim_customer (customer_key, customer_name, mktsegment)
         |SELECT c_custkey, c_name, c_mktsegment FROM ins_cust_src""".stripMargin)
 
-    store.detach()
-    store.read("gold.dim_customer").orderBy(col("customer_key"))
+    Scratch.seal(
+    store.read("gold.dim_customer").orderBy(col("customer_key")),
+      store)
   }
 
   // q41: MERGE WITH SCHEMA EVOLUTION — the source carries a column the
   // target lacks (c_acctbal); the merge widens the schema, NULL-backfills
   // unmatched target history, and star clauses expand over the widened set.
   def q41MergeEvolution(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("gold.cust_profile",
       t(s, dir, "customer").filter(col("c_custkey") % 4 === 0)
         .select(col("c_custkey"), col("c_name")))
@@ -144,8 +147,9 @@ object SqlDmlQueries {
         |WHEN NOT MATCHED THEN INSERT *
         |""".stripMargin)
 
-    store.detach()
-    store.read("gold.cust_profile").orderBy(col("c_custkey"))
+    Scratch.seal(
+    store.read("gold.cust_profile").orderBy(col("c_custkey")),
+      store)
   }
 
   // q42: row-level change feed from the manifest diff — the q35 flow
@@ -153,7 +157,7 @@ object SqlDmlQueries {
   // surface as delete+insert pairs, deletions as deletes, untouched rows
   // (and untouched FILES, which are never even opened) cancel out.
   def q42ChangeFeed(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.orders",
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 3 === 0)
@@ -165,8 +169,7 @@ object SqlDmlQueries {
 
     val out = store.changesBetween("silver.orders", v0, store.version("silver.orders").get)
       .orderBy(col("o_orderkey"), col("_change_type"))
-    store.detach()
-    out
+    Scratch.seal(out, store)
   }
 
   // q49: Delta-CDF-parity row-level change feed WITH update images — the
@@ -177,7 +180,7 @@ object SqlDmlQueries {
   // stamped with its commit version. (reference parity:
   // delta.enableChangeDataFeed + table_changes(...))
   def q49CdfFeed(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.orders_cdf",                              // v1
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 3 === 2)
@@ -191,8 +194,7 @@ object SqlDmlQueries {
 
     val out = store.changeFeed("silver.orders_cdf", v0, store.version("silver.orders_cdf").get)
       .orderBy(col("_commit_version"), col("_change_type"), col("o_orderkey"))
-    store.detach()
-    out
+    Scratch.seal(out, store)
   }
 
   // q43: the q35 statement shapes executed in MERGE-ON-READ mode — the
@@ -207,7 +209,7 @@ object SqlDmlQueries {
   // this query gates the row-level SEMANTICS under the skipping path).
   def q50BloomPointDml(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         (col("o_orderkey") % 8).as("par"))
@@ -228,26 +230,28 @@ object SqlDmlQueries {
         |WHEN MATCHED THEN UPDATE SET o_orderstatus = src.st, o_totalprice = src.tp
         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice, par)
         |  VALUES (src.o_orderkey, src.st, src.tp, src.o_orderkey % 8)""".stripMargin)
-    store.detach()
+    Scratch.seal(
     store.read("silver.orders_bloom")
       .filter(col("o_orderkey") < 200 || col("o_orderkey") === 150000000L)
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey")),
+      store)
   }
 
   // q51: COPY INTO idempotence at the statement level — the same landing
   // path copied twice loads the source exactly once (file-tracked ledger;
   // LakeFeaturesSpec pins ledger persistence across vacuum and FORCE).
   def q51CopyInto(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("bronze.nation_land", t(s, dir, "nation").limit(0))
     val copy =
       s"COPY INTO bronze.nation_land FROM '$dir' FILEFORMAT = PARQUET PATTERN = 'nation.parquet'"
     s.sql(copy)
     s.sql(copy) // dup statement — the ledger must make this a no-op
-    store.detach()
+    Scratch.seal(
     store.read("bronze.nation_land")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-      .orderBy(col("n_nationkey"))
+      .orderBy(col("n_nationkey")),
+      store)
   }
 
   // q52: incremental materialized view — create over a snapshot, run mixed
@@ -258,7 +262,7 @@ object SqlDmlQueries {
   // the post-DML state. Prices sum as DECIMAL(18,6) so the cross-engine
   // compare is order-independent and exact.
   def q52MvRefresh(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.orders_mv_src",
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,6)").as("price")))
@@ -269,14 +273,15 @@ object SqlDmlQueries {
     s.sql("UPDATE silver.orders_mv_src SET o_orderstatus = 'Z' WHERE o_orderkey % 13 = 1")
     s.sql("INSERT INTO silver.orders_mv_src VALUES (9000000, 'Q', CAST(123.45 AS DECIMAL(18,6)))")
     s.sql("REFRESH MATERIALIZED VIEW gold.mv_status")
-    store.detach()
+    Scratch.seal(
     store.read("gold.mv_status")
       .select(col("o_orderstatus"), col("n"), col("total").cast("double").as("total"))
-      .orderBy(col("o_orderstatus"))
+      .orderBy(col("o_orderstatus")),
+      store)
   }
 
   def q43MorDml(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.orders_mor",
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 3 === 1)
@@ -287,8 +292,9 @@ object SqlDmlQueries {
     s.sql("DELETE FROM silver.orders_mor WHERE o_totalprice < CAST(100000 AS DOUBLE)")
     s.sql("DELETE FROM silver.orders_mor WHERE o_orderkey % 7 = 0")
 
-    store.detach()
-    store.read("silver.orders_mor").orderBy(col("o_orderkey"))
+    Scratch.seal(
+    store.read("silver.orders_mor").orderBy(col("o_orderkey")),
+      store)
   }
 
   // q44: OPTIMIZE … ZORDER BY re-clusters lineitem along a 2-D Z-curve
@@ -297,7 +303,7 @@ object SqlDmlQueries {
   // The oracle sees only the final relation: Z-ordering must be purely a
   // layout change.
   def q44ZorderRead(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.li_z",
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")))
@@ -308,15 +314,14 @@ object SqlDmlQueries {
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).cast("long").as("sum_ok"))
       .orderBy(col("l_partkey"))
-    store.detach()
-    out
+    Scratch.seal(out, store)
   }
 
   // q45: metadata-only ALTER TABLE ADD COLUMNS, then INSERT and UPDATE
   // over the widened schema — pre-widening files NULL-fill the new
   // columns at read time and are never rewritten by the widening itself.
   def q45AddColumns(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("gold.cust_tier",
       t(s, dir, "customer").filter(col("c_custkey") % 6 === 0)
         .select(col("c_custkey"), col("c_name")))
@@ -330,8 +335,9 @@ object SqlDmlQueries {
         |SELECT c_custkey, c_name, 'member' FROM tier_src""".stripMargin)
     s.sql("UPDATE gold.cust_tier SET score = CAST(c_custkey AS DOUBLE) / 100 WHERE c_custkey % 2 = 0")
 
-    store.detach()
-    store.read("gold.cust_tier").orderBy(col("c_custkey"))
+    Scratch.seal(
+    store.read("gold.cust_tier").orderBy(col("c_custkey")),
+      store)
   }
 
   // q46: metadata-only column mapping — SQL RENAME COLUMN + DROP COLUMN
@@ -340,7 +346,7 @@ object SqlDmlQueries {
   // all speak the new names. The oracle replays the same dataflow over
   // the reference names — mapping must be invisible in the result.
   def q46ColumnMapping(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("gold.cust_cm",
       t(s, dir, "customer").filter(col("c_custkey") % 4 === 1)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment")))
@@ -350,8 +356,9 @@ object SqlDmlQueries {
     store.append("gold.cust_cm",
       t(s, dir, "customer").filter(col("c_custkey") % 4 === 2)
         .select(col("c_custkey").as("customer_id"), col("c_name"), col("c_acctbal")))
-    store.detach()
-    store.read("gold.cust_cm").orderBy(col("customer_id"))
+    Scratch.seal(
+    store.read("gold.cust_cm").orderBy(col("customer_id")),
+      store)
   }
 
   // q47: GENERATED ALWAYS AS columns — the value is always derived at
@@ -361,7 +368,7 @@ object SqlDmlQueries {
   // the band from the FINAL price — any stale value breaks the hash.
   def q47GeneratedColumn(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("gold.ord_gen",
       t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey"), col("o_totalprice")))
@@ -380,8 +387,9 @@ object SqlDmlQueries {
     // updating a DEPENDENCY recomputes the generated value in the rewrite
     store.update("gold.ord_gen", col("o_orderkey") % 10 === 0,
       Map("o_totalprice" -> col("o_totalprice") * lit(2.0)))
-    store.detach()
-    store.read("gold.ord_gen").orderBy(col("o_orderkey"))
+    Scratch.seal(
+    store.read("gold.ord_gen").orderBy(col("o_orderkey")),
+      store)
   }
 
   // q48: the SQL warehouse reads store tables BY NAME — no temp-view
@@ -389,7 +397,7 @@ object SqlDmlQueries {
   // identifier to the store's (pruned, mapped) read plan, catalog objects
   // always winning. The statement is plain ANSI over two store tables.
   def q48SqlSelectStore(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.li_sel",
       t(s, dir, "lineitem").filter(col("l_orderkey") % 3 === 0)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")))
@@ -402,8 +410,7 @@ object SqlDmlQueries {
         |FROM silver.li_sel l JOIN silver.ord_sel o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority, l.l_returnflag
         |ORDER BY o.o_orderpriority, l.l_returnflag""".stripMargin)
-    store.detach()
-    out
+    Scratch.seal(out, store)
   }
 
   // q53: selective overwrite — Delta's replaceWhere / Spark's INSERT
@@ -413,7 +420,7 @@ object SqlDmlQueries {
   // lands a brand-new partition 9 — all other partitions' files carry
   // over physically (ReplaceWhereSpec pins the file-level behavior).
   def q53ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         (col("o_orderkey") % 4).as("par"))
@@ -428,10 +435,11 @@ object SqlDmlQueries {
         .unionByName(s.range(1).select(
           lit(999999999L).as("o_orderkey"), lit("Z").as("o_orderstatus"),
           lit(7.5).as("o_totalprice"), lit(9L).as("par"))))
-    store.detach()
+    Scratch.seal(
     store.read("lake.orders_p")
       .orderBy(col("o_orderkey"), col("par"))
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("par"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("par")),
+      store)
   }
 
   // q54: enforced NOT NULL + column DEFAULT through the SQL ALTER COLUMN
@@ -439,7 +447,7 @@ object SqlDmlQueries {
   // explicit NULL stays NULL, and the NOT NULL declaration gates every
   // subsequent write inside the write job itself.
   def q54ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("lake.cust_d",
       t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
@@ -448,20 +456,20 @@ object SqlDmlQueries {
     s.sql("ALTER TABLE lake.cust_d ALTER COLUMN c_custkey SET NOT NULL")
     s.sql("INSERT INTO lake.cust_d (c_custkey) VALUES (9000001), (9000002)")
     s.sql("INSERT INTO lake.cust_d (c_custkey, c_name) VALUES (9000003, NULL)")
-    store.detach()
-    store.read("lake.cust_d").orderBy(col("c_custkey"))
+    Scratch.seal(
+    store.read("lake.cust_d").orderBy(col("c_custkey")),
+      store)
   }
 
   // q55: SHOW PARTITIONS — a metadata-only listing from manifest stats
   // (no data file is opened; the 100 TB cost is the manifest read).
   def q55ShowPartitions(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("lake.ord_parts",
       t(s, dir, "orders").select(col("o_orderkey"), (col("o_orderkey") % 6).as("par")),
       partitionBy = Seq("par"))
     val out = s.sql("SHOW PARTITIONS lake.ord_parts").orderBy(col("partition"))
-    store.detach()
-    out
+    Scratch.seal(out, store)
   }
 
   // q56: row tracking — stable `_row_id` across append, copy-on-write
@@ -470,7 +478,7 @@ object SqlDmlQueries {
   // appended batch mints ids at the high water (= initial row count); the
   // subsequent DML rewrites files but must move no surviving id.
   def q56RowTracking(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("lake.cust_rt",
       t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
         .repartition(1),
@@ -482,10 +490,11 @@ object SqlDmlQueries {
     store.update("lake.cust_rt", col("c_custkey") % 5 === 0,
       Map("c_acctbal" -> (col("c_acctbal") + lit(100.0))))
     store.delete("lake.cust_rt", col("c_custkey") % 7 === 0)
-    store.detach()
+    Scratch.seal(
     store.readWithRowIds("lake.cust_rt")
       .select(col("c_custkey"), col("c_acctbal"), col("_row_id"))
-      .orderBy(col("c_custkey"))
+      .orderBy(col("c_custkey")),
+      store)
   }
 
   // q57: the reference's declarative DDL shape (01_Init.py) — a
@@ -493,7 +502,7 @@ object SqlDmlQueries {
   // GENERATED / CHECK / PRIMARY KEY declarations all lower onto the
   // enforcing store features, then an INSERT…SELECT that exercises them.
   def q57CreateTableDdl(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("lake.seed",
       t(s, dir, "region").select(col("r_regionkey"), col("r_name")))
     s.sql(
@@ -511,8 +520,9 @@ object SqlDmlQueries {
     s.sql(
       """INSERT INTO lake.nat (n_nationkey, n_name, n_regionkey)
         |SELECT n_nationkey, n_name, n_regionkey FROM nat_src""".stripMargin)
-    store.detach()
-    store.read("lake.nat").orderBy(col("n_nationkey"))
+    Scratch.seal(
+    store.read("lake.nat").orderBy(col("n_nationkey")),
+      store)
   }
 
   // q58: MERGE INTO against a merge-on-read table — the full clause
@@ -522,7 +532,7 @@ object SqlDmlQueries {
   // shape — the oracle sees only the final relation, which must be
   // identical to the copy-on-write semantics).
   def q58MorMerge(s: SparkSession, dir: String): DataFrame = {
-    val store = new TableStore(s, Files.createTempDirectory("graft_sqldml_q").toString)
+    val store = Scratch.store(s, "graft_sqldml_q")
     store.createOrReplace("silver.cust_mor",
       t(s, dir, "customer").filter(col("c_custkey") % 4 === 1)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
@@ -542,8 +552,9 @@ object SqlDmlQueries {
         |  VALUES (s.c_custkey, s.c_name, s.c_acctbal)
         |WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 10 = 7 THEN DELETE
         |""".stripMargin)
-    store.detach()
-    store.read("silver.cust_mor").orderBy(col("c_custkey"))
+    Scratch.seal(
+    store.read("silver.cust_mor").orderBy(col("c_custkey")),
+      store)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

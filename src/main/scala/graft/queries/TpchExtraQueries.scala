@@ -121,9 +121,8 @@ object TpchExtraQueries {
     val r = emb.agg(min(col("vec_id")).cast("long"),
       max(col("vec_id")).cast("long")).head()
     val cut = (r.getLong(0) + r.getLong(1)) / 2
-    val store = new graft.tables.TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft_ext_ivf").toString)
-    try {
+    val store = Scratch.store(s, "graft_ext_ivf")
+    Scratch.sealing(store) {
       Similarity.incrementalIvfAppend(store, "ivf.centroids", "ivf.vectors",
         emb.filter(col("vec_id") <= cut), nCentroids = 8, iterations = 2)
       Similarity.incrementalIvfAppend(store, "ivf.centroids", "ivf.vectors",
@@ -132,7 +131,7 @@ object TpchExtraQueries {
           emb.filter(col("vec_id") < 10), k = 5, probes = 2)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
-    } finally store.detach()
+    }
   }
 
   // x18: LSH-bucketed embedding near-dup pairs (16 buckets).
