@@ -1276,27 +1276,53 @@ object ExtensionQueries {
         expr("(1000000L * coalesce(n_inter, 0L)) div (n_a + n_b - coalesce(n_inter, 0L))")
           .as("jaccard_micro"))
       .orderBy(col("dropped_doc"))
+      // materialize BEFORE releasing the band/shingle caches the lazy plan
+      // reads (same pattern as incrementalDedup): returning the lazy frame
+      // would pin both caches in executor storage for the session lifetime
+      .localCheckpoint()
+    bk.unpersist(false)
+    sh.unpersist(false)
+    audit
   }
 
   // x101: per-source quality-percentile normalization — each doc's x7
   // quality score re-expressed as its integer micro-unit percentile
   // WITHIN its source, so a single global keep-threshold compares docs
   // across sources with wildly different raw-score distributions (the
-  // normalize-before-threshold step of mixed-source curation). One
-  // source-keyed window; at 100 TB a single hot source serializes its
-  // partition, so the production variant ranks via a two-pass score
-  // histogram per source — same contract, documented here.
+  // normalize-before-threshold step of mixed-source curation).
+  //
+  // Scale shape — the exact two-pass histogram rank, NOT a per-source
+  // window sort: source cardinality is tiny (a handful of crawls) while
+  // rows-per-source is the whole corpus, so
+  // `row_number().over(partitionBy(source))` would sort billions of rows
+  // in ONE task at 100 TB. Instead rank = (# rows of my source scoring
+  // strictly below me) + (my position among my score's ties):
+  //  - the "below" term cumulates over the per-(source, score) HISTOGRAM
+  //    (bounded by score cardinality, never corpus rows — the only
+  //    source-partitioned window in the plan runs on this aggregate);
+  //  - the tie position is a row_number partitioned by (source, quality)
+  //    — bounded by one tie group, never a whole source.
+  // The corpus shuffles once, on (source, quality); results are
+  // bit-identical to the window formulation (PlanSpec pins the shape).
   def x101QualityPercentile(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
-    val n = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-    t(s, dir, "documents")
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextFunctions.qualityScore(col("text")).as("quality"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(n))
+    val hist = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("below", coalesce(
+        sum(col("c")).over(W.partitionBy(col("source")).orderBy(col("quality"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(W.partitionBy(col("source"))))
+      .select(col("source"), col("quality"), col("below"), col("n"))
+    scored
+      .withColumn("tie", row_number().over(
+        W.partitionBy(col("source"), col("quality")).orderBy(col("doc_id"))))
+      .join(cum, Seq("source", "quality"))
       .select(col("doc_id"), col("source"), col("quality"),
-        expr("CASE WHEN n = 1 THEN 1000000L ELSE ((rk - 1) * 1000000L) div (n - 1) END")
+        expr("CASE WHEN n = 1 THEN 1000000L ELSE ((below + tie - 1) * 1000000L) div (n - 1) END")
           .as("pct_micro"))
       .orderBy(col("doc_id"))
   }
