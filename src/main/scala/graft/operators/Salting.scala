@@ -44,4 +44,58 @@ object Salting {
       explode(sequence(lit(0), lit(buckets - 1))))
     bigSalted.join(smallReplicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Pre-flight result of the most recent [[autoSaltedJoin]]: how many
+    * keys crossed the threshold and how many big-side rows they carry
+    * (set at plan-construction time, like `Fuzzy.lastBlockStats`). */
+  final case class AutoSaltStats(hotKeys: Long, hotRows: Long, buckets: Int)
+  @volatile var lastAutoSaltStats: Option[AutoSaltStats] = None
+
+  /** [[saltedJoin]] with the replication bill paid ONLY where skew lives —
+    * the x103 skew report's per-key pre-flight count wired directly into
+    * the remedy. One map-side-combined count over the big side finds the
+    * keys with more than `hotThreshold` rows; those keys' rows spread
+    * over `buckets` reducers and ONLY their small-side partners replicate,
+    * while cold keys join untouched on salt 0. The hot set is bounded by
+    * |big| / hotThreshold keys — broadcastable by CONSTRUCTION, whatever
+    * the corpus size — and the logical result is bit-identical to the
+    * plain equi-join (pinned by the x104 oracle).
+    *
+    * Against blanket [[saltedJoin]]: that replicates the ENTIRE small
+    * side `buckets`× — at a 1e8-row "small" side and 16 salts that is
+    * 1.6e9 shuffled rows for keys that were never skewed. Against AQE
+    * skew-split: AQE only splits sort-merge partitions after the skewed
+    * shuffle is already materialized, and does nothing for hot-key
+    * aggregations stacked on the join output; explicit hot-key salting
+    * moves the fix before the shuffle.
+    *
+    * `joinType` may be `inner` or a left join — right/full would need the
+    * BIG side replicated (use [[saltedJoin]] if that is really wanted).
+    * Key columns must share names across the two sides (usingColumns
+    * semantics, as in [[saltedJoin]]). */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      hotThreshold: Long, buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    require(buckets > 1, "salting needs at least 2 buckets")
+    require(Set("inner", "left", "left_outer")(joinType),
+      "right/full joins would replicate unmatched rows — use saltedJoin")
+    val hot = big.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotThreshold)
+    // the pre-flight stats job (one agg over the count frame): this IS
+    // x103's diagnosis, consumed by the operator instead of a human
+    val st = hot.agg(count(lit(1)).as("k"),
+      coalesce(sum(col("__cnt")), lit(0L)).as("r")).head()
+    lastAutoSaltStats = Some(AutoSaltStats(st.getLong(0), st.getLong(1), buckets))
+    val hotKeys = broadcast(hot.select(keys.map(col) :+ lit(1).as("__hot"): _*))
+    val bigS = big.join(hotKeys, keys, "left_outer")
+      .withColumn("__salt", when(col("__hot").isNull, lit(0))
+        .otherwise(saltCol(buckets, big.columns.map(col): _*)))
+      .drop("__hot")
+    val smallS = small.join(hotKeys, keys, "left_outer")
+      .withColumn("__salt", explode(when(col("__hot").isNull, array(lit(0)))
+        .otherwise(sequence(lit(0), lit(buckets - 1)))))
+      .drop("__hot")
+    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

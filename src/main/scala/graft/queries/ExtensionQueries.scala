@@ -1403,7 +1403,27 @@ object ExtensionQueries {
       .orderBy(col("rk"))
   }
 
+  // x104: auto-salted skew join — x103's pre-flight per-key count DRIVES
+  // the remedy instead of informing a human: lineitem keys whose row
+  // count crosses the threshold are salted over 8 reducers and only THEIR
+  // part partners replicate; cold keys pay nothing. x15 salts a
+  // known-skewed aggregation by hand; this closes the diagnose→salt loop
+  // automatically, and the result is bit-identical to the plain equi-join
+  // (the oracle IS the plain join — salt may never leak into semantics).
+  def x104SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.operators.Salting.autoSaltedJoin(li, p, Seq("p_partkey"),
+        hotThreshold = 40L, buckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,6)")), 6).cast("double").as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x104_salted_join" -> x104SaltedJoin _,
     "x103_skew_report" -> x103SkewReport _,
     "x102_incremental_drift" -> x102IncrementalDrift _,
     "x101_quality_percentile" -> x101QualityPercentile _,
@@ -1710,6 +1730,11 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x104_salted_join" ->
+      """SELECT p.p_brand, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
     "x103_skew_report" ->
       """WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
         |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
