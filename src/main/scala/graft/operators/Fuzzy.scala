@@ -26,37 +26,116 @@ import org.apache.spark.sql.functions._
   * `levenshtein` runs, and levenshtein itself evaluates only inside
   * blocks, never across the corpus. Candidate pairs from both passes are
   * dedup'd by key BEFORE scoring so a pair sharing prefix and suffix
-  * blocks is scored once. At 100 TB the block key is the unit of
-  * parallelism: hot blocks (boilerplate prefixes) bound the worst case,
-  * so production runs add a block-size cap or a third pass on a
-  * mid-string window; blocks here are prefix/suffix only, the 2-pass
-  * core of that scheme.
+  * blocks is scored once.
+  *
+  * Hot-block bound: candidate generation is quadratic PER BLOCK, so one
+  * boilerplate prefix ("Copyright 20…", "The quick…") at corpus scale
+  * would make a single block's pair count explode. Block sizes are
+  * therefore pre-counted (one cheap map-side-combined agg on the same
+  * key the candidate join shuffles on) and blocks over `maxBlock` rows
+  * never enter the quadratic join; their member rows are REROUTED to a
+  * third blocking pass on a mid-string window (an edit budget that
+  * spares neither end usually spares the middle, and boilerplate heads/
+  * tails tend to diverge mid-string). A block still hot under the mid
+  * window is dropped from candidate generation — never silently:
+  * [[Fuzzy.lastBlockStats]] records blocks/hot/rerouted/dropped counts
+  * and the surviving pair-count bound for every run, the observability
+  * hook a production run alerts on. On a corpus where no block exceeds
+  * the cap the result is bit-identical to the uncapped two-pass plan
+  * (the sf oracles pin this).
   */
 object Fuzzy {
 
+  /** Diagnosis record for the most recent blocking run on this JVM:
+    * block counts per pass, rows rerouted to the mid-string pass, rows
+    * dropped because even their mid-string block stayed hot, and the
+    * sum of n·(n−1)/2 over surviving blocks — the exact upper bound on
+    * candidate pairs entering the scorer. */
+  final case class BlockStats(blocks: Long, maxBlockRows: Long, hotBlocks: Long,
+      reroutedRows: Long, droppedRows: Long, candidatePairBound: Long)
+
+  /** Stats of the most recent [[fuzzySelfJoin]]/[[fuzzyLookup]] candidate
+    * generation (set at plan-construction time, like
+    * `Dedup.lastNoveltyScan`). */
+  @volatile var lastBlockStats: Option[BlockStats] = None
+
+  private def prefixBlk(k: String, blockLen: Int) =
+    substring(col(k), 1, blockLen)
+  private def suffixBlk(k: String, blockLen: Int) =
+    expr(s"substring($k, greatest(length($k) - ${blockLen - 1}, 1), $blockLen)")
+  /** Centered mid-string window — the third pass hot-block rows reroute
+    * to. Prefixed with a pass tag so a mid window never aliases a
+    * prefix/suffix block of unrelated rows (the 2-pass blocks share one
+    * namespace deliberately: a's prefix matching b's suffix is a real
+    * agreement on the same characters; a mid window matching a prefix is
+    * not). */
+  private def midBlk(k: String, blockLen: Int) =
+    concat(lit("m:"),
+      expr(s"substring($k, greatest((length($k) - $blockLen) div 2 + 1, 1), $blockLen)"))
+
+  /** Split `blocked` (id, k, blk) into under-cap rows (ready for the
+    * candidate join) and the mid-string reroute of hot-block rows, then
+    * record [[lastBlockStats]]. Shared by self-join and lookup: the cap
+    * logic only looks at block keys, never at which side a row is from.
+    */
+  private def capBlocks(blocked: DataFrame, keyCols: Seq[String],
+      blockLen: Int, maxBlock: Int): DataFrame = {
+    val sizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    val tagged = blocked.join(sizes, "blk")
+    val ok = tagged.filter(col("bn") <= maxBlock).drop("bn")
+    // hot-block members, deduped (a row may sit in a hot prefix AND a hot
+    // suffix block) — rerouted through their mid-string window, which is
+    // itself capped: a block hot even mid-string is dropped + reported
+    val hotRows = tagged.filter(col("bn") > maxBlock)
+      .select(keyCols.map(col): _*).distinct()
+    val mid = hotRows.select(keyCols.map(col) :+
+      midBlk(keyCols.last, blockLen).as("blk"): _*)
+    val midSizes = mid.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    val midTagged = mid.join(midSizes, "blk")
+    val midOk = midTagged.filter(col("bn") <= maxBlock).drop("bn")
+    // observability: one small job over the block-cardinality-bounded
+    // size tables (map-side combined; never corpus-row-sized output)
+    val st = sizes.select(col("bn"), lit(0).as("pass"))
+      .unionAll(midSizes.select(col("bn"), lit(1).as("pass")))
+      .agg(count(lit(1)).as("blocks"),
+        coalesce(max(col("bn")), lit(0L)).as("maxb"),
+        coalesce(sum(when(col("bn") > maxBlock && col("pass") === 0, lit(1L))), lit(0L)).as("hot"),
+        coalesce(sum(when(col("pass") === 1, col("bn"))), lit(0L)).as("rerouted"),
+        coalesce(sum(when(col("bn") > maxBlock && col("pass") === 1, col("bn"))), lit(0L)).as("dropped"),
+        coalesce(sum(when(col("bn") <= maxBlock,
+          expr("bn * (bn - 1) div 2"))), lit(0L)).as("bound"))
+      .head()
+    lastBlockStats = Some(BlockStats(
+      blocks = st.getLong(0), maxBlockRows = st.getLong(1),
+      hotBlocks = st.getLong(2), reroutedRows = st.getLong(3),
+      droppedRows = st.getLong(4), candidatePairBound = st.getLong(5)))
+    ok.unionByName(midOk)
+  }
+
   /** Self-join `records` fuzzily on `key`: pairs (id_a < id_b) with
     * levenshtein(key_a, key_b) <= maxDist, discovered via prefix+suffix
-    * blocking with block length `blockLen`. Returns (id_a, id_b, dist).
+    * blocking with block length `blockLen`; blocks over `maxBlock` rows
+    * reroute through a mid-string pass (see object doc). Returns
+    * (id_a, id_b, dist).
     *
     * Records whose key is shorter than `blockLen` share the whole-key
     * block (their prefix == suffix == key), so short strings still pair.
     */
   def fuzzySelfJoin(records: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int, blockLen: Int = 8): DataFrame = {
+      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockLen > 0, "blockLen must be positive")
+    require(maxBlock > 1, "maxBlock must admit at least a pair")
     val keyed = records.select(col(idCol).cast("long").as("id"),
       col(keyCol).cast("string").as("k"))
     // two blocking passes: prefix block and suffix block of the key
-    val prefixed = keyed.select(col("id"), col("k"),
-      substring(col("k"), 1, blockLen).as("blk"))
-    val suffixed = keyed.select(col("id"), col("k"),
-      expr(s"substring(k, greatest(length(k) - ${blockLen - 1}, 1))").as("blk"))
-    val blocked = prefixed.unionAll(suffixed)
+    val blocked = keyed.select(col("id"), col("k"), prefixBlk("k", blockLen).as("blk"))
+      .unionAll(keyed.select(col("id"), col("k"), suffixBlk("k", blockLen).as("blk")))
+    val capped = capBlocks(blocked, Seq("id", "k"), blockLen, maxBlock)
     // candidates: same block, canonical order, length guard (necessary
     // condition for edit distance <= maxDist) BEFORE the quadratic scorer
-    val a = blocked.as("a")
-    val b = blocked.as("b")
+    val a = capped.as("a")
+    val b = capped.as("b")
     val candidates = a.join(b,
         col("a.blk") === col("b.blk") &&
           col("a.id") < col("b.id") &&
@@ -77,9 +156,11 @@ object Fuzzy {
     * left record against a reference dictionary (master data, canonical
     * titles, a gazetteer) and keep the single BEST match within
     * `maxDist`, ties broken by the lower right id. Same prefix+suffix
-    * blocking and length guard as [[fuzzySelfJoin]]; the per-left argmin
-    * is a window over the (small) surviving candidate set, partitioned by
-    * left id — never the corpus.
+    * blocking, length guard, and hot-block cap as [[fuzzySelfJoin]] (the
+    * cap counts a block's rows across BOTH sides — the candidate cost is
+    * |L|·|R|, bounded by the total); the per-left argmin is a window over
+    * the (small) surviving candidate set, partitioned by left id — never
+    * the corpus.
     *
     * Returns (left id, right id, left key, right key, dist) — one row per
     * MATCHED left record; unmatched records simply don't appear (left-join
@@ -87,20 +168,27 @@ object Fuzzy {
     */
   def fuzzyLookup(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String, rightId: String, rightKey: String,
-      maxDist: Int, blockLen: Int = 8): DataFrame = {
+      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockLen > 0, "blockLen must be positive")
-    def blocked(df: DataFrame, idCol: String, keyCol: String, side: String) = {
-      val keyed = df.select(col(idCol).cast("long").as(s"${side}_id"),
-        col(keyCol).cast("string").as(s"${side}_k"))
-      keyed.select(col(s"${side}_id"), col(s"${side}_k"),
-          substring(col(s"${side}_k"), 1, blockLen).as("blk"))
-        .unionAll(keyed.select(col(s"${side}_id"), col(s"${side}_k"),
-          expr(s"substring(${side}_k, greatest(length(${side}_k) - ${blockLen - 1}, 1))")
-            .as("blk")))
+    require(maxBlock > 1, "maxBlock must admit at least a pair")
+    // one shared blocked frame (side-tagged) so the hot-block cap sees a
+    // block's TOTAL population — capping each side alone would admit a
+    // 10 × 100k block (10^6 candidate pairs) through a per-side cap
+    def sided(df: DataFrame, idCol: String, keyCol: String, side: String) = {
+      val keyed = df.select(col(idCol).cast("long").as("id"),
+        col(keyCol).cast("string").as("k"), lit(side).as("side"))
+      keyed.select(col("id"), col("k"), col("side"), prefixBlk("k", blockLen).as("blk"))
+        .unionAll(keyed.select(col("id"), col("k"), col("side"),
+          suffixBlk("k", blockLen).as("blk")))
     }
-    val candidates = blocked(left, leftId, leftKey, "l")
-      .join(blocked(right, rightId, rightKey, "r"),
+    val blocked = sided(left, leftId, leftKey, "l")
+      .unionAll(sided(right, rightId, rightKey, "r"))
+    val capped = capBlocks(blocked, Seq("id", "side", "k"), blockLen, maxBlock)
+    val candidates = capped.filter(col("side") === "l")
+      .select(col("id").as("l_id"), col("k").as("l_k"), col("blk"))
+      .join(capped.filter(col("side") === "r")
+          .select(col("id").as("r_id"), col("k").as("r_k"), col("blk")),
         Seq("blk"))
       .filter(abs(length(col("l_k")) - length(col("r_k"))) <= maxDist)
       .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"))

@@ -975,6 +975,118 @@ class ExtensionSpec extends AnyFunSuite {
     assert(r == Seq((1L, 10L, 1)), s"got $r")
   }
 
+  test("fuzzy hot-block cap: boilerplate prefix+suffix corpus stays under the candidate " +
+      "budget, the mid-string pass still finds the planted pair, drops are reported") {
+    import graft.operators.Fuzzy
+    // 300 keys share the first 8 AND last 8 chars (boilerplate head/tail)
+    // but diverge mid-string — the exact shape that melts uncapped
+    // blocking (300·299/2 ≈ 45k candidate pairs from ONE block)
+    val boiler = (1 to 300).map(i =>
+      (i.toLong, f"COPYRIGHT id$i%06d ALL RIGHTS RESERVED"))
+    // planted near-dup pair: differs ONLY at a char outside the centered
+    // mid window, so the third pass must recover it after the reroute
+    val planted = Seq(
+      (1000L, "COPYRIGHT aa000999 ALL RIGHTS RESERVED"),
+      (1001L, "COPYRIGHT ab000999 ALL RIGHTS RESERVED"))
+    val d = (boiler ++ planted).toDF("id", "k")
+    val capped = Fuzzy.fuzzySelfJoin(d, "id", "k", maxDist = 3,
+      blockLen = 8, maxBlock = 64)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSeq
+    assert(capped.contains((1000L, 1001L, 1)),
+      s"mid-string pass must recover the planted pair, got $capped")
+    val st = Fuzzy.lastBlockStats.get
+    assert(st.hotBlocks >= 2, s"prefix and suffix blocks are both hot: $st")
+    assert(st.reroutedRows == 302L, s"every row sits in a hot block: $st")
+    assert(st.droppedRows == 0L, s"mid windows are cold here: $st")
+    // the whole point: candidate generation stays bounded — far below the
+    // ~45k pairs the uncapped hot block would have emitted
+    assert(st.candidatePairBound < 2000L,
+      s"capped candidate bound must stay small, got ${st.candidatePairBound}")
+    // capped results are a subset of the uncapped ground truth
+    val uncapped = Fuzzy.fuzzySelfJoin(d, "id", "k", maxDist = 3,
+      blockLen = 8, maxBlock = 1000000)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(capped.toSet.subsetOf(uncapped), "cap may reduce recall, never invent pairs")
+  }
+
+  test("fuzzy hot-block cap: a block hot even mid-string is dropped AND reported") {
+    import graft.operators.Fuzzy
+    // 40 IDENTICAL keys: prefix, suffix and mid-string blocks all carry
+    // 40 rows — over a cap of 10 everywhere, so the operator must refuse
+    // the quadratic comparison and say so, not silently return nothing
+    val d = (1 to 40).map(i => (i.toLong, "exactly the same boilerplate key"))
+      .toDF("id", "k")
+    val r = Fuzzy.fuzzySelfJoin(d, "id", "k", maxDist = 3,
+      blockLen = 8, maxBlock = 10)
+    assert(r.count() == 0, "all blocks over cap -> no candidates generated")
+    val st = Fuzzy.lastBlockStats.get
+    assert(st.reroutedRows == 40L && st.droppedRows == 40L,
+      s"the dropped population must be visible in the stats: $st")
+    assert(st.candidatePairBound == 0L, s"nothing may enter the scorer: $st")
+  }
+
+  test("fuzzy lookup hot-block cap counts a block across BOTH sides") {
+    import graft.operators.Fuzzy
+    // 6 left rows + 30 dict rows share one block: per-side counts (6, 30)
+    // would pass a cap of 31, but the 6x30 candidate product is the cost —
+    // the shared-frame cap sees 36 rows and reroutes
+    val left = (1 to 6).map(i => (i.toLong, f"SHAREDPF l$i%03d x SHAREDSF")).toDF("id", "k")
+    val dict = (1 to 30).map(i => (100L + i, f"SHAREDPF d$i%03d y SHAREDSF")).toDF("id", "k")
+    Fuzzy.fuzzyLookup(left, dict, "id", "k", "id", "k",
+      maxDist = 3, blockLen = 8, maxBlock = 31).count()
+    val st = Fuzzy.lastBlockStats.get
+    assert(st.hotBlocks >= 2 && st.reroutedRows == 36L,
+      s"both blocks hold 36 > 31 rows; all 36 distinct rows must reroute: $st")
+  }
+
+  test("auto-salted join == plain join on a skewed frame; only the hot key replicates; " +
+      "left join keeps unmatched rows exactly once") {
+    import graft.operators.Salting
+    // 2000 rows on key 7 (hot), 1000 singleton keys (cold), one key
+    // missing from the small side entirely
+    val big = spark.range(0, 3000).select(
+      when($"id" < 2000, lit(7L)).otherwise($"id" + 10000L).as("k"), $"id".as("v"))
+      .unionAll(Seq((99999L, -1L)).toDF("k", "v"))
+    val small = spark.range(0, 13000).select($"id".as("k"), ($"id" * 10).as("w"))
+    val plain = big.join(small, Seq("k"), "inner")
+    val salted = Salting.autoSaltedJoin(big, small, Seq("k"),
+      hotThreshold = 500L, buckets = 4)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must never change the joined relation")
+    val st = Salting.lastAutoSaltStats.get
+    assert(st.hotKeys == 1L && st.hotRows == 2000L && st.buckets == 4,
+      s"exactly key 7's 2000 rows are hot: $st")
+    val lplain = big.join(small, Seq("k"), "left_outer")
+    val lsalted = Salting.autoSaltedJoin(big, small, Seq("k"),
+      hotThreshold = 500L, buckets = 4, joinType = "left_outer")
+    assert(lsalted.exceptAll(lplain).isEmpty && lplain.exceptAll(lsalted).isEmpty,
+      "an unmatched big-side row must survive a left join exactly once per salt-free row")
+    intercept[IllegalArgumentException] {
+      Salting.autoSaltedJoin(big, small, Seq("k"), 500L, 4, joinType = "full_outer")
+    }
+  }
+
+  test("incremental novelty refuses a v1 (raw-string) shingle index with a clear remedy") {
+    val store = new graft.tables.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_v1_idx").toString)
+    try {
+      // a legacy index written by the previous build: raw `sh` strings
+      store.createOrReplace("idx.shingles",
+        Seq((1L, "the quick brown fox jumps")).toDF("doc", "sh"))
+      val e = intercept[IllegalStateException] {
+        graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
+          docs.limit(5))
+      }
+      assert(e.getMessage.contains("v1 shingle index") &&
+        e.getMessage.contains("drop and re-seed"),
+        s"guard must name the format and the remedy, got: ${e.getMessage}")
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(
+        java.nio.file.Paths.get(store.rootDir))
+    }
+  }
+
   test("mixed-language: en head + es tail flags, uniform docs don't, short docs drop") {
     val d = Seq(
       (1L, "the and is with from el la que por de"), // en head, es tail -> mixed
