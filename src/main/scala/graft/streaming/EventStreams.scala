@@ -176,16 +176,18 @@ object EventStreams {
     * StreamingSpec). State is a fixed-size vector of attained step
     * times; a completed vector is its own tombstone. */
   def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
-      windowSecs: Long): Dataset[FunnelHit] = {
+      windowSecs: Long, idleTtlMs: Option[Long] = None): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     val stepArr = steps.toIndexedSeq
     val windowMs = windowSecs * 1000L
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlMode(idleTtlMs))(
         (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var times = state.getOption.map(_.times).getOrElse(Nil)
-          if (times.length == stepArr.length) Iterator.empty
+          if (times.length == stepArr.length) { ttlArm(state, idleTtlMs); Iterator.empty }
           else {
             val hits = List.newBuilder[FunnelHit]
             // event-time order inside the batch: a step time may only
@@ -206,10 +208,31 @@ object EventStreams {
             // would let a later event of the first step type restart the
             // funnel and double-emit
             if (times.nonEmpty) state.update(FunnelState(times))
+            ttlArm(state, idleTtlMs)
             hits.result().iterator
+          }
           }
         })
   }
+
+  /** Timeout mode for the opt-in inactivity TTL on the stateful streams:
+    * `None` (the default) keeps state forever — exact semantics, but
+    * per-user state lives as long as the job even for users never seen
+    * again, so state size tracks LIFETIME user cardinality. A TTL bounds
+    * state to recently-active users at a documented semantics cost: a
+    * boundary-spanning pair/path/funnel-step whose gap exceeds the TTL is
+    * lost (the carried state was dropped), and for the funnel a TIMED-OUT
+    * completed vector loses its tombstone — a later first-step event
+    * restarts that user's funnel. The trade every production stream makes
+    * (Delta/Flink idle-state retention); the specs pin both behaviors. */
+  private def ttlMode(idleTtlMs: Option[Long]): GroupStateTimeout =
+    if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** (Re-)arm the inactivity timeout after processing a group's batch —
+    * every arrival extends the lease. */
+  private def ttlArm[S](state: GroupState[S], idleTtlMs: Option[Long]): Unit =
+    idleTtlMs.foreach(ms => if (state.exists) state.setTimeoutDuration(ms))
 
   final case class TransEvent(user_id: Long, ts: Timestamp, event_id: Long,
       event_type: String)
@@ -226,22 +249,27 @@ object EventStreams {
     * the pair spanning two batches forms from the carried state). The
     * downstream count/probability aggregation is ordinary relational code
     * over the pair stream. */
-  def transitionStream(events: Dataset[TransEvent]): Dataset[TransPair] = {
+  def transitionStream(events: Dataset[TransEvent],
+      idleTtlMs: Option[Long] = None): Dataset[TransPair] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlMode(idleTtlMs))(
         (user: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) => {
-          val out = List.newBuilder[TransPair]
-          var last = state.getOption
-          // event-time order inside the batch (same contract as the
-          // funnel: batches arrive event-time ordered)
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            last.foreach(s => out += TransPair(user, s.lastType, e.event_type))
-            last = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = List.newBuilder[TransPair]
+            var last = state.getOption
+            // event-time order inside the batch (same contract as the
+            // funnel: batches arrive event-time ordered)
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              last.foreach(s => out += TransPair(user, s.lastType, e.event_type))
+              last = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+            }
+            last.foreach(state.update)
+            ttlArm(state, idleTtlMs)
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
         })
   }
 
@@ -257,22 +285,27 @@ object EventStreams {
     * event-time-ordered batches the emitted paths aggregate to exactly
     * the batch operator's counts (StreamingSpec pins it); the global
     * top-k over the path stream is ordinary relational code. */
-  def pathStream(events: Dataset[TransEvent], depth: Int): Dataset[PathHit] = {
+  def pathStream(events: Dataset[TransEvent], depth: Int,
+      idleTtlMs: Option[Long] = None): Dataset[PathHit] = {
     require(depth >= 2, "a path needs at least two steps")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlMode(idleTtlMs))(
         (user: Long, rows: Iterator[TransEvent], state: GroupState[PathState]) => {
-          val out = List.newBuilder[PathHit]
-          var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (recent.length == depth - 1)
-              out += PathHit(user, (recent :+ e.event_type).mkString(" > "))
-            recent = (recent :+ e.event_type).takeRight(depth - 1)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = List.newBuilder[PathHit]
+            var recent = state.getOption.map(_.recent).getOrElse(Nil)
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (recent.length == depth - 1)
+                out += PathHit(user, (recent :+ e.event_type).mkString(" > "))
+              recent = (recent :+ e.event_type).takeRight(depth - 1)
+            }
+            if (recent.nonEmpty) state.update(PathState(recent))
+            ttlArm(state, idleTtlMs)
+            out.result().iterator
           }
-          if (recent.nonEmpty) state.update(PathState(recent))
-          out.result().iterator
         })
   }
 }

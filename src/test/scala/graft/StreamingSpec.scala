@@ -197,6 +197,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition stream inactivity TTL: an idle user's state drops (boundary pair lost " +
+      "by design); without the TTL it survives unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.TransEvent
+    def pairsForUser1(ttl: Option[Long], name: String): Long = {
+      val events = MemoryStream[TransEvent]
+      val q = EventStreams.transitionStream(events.toDS(), ttl)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      // with ProcessingTimeTimeout the engine runs EMPTY batches
+      // continuously to fire expired leases (shouldRunAnotherBatch is
+      // unconditionally true for that mode), so `noNewData` never latches
+      // and processAllAvailable() would wait forever — in TTL mode the
+      // batch-committed signal has to come from the SINK instead (the
+      // final batch always emits the in-batch pair b>c, the positive
+      // "this batch landed" marker; memory-sink commits are atomic per
+      // batch, so once it shows, the boundary-pair question is settled)
+      def settle(): Unit = if (ttl.isEmpty) q.processAllAvailable()
+      def n(): Long = spark.table(name).where($"user_id" === 1L).count()
+      try {
+        val t = new Timestamp(0L)
+        events.addData(Seq(TransEvent(1L, t, 1L, "a"))); settle()
+        Thread.sleep(1000) // processing time passes the 1ms lease; the
+        // continuous empty batches fire the timeout and drop user 1's state
+        events.addData(Seq(TransEvent(2L, t, 2L, "x"))); settle()
+        events.addData(Seq(
+          TransEvent(1L, t, 3L, "b"), TransEvent(1L, t, 4L, "c")))
+        settle()
+        val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+        while (n() == 0 && System.nanoTime < deadline) Thread.sleep(50)
+        n()
+      } finally q.stop()
+    }
+    assert(pairsForUser1(None, "ttl_off_out") == 2L,
+      "without a TTL the carried state forms the boundary pair a>b, plus the in-batch b>c")
+    assert(pairsForUser1(Some(1L), "ttl_on_out") == 1L,
+      "with an expired TTL the carried state is dropped (a>b lost) — the documented trade; " +
+        "only the in-batch pair b>c survives")
+  }
+
   test("stream-stream attribution join == batch twin on the same data") {
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
