@@ -405,8 +405,43 @@ class PlanSpec extends AnyFunSuite {
     // pattern); the wedge/closure path itself must never go cartesian
     assert(!plan.contains("CartesianProduct"),
       s"every data-sized join in the census is equi-keyed:\n${plan.take(1500)}")
-    assert("BroadcastNestedLoopJoin BuildRight, LeftSemi|LeftSemi".r.findFirstIn(plan).isDefined,
-      "wedge closure must be a semi-join (never materialize the closed wedges)")
+    // HASH-based semi-join specifically: an equi-keyed LeftSemi on some
+    // hash/sort-merge operator — a BroadcastNestedLoopJoin LeftSemi (per-
+    // wedge scan of the whole edge set) would "pass" a bare LeftSemi grep
+    // while being exactly the scale killer this pin exists to forbid
+    assert("(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin) [^\n]*LeftSemi".r
+      .findFirstIn(plan).isDefined,
+      s"wedge closure must be an equi-keyed hash/merge semi-join:\n${plan.take(1500)}")
+    assert("BroadcastNestedLoopJoin [^\n]*LeftSemi".r.findFirstIn(plan).isEmpty,
+      "the closure semi-join degraded to a nested-loop scan of the edge set")
+  }
+
+  test("x101 percentile: no rank window ever partitions a whole source of corpus rows") {
+    val plan = executedIsolated(SparkEntry.queries("x101_quality_percentile")(spark, dir))
+    // partition columns print WITHOUT an ASC/DESC marker inside
+    // windowspecdefinition, ordering columns with one — so the tie window
+    // (partitionBy(source, quality).orderBy(doc_id)) and the forbidden
+    // corpus sort (partitionBy(source).orderBy(quality, doc_id)) are
+    // mechanically distinguishable in the executed plan text
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, quality#\\d+, doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isDefined,
+      s"row-level tie window must partition by (source, quality):\n${plan.take(2000)}")
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, quality#\\d+ ASC".r
+      .findFirstIn(plan).isEmpty,
+      "row_number().over(partitionBy(source)) resurfaced — the one-task-per-source sort")
+    // the histogram rank join keys on (source, quality): an equi join,
+    // never a per-row range probe
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "histogram rank must join back on (source, quality) equi-keys")
+  }
+
+  test("x104 salted join: the hot-key set broadcasts and the join keys carry the salt") {
+    val plan = executedIsolated(SparkEntry.queries("x104_salted_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the threshold-bounded hot-key set must broadcast to both sides:\n${plan.take(1500)}")
+    assert(plan.contains("__salt"),
+      "the physical join keys must include the salt — that IS the skew fix")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("x92 textrank: dictionary joins broadcast; the rank cut is a TakeOrdered, no cartesian") {
