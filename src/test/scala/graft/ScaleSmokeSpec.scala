@@ -47,16 +47,45 @@ class ScaleSmokeSpec extends AnyFunSuite
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
+      // Fresh-session recheck of >2x-floor outliers (the bench's
+      // mechanism): a ~20-test shared-JVM suite accumulates old-gen/JIT
+      // pressure that inflates late tests several-fold; re-measuring in a
+      // NEW SparkSession after stopping the batch one is the only way to
+      // tell "this operator got slower at 10x" from "the JVM was hot".
+      // Both numbers land in the artifact, so a phantom regression reads
+      // batch-high/recheck-at-floor.
+      val flagged = walls.collect {
+        case (n, (_, w)) if SparkEntry.queries.contains(n) &&
+          floors.get(n).exists(fl => w > 2 * fl && w - fl > 1.0) => n
+      }.toSeq
+      val rechecked: Map[String, Double] =
+        if (flagged.isEmpty) Map.empty
+        else {
+          val d = dir // realize the scaled inputs path before the stop
+          spark.stop()
+          System.gc()
+          val fresh = graft.core.GraftSession.local(16)
+          val res = flagged.map { n =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(fresh, d).count()
+            n -> (System.nanoTime() - t0) / 1e9
+          }.toMap
+          fresh.stop()
+          res
+        }
       val rows = walls.map { case (n, (r, w)) =>
         val fl = floors.get(n)
         val extra = fl.map(f =>
           f""","floor":$f,"ratio":${math.round(w / f * 100) / 100.0}""")
           .getOrElse("")
-        f"""  "$n": {"rows": $r, "wall_sec": $w%.1f$extra}"""
+        val re = rechecked.get(n)
+          .map(v => f""","recheck_sec":$v%.1f""").getOrElse("")
+        f"""  "$n": {"rows": $r, "wall_sec": $w%.1f$extra$re}"""
       }.mkString(",\n")
       Files.write(java.nio.file.Paths.get(out),
         s"""{\n  "_sf": "sf0.1 x$R",\n$rows\n}\n""".getBytes("UTF-8"))
-      info(s"[scale] wrote ${walls.size} rows to $out")
+      info(s"[scale] wrote ${walls.size} rows to $out" +
+        (if (rechecked.nonEmpty) s" (rechecked: ${rechecked.keys.mkString(", ")})" else ""))
     }
     super.afterAll()
   }
@@ -171,6 +200,38 @@ class ScaleSmokeSpec extends AnyFunSuite
     record("x96_cluster_weights", n, (System.nanoTime() - t0) / 1e9)
     assert(n == spark.read.parquet(s"$dir/documents.parquet").count(),
       "every doc needs exactly one weight at 10x")
+  }
+
+  test("x97 fuzzy dictionary lookup completes at 10x (capped blocks bound the candidate set)") {
+    requested(); run("x97_fuzzy_lookup")
+  }
+
+  test("x98 streaming top paths completes at 10x (state = depth-1 types per user)") {
+    requested(); run("x98_paths_stream")
+  }
+
+  test("x99 mixed-language detection completes at 10x (pure projection)") {
+    requested(); run("x99_mixed_lang")
+  }
+
+  test("x100 dedup audit completes at 10x (cost tracks the dropped set)") {
+    requested(); run("x100_dedup_audit")
+  }
+
+  test("x101 histogram-rank percentile completes at 10x (no per-source sort)") {
+    requested(); run("x101_quality_percentile")
+  }
+
+  test("x102 incremental drift monitor completes at 10x (vocab-sized merges)") {
+    requested(); run("x102_incremental_drift")
+  }
+
+  test("x103 skew report completes at 10x (map-side per-key counts)") {
+    requested(); run("x103_skew_report")
+  }
+
+  test("x104 auto-salted join completes at 10x (only hot keys replicate)") {
+    requested(); run("x104_salted_join")
   }
 
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
