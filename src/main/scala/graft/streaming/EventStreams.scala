@@ -33,12 +33,24 @@ object EventStreams {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df.withColumn("ts", col("ts").cast("timestamp"))
 
-  /** File-source streaming read of the events table (parquet). */
+  /** File-source streaming read of the events table (parquet), resolving
+    * BOTH physical layouts: a single file named `events.parquet` (the
+    * generated testdata) streams via a glob filter inside `dir` (the
+    * file source's basePath must be a directory, so the file path can't
+    * be passed directly), while a directory of part-files under
+    * `events.parquet/` (anything Spark itself wrote, e.g. the 10x
+    * smoke's scaled inputs) streams as the directory itself — there the
+    * glob filter on the table name would match zero part-files and
+    * silently stream nothing. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val table = s"$dir/events.parquet"
+    val schema = spark.read.parquet(table).schema
+    val p = new org.apache.hadoop.fs.Path(table)
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    if (isDir) spark.readStream.schema(schema).parquet(table)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
   /** Tumbling 10-minute counts/sums per event type with a 10-minute

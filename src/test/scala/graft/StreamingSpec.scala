@@ -32,6 +32,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readEventStream resolves a directory-of-part-files events table (Spark-written " +
+      "layout) identically to the single-file layout") {
+    // the generated testdata is a single FILE named events.parquet; anything
+    // Spark itself writes (the 10x smoke's scaled inputs, a real pipeline's
+    // output) is a DIRECTORY of part-files — a glob filter on the table
+    // name matches zero part-files there and would silently stream nothing
+    val d = java.nio.file.Files.createTempDirectory("graft_evt_dirlayout").toString
+    try {
+      spark.read.parquet(s"$dir/events.parquet").repartition(3)
+        .write.parquet(s"$d/events.parquet")
+      val q = EventStreams.tumblingAgg(EventStreams.readEventStream(spark, d))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("dirlayout_out").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("dirlayout_out")
+        val batch = EventStreams.tumblingAgg(spark.read.parquet(s"$dir/events.parquet"))
+        assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          "directory-layout stream must equal the single-file batch result")
+      } finally q.stop()
+    } finally graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(d))
+  }
+
   test("stream-static enrichment: streaming events x store dimension == batch twin") {
     // dimension lives in the table store — the streaming medallion shape
     // (facts stream, dims sit in the lakehouse); the static side is
