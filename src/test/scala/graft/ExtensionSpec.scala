@@ -18,6 +18,23 @@ class ExtensionSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
   private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  test("query-harness scratch stores are reclaimed: a sealed query leaves no temp dirs " +
+      "behind and its result stays readable after deletion") {
+    // x33 creates the full scratch surface — a store, a file-sink output
+    // dir and a streaming checkpoint dir; Scratch.sealing must delete all
+    // three once the result is materialized (before this helper ~25 call
+    // sites leaked a small store per bench/correctness invocation)
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    import scala.jdk.CollectionConverters._
+    def scratchDirs = java.nio.file.Files.list(tmp).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("graft_x33_")).toSet
+    val before = scratchDirs
+    val r = graft.queries.ExtensionQueries.x33TableStream(spark, dir)
+    assert(scratchDirs == before,
+      s"sealing must delete the query's scratch dirs, left: ${scratchDirs -- before}")
+    assert(r.count() > 0, "the sealed result must stay readable after deletion")
+  }
+
   test("minhash LSH candidates contain every true pair with jaccard ≥ 0.8 (recall)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select($"doc_a", $"doc_b")
