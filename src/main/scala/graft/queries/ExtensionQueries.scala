@@ -1422,7 +1422,96 @@ object ExtensionQueries {
       .orderBy(col("p_brand"))
   }
 
+  // x105: data-constrained epoch planning (Muennighoff et al. 2023 shape) —
+  // given a token budget of 2x the corpus and a 3-epoch repetition cap,
+  // allocate repeated epochs per source in mean-quality order: the best
+  // sources repeat up to the cap, the budget boundary source gets a
+  // partial epoch, everything past it gets none. All arithmetic is BIGINT
+  // micro-units (exact). The only row-data work is one source-keyed agg;
+  // the cumulative window runs over the SOURCE-cardinality frame (a
+  // handful of crawls/corpora), never over documents — same scale shape
+  // as x95's water-fill.
+  def x105EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val norm = TextFunctions.normalizeText(col("text"))
+    val perSrc = t(s, dir, "documents")
+      .select(col("source"),
+        round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"),
+        size(filter(split(norm, " "), w => length(w) > 0)).cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tokens"),
+        expr("sum(qm) div count(1)").as("quality_micro"))
+    val budget = perSrc.agg((sum(col("tokens")) * 2).as("budget"))
+    perSrc.crossJoin(broadcast(budget))
+      .withColumn("before", coalesce(sum(col("tokens") * 3).over(
+        W.orderBy(col("quality_micro").desc, col("source"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least(col("tokens") * 3, col("budget") - col("before"))))
+      .select(col("source"), col("n_docs"), col("tokens"), col("quality_micro"),
+        col("alloc_tokens"),
+        expr("CASE WHEN tokens = 0 THEN 0L ELSE (alloc_tokens * 1000000L) div tokens END")
+          .as("epochs_micro"))
+      .orderBy(col("source"))
+  }
+
+  // x106: quality-canonical near-dup representative — x22 finds the
+  // clusters and x28 keeps the FIRST-seen member; a curation run instead
+  // keeps the BEST member. One cluster-keyed max(struct(quality, -id))
+  // agg picks argmax(quality, tie -> smallest id) per cluster: no window,
+  // no per-cluster sort, and the struct-max combines map-side.
+  def x106BestOfCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        n = 3, bands = 4, rows = 2, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val scored = docs.select(col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("quality_micro"))
+    Dedup.dupClusters(docs.select(col("doc_id")), pairs, "doc_id")
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality_micro"), (-col("doc_id")).as("neg"))).as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("best.neg")).as("rep_doc"),
+        col("best.quality_micro").as("rep_quality_micro"))
+      .orderBy(col("cluster_id"))
+  }
+
+  // x107: per-source document quota (RefinedWeb-style host cap) — keep at
+  // most 15 docs per source, chosen by a deterministic md5 order so the
+  // kept set is content-independent, reproducible and engine-portable.
+  // Selection reuses x101's histogram-rank shape: a 256-bucket hash
+  // histogram per source gives every row its exact global rank as
+  // below(bucket) + rank-within-bucket, so no source ever funnels into
+  // one task (the bucket width is the dial: more top bits at higher
+  // per-source cardinality). The oracle is the straightforward
+  // per-source window rank — bit-identical by construction.
+  def x107SourceCap(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cap = 15L
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("hash60",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("bkt", shiftright(col("hash60"), 52))
+    val hist = docs.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("below", coalesce(
+        sum(col("c")).over(W.partitionBy(col("source")).orderBy(col("bkt"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bkt"), col("below"))
+    docs
+      .withColumn("tie", row_number().over(
+        W.partitionBy(col("source"), col("bkt")).orderBy(col("hash60"), col("doc_id"))))
+      .join(cum, Seq("source", "bkt"))
+      .filter(col("below") + col("tie") <= cap)
+      .select(col("doc_id"), col("source"), col("hash60"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x107_source_cap" -> x107SourceCap _,
+    "x106_best_of_cluster" -> x106BestOfCluster _,
+    "x105_epoch_plan" -> x105EpochPlan _,
     "x104_salted_join" -> x104SaltedJoin _,
     "x103_skew_report" -> x103SkewReport _,
     "x102_incremental_drift" -> x102IncrementalDrift _,
@@ -1500,6 +1589,24 @@ object ExtensionQueries {
     "x83_incremental_novelty" -> x83IncrementalNovelty _)
 
   private val Norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  /** `base` + `q` CTE pair computing the per-document quality score in
+    * SQL — [[TextFunctions.qualityScore]]'s DuckDB twin (shared by the
+    * x101/x105/x106 oracles). */
+  private val QualityCtes =
+    s"""base AS (
+       |  SELECT doc_id, source, text, $Norm AS t,
+       |    CASE WHEN LENGTH($Norm) = 0 THEN 0
+       |         ELSE len(string_split($Norm, ' ')) END AS wc
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    ROUND(least(LENGTH(text) / 200.0, 1.0) * 0.4 +
+       |      least((CASE WHEN wc = 0 THEN 0.0
+       |        ELSE len(regexp_extract_all(t, '\\b(the|a|an|and|of|to|in|is|it|that|for|on|as|with|was|at|by|be)\\b')) * 1.0 / wc END) * 5.0, 1.0) * 0.3 +
+       |      greatest(1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+       |        ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / LENGTH(text) END) * 5.0, 0.0) * 0.3, 6) AS quality
+       |  FROM base)""".stripMargin
 
   /** DuckDB dot-product text between two embedding-carrying aliases —
     * the shared arithmetic of the ANN oracles. */
@@ -1730,6 +1837,55 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x107_source_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hash60
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, hash60,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash60, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, hash60 FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "x106_best_of_cluster" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+         |  UNION SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |$QualityCtes,
+         |scored AS (
+         |  SELECT cl.cluster_id, q.doc_id,
+         |    CAST(ROUND(q.quality * 1000000) AS BIGINT) AS qm,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY CAST(ROUND(q.quality * 1000000) AS BIGINT) DESC, q.doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+         |  doc_id AS rep_doc, qm AS rep_quality_micro
+         |FROM scored WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "x105_epoch_plan" ->
+      s"""WITH $QualityCtes,
+         |agg AS (
+         |  SELECT q.source, COUNT(*) AS n_docs, CAST(SUM(b.wc) AS BIGINT) AS tokens,
+         |    SUM(CAST(ROUND(q.quality * 1000000) AS BIGINT)) // COUNT(*) AS quality_micro
+         |  FROM q JOIN base b USING (doc_id) GROUP BY q.source),
+         |tot AS (SELECT 2 * SUM(tokens) AS budget FROM agg),
+         |plan AS (
+         |  SELECT a.source, a.n_docs, a.tokens, a.quality_micro, t.budget,
+         |    COALESCE(SUM(3 * a.tokens) OVER (ORDER BY a.quality_micro DESC, a.source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM agg a, tot t)
+         |SELECT source, n_docs, tokens, CAST(quality_micro AS BIGINT) AS quality_micro,
+         |  CAST(GREATEST(0, LEAST(3 * tokens, budget - before)) AS BIGINT) AS alloc_tokens,
+         |  CAST(CASE WHEN tokens = 0 THEN 0
+         |    ELSE (GREATEST(0, LEAST(3 * tokens, budget - before)) * 1000000) // tokens END
+         |    AS BIGINT) AS epochs_micro
+         |FROM plan ORDER BY source""".stripMargin,
     "x104_salted_join" ->
       """SELECT p.p_brand, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_qty
@@ -1775,19 +1931,7 @@ object ExtensionQueries {
          |  abs(p_profile_micro - p_batch_micro) AS delta_micro
          |FROM x ORDER BY delta_micro DESC, term LIMIT 10""".stripMargin,
     "x101_quality_percentile" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, source, text, $Norm AS t,
-         |    CASE WHEN LENGTH($Norm) = 0 THEN 0
-         |         ELSE len(string_split($Norm, ' ')) END AS wc
-         |  FROM documents),
-         |q AS (
-         |  SELECT doc_id, source,
-         |    ROUND(least(LENGTH(text) / 200.0, 1.0) * 0.4 +
-         |      least((CASE WHEN wc = 0 THEN 0.0
-         |        ELSE len(regexp_extract_all(t, '\\b(the|a|an|and|of|to|in|is|it|that|for|on|as|with|was|at|by|be)\\b')) * 1.0 / wc END) * 5.0, 1.0) * 0.3 +
-         |      greatest(1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
-         |        ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / LENGTH(text) END) * 5.0, 0.0) * 0.3, 6) AS quality
-         |  FROM base),
+      s"""WITH $QualityCtes,
          |r AS (
          |  SELECT doc_id, source, quality,
          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,

@@ -435,6 +435,32 @@ class PlanSpec extends AnyFunSuite {
       "histogram rank must join back on (source, quality) equi-keys")
   }
 
+  test("x106 best-of-cluster: the per-cluster argmax is one hash agg — no window, no sort") {
+    val plan = executedIsolated(SparkEntry.queries("x106_best_of_cluster")(spark, dir))
+    // argmax(quality, tie -> smallest id) rides max(struct(...)): it
+    // combines map-side and never materializes a per-cluster ordering —
+    // a row_number window here would re-introduce the per-group sort
+    // x28/x101 already banished
+    assert(!plan.contains("windowspecdefinition"),
+      s"best-of-cluster must be window-free (one max(struct) agg):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cluster labels join back on equi-keys only")
+  }
+
+  test("x107 source cap: rank comes from the bucket histogram, never a per-source sort") {
+    val plan = executedIsolated(SparkEntry.queries("x107_source_cap")(spark, dir))
+    // the tie window partitions by (source, bkt) — 256 buckets per
+    // source — so no single task ever sees a whole source
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, bkt#\\d+L?, hash60#\\d+L? ASC".r
+      .findFirstIn(plan).isDefined,
+      s"row-level tie window must partition by (source, bkt):\n${plan.take(2000)}")
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, hash60#\\d+L? ASC".r
+      .findFirstIn(plan).isEmpty,
+      "row_number().over(partitionBy(source)) resurfaced — the one-task-per-source sort")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the cumulative histogram joins back on (source, bkt) equi-keys")
+  }
+
   test("x104 salted join: the hot-key set broadcasts and the join keys carry the salt") {
     val plan = executedIsolated(SparkEntry.queries("x104_salted_join")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

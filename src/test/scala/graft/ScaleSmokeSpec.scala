@@ -234,6 +234,18 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x104_salted_join")
   }
 
+  test("x105 epoch plan completes at 10x (window only over the source frame)") {
+    requested(); run("x105_epoch_plan")
+  }
+
+  test("x106 best-of-cluster completes at 10x (one max(struct) agg, no window)") {
+    requested(); run("x106_best_of_cluster")
+  }
+
+  test("x107 source cap completes at 10x (bucket-histogram rank, no per-source sort)") {
+    requested(); run("x107_source_cap")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
