@@ -1508,7 +1508,49 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x108: the drift monitor as a STREAM — x94 is the one-shot rescan,
+  // x102 the incremental at-arrival compare driven by sequential calls;
+  // x108 closes the family with the push model: store commits drive
+  // micro-batches through the graft-table DSv2 source and
+  // StreamingDrift's foreachBatch compares each batch against the
+  // profile of everything before it, exactly-once (batch-id-labeled
+  // commits), BEFORE absorbing it. The third commit's at-arrival report
+  // must equal x102's batch replay bit-for-bit — they share one oracle.
+  def x108DriftStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val store = Scratch.store(s, "graft_x108")
+    val ckpt = Scratch.dir("graft_x108_ckpt")
+    Scratch.sealing(store, Seq(ckpt)) {
+      store.createOrReplace("stream.docs", docs.filter(col("doc_id") <= c1))
+      val q = graft.streaming.StreamingDrift.driftSink(
+          s.readStream.format("graft-table")
+            .option("root", store.rootDir).option("table", "stream.docs").load(),
+          store, "mon.profile", "mon.drift", "text", topK = 10)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.processAllAvailable()
+        store.append("stream.docs",
+          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2))
+        q.processAllAvailable()
+        store.append("stream.docs", docs.filter(col("doc_id") > c2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val drift = store.read("mon.drift")
+      val last = drift.agg(max(col("batch_id"))).head().getLong(0)
+      drift.filter(col("batch_id") === last)
+        .select(col("term"), col("c_profile"), col("c_batch"),
+          col("p_profile_micro"), col("p_batch_micro"), col("delta_micro"))
+        .orderBy(col("delta_micro").desc, col("term"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x108_drift_stream" -> x108DriftStream _,
     "x107_source_cap" -> x107SourceCap _,
     "x106_best_of_cluster" -> x106BestOfCluster _,
     "x105_epoch_plan" -> x105EpochPlan _,
@@ -1722,6 +1764,35 @@ object ExtensionQueries {
     s"""$ShingleCte,
        |$minhashTail""".stripMargin
 
+  /** Shared by x102 (incremental batch) and x108 (stream) — identical
+    * required results: the stream's exactly-once at-arrival compare of
+    * the final commit must equal the batch replay of the same cut. */
+  val DriftSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.term FROM (
+       |    SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) d,
+       |    UNNEST(d.ws) AS u(term)
+       |  WHERE len(u.term) > 0),
+       |bd AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |cut AS (SELECT lo + (2 * (hi - lo)) // 3 AS c2 FROM bd),
+       |prof AS (SELECT term, COUNT(*) AS c FROM tok, cut
+       |         WHERE doc_id <= c2 GROUP BY term),
+       |b3 AS (SELECT term, COUNT(*) AS c FROM tok, cut
+       |       WHERE doc_id > c2 GROUP BY term),
+       |pt AS (SELECT CAST(SUM(c) AS BIGINT) AS ptot FROM prof),
+       |bt AS (SELECT CAST(SUM(c) AS BIGINT) AS btot FROM b3),
+       |j AS (SELECT COALESCE(p.term, q.term) AS term,
+       |    CAST(COALESCE(p.c, 0) AS BIGINT) AS c_profile,
+       |    CAST(COALESCE(q.c, 0) AS BIGINT) AS c_batch
+       |  FROM prof p FULL OUTER JOIN b3 q ON p.term = q.term),
+       |x AS (SELECT term, c_profile, c_batch,
+       |    CAST((c_profile * 1000000) // ptot AS BIGINT) AS p_profile_micro,
+       |    CAST((c_batch * 1000000) // btot AS BIGINT) AS p_batch_micro
+       |  FROM j, pt, bt)
+       |SELECT term, c_profile, c_batch, p_profile_micro, p_batch_micro,
+       |  abs(p_profile_micro - p_batch_micro) AS delta_micro
+       |FROM x ORDER BY delta_micro DESC, term LIMIT 10""".stripMargin
+
   /** Shared by x87 (batch) and x90 (stream) — identical required
     * results: the stream's carried-state pair formation must aggregate
     * to exactly the batch window's. */
@@ -1905,31 +1976,8 @@ object ExtensionQueries {
         |  CAST((cnt * 1000000) // total_rows AS BIGINT) AS share_micro,
         |  n_keys, total_rows, p50_cnt, p99_cnt
         |FROM top, s ORDER BY rk""".stripMargin,
-    "x102_incremental_drift" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, u.term FROM (
-         |    SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) d,
-         |    UNNEST(d.ws) AS u(term)
-         |  WHERE len(u.term) > 0),
-         |bd AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
-         |cut AS (SELECT lo + (2 * (hi - lo)) // 3 AS c2 FROM bd),
-         |prof AS (SELECT term, COUNT(*) AS c FROM tok, cut
-         |         WHERE doc_id <= c2 GROUP BY term),
-         |b3 AS (SELECT term, COUNT(*) AS c FROM tok, cut
-         |       WHERE doc_id > c2 GROUP BY term),
-         |pt AS (SELECT CAST(SUM(c) AS BIGINT) AS ptot FROM prof),
-         |bt AS (SELECT CAST(SUM(c) AS BIGINT) AS btot FROM b3),
-         |j AS (SELECT COALESCE(p.term, q.term) AS term,
-         |    CAST(COALESCE(p.c, 0) AS BIGINT) AS c_profile,
-         |    CAST(COALESCE(q.c, 0) AS BIGINT) AS c_batch
-         |  FROM prof p FULL OUTER JOIN b3 q ON p.term = q.term),
-         |x AS (SELECT term, c_profile, c_batch,
-         |    CAST((c_profile * 1000000) // ptot AS BIGINT) AS p_profile_micro,
-         |    CAST((c_batch * 1000000) // btot AS BIGINT) AS p_batch_micro
-         |  FROM j, pt, bt)
-         |SELECT term, c_profile, c_batch, p_profile_micro, p_batch_micro,
-         |  abs(p_profile_micro - p_batch_micro) AS delta_micro
-         |FROM x ORDER BY delta_micro DESC, term LIMIT 10""".stripMargin,
+    "x108_drift_stream" -> DriftSql,
+    "x102_incremental_drift" -> DriftSql,
     "x101_quality_percentile" ->
       s"""WITH $QualityCtes,
          |r AS (

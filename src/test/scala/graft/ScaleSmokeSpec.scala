@@ -246,6 +246,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x107_source_cap")
   }
 
+  test("x108 streaming drift monitor completes at 10x (vocab-sized merges per commit)") {
+    requested(); run("x108_drift_stream")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto

@@ -543,4 +543,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.toSeq == Seq(1, 2), "alice v1 closed by update, bob closed by delete")
     } finally q.stop()
   }
+
+  test("streaming drift monitor: first batch seeds silently, later batches report BEFORE " +
+      "absorbing, replays and half-replays are exactly-once") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_drift_store").toString
+    val store = new graft.tables.TableStore(spark, root)
+    val drift = graft.streaming.StreamingDrift
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val run = drift.driftBatch(store, "mon.profile", "mon.drift", "text", 10) _
+    def profile = store.read("mon.profile").as[(String, Long)].collect().toMap
+
+    // batch 0 seeds the profile; nothing to drift from yet
+    run(docs((1L, "alpha beta beta")), 0L)
+    assert(profile == Map("alpha" -> 1L, "beta" -> 2L))
+    assert(!store.exists("mon.drift"), "first batch must not report")
+
+    // batch 1 reports against the batch-0 profile, THEN absorbs
+    run(docs((2L, "alpha gamma")), 1L)
+    val rep1 = store.read("mon.drift").collect()
+    assert(rep1.length == 3 && rep1.forall(_.getAs[Long]("batch_id") == 1L))
+    val gamma = rep1.find(_.getAs[String]("term") == "gamma").get
+    assert(gamma.getAs[Long]("c_profile") == 0L && gamma.getAs[Long]("c_batch") == 1L)
+    assert(gamma.getAs[Long]("p_batch_micro") == 500000L,
+      "batch rate must be computed against the batch total (1 of 2 tokens)")
+    val beta = rep1.find(_.getAs[String]("term") == "beta").get
+    assert(beta.getAs[Long]("p_profile_micro") == 666666L,
+      "profile rate must predate the batch's own absorb (2 of 3 tokens)")
+    assert(profile == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+
+    // full replay of batch 1: both commits carry id 1 → detected no-op
+    run(docs((2L, "alpha gamma")), 1L)
+    assert(store.read("mon.drift").count() == 3, "replay duplicated the report")
+    assert(profile == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L),
+      "replay double-absorbed the profile")
+
+    // half-replay (crash between the two commits): the id-2 report is
+    // already committed but the merge was lost — the redelivered batch
+    // must skip the report and complete ONLY the absorb
+    val b2 = docs((3L, "delta"))
+    store.append("mon.drift",
+      drift.compareToProfile(store.read("mon.profile"),
+          drift.unigramCounts(b2, "text"), 10)
+        .withColumn("batch_id", lit(2L)),
+      op = "stream_append:2")
+    val reportsBefore = store.read("mon.drift").count()
+    run(b2, 2L)
+    assert(store.read("mon.drift").count() == reportsBefore,
+      "half-replay re-wrote the already-committed report")
+    assert(profile == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L),
+      "half-replay must still complete the lost absorb")
+    assert(store.read("mon.drift").filter(col("batch_id") === 2L).count() > 0)
+    store.detach()
+    graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
