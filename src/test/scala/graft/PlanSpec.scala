@@ -449,11 +449,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("x107 source cap: rank comes from the bucket histogram, never a per-source sort") {
     val plan = executedIsolated(SparkEntry.queries("x107_source_cap")(spark, dir))
-    // the tie window partitions by (source, bkt) — 256 buckets per
+    // the tie window partitions by (source, __hr_bkt) — 256 buckets per
     // source — so no single task ever sees a whole source
-    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, bkt#\\d+L?, hash60#\\d+L? ASC".r
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, __hr_bkt#\\d+L?, hash60#\\d+L? ASC".r
       .findFirstIn(plan).isDefined,
-      s"row-level tie window must partition by (source, bkt):\n${plan.take(2000)}")
+      s"row-level tie window must partition by (source, __hr_bkt):\n${plan.take(2000)}")
     assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, hash60#\\d+L? ASC".r
       .findFirstIn(plan).isEmpty,
       "row_number().over(partitionBy(source)) resurfaced — the one-task-per-source sort")

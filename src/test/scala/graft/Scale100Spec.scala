@@ -168,4 +168,39 @@ class Scale100Spec extends AnyFunSuite
         f"probe fraction drifted: first=$firstFrac%.2f last=$lastFrac%.2f")
     } finally store.detach()
   }
+
+  test("x108 drift stream: 12 commits; per-batch cost stays flat as the profile grows") {
+    requested()
+    import spark.implicits._
+    val store = new graft.tables.TableStore(spark,
+      Files.createTempDirectory("graft_s100_drift").toString)
+    try {
+      val ids = docs10.select(col("doc_id").cast("long")).as[Long].collect().sorted
+      val cuts = (1 to 11).map(i => ids((ids.length.toLong * i / 12).toInt))
+      val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+      val run = graft.streaming.StreamingDrift.driftBatch(
+        store, "mon.profile", "mon.drift", "text", 10) _
+      val walls = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+        val t0 = System.nanoTime()
+        run(docs10.filter(col("doc_id") > lo && col("doc_id") <= hi), i.toLong)
+        val w = (System.nanoTime() - t0) / 1e9
+        record(f"x108_batch_${i + 1}%02d", -1L, w)
+        w
+      }
+      info(f"[scale100] x108 per-batch walls: ${walls.map(w => f"$w%.1f").mkString(", ")}")
+      // every batch after the seed produced exactly one top-10 report
+      val perBatch = store.read("mon.drift").groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(perBatch.length == ranges.length - 1,
+        s"one report per non-seed batch, got ${perBatch.length}")
+      assert(perBatch.forall(_.getAs[Long]("n") <= 10))
+      // flatness: per-batch cost = tokenize+count + vocab-sized merge —
+      // independent of how much history the profile holds. min-of-window
+      // comparison dodges GC/JIT noise.
+      val early = walls.slice(2, 5).min
+      val late = walls.takeRight(3).min
+      assert(late <= math.max(1.0, early * 3),
+        f"per-batch drift cost grew with profile size: early=$early%.1f late=$late%.1f")
+    } finally store.detach()
+  }
 }
