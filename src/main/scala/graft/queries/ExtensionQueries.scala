@@ -1305,24 +1305,13 @@ object ExtensionQueries {
   // The corpus shuffles once, on (source, quality); results are
   // bit-identical to the window formulation (PlanSpec pins the shape).
   def x101QualityPercentile(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextFunctions.qualityScore(col("text")).as("quality"))
-    val hist = scored.groupBy(col("source"), col("quality"))
-      .agg(count(lit(1)).as("c"))
-    val cum = hist
-      .withColumn("below", coalesce(
-        sum(col("c")).over(W.partitionBy(col("source")).orderBy(col("quality"))
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum(col("c")).over(W.partitionBy(col("source"))))
-      .select(col("source"), col("quality"), col("below"), col("n"))
-    scored
-      .withColumn("tie", row_number().over(
-        W.partitionBy(col("source"), col("quality")).orderBy(col("doc_id"))))
-      .join(cum, Seq("source", "quality"))
+    graft.operators.HistogramRank.rank(scored, Seq("source"), "quality",
+        "doc_id", rankName = "rk", totalName = Some("n"))
       .select(col("doc_id"), col("source"), col("quality"),
-        expr("CASE WHEN n = 1 THEN 1000000L ELSE ((below + tie - 1) * 1000000L) div (n - 1) END")
+        expr("CASE WHEN n = 1 THEN 1000000L ELSE ((rk - 1) * 1000000L) div (n - 1) END")
           .as("pct_micro"))
       .orderBy(col("doc_id"))
   }
@@ -1488,22 +1477,13 @@ object ExtensionQueries {
   // per-source cardinality). The oracle is the straightforward
   // per-source window rank — bit-identical by construction.
   def x107SourceCap(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val cap = 15L
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
       .withColumn("hash60",
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
-      .withColumn("bkt", shiftright(col("hash60"), 52))
-    val hist = docs.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("below", coalesce(
-        sum(col("c")).over(W.partitionBy(col("source")).orderBy(col("bkt"))
-          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("bkt"), col("below"))
-    docs
-      .withColumn("tie", row_number().over(
-        W.partitionBy(col("source"), col("bkt")).orderBy(col("hash60"), col("doc_id"))))
-      .join(cum, Seq("source", "bkt"))
-      .filter(col("below") + col("tie") <= cap)
+    graft.operators.HistogramRank.rank(docs, Seq("source"), "hash60", "doc_id",
+        bucket = Some(graft.operators.HistogramRank.hashBuckets(52)))
+      .filter(col("rank") <= cap)
       .select(col("doc_id"), col("source"), col("hash60"))
       .orderBy(col("doc_id"))
   }
@@ -1549,7 +1529,52 @@ object ExtensionQueries {
     }
   }
 
+  // x109: the per-source quota as a CONTINUOUS process — x107's one-shot
+  // cap maintained incrementally: a store table holds each source's
+  // current kept set (its cap lowest md5 hashes) and an arriving batch
+  // can only EVICT members, never rescan history. Per batch: rank the
+  // batch's own per-source top-cap (HistogramRank over just the batch),
+  // union it with the cap-bounded kept table, keep the union's top-cap.
+  // Convergence is exact because lowest-cap-by-hash is associative — the
+  // incremental union of per-batch minima equals the one-shot quota — so
+  // x109 shares x107's oracle bit-for-bit. At 100 TB a batch costs one
+  // batch-sized histogram rank plus a (sources x 2cap)-frame re-rank.
+  def x109IncrementalQuota(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Materialize.MatOps
+    val HR = graft.operators.HistogramRank
+    val cap = 15L
+    def topCap(df: DataFrame) =
+      HR.rank(df, Seq("source"), "hash60", "doc_id",
+          bucket = Some(HR.hashBuckets(52)))
+        .filter(col("rank") <= cap).drop("rank")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("hash60",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= c1),
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      docs.filter(col("doc_id") > c2))
+    val store = Scratch.store(s, "graft_x109")
+    Scratch.sealing(store) {
+      batches.foreach { b =>
+        val union = if (store.exists("quota.kept"))
+          store.read("quota.kept").unionByName(topCap(b)) else topCap(b)
+        // materialize BEFORE the replace — the new kept set reads the
+        // table it is about to supersede
+        store.createOrReplace("quota.kept", topCap(union).materialized)
+      }
+      store.read("quota.kept")
+        .select(col("doc_id"), col("source"), col("hash60"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x109_incremental_quota" -> x109IncrementalQuota _,
     "x108_drift_stream" -> x108DriftStream _,
     "x107_source_cap" -> x107SourceCap _,
     "x106_best_of_cluster" -> x106BestOfCluster _,
@@ -1764,6 +1789,21 @@ object ExtensionQueries {
     s"""$ShingleCte,
        |$minhashTail""".stripMargin
 
+  /** Shared by x107 (one-shot) and x109 (incremental) — identical
+    * required results: lowest-cap-by-hash is associative, so the
+    * incremental union of per-batch minima must converge to the one-shot
+    * quota bit-for-bit. */
+  val SourceCapSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hash60
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, hash60,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash60, doc_id) AS rk
+      |  FROM h)
+      |SELECT doc_id, source, hash60 FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin
+
   /** Shared by x102 (incremental batch) and x108 (stream) — identical
     * required results: the stream's exactly-once at-arrival compare of
     * the final commit must equal the batch replay of the same cut. */
@@ -1908,16 +1948,8 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "x107_source_cap" ->
-      """WITH h AS (
-        |  SELECT doc_id, source,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hash60
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, source, hash60,
-        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash60, doc_id) AS rk
-        |  FROM h)
-        |SELECT doc_id, source, hash60 FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "x109_incremental_quota" -> SourceCapSql,
+    "x107_source_cap" -> SourceCapSql,
     "x106_best_of_cluster" ->
       s"""WITH RECURSIVE $MinhashCtes,
          |edges AS (

@@ -250,6 +250,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x108_drift_stream")
   }
 
+  test("x109 incremental quota completes at 10x (kept table stays cap-bounded)") {
+    requested(); run("x109_incremental_quota")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
