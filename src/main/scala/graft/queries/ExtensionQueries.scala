@@ -1564,8 +1564,12 @@ object ExtensionQueries {
         val union = if (store.exists("quota.kept"))
           store.read("quota.kept").unionByName(topCap(b)) else topCap(b)
         // materialize BEFORE the replace — the new kept set reads the
-        // table it is about to supersede
-        store.createOrReplace("quota.kept", topCap(union).materialized)
+        // table it is about to supersede; once written, the store copy
+        // is authoritative and the scratch blocks are released (the
+        // dupClusters superseded-checkpoint pattern)
+        val kept = topCap(union).materialized
+        store.createOrReplace("quota.kept", kept)
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
       }
       store.read("quota.kept")
         .select(col("doc_id"), col("source"), col("hash60"))

@@ -35,6 +35,42 @@ class ExtensionSpec extends AnyFunSuite {
     assert(r.count() > 0, "the sealed result must stay readable after deletion")
   }
 
+  test("x105 epoch plan: the budget is exactly exhausted and epochs are monotone in quality") {
+    val plan = graft.queries.ExtensionQueries.x105EpochPlan(spark, dir).collect()
+    val total = plan.map(_.getAs[Long]("tokens")).sum
+    // budget = 2x corpus < 3x corpus available -> allocation must spend it all
+    assert(plan.map(_.getAs[Long]("alloc_tokens")).sum == 2 * total,
+      "the 2x token budget must be exactly exhausted")
+    assert(plan.forall(r => r.getAs[Long]("epochs_micro") <= 3000000L),
+      "no source may exceed the 3-epoch repetition cap")
+    // better sources never repeat less: epochs are non-increasing down the
+    // (quality desc, source asc) order the allocator walks
+    val ordered = plan.sortBy(r =>
+      (-r.getAs[Long]("quality_micro"), r.getAs[String]("source")))
+    val epochs = ordered.map(_.getAs[Long]("epochs_micro"))
+    assert(epochs.zip(epochs.tail).forall { case (a, b) => a >= b },
+      s"epoch allocation must be monotone in quality order: ${epochs.mkString(",")}")
+  }
+
+  test("x106 representative carries its cluster's max quality (min id among ties), " +
+      "one representative per cluster") {
+    val reps = graft.queries.ExtensionQueries.x106BestOfCluster(spark, dir)
+    // independent argmax formulation: x22's cluster labels + a window rank
+    val clusters = graft.queries.ExtensionQueries.x22DupClusters(spark, dir)
+    val scored = docs.select(col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"))
+    val expected = clusters.join(scored, "doc_id")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("qm").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("qm").as("rep_quality_micro"))
+    assert(reps.select("cluster_id").distinct().count() == reps.count(),
+      "one representative per cluster")
+    assert(reps.select("cluster_id", "rep_doc", "rep_quality_micro")
+      .exceptAll(expected).isEmpty, "max(struct) argmax must equal the window argmax")
+  }
+
   test("minhash LSH candidates contain every true pair with jaccard ≥ 0.8 (recall)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select($"doc_a", $"doc_b")
