@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction over document text — the compliance pass
+  * every production corpus runs before training (emails, phone numbers,
+  * IP addresses; the rule set is open for gazetteer-style extension).
+  *
+  * Scale shape: a pure per-row projection — detection is
+  * `regexp_count`, redaction a fold of `regexp_replace`, both stock
+  * codegen'd expressions, so the pass rides whatever scan produced the
+  * rows with NO shuffle of its own and pushes down column pruning
+  * (only the text column and the id survive the scan). Patterns stay in
+  * the portable character-class/bounded-repetition subset so RE2-family
+  * engines (the DuckDB oracle) and Java regex agree character-for-
+  * character — no lookarounds, no backrefs.
+  */
+object Pii {
+
+  /** One detection rule: a portable regex and its redaction token. */
+  final case class Rule(name: String, pattern: String, replacement: String)
+
+  val Email: Rule = Rule("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]")
+  /** Dotted-quad; deliberately loose (no 0-255 bound) — redaction policy
+    * prefers false positives over leaked addresses. */
+  val Ipv4: Rule = Rule("ipv4", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "[IP]")
+  val Phone: Rule = Rule("phone", "\\d{3}-\\d{3}-\\d{4}", "[PHONE]")
+
+  /** Order matters only where patterns could nest; email (the only rule
+    * with an alnum context that could swallow a dotted quad's digits)
+    * runs first, then the digit-shaped rules. */
+  val DefaultRules: Seq[Rule] = Seq(Email, Ipv4, Phone)
+
+  /** Per-rule occurrence count columns `n_<rule>` (long). */
+  def scanCols(text: Column, rules: Seq[Rule] = DefaultRules): Seq[Column] =
+    rules.map(r => regexp_count(text, lit(r.pattern)).cast("long").as(s"n_${r.name}"))
+
+  /** The text with every rule's matches replaced by its token. */
+  def redact(text: Column, rules: Seq[Rule] = DefaultRules): Column =
+    rules.foldLeft(text)((acc, r) => regexp_replace(acc, r.pattern, r.replacement))
+
+  /** Per-document PII report: id, per-rule counts, total, and the
+    * redacted text — one projection, no shuffle. */
+  def scan(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[Rule] = DefaultRules): DataFrame =
+    df.select((col(idCol) +: scanCols(col(textCol), rules) :+ col(textCol)): _*)
+      .withColumn("n_pii", rules.map(r => col(s"n_${r.name}")).reduce(_ + _))
+      .withColumn("redacted", redact(col(textCol), rules))
+      .drop(textCol)
+}

@@ -1577,7 +1577,114 @@ object ExtensionQueries {
     }
   }
 
+  // x110: PII scan + redaction — the compliance pass before export. The
+  // synthetic corpus carries no PII, so the query first INJECTS
+  // deterministic email/phone/IP tokens keyed off doc_id (the fixture,
+  // mirrored verbatim in the oracle); the operator under test is the
+  // scan/redact projection itself: stock codegen regexps, zero shuffle —
+  // at 100 TB this rides the export scan for free.
+  def x110PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val ids = col("doc_id").cast("string")
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), ids, lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" or admin"), ids, lit("@test.org"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 up"))).otherwise(lit("")))
+    graft.operators.Pii.scan(
+        t(s, dir, "documents").select(col("doc_id"), aug.as("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        col("n_pii"), md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // x111: cross-source duplicate-overlap matrix — for every source pair,
+  // how many near-dup pairs (x3's exact LSH parameters) span them and
+  // their verified-Jaccard mass: the provenance/licensing view that says
+  // which corpora are re-crawls of each other. Candidates come from the
+  // band-bucket join (never a corpus cross join); the matrix frame is
+  // source²-bounded, so the final agg is broadcast-tiny at any corpus
+  // size.
+  def x111SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashLsh(docs, "doc_id", "text", n = 3, bands = 4, rows = 2,
+        threshold = 0.6)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        round(col("jaccard") * 1000000).cast("long").as("jm"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jm")).as("jaccard_mass_micro"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  // x112: memorization-risk report — per document, how much of it is
+  // corpus-UNIQUE at the 5-gram level (df = 1): the docs most at risk of
+  // verbatim regurgitation if leaked secrets live in them, and the
+  // flip-side diversity signal. Shingles travel as 60-bit md5 hashes
+  // (never strings) through the df agg and join; per-doc aggregation
+  // combines map-side. Two hash shuffles total, both on compact keys.
+  def x112MemorizationRisk(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .select(col("doc"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+    val out = sh.join(df, "shh")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        max(col("df")).as("max_df"))
+      .withColumn("risk_micro", expr("n_unique * 1000000L div n_sh"))
+      .orderBy(col("doc_id"))
+      // materialize BEFORE releasing the shingle cache the lazy plan reads
+      // (the x100 pattern)
+      .localCheckpoint()
+    sh.unpersist(false)
+    out
+  }
+
+  // x113: curriculum export order — ONE deterministic total order over
+  // the corpus (easy→hard by quality bucket, hash-shuffled within a
+  // bucket) with every document's exact global position, WITHOUT a
+  // global sort: HistogramRank with no partition columns buckets the
+  // composite key's top bits, so the only row-data windows partition by
+  // bucket (≲2k buckets of corpus/2k rows each) and the bucket histogram
+  // itself is the single-task frame (bounded by bucket count, never by
+  // rows). x56 shards for parallel readers; x113 is the single-sequence
+  // twin a curriculum schedule needs.
+  def x113CurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val HR = graft.operators.HistogramRank
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"),
+        conv(substring(md5(concat(lit("curr|"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("long").as("h52"))
+      .withColumn("qb", least(expr("qm div 125000"), lit(7L)))
+      // composite order key (qb, h52) packed into one long: qb ≤ 7 in the
+      // top bits, 52 hash bits below — monotone in (qb, h52) by layout
+      .withColumn("ckey", shiftleft(col("qb"), 53) + col("h52"))
+    HR.rank(keyed, Seq.empty, "ckey", "doc_id",
+        bucket = Some(HR.hashBuckets(45)), rankName = "pos")
+      .select(col("doc_id"), col("qb"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x113_curriculum_order" -> x113CurriculumOrder _,
+    "x112_memorization_risk" -> x112MemorizationRisk _,
+    "x111_source_overlap" -> x111SourceOverlap _,
+    "x110_pii_scan" -> x110PiiScan _,
     "x109_incremental_quota" -> x109IncrementalQuota _,
     "x108_drift_stream" -> x108DriftStream _,
     "x107_source_cap" -> x107SourceCap _,
@@ -1952,6 +2059,60 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x110_pii_scan" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    + len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+        |    + len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "x111_source_overlap" ->
+      s"""WITH $MinhashCtes,
+         |sp AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_lo,
+         |  greatest(a.source, b.source) AS source_hi,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(ROUND(jaccard * 1000000) AS BIGINT)) AS BIGINT) AS jaccard_mass_micro
+         |FROM lsh_pairs p
+         |JOIN sp a ON p.doc_a = a.doc_id
+         |JOIN sp b ON p.doc_b = b.doc_id
+         |WHERE a.source <> b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x112_memorization_risk" ->
+      s"""WITH norm AS (SELECT doc_id AS doc, $Norm AS t FROM documents),
+         |w AS (SELECT doc, string_split(t, ' ') AS w FROM norm),
+         |sh AS (SELECT DISTINCT doc,
+         |    CAST(('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 15)) AS BIGINT) AS shh
+         |  FROM w, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS u(i)),
+         |df AS (SELECT shh, COUNT(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc AS doc_id, COUNT(*) AS n_sh,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(MAX(df) AS BIGINT) AS max_df,
+         |  (CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS risk_micro
+         |FROM sh JOIN df USING (shh)
+         |GROUP BY doc ORDER BY doc""".stripMargin,
+    "x113_curriculum_order" ->
+      s"""WITH $QualityCtes,
+         |k AS (
+         |  SELECT doc_id,
+         |    least(CAST(ROUND(quality * 1000000) AS BIGINT) // 125000, 7) AS qb,
+         |    CAST(('0x' || substring(md5('curr|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h52
+         |  FROM q)
+         |SELECT doc_id, qb, ROW_NUMBER() OVER (ORDER BY qb, h52, doc_id) AS pos
+         |FROM k ORDER BY doc_id""".stripMargin,
     "x109_incremental_quota" -> SourceCapSql,
     "x107_source_cap" -> SourceCapSql,
     "x106_best_of_cluster" ->

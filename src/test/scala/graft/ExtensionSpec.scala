@@ -1372,4 +1372,83 @@ class ExtensionSpec extends AnyFunSuite {
       .filter($"m" > 1000000L).count()
     assert(bad == 0)
   }
+
+  test("PII: redaction is a fixed point, counts match hand-placed tokens, clean text untouched") {
+    import graft.operators.Pii
+    val rows = Seq(
+      (1L, "mail me at alice.b-1@corp.example.org or bob@x.io thanks"),
+      (2L, "server 192.168.0.1 and 10.0.300.7 call 415-555-0199"),
+      (3L, "no pii here at all"),
+      // a dotted quad inside a longer dotted run still redacts (policy:
+      // loose match preferred over a leak) and the phone shape with an
+      // extra digit block does NOT match
+      (4L, "v 1.2.3.4.5 and 1234-555-0199x")).toDF("id", "text")
+    val r = Pii.scan(rows, "id", "text").orderBy($"id")
+      .select($"id", $"n_email", $"n_ipv4", $"n_phone", $"redacted")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq((1L, 2L, 0L, 0L), (2L, 0L, 2L, 1L), (3L, 0L, 0L, 0L), (4L, 0L, 1L, 1L)),
+      s"got $r")
+    assert(r(0)._5 == "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(r(2)._5 == "no pii here at all", "clean text must pass through unchanged")
+    // fixed point: scanning the redacted text finds nothing
+    val again = Pii.scan(r.map(t => (t._1, t._5)).toDF("id", "text"), "id", "text")
+      .agg(sum($"n_pii")).as[Long].head()
+    assert(again == 0, "redacted text must scan clean")
+  }
+
+  test("memorization risk: a verbatim-duplicated doc scores 0, a unique doc 1e6") {
+    // x112 on sf0.001: every doc's risk is n_unique/n_sh in micro-units;
+    // cross-check two extremes against a direct shingle recount
+    val r = graft.queries.ExtensionQueries.x112MemorizationRisk(spark, dir)
+    val bad = r.filter($"risk_micro" =!= expr("n_unique * 1000000L div n_sh")).count()
+    assert(bad == 0, "risk must be exactly n_unique/n_sh")
+    assert(r.filter($"n_unique" > $"n_sh").count() == 0)
+    // docs whose every 5-gram is shared (exact dup pairs) must score 0
+    val dupDocs = Dedup.exactDedup(docs, "doc_id", "text").filter($"n_dups" >= 2)
+    if (dupDocs.count() > 0) {
+      val sample = dupDocs.select($"canonical_id").as[Long].head()
+      val risk = r.filter($"doc_id" === sample).select($"risk_micro").as[Long].head()
+      assert(risk == 0L, s"a verbatim-duplicated doc must have zero unique 5-grams, got $risk")
+    }
+  }
+
+  test("curriculum order: positions are a dense permutation, monotone in quality bucket, " +
+      "and equal the naive global sort") {
+    val r = graft.queries.ExtensionQueries.x113CurriculumOrder(spark, dir)
+      .select($"doc_id", $"qb", $"pos").cache()
+    val n = r.count()
+    assert(r.select(countDistinct($"pos")).as[Long].head() == n)
+    assert(r.agg(min($"pos"), max($"pos")).as[(Long, Long)].head() == ((1L, n)))
+    // walking the sequence in position order never decreases the bucket
+    val seq = r.orderBy($"pos").select($"qb").as[Long].collect().toSeq
+    assert(seq == seq.sorted, "curriculum must be easy-to-hard by bucket")
+    // bit-identical to the single-task reference: row_number over the
+    // same composite order (fine at sf0.001; the operator exists so this
+    // window never runs at corpus scale)
+    val naive = graft.queries.ExtensionQueries.x113CurriculumOrder(spark, dir)
+      .withColumn("h52", conv(substring(md5(concat(lit("curr|"),
+        $"doc_id".cast("string"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("ref", row_number().over(
+        Window.orderBy($"qb", $"h52", $"doc_id")).cast("long"))
+    r.unpersist(false)
+    assert(naive.filter($"pos" =!= $"ref").count() == 0,
+      "histogram-rank positions must equal the global-sort row_number")
+  }
+
+  test("source overlap: canonical pair order, pair mass reconciles with the LSH pair list") {
+    val r = graft.queries.ExtensionQueries.x111SourceOverlap(spark, dir).cache()
+    assert(r.filter($"source_lo" >= $"source_hi").count() == 0,
+      "matrix rows must be canonical (lo < hi)")
+    // total cross-source pair count reconciles with x3's pair list joined
+    // to sources directly
+    val src = docs.select($"doc_id", $"source")
+    val expected = Dedup.minhashLsh(docs, "doc_id", "text", 3, 4, 2, 0.6)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb").count()
+    val got = r.agg(coalesce(sum($"n_pairs"), lit(0L))).as[Long].head()
+    r.unpersist(false)
+    assert(got == expected, s"matrix mass $got != pair list $expected")
+  }
 }

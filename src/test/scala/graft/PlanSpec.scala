@@ -461,6 +461,34 @@ class PlanSpec extends AnyFunSuite {
       "the cumulative histogram joins back on (source, bkt) equi-keys")
   }
 
+  test("x110 PII scan: a shuffle-free projection — only the final sort exchanges") {
+    val plan = executedIsolated(SparkEntry.queries("x110_pii_scan")(spark, dir))
+    // detection + redaction are codegen'd regexp expressions riding the
+    // scan: no hash shuffle, no join, no window anywhere in the plan —
+    // the single exchange is the oracle gate's ORDER BY
+    assert(!plan.contains("hashpartitioning"),
+      s"PII scan must not hash-shuffle row data:\n${plan.take(1500)}")
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("Join"),
+      "PII scan is a pure projection — no windows, no joins")
+    assert(!plan.contains("n_chars"),
+      "unused document columns must be pruned from the scan")
+  }
+
+  test("x113 curriculum order: global positions come from the bucket histogram, never a global sort") {
+    val plan = executedIsolated(SparkEntry.queries("x113_curriculum_order")(spark, dir))
+    // the only row-data window partitions by the hash bucket (~2k groups)
+    assert("row_number\\(\\) windowspecdefinition\\(__hr_bkt#\\d+L?, ckey#\\d+L? ASC".r
+      .findFirstIn(plan).isDefined,
+      s"row-level tie window must partition by __hr_bkt:\n${plan.take(2000)}")
+    // the forbidden shape: a row_number over the whole corpus (empty
+    // partition spec, ckey as the leading ORDER key)
+    assert("row_number\\(\\) windowspecdefinition\\(ckey#\\d+L? ASC".r
+      .findFirstIn(plan).isEmpty,
+      "a global row_number sort resurfaced — the single-task total order")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the cumulative histogram joins back on the bucket equi-key")
+  }
+
   test("x104 salted join: the hot-key set broadcasts and the join keys carry the salt") {
     val plan = executedIsolated(SparkEntry.queries("x104_salted_join")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

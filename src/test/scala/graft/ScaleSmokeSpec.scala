@@ -254,6 +254,22 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x109_incremental_quota")
   }
 
+  test("x110 PII scan completes at 10x (pure projection)") {
+    requested(); run("x110_pii_scan")
+  }
+
+  test("x111 source overlap completes at 10x (band-bounded candidates, source^2 matrix)") {
+    requested(); run("x111_source_overlap")
+  }
+
+  test("x112 memorization risk completes at 10x (hashed shingles, two compact-key shuffles)") {
+    requested(); run("x112_memorization_risk")
+  }
+
+  test("x113 curriculum order completes at 10x (bucket-histogram rank, no global sort)") {
+    requested(); run("x113_curriculum_order")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
