@@ -1680,7 +1680,53 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x114: per-source corpus datasheet — the "datasheets for datasets"
+  // summary a released corpus ships (Gebru et al. 2021): per source, the
+  // volume (docs/tokens/chars), mean quality, the modal language with
+  // its share, and the corpus-wide exact-duplicate exposure. Every
+  // statistic is a map-side-combined agg keyed on source, (source,lang)
+  // or the 60-bit text hash; the assembly joins run on SOURCE-cardinality
+  // frames — a handful of rows at any corpus size — so the whole report
+  // costs three corpus scans, no row-data window, no wide shuffle.
+  def x114SourceDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val norm = TextFunctions.normalizeText(col("text"))
+    val stats = docs
+      .select(col("source"),
+        size(filter(split(norm, " "), w => length(w) > 0)).cast("long").as("tk"),
+        length(col("text")).cast("long").as("ch"),
+        round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"),
+        expr("sum(qm) div count(1)").as("mean_quality_micro"))
+    // modal language: per-(source,lang) counts, then a struct-min argmax
+    // (largest count, tie -> smallest lang) — no window
+    val langMode = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lc"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("lc")).as("neg"), col("lang").as("lang"))).as("m"),
+        sum(col("lc")).as("nd"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        expr("(-m.neg) * 1000000 div nd").as("top_lang_share_micro"))
+    // corpus-wide exact-dup exposure: docs whose full-text hash occurs >= 2
+    // times anywhere (cross-source aware), counted per source
+    val th = docs.select(col("source"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    val dup = th.join(
+        th.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2), "h")
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    stats.join(dup, Seq("source"), "left").na.fill(0L, Seq("dup_docs"))
+      .join(langMode, "source")
+      .withColumn("dup_rate_micro", expr("dup_docs * 1000000 div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("mean_quality_micro"), col("top_lang"), col("top_lang_share_micro"),
+        col("dup_docs"), col("dup_rate_micro"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x114_source_datasheet" -> x114SourceDatasheet _,
     "x113_curriculum_order" -> x113CurriculumOrder _,
     "x112_memorization_risk" -> x112MemorizationRisk _,
     "x111_source_overlap" -> x111SourceOverlap _,
@@ -2059,6 +2105,36 @@ object ExtensionQueries {
        |       ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x114_source_datasheet" ->
+      s"""WITH $QualityCtes,
+         |st AS (
+         |  SELECT b.source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(list_filter(string_split(b.t, ' '), w -> length(w) > 0))) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(LENGTH(b.text)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(CAST(ROUND(q.quality * 1000000) AS BIGINT)) AS BIGINT)
+         |      // COUNT(*) AS mean_quality_micro
+         |  FROM base b JOIN q ON b.doc_id = q.doc_id GROUP BY 1),
+         |lm AS (SELECT source, lang, COUNT(*) AS lc FROM documents GROUP BY 1, 2),
+         |top AS (
+         |  SELECT source, lang AS top_lang, lc,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rn,
+         |    SUM(lc) OVER (PARTITION BY source) AS nd
+         |  FROM lm),
+         |th AS (SELECT source,
+         |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |hf AS (SELECT h, COUNT(*) AS df FROM th GROUP BY 1),
+         |dup AS (
+         |  SELECT th.source, COUNT(*) AS dup_docs
+         |  FROM th JOIN hf ON th.h = hf.h WHERE hf.df >= 2 GROUP BY 1)
+         |SELECT st.source, st.n_docs, st.n_tokens, st.n_chars,
+         |  st.mean_quality_micro, top.top_lang,
+         |  CAST(top.lc * 1000000 // top.nd AS BIGINT) AS top_lang_share_micro,
+         |  CAST(COALESCE(dup.dup_docs, 0) AS BIGINT) AS dup_docs,
+         |  CAST(COALESCE(dup.dup_docs, 0) * 1000000 // st.n_docs AS BIGINT) AS dup_rate_micro
+         |FROM st JOIN top ON st.source = top.source AND top.rn = 1
+         |LEFT JOIN dup ON st.source = dup.source
+         |ORDER BY st.source""".stripMargin,
     "x110_pii_scan" ->
       """WITH aug AS (
         |  SELECT doc_id, text

@@ -1436,6 +1436,29 @@ class ExtensionSpec extends AnyFunSuite {
       "histogram-rank positions must equal the global-sort row_number")
   }
 
+  test("datasheet: totals reconcile with the corpus, the modal language is the argmax, " +
+      "dup mass matches a direct recount") {
+    val r = graft.queries.ExtensionQueries.x114SourceDatasheet(spark, dir).cache()
+    assert(r.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    assert(r.agg(sum($"n_chars")).as[Long].head() ==
+      docs.agg(sum(length($"text"))).as[Long].head())
+    // share bounds: the mode's share is in (0, 1e6]
+    assert(r.filter($"top_lang_share_micro" <= 0 ||
+      $"top_lang_share_micro" > 1000000L).count() == 0)
+    // modal language recomputed independently via a window argmax
+    val modes = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"lc".desc, $"lang")))
+      .filter($"rn" === 1).select($"source", $"lang".as("ref_lang"))
+    assert(r.join(modes, "source").filter($"top_lang" =!= $"ref_lang").count() == 0)
+    // dup mass: docs whose exact text occurs >= 2 times, recounted directly
+    val dupTotal = docs.groupBy($"text").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).agg(coalesce(sum($"c"), lit(0L))).as[Long].head()
+    val got = r.agg(sum($"dup_docs")).as[Long].head()
+    r.unpersist(false)
+    assert(got == dupTotal, s"datasheet dup mass $got != direct recount $dupTotal")
+  }
+
   test("source overlap: canonical pair order, pair mass reconciles with the LSH pair list") {
     val r = graft.queries.ExtensionQueries.x111SourceOverlap(spark, dir).cache()
     assert(r.filter($"source_lo" >= $"source_hi").count() == 0,

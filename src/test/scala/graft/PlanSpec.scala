@@ -489,6 +489,19 @@ class PlanSpec extends AnyFunSuite {
       "the cumulative histogram joins back on the bucket equi-key")
   }
 
+  test("x114 datasheet: no row-data window — every statistic is a partial agg, " +
+      "assembly joins run on source-cardinality frames") {
+    val plan = executedIsolated(SparkEntry.queries("x114_source_datasheet")(spark, dir))
+    assert(!plan.contains("windowspecdefinition"),
+      s"the datasheet must not window over row data (argmax is a struct-min agg):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "assembly joins are equi-joins on source / text-hash keys")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(plan).isDefined ||
+      plan.contains("Partial"),
+      "per-source stats must combine map-side")
+  }
+
   test("x104 salted join: the hot-key set broadcasts and the join keys carry the salt") {
     val plan = executedIsolated(SparkEntry.queries("x104_salted_join")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

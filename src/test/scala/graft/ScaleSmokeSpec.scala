@@ -270,6 +270,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x113_curriculum_order")
   }
 
+  test("x114 datasheet completes at 10x (three scans, source-cardinality joins)") {
+    requested(); run("x114_source_datasheet")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
