@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Materialize.MatOps
 import graft.functions.TextFunctions
 import graft.functions.RollingHash.rolling_hash
 import graft.operators.{Dedup, Multimodal, Similarity}
@@ -1279,7 +1280,7 @@ object ExtensionQueries {
       // materialize BEFORE releasing the band/shingle caches the lazy plan
       // reads (same pattern as incrementalDedup): returning the lazy frame
       // would pin both caches in executor storage for the session lifetime
-      .localCheckpoint()
+      .materialized
     bk.unpersist(false)
     sh.unpersist(false)
     audit
@@ -1540,7 +1541,6 @@ object ExtensionQueries {
   // x109 shares x107's oracle bit-for-bit. At 100 TB a batch costs one
   // batch-sized histogram rank plus a (sources x 2cap)-frame re-rank.
   def x109IncrementalQuota(s: SparkSession, dir: String): DataFrame = {
-    import graft.core.Materialize.MatOps
     val HR = graft.operators.HistogramRank
     val cap = 15L
     def topCap(df: DataFrame) =
@@ -1648,8 +1648,8 @@ object ExtensionQueries {
       .withColumn("risk_micro", expr("n_unique * 1000000L div n_sh"))
       .orderBy(col("doc_id"))
       // materialize BEFORE releasing the shingle cache the lazy plan reads
-      // (the x100 pattern)
-      .localCheckpoint()
+      // (the x100 pattern; reliable-checkpoint mode on a cluster)
+      .materialized
     sh.unpersist(false)
     out
   }
