@@ -26,18 +26,26 @@ object Materialize {
     * checkpoints; its value is the checkpoint directory. */
   val DirKey = "spark.graft.checkpointDir"
 
+  /** Session conf marker recording the root most recently passed to
+    * `setCheckpointDir`, so the idempotence guard is exact equality on
+    * the configured value rather than a substring heuristic. */
+  private val AppliedKey = "spark.graft.checkpointDir.applied"
+
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey) match {
       case Some(dir) if dir.nonEmpty =>
         // setCheckpointDir qualifies the path and appends a random UUID
-        // subdirectory, so getCheckpointDir never string-equals `dir`:
-        // the guard has to compare the configured ROOT (its last path
-        // segment), or every loop round re-runs the remote mkdirs and
-        // scatters checkpoints over fresh UUID directories
-        val rootName = new org.apache.hadoop.fs.Path(dir).getName
-        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(rootName)))
+        // subdirectory, so getCheckpointDir never string-equals `dir` and
+        // substring checks false-match (a basename that is a prefix of the
+        // old root, or of the UUID itself). Record the exact dir we last
+        // applied in the session conf instead: re-set only when the
+        // configured root actually changed — one remote mkdirs per root,
+        // and a reconfigured root always takes effect.
+        if (!spark.conf.getOption(AppliedKey).contains(dir)) {
           spark.sparkContext.setCheckpointDir(dir)
+          spark.conf.set(AppliedKey, dir)
+        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

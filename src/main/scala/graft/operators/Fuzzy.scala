@@ -79,7 +79,7 @@ object Fuzzy {
     * logic only looks at block keys, never at which side a row is from.
     */
   private def capBlocks(blocked: DataFrame, keyCols: Seq[String],
-      blockLen: Int, maxBlock: Int): DataFrame = {
+      blockLen: Int, maxBlock: Int, collectStats: Boolean): DataFrame = {
     val sizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
     val tagged = blocked.join(sizes, "blk")
     val ok = tagged.filter(col("bn") <= maxBlock).drop("bn")
@@ -94,7 +94,13 @@ object Fuzzy {
     val midTagged = mid.join(midSizes, "blk")
     val midOk = midTagged.filter(col("bn") <= maxBlock).drop("bn")
     // observability: one small job over the block-cardinality-bounded
-    // size tables (map-side combined; never corpus-row-sized output)
+    // size tables (map-side combined; never corpus-row-sized output).
+    // The routing above is fully lazy — this driver-side job is the ONLY
+    // eager work, so `collectStats = false` skips the extra blocking pass
+    // entirely when the hook isn't being read (the cap itself still
+    // applies; production keeps it on, it is the no-silent-truncation
+    // alerting surface).
+    if (!collectStats) { lastBlockStats = None; return ok.unionByName(midOk) }
     val st = sizes.select(col("bn"), lit(0).as("pass"))
       .unionAll(midSizes.select(col("bn"), lit(1).as("pass")))
       .agg(count(lit(1)).as("blocks"),
@@ -122,16 +128,23 @@ object Fuzzy {
     * block (their prefix == suffix == key), so short strings still pair.
     */
   def fuzzySelfJoin(records: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096): DataFrame = {
+      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096,
+      collectStats: Boolean = true): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockLen > 0, "blockLen must be positive")
     require(maxBlock > 1, "maxBlock must admit at least a pair")
     val keyed = records.select(col(idCol).cast("long").as("id"),
       col(keyCol).cast("string").as("k"))
-    // two blocking passes: prefix block and suffix block of the key
+    // two blocking passes: prefix block and suffix block of the key; the
+    // suffix pass skips rows whose suffix equals their prefix (any key
+    // shorter than blockLen) so no row enters a block twice — otherwise
+    // the hot cap fires at maxBlock/2 true rows for whole-key blocks and
+    // lastBlockStats double-counts them
     val blocked = keyed.select(col("id"), col("k"), prefixBlk("k", blockLen).as("blk"))
-      .unionAll(keyed.select(col("id"), col("k"), suffixBlk("k", blockLen).as("blk")))
-    val capped = capBlocks(blocked, Seq("id", "k"), blockLen, maxBlock)
+      .unionAll(keyed
+        .select(col("id"), col("k"), suffixBlk("k", blockLen).as("blk"))
+        .filter(col("blk") =!= prefixBlk("k", blockLen)))
+    val capped = capBlocks(blocked, Seq("id", "k"), blockLen, maxBlock, collectStats)
     // candidates: same block, canonical order, length guard (necessary
     // condition for edit distance <= maxDist) BEFORE the quadratic scorer
     val a = capped.as("a")
@@ -168,7 +181,8 @@ object Fuzzy {
     */
   def fuzzyLookup(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String, rightId: String, rightKey: String,
-      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096): DataFrame = {
+      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096,
+      collectStats: Boolean = true): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockLen > 0, "blockLen must be positive")
     require(maxBlock > 1, "maxBlock must admit at least a pair")
@@ -178,13 +192,16 @@ object Fuzzy {
     def sided(df: DataFrame, idCol: String, keyCol: String, side: String) = {
       val keyed = df.select(col(idCol).cast("long").as("id"),
         col(keyCol).cast("string").as("k"), lit(side).as("side"))
+      // suffix pass skips suffix==prefix rows — see fuzzySelfJoin
       keyed.select(col("id"), col("k"), col("side"), prefixBlk("k", blockLen).as("blk"))
-        .unionAll(keyed.select(col("id"), col("k"), col("side"),
-          suffixBlk("k", blockLen).as("blk")))
+        .unionAll(keyed
+          .select(col("id"), col("k"), col("side"), suffixBlk("k", blockLen).as("blk"))
+          .filter(col("blk") =!= prefixBlk("k", blockLen)))
     }
     val blocked = sided(left, leftId, leftKey, "l")
       .unionAll(sided(right, rightId, rightKey, "r"))
-    val capped = capBlocks(blocked, Seq("id", "side", "k"), blockLen, maxBlock)
+    val capped = capBlocks(blocked, Seq("id", "side", "k"), blockLen, maxBlock,
+      collectStats)
     val candidates = capped.filter(col("side") === "l")
       .select(col("id").as("l_id"), col("k").as("l_k"), col("blk"))
       .join(capped.filter(col("side") === "r")

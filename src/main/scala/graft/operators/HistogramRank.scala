@@ -39,14 +39,27 @@ object HistogramRank {
     * itself (exact histogram — right when score cardinality is bounded).
     * `totalName` additionally emits the group's row count (it rides the
     * same histogram window pass — percentile denominators come free).
+    *
+    * Score, tie and partition values must be NON-NULL: the histogram
+    * joins back on (partCols, bucket) equi-keys, and a null key would
+    * silently drop its rows instead of ranking them first the way the
+    * window equivalent does (enforced below — a null score fails fast
+    * rather than losing rows).
     */
   def rank(df: DataFrame, partCols: Seq[String], scoreCol: String,
       tieCol: String, bucket: Option[Column => Column] = None,
       rankName: String = "rank", totalName: Option[String] = None): DataFrame = {
     val part = partCols.map(col)
+    // fail fast on a null key instead of silently dropping the row in the
+    // equi-join: raise_error rides the bucketing projection (no extra pass)
+    val guarded = df.withColumn(scoreCol,
+      when((part :+ col(scoreCol)).map(_.isNull).reduce(_ || _),
+        raise_error(lit(s"HistogramRank: null in ($scoreCol" +
+          partCols.mkString(", ", ", ", "") + ") — null keys cannot rank")))
+        .otherwise(col(scoreCol)))
     val (bucketed, bktCol) = bucket match {
-      case Some(f) => (df.withColumn("__hr_bkt", f(col(scoreCol))), "__hr_bkt")
-      case None => (df, scoreCol)
+      case Some(f) => (guarded.withColumn("__hr_bkt", f(col(scoreCol))), "__hr_bkt")
+      case None => (guarded, scoreCol)
     }
     val hist = bucketed.groupBy((part :+ col(bktCol)): _*)
       .agg(count(lit(1)).as("__hr_c"))

@@ -79,15 +79,26 @@ object Salting {
     require(buckets > 1, "salting needs at least 2 buckets")
     require(Set("inner", "left", "left_outer")(joinType),
       "right/full joins would replicate unmatched rows — use saltedJoin")
-    val hot = big.groupBy(keys.map(col): _*)
+    // the pre-flight count IS x103's diagnosis, consumed by the operator
+    // instead of a human. The hot set is broadcastable by construction
+    // (≤ |big| / hotThreshold keys), so collect it ONCE: the same rows
+    // feed the stats hook and become the broadcast literal — the big-side
+    // count agg runs exactly one time, not once for stats and again
+    // inside the returned plan
+    val hotRows = big.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotThreshold)
-    // the pre-flight stats job (one agg over the count frame): this IS
-    // x103's diagnosis, consumed by the operator instead of a human
-    val st = hot.agg(count(lit(1)).as("k"),
-      coalesce(sum(col("__cnt")), lit(0L)).as("r")).head()
-    lastAutoSaltStats = Some(AutoSaltStats(st.getLong(0), st.getLong(1), buckets))
-    val hotKeys = broadcast(hot.select(keys.map(col) :+ lit(1).as("__hot"): _*))
+      .collect()
+    lastAutoSaltStats = Some(AutoSaltStats(
+      hotRows.length.toLong, hotRows.map(_.getLong(keys.length)).sum, buckets))
+    val s = big.sparkSession
+    val hotSchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => big.schema(k)) :+
+        org.apache.spark.sql.types.StructField("__cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val hotKeys = broadcast(
+      s.createDataFrame(java.util.Arrays.asList(hotRows: _*), hotSchema)
+        .select(keys.map(col) :+ lit(1).as("__hot"): _*))
     val bigS = big.join(hotKeys, keys, "left_outer")
       .withColumn("__salt", when(col("__hot").isNull, lit(0))
         .otherwise(saltCol(buckets, big.columns.map(col): _*)))

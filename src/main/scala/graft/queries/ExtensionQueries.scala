@@ -1590,6 +1590,8 @@ object ExtensionQueries {
         concat(lit(" contact user"), ids, lit("@example.com now"))).otherwise(lit("")),
       when(col("doc_id") % 6 === 0,
         concat(lit(" or admin"), ids, lit("@test.org"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" cc Ops.Team"), ids, lit("@Example.COM"))).otherwise(lit("")),
       when(col("doc_id") % 5 === 0,
         concat(lit(" call 415-555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
@@ -2140,18 +2142,19 @@ object ExtensionQueries {
         |  SELECT doc_id, text
         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
         |    || CASE WHEN doc_id % 6 = 0 THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' cc Ops.Team' || CAST(doc_id AS VARCHAR) || '@Example.COM' ELSE '' END
         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
         |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END AS t
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
         |  CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
         |    + len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
         |    + len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_pii,
         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
         |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
         |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS redacted_md5
         |FROM aug ORDER BY doc_id""".stripMargin,

@@ -67,6 +67,14 @@ object StreamingDrift {
       textCol: String, topK: Int)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val cnts = unigramCounts(batch, textCol)
+    // an empty micro-batch (stream recovery, or whitespace-only docs)
+    // leaves no trace at all: reporting against it would divide by a
+    // NULL batch total and append topK null-metric rows, and absorbing
+    // it would advance the profile label so a later real batch could
+    // compare against an EMPTY profile (the same NULL junk on the other
+    // side). Skipping is replay-deterministic — an empty batch is as if
+    // it never arrived.
+    if (cnts.isEmpty) return
     if (!store.exists(profileTable))
       // empty-create is replay-safe: recreating an empty table is a
       // no-op semantically, and every ABSORB below rides the id-labeled

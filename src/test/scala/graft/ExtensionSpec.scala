@@ -1062,6 +1062,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(capped.toSet.subsetOf(uncapped), "cap may reduce recall, never invent pairs")
   }
 
+  test("fuzzy cap: a short key (prefix==suffix block) counts each row once, not twice") {
+    import graft.operators.Fuzzy
+    // 300 rows sharing one whole-key block, cap 400: the old double-counted
+    // sizing saw 600 rows and declared the block hot on a corpus with none
+    val rows = (1L to 300L).map(i => (i, "abc")).toDF("id", "k")
+    val r = Fuzzy.fuzzySelfJoin(rows, "id", "k", maxDist = 1,
+      blockLen = 8, maxBlock = 400)
+    val st = Fuzzy.lastBlockStats.get
+    assert(st.maxBlockRows == 300,
+      s"a short key's block must count each row once, got ${st.maxBlockRows}")
+    assert(st.hotBlocks == 0 && st.reroutedRows == 0,
+      "300 true rows under a 400 cap must not trigger the cap")
+    assert(st.candidatePairBound == 300L * 299 / 2)
+    assert(r.count() == 300L * 299 / 2, "identical keys all pair")
+    // stats opt-out: no eager job, hook explicitly cleared
+    Fuzzy.fuzzySelfJoin(rows, "id", "k", 1, 8, 400, collectStats = false)
+    assert(Fuzzy.lastBlockStats.isEmpty,
+      "collectStats=false must clear the hook, not leave a stale reading")
+  }
+
   test("fuzzy hot-block cap: a block hot even mid-string is dropped AND reported") {
     import graft.operators.Fuzzy
     // 40 IDENTICAL keys: prefix, suffix and mid-string blocks all carry
@@ -1376,7 +1396,7 @@ class ExtensionSpec extends AnyFunSuite {
   test("PII: redaction is a fixed point, counts match hand-placed tokens, clean text untouched") {
     import graft.operators.Pii
     val rows = Seq(
-      (1L, "mail me at alice.b-1@corp.example.org or bob@x.io thanks"),
+      (1L, "mail me at alice.b-1@corp.example.org or Bob.QA@Example.COM thanks"),
       (2L, "server 192.168.0.1 and 10.0.300.7 call 415-555-0199"),
       (3L, "no pii here at all"),
       // a dotted quad inside a longer dotted run still redacts (policy:

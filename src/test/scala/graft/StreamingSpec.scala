@@ -594,6 +594,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(profile == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L),
       "half-replay must still complete the lost absorb")
     assert(store.read("mon.drift").filter(col("batch_id") === 2L).count() > 0)
+
+    // an empty micro-batch (recovery, or whitespace-only docs) leaves no
+    // trace: no null-metric report rows, no profile change, and no label
+    // advance (batch 4 after an empty batch 3 still reports normally)
+    val reports3 = store.read("mon.drift").count()
+    run(docs(), 3L)
+    run(docs((4L, "   ")), 3L)
+    assert(store.read("mon.drift").count() == reports3,
+      "an empty batch must not append a report")
+    assert(profile == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L),
+      "an empty batch must not touch the profile")
+    run(docs((5L, "epsilon")), 4L)
+    assert(store.read("mon.drift").filter(col("batch_id") === 4L).count() > 0,
+      "the batch after an empty one must still report")
     store.detach()
     graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
   }
