@@ -203,4 +203,29 @@ class Scale100Spec extends AnyFunSuite
         f"per-batch drift cost grew with profile size: early=$early%.1f late=$late%.1f")
     } finally store.detach()
   }
+
+  test("x113 curriculum order: dense global positions over the sf1-equivalent corpus") {
+    requested()
+    // x113's exact plan over the 500k-row frame: the partition-less
+    // HistogramRank must still produce a dense 1..n permutation while the
+    // only single-task frame stays bucket-cardinality-bounded (the plan
+    // pin lives in PlanSpec; here the claim is the RESULT holds at sf1)
+    val HR = graft.operators.HistogramRank
+    val keyed = docs10.select(col("doc_id"),
+        round(graft.functions.TextFunctions.qualityScore(col("text")) * 1000000)
+          .cast("long").as("qm"),
+        conv(substring(md5(concat(lit("curr|"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("long").as("h52"))
+      .withColumn("qb", least(expr("qm div 125000"), lit(7L)))
+      .withColumn("ckey", shiftleft(col("qb"), 53) + col("h52"))
+    val n = timed("x113_curriculum_500k", docs10.count()) {
+      val r = HR.rank(keyed, Seq.empty, "ckey", "doc_id",
+        bucket = Some(HR.hashBuckets(45)), rankName = "pos")
+      val row = r.agg(count(lit(1)), countDistinct(col("pos")), max(col("pos"))).head()
+      assert(row.getLong(1) == row.getLong(0) && row.getLong(2) == row.getLong(0),
+        s"positions must be a dense permutation at sf1: $row")
+      row.getLong(0)
+    }
+    assert(n > 0)
+  }
 }
