@@ -26,11 +26,6 @@ object Materialize {
     * checkpoints; its value is the checkpoint directory. */
   val DirKey = "spark.graft.checkpointDir"
 
-  /** Session conf marker recording the root most recently passed to
-    * `setCheckpointDir`, so the idempotence guard is exact equality on
-    * the configured value rather than a substring heuristic. */
-  private val AppliedKey = "spark.graft.checkpointDir.applied"
-
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey) match {
@@ -38,14 +33,20 @@ object Materialize {
         // setCheckpointDir qualifies the path and appends a random UUID
         // subdirectory, so getCheckpointDir never string-equals `dir` and
         // substring checks false-match (a basename that is a prefix of the
-        // old root, or of the UUID itself). Record the exact dir we last
-        // applied in the session conf instead: re-set only when the
-        // configured root actually changed — one remote mkdirs per root,
-        // and a reconfigured root always takes effect.
-        if (!spark.conf.getOption(AppliedKey).contains(dir)) {
-          spark.sparkContext.setCheckpointDir(dir)
-          spark.conf.set(AppliedKey, dir)
-        }
+        // old root, or of the UUID itself). The checkpoint dir is
+        // SparkContext-GLOBAL while this conf is session-scoped, so the
+        // guard must compare against the context's actual state: the
+        // PARENT of the current checkpoint path is exactly the qualified
+        // root last applied — re-set only when the configured root
+        // differs (one remote mkdirs per root; a reconfigured root, or
+        // another session having moved the context's dir, always takes
+        // effect).
+        val sc = spark.sparkContext
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+        val current = sc.getCheckpointDir
+          .map(d => new org.apache.hadoop.fs.Path(d).getParent)
+        if (!current.contains(qualified)) sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy matching (entity resolution): find record pairs whose
@@ -47,10 +47,12 @@ import org.apache.spark.sql.functions._
 object Fuzzy {
 
   /** Diagnosis record for the most recent blocking run on this JVM:
-    * block counts per pass, rows rerouted to the mid-string pass, rows
-    * dropped because even their mid-string block stayed hot, and the
-    * sum of n·(n−1)/2 over surviving blocks — the exact upper bound on
-    * candidate pairs entering the scorer. */
+    * block counts per pass, hot-block MEMBERSHIPS rerouted to the
+    * mid-string pass (a row hot in both its prefix and suffix block
+    * reroutes once per hot block — mid windows are scoped per hot
+    * block), memberships dropped because even their scoped mid window
+    * stayed hot, and the sum of n·(n−1)/2 over surviving blocks — the
+    * exact upper bound on candidate pairs entering the scorer. */
   final case class BlockStats(blocks: Long, maxBlockRows: Long, hotBlocks: Long,
       reroutedRows: Long, droppedRows: Long, candidatePairBound: Long)
 
@@ -64,13 +66,20 @@ object Fuzzy {
   private def suffixBlk(k: String, blockLen: Int) =
     expr(s"substring($k, greatest(length($k) - ${blockLen - 1}, 1), $blockLen)")
   /** Centered mid-string window — the third pass hot-block rows reroute
-    * to. Prefixed with a pass tag so a mid window never aliases a
-    * prefix/suffix block of unrelated rows (the 2-pass blocks share one
-    * namespace deliberately: a's prefix matching b's suffix is a real
-    * agreement on the same characters; a mid window matching a prefix is
-    * not). */
-  private def midBlk(k: String, blockLen: Int) =
-    concat(lit("m:"),
+    * to — SCOPED to the hot block the row came from: the composite
+    * key `m:<hot blk>|<mid window>` pairs two rows in the mid pass
+    * only when they (a) shared the hot block the uncapped plan would
+    * have compared them in AND (b) agree mid-string. Without the
+    * scope, rows from two DIFFERENT hot blocks sharing a mid window
+    * would pair — pairs the uncapped two-pass plan never compares,
+    * breaking the "capped ⊆ uncapped" soundness contract the property
+    * suite pins. The `m:` tag also keeps the pass out of the
+    * prefix/suffix namespace (those two share one namespace
+    * deliberately: a prefix of one key matching a suffix of another
+    * is a real agreement on the same characters; a mid window
+    * matching a prefix is not). */
+  private def midBlk(k: String, hotBlk: Column, blockLen: Int) =
+    concat(lit("m:"), hotBlk, lit("|"),
       expr(s"substring($k, greatest((length($k) - $blockLen) div 2 + 1, 1), $blockLen)"))
 
   /** Split `blocked` (id, k, blk) into under-cap rows (ready for the
@@ -83,13 +92,15 @@ object Fuzzy {
     val sizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
     val tagged = blocked.join(sizes, "blk")
     val ok = tagged.filter(col("bn") <= maxBlock).drop("bn")
-    // hot-block members, deduped (a row may sit in a hot prefix AND a hot
-    // suffix block) — rerouted through their mid-string window, which is
-    // itself capped: a block hot even mid-string is dropped + reported
+    // hot-block MEMBERSHIPS (a row hot in both its prefix and suffix
+    // block reroutes once per hot block — the mid window is scoped per
+    // hot block, so the memberships stay distinct keys) — rerouted
+    // through their hot-block-scoped mid-string window, which is itself
+    // capped: a block hot even mid-string is dropped + reported
     val hotRows = tagged.filter(col("bn") > maxBlock)
-      .select(keyCols.map(col): _*).distinct()
+      .select(keyCols.map(col) :+ col("blk").as("__hot_blk"): _*).distinct()
     val mid = hotRows.select(keyCols.map(col) :+
-      midBlk(keyCols.last, blockLen).as("blk"): _*)
+      midBlk(keyCols.last, col("__hot_blk"), blockLen).as("blk"): _*)
     val midSizes = mid.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
     val midTagged = mid.join(midSizes, "blk")
     val midOk = midTagged.filter(col("bn") <= maxBlock).drop("bn")

@@ -21,8 +21,9 @@ object Pii {
   /** One detection rule: a portable regex and its redaction token. */
   final case class Rule(name: String, pattern: String, replacement: String)
 
-  val Email: Rule = Rule("email",
-    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]")
+  /** Shares [[graft.functions.TextFunctions.EmailRe]] so the compliance
+    * pass and the corpus noise-scrub (x26) agree on what an email is. */
+  val Email: Rule = Rule("email", graft.functions.TextFunctions.EmailRe, "[EMAIL]")
   /** Dotted-quad; deliberately loose (no 0-255 bound) — redaction policy
     * prefers false positives over leaked addresses. */
   val Ipv4: Rule = Rule("ipv4", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "[IP]")

@@ -1637,8 +1637,7 @@ object ExtensionQueries {
   // combines map-side. Two hash shuffles total, both on compact keys.
   def x112MemorizationRisk(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 5)
-      .select(col("doc"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shh"))
+      .select(col("doc"), Dedup.shingleHash(col("shingle")).as("shh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
@@ -1713,8 +1712,7 @@ object ExtensionQueries {
         expr("(-m.neg) * 1000000 div nd").as("top_lang_share_micro"))
     // corpus-wide exact-dup exposure: docs whose full-text hash occurs >= 2
     // times anywhere (cross-source aware), counted per source
-    val th = docs.select(col("source"),
-      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    val th = docs.select(col("source"), Dedup.shingleHash(col("text")).as("h"))
     val dup = th.join(
         th.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2), "h")
       .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))

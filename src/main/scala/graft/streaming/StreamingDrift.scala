@@ -66,7 +66,12 @@ object StreamingDrift {
   def driftBatch(store: TableStore, profileTable: String, reportTable: String,
       textCol: String, topK: Int)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
+    // the counts frame is read up to three times below (emptiness probe,
+    // report compare, profile merge) — tokenize the micro-batch ONCE, not
+    // once per consumer; released in the finally
     val cnts = unigramCounts(batch, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // an empty micro-batch (stream recovery, or whitespace-only docs)
     // leaves no trace at all: reporting against it would divide by a
     // NULL batch total and append topK null-metric rows, and absorbing
@@ -104,6 +109,7 @@ object StreamingDrift {
         notMatched = Seq(MergeInto.NotMatchedInsert(None,
           Map("term" -> col("s.term"), "c" -> col("s.c")))),
         op = s"stream_append:$batchId")
+    } finally cnts.unpersist(false)
   }
 
   def driftSink(stream: DataFrame, store: TableStore, profileTable: String,

@@ -1049,7 +1049,8 @@ class ExtensionSpec extends AnyFunSuite {
       s"mid-string pass must recover the planted pair, got $capped")
     val st = Fuzzy.lastBlockStats.get
     assert(st.hotBlocks >= 2, s"prefix and suffix blocks are both hot: $st")
-    assert(st.reroutedRows == 302L, s"every row sits in a hot block: $st")
+    assert(st.reroutedRows == 604L,
+      s"every row sits in BOTH hot blocks -> 2 memberships each: $st")
     assert(st.droppedRows == 0L, s"mid windows are cold here: $st")
     // the whole point: candidate generation stays bounded — far below the
     // ~45k pairs the uncapped hot block would have emitted
@@ -1082,6 +1083,33 @@ class ExtensionSpec extends AnyFunSuite {
       "collectStats=false must clear the hook, not leave a stale reading")
   }
 
+  test("fuzzy cap: mid-pass pairs stay within their hot block — cross-family rows " +
+      "sharing only a mid window never pair") {
+    import graft.operators.Fuzzy
+    // two hot families (distinct prefix AND suffix blocks) with one
+    // cross-family row pair at distance 2 that agrees ONLY mid-string:
+    // the uncapped two-pass plan never compares it, so the capped plan
+    // must not invent it — an unscoped mid window would
+    def fam(tag: Char, n: Int) = (1 to n).map { i =>
+      val id = (if (tag == 'A') 0L else 10000L) + i
+      val mid = if (i == n) "SHAREDMI" else f"m$i%06d$tag"
+      (id, s"AAAAAAA$tag$mid" + (if (tag == 'A') "XXXXXXXX" else "XXXXXXXY"))
+    }
+    val d = (fam('A', 80) ++ fam('B', 80)).toDF("id", "k")
+    val crossPair = (80L, 10080L)
+    val capped = Fuzzy.fuzzySelfJoin(d, "id", "k", maxDist = 3,
+      blockLen = 8, maxBlock = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Fuzzy.fuzzySelfJoin(d, "id", "k", maxDist = 3,
+      blockLen = 8, maxBlock = 1 << 30)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!uncapped.contains(crossPair),
+      "sanity: the cross-family pair shares no prefix/suffix block")
+    assert(!capped.contains(crossPair),
+      "the mid pass must not pair rows from different hot blocks")
+    assert(capped.subsetOf(uncapped), s"invented pairs: ${capped -- uncapped}")
+  }
+
   test("fuzzy hot-block cap: a block hot even mid-string is dropped AND reported") {
     import graft.operators.Fuzzy
     // 40 IDENTICAL keys: prefix, suffix and mid-string blocks all carry
@@ -1093,8 +1121,9 @@ class ExtensionSpec extends AnyFunSuite {
       blockLen = 8, maxBlock = 10)
     assert(r.count() == 0, "all blocks over cap -> no candidates generated")
     val st = Fuzzy.lastBlockStats.get
-    assert(st.reroutedRows == 40L && st.droppedRows == 40L,
-      s"the dropped population must be visible in the stats: $st")
+    assert(st.reroutedRows == 80L && st.droppedRows == 80L,
+      s"the dropped population (2 hot-block memberships per row) must be " +
+        s"visible in the stats: $st")
     assert(st.candidatePairBound == 0L, s"nothing may enter the scorer: $st")
   }
 
@@ -1108,8 +1137,8 @@ class ExtensionSpec extends AnyFunSuite {
     Fuzzy.fuzzyLookup(left, dict, "id", "k", "id", "k",
       maxDist = 3, blockLen = 8, maxBlock = 31).count()
     val st = Fuzzy.lastBlockStats.get
-    assert(st.hotBlocks >= 2 && st.reroutedRows == 36L,
-      s"both blocks hold 36 > 31 rows; all 36 distinct rows must reroute: $st")
+    assert(st.hotBlocks >= 2 && st.reroutedRows == 72L,
+      s"both blocks hold 36 > 31 rows; every row reroutes once per hot block: $st")
   }
 
   test("auto-salted join == plain join on a skewed frame; only the hot key replicates; " +

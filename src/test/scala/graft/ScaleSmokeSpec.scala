@@ -53,7 +53,10 @@ class ScaleSmokeSpec extends AnyFunSuite
       // NEW SparkSession after stopping the batch one is the only way to
       // tell "this operator got slower at 10x" from "the JVM was hot".
       // Both numbers land in the artifact, so a phantom regression reads
-      // batch-high/recheck-at-floor.
+      // batch-high/recheck-at-floor. Recycling the shared session here is
+      // safe under sbt's sequential suite execution: any LATER suite's
+      // lazy session initializes after this afterAll, and getOrCreate
+      // replaces a stopped session with a fresh one.
       val flagged = walls.collect {
         case (n, (_, w)) if SparkEntry.queries.contains(n) &&
           floors.get(n).exists(fl => w > 2 * fl && w - fl > 1.0) => n

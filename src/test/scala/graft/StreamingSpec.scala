@@ -238,11 +238,25 @@ class StreamingSpec extends AnyFunSuite {
       // batch, so once it shows, the boundary-pair question is settled)
       def settle(): Unit = if (ttl.isEmpty) q.processAllAvailable()
       def n(): Long = spark.table(name).where($"user_id" === 1L).count()
+      // deterministic barrier for TTL mode: the state-row total in the
+      // query progress shows user 1's lease being REGISTERED (>=1) and
+      // then EXPIRED (0) by the continuous empty batches — no sleep-based
+      // guess about when the first batch ran (events coalescing into one
+      // batch would keep the state alive and flake the assertion)
+      def awaitState(pred: Long => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+        def rows = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+        while (!pred(rows) && System.nanoTime < deadline) Thread.sleep(25)
+        assert(pred(rows), s"state never became $what")
+      }
       try {
         val t = new Timestamp(0L)
         events.addData(Seq(TransEvent(1L, t, 1L, "a"))); settle()
-        Thread.sleep(1000) // processing time passes the 1ms lease; the
-        // continuous empty batches fire the timeout and drop user 1's state
+        if (ttl.isDefined) {
+          awaitState(_ >= 1, "registered") // batch 1 processed, lease armed
+          awaitState(_ == 0, "expired")    // empty batches fired the timeout
+        }
         events.addData(Seq(TransEvent(2L, t, 2L, "x"))); settle()
         events.addData(Seq(
           TransEvent(1L, t, 3L, "b"), TransEvent(1L, t, 4L, "c")))
