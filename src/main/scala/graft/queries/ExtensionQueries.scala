@@ -1725,7 +1725,34 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  // x115: ANN recall report — the evaluation harness that says whether
+  // an approximate index is good enough to ship: per query, the LSH
+  // top-k (x21's deterministic buckets) scored against the brute-force
+  // top-k ground truth (x5); hits and recall@k in integer micro-units.
+  // Retrieval does all the work (both sides corpus-linear with the
+  // query set broadcast); the reconciliation joins run on
+  // (queries × k)-sized frames. At corpus scale the query set IS the
+  // evaluation sample, so the report costs the sample, never the index.
+  def x115AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(emb, q, k = 5, nBits = 4, dim = 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("query_id")).agg(count(lit(1)).as("n_lsh")),
+        Seq("query_id"), "left_outer")
+      .join(hits, Seq("query_id"), "left_outer")
+      .na.fill(0L, Seq("n_lsh", "hits"))
+      .withColumn("recall_micro", expr("hits * 1000000 div n_exact"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x115_ann_recall" -> x115AnnRecall _,
     "x114_source_datasheet" -> x114SourceDatasheet _,
     "x113_curriculum_order" -> x113CurriculumOrder _,
     "x112_memorization_risk" -> x112MemorizationRisk _,
@@ -2104,7 +2131,48 @@ object ExtensionQueries {
        |       WHEN ${p}_fr > 0 THEN 'fr'
        |       ELSE 'und' END""".stripMargin
 
+  /** x21's deterministic sign-bit LSH bucket in DuckDB (same components). */
+  private def annBucketSql(alias: String): String =
+    Similarity.lshComponents(4, 64).zipWithIndex.map { case (comp, b) =>
+      s"CASE WHEN $alias.embedding[${comp + 1}] >= 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val AnnDot =
+    """list_sum(list_transform(range(1, len(q.embedding)+1),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x115_ann_recall" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, nrm, ${annBucketSql("n")} AS bucket FROM n),
+         |exr AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ROUND($AnnDot / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+         |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM exr WHERE rk <= 5),
+         |apr AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ROUND($AnnDot / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ap AS (SELECT query_id, neighbor_id FROM apr WHERE rk <= 5),
+         |h AS (SELECT ex.query_id, COUNT(*) AS hits
+         |  FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT e.query_id, e.n_exact,
+         |  CAST(COALESCE(a.n_lsh, 0) AS BIGINT) AS n_lsh,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(h.hits, 0) * 1000000 // e.n_exact AS BIGINT) AS recall_micro
+         |FROM (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1) e
+         |LEFT JOIN (SELECT query_id, COUNT(*) AS n_lsh FROM ap GROUP BY 1) a
+         |  ON e.query_id = a.query_id
+         |LEFT JOIN h ON e.query_id = h.query_id
+         |ORDER BY e.query_id""".stripMargin,
     "x114_source_datasheet" ->
       s"""WITH $QualityCtes,
          |st AS (

@@ -1508,6 +1508,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got == dupTotal, s"datasheet dup mass $got != direct recount $dupTotal")
   }
 
+  test("ANN recall report: invariants hold and hits match a direct set intersection") {
+    val r = graft.queries.ExtensionQueries.x115AnnRecall(spark, dir).cache()
+    assert(r.count() == 10)
+    assert(r.filter($"n_exact" =!= 5L).count() == 0, "ground truth is always k=5")
+    assert(r.filter($"hits" > least($"n_exact", $"n_lsh")).count() == 0)
+    assert(r.filter($"recall_micro" =!= expr("hits * 1000000 div n_exact")).count() == 0)
+    // hits for every query recomputed as the literal set intersection of
+    // the two public operators' neighbor sets
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val ex = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ap = Similarity.lshTopK(emb, q, k = 5, nBits = 4, dim = 64)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val want = (ex intersect ap).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = r.select($"query_id", $"hits").as[(Long, Long)].collect().toMap
+    r.unpersist(false)
+    assert((0L until 10L).forall(i => got(i) == want.getOrElse(i, 0L)),
+      s"hits mismatch: got $got want $want")
+  }
+
   test("source overlap: canonical pair order, pair mass reconciles with the LSH pair list") {
     val r = graft.queries.ExtensionQueries.x111SourceOverlap(spark, dir).cache()
     assert(r.filter($"source_lo" >= $"source_hi").count() == 0,

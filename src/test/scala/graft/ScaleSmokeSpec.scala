@@ -277,6 +277,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x114_source_datasheet")
   }
 
+  test("x115 ANN recall report completes at 10x (retrieval-bounded, sample-sized joins)") {
+    requested(); run("x115_ann_recall")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
