@@ -1635,22 +1635,32 @@ object ExtensionQueries {
   // flip-side diversity signal. Shingles travel as 60-bit md5 hashes
   // (never strings) through the df agg and join; per-doc aggregation
   // combines map-side. Two hash shuffles total, both on compact keys.
-  def x112MemorizationRisk(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 5)
+  /** x112's distinct hashed-shingle frame (doc, shh). */
+  private[graft] def memorizationShingles(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 5)
       .select(col("doc"), Dedup.shingleHash(col("shingle")).as("shh"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** x112's lazy plan over a shingle frame — split out so PlanSpec can pin
+    * the shape (the query itself persists the frame and materializes the
+    * result, which truncates the executed plan). */
+  private[graft] def memorizationRiskPlan(sh: DataFrame): DataFrame = {
     val df = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-    val out = sh.join(df, "shh")
+    sh.join(df, "shh")
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
         max(col("df")).as("max_df"))
       .withColumn("risk_micro", expr("n_unique * 1000000L div n_sh"))
       .orderBy(col("doc_id"))
-      // materialize BEFORE releasing the shingle cache the lazy plan reads
-      // (the x100 pattern; reliable-checkpoint mode on a cluster)
-      .materialized
+  }
+
+  def x112MemorizationRisk(s: SparkSession, dir: String): DataFrame = {
+    val sh = memorizationShingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE releasing the shingle cache the lazy plan reads
+    // (the x100 pattern; reliable-checkpoint mode on a cluster)
+    val out = memorizationRiskPlan(sh).materialized
     sh.unpersist(false)
     out
   }

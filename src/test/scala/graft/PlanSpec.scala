@@ -235,6 +235,35 @@ class PlanSpec extends AnyFunSuite {
       "the df join must stay equi-keyed on the shingle")
   }
 
+  test("x112 memorization risk: hashed-shingle equi-joins, map-side combine, no nested loop") {
+    // pin the lazy plan — the query itself materializes (checkpoint), which
+    // truncates what the executed string shows
+    val plan = executedIsolated(graft.queries.ExtensionQueries.memorizationRiskPlan(
+      graft.queries.ExtensionQueries.memorizationShingles(spark, dir)))
+    assert("partial_count|partial_sum".r.findFirstIn(plan).isDefined,
+      "df agg and per-doc sums must combine map-side")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the df join must stay equi-keyed on the 60-bit shingle hash")
+    assert(!plan.contains("windowspecdefinition"),
+      "no window belongs in the risk aggregation")
+  }
+
+  test("x111 source overlap: band-bucketed candidates, no corpus cross join") {
+    val plan = executedIsolated(SparkEntry.queries("x111_source_overlap")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the LSH band-bucket equi-join, never a cross join")
+    assert("partial_count|partial_sum".r.findFirstIn(plan).isDefined,
+      "the source-pair matrix agg must combine map-side")
+  }
+
+  test("x115 ANN recall: query sets broadcast into both retrievals, no cartesian") {
+    val plan = executedIsolated(SparkEntry.queries("x115_ann_recall")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the 10-query evaluation sample must broadcast against the corpus")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus x corpus must never materialize — only corpus x sample")
+  }
+
   test("x80 outlier monitor: per-source stats broadcast; the corpus never shuffles on doc rows") {
     val plan = executed(SparkEntry.queries("x80_quality_outliers")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
