@@ -52,11 +52,33 @@ object ClassifierQueries {
       .orderBy(col("bin"))
   }
 
+  /** Selection size for the oracle-gated uncertainty sample. */
+  val UncertainK = 20
+
+  // x116: active-learning uncertainty sampling — the "what to label next"
+  // step: the K docs whose raw classifier score |w·x| sits closest to the
+  // decision boundary, where a human label buys the most information
+  // (margin-based uncertainty, the classic active-learning heuristic).
+  // Scale shape: one corpus-linear scoring projection into a
+  // TakeOrderedAndProject cut (per-partition top-K, K-row merge on the
+  // driver) — no global sort, no window; the 100 TB cost is the scan x78
+  // already pays.
+  def x116UncertaintySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Classifier.train(docs, label, Iters).last
+    Classifier.scoreDocs(docs, label, Seq(w.w0, w.w1, w.w2, w.w3, w.w4))
+      .select(col("doc_id"), (col("y") * col("margin")).as("wx"))
+      .withColumn("abs_wx", abs(col("wx")))
+      .orderBy(col("abs_wx"), col("doc_id"))
+      .limit(UncertainK)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x77_perceptron_train" -> x77PerceptronTrain _,
     "x78_perceptron_score" -> x78PerceptronScore _,
     "x82_classifier_eval" -> x82ClassifierEval _,
-    "x91_calibration" -> x91Calibration _)
+    "x91_calibration" -> x91Calibration _,
+    "x116_uncertainty_sample" -> x116UncertaintySample _)
 
   /** Feature CTE shared by both oracles — the SQL twin of
     * [[Classifier.features]] (plus doc_id for the scoring join). */
@@ -155,9 +177,18 @@ object ClassifierQueries {
        |  CAST(sum_wx // n AS BIGINT) AS mean_wx
        |FROM agg ORDER BY bin""".stripMargin
 
+  private def uncertainSql(iters: Int, k: Int): String =
+    s"""WITH ${iterCtes(iters)},
+       |scored AS (
+       |  SELECT doc_id, w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4 AS wx
+       |  FROM f, i$iters)
+       |SELECT doc_id, CAST(wx AS BIGINT) AS wx, CAST(abs(wx) AS BIGINT) AS abs_wx
+       |FROM scored ORDER BY abs(wx), doc_id LIMIT $k""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x77_perceptron_train" -> trainSql(Iters),
     "x78_perceptron_score" -> scoreSql(Iters),
     "x82_classifier_eval" -> evalSql(Iters),
-    "x91_calibration" -> calibSql(Iters, nBuckets = 10))
+    "x91_calibration" -> calibSql(Iters, nBuckets = 10),
+    "x116_uncertainty_sample" -> uncertainSql(Iters, UncertainK))
 }

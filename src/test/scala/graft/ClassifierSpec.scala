@@ -71,4 +71,24 @@ class ClassifierSpec extends AnyFunSuite {
     // both margin 0 → misclassified; updates: +[1,0,0,0,0] + -[1,1,0,0,0]
     assert(stats == Seq(IterStat(1, 2L, 0L, -1L, 0L, 0L, 0L)))
   }
+
+  test("uncertainty sample: the K selected docs dominate every unselected doc on |wx|") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.queries.ClassifierQueries.x116UncertaintySample(spark, dir)
+      .select($"doc_id", $"wx", $"abs_wx").as[(Long, Long, Long)].collect().toSeq
+    assert(r.length == graft.queries.ClassifierQueries.UncertainK)
+    assert(r.forall(t => math.abs(t._2) == t._3), "abs_wx must be |wx|")
+    // every selected doc is at least as close to the boundary as every
+    // unselected one (ties broken by doc_id, so compare (abs, id) order)
+    val all = graft.queries.ClassifierQueries.x78PerceptronScore(spark, dir)
+      .select($"doc_id", ($"y" * $"margin").as("wx"))
+      .as[(Long, Long)].collect().toSeq
+    val key = (t: (Long, Long)) => (math.abs(t._2), t._1)
+    val worstSelected = r.map(t => (t._3, t._1)).max
+    val bestUnselected = all.filterNot(d => r.exists(_._1 == d._1))
+      .map(key).minOption
+    import scala.math.Ordering.Implicits._
+    assert(bestUnselected.forall(_ >= worstSelected),
+      s"an unselected doc $bestUnselected beats a selected one $worstSelected")
+  }
 }

@@ -264,6 +264,14 @@ class PlanSpec extends AnyFunSuite {
       "corpus x corpus must never materialize — only corpus x sample")
   }
 
+  test("x116 uncertainty sample: a TakeOrdered cut, never a global sort") {
+    val plan = executedIsolated(SparkEntry.queries("x116_uncertainty_sample")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the K-closest-to-boundary cut must be per-partition top-K + driver merge")
+    assert(!plan.contains("windowspecdefinition"),
+      "no rank window belongs in a top-K selection")
+  }
+
   test("x80 outlier monitor: per-source stats broadcast; the corpus never shuffles on doc rows") {
     val plan = executed(SparkEntry.queries("x80_quality_outliers")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

@@ -281,6 +281,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x115_ann_recall")
   }
 
+  test("x116 uncertainty sample completes at 10x (TakeOrdered cut over the scoring scan)") {
+    requested(); run("x116_uncertainty_sample")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
