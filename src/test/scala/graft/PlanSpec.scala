@@ -537,6 +537,10 @@ class PlanSpec extends AnyFunSuite {
       "HashAggregate.*partial".r.findFirstIn(plan).isDefined ||
       plan.contains("Partial"),
       "per-source stats must combine map-side")
+    // the output column is also CALLED n_chars, so check the scan schemas
+    // specifically: no document scan may read the unused n_chars column
+    assert("ReadSchema: [^\\n]*n_chars".r.findFirstIn(plan).isEmpty,
+      "unused document columns must be pruned from the scans")
   }
 
   test("x104 salted join: the hot-key set broadcasts and the join keys carry the salt") {
