@@ -1761,7 +1761,39 @@ object ExtensionQueries {
       .orderBy(col("query_id"))
   }
 
+  // x117: dedup-threshold sensitivity sweep — one pass over the LSH
+  // band-bucket candidates (scored ONCE) answers "how aggressive should
+  // near-dup removal be" for a whole rung ladder at a time: per jaccard
+  // threshold, how many pairs survive, their jaccard mass and how many
+  // docs are touched. The ladder is a 5-row literal frame; the explode
+  // multiplies only the CANDIDATE set (band-bounded, never corpus²), so
+  // the sweep costs what a single-threshold run costs plus a 5× fan-out
+  // of the candidate rows.
+  def x117ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, rows = 2, threshold = 0.0)
+      .select(round(col("jaccard") * 1000000).cast("long").as("jm"),
+        col("doc_a"), col("doc_b"))
+    val rungs = (5 to 9).map(_ * 100000L).toDF("thr_micro")
+    val kept = pairs.select(
+        explode(array((5 to 9).map(r => lit(r * 100000L)): _*)).as("thr_micro"),
+        col("jm"), col("doc_a"), col("doc_b"))
+      .filter(col("jm") >= col("thr_micro"))
+    val base = kept.groupBy(col("thr_micro"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jm")).as("jaccard_mass_micro"))
+    val docsIn = kept
+      .select(col("thr_micro"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy(col("thr_micro")).agg(count(lit(1)).as("n_docs_involved"))
+    rungs.join(base, Seq("thr_micro"), "left_outer")
+      .join(docsIn, Seq("thr_micro"), "left_outer")
+      .na.fill(0L, Seq("n_pairs", "jaccard_mass_micro", "n_docs_involved"))
+      .orderBy(col("thr_micro"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x117_threshold_sweep" -> x117ThresholdSweep _,
     "x115_ann_recall" -> x115AnnRecall _,
     "x114_source_datasheet" -> x114SourceDatasheet _,
     "x113_curriculum_order" -> x113CurriculumOrder _,
@@ -1958,7 +1990,8 @@ object ExtensionQueries {
 
   /** MinHash signatures → banded buckets → verified pairs (x3's exact
     * parameters) over the shingle CTEs, ending in `lsh_pairs`. */
-  private def minhashTail: String =
+  private def minhashTail: String = minhashTail(0.6)
+  private def minhashTail(thr: Double): String =
     s"""sig AS (
        |  SELECT doc,
        |    ${(0 until 8).map(i => s"MIN(md5('graft$i|' || shingle)) AS mh_$i").mkString(", ")}
@@ -1977,11 +2010,17 @@ object ExtensionQueries {
        |  FROM cand c
        |  LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
        |  JOIN sizes sa ON c.doc_a = sa.doc JOIN sizes sb ON c.doc_b = sb.doc
-       |  WHERE COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= 0.6)""".stripMargin
+       |  WHERE COALESCE(n_inter, 0) * 1.0 / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= $thr)""".stripMargin
 
   private val MinhashCtes =
     s"""$ShingleCte,
        |$minhashTail""".stripMargin
+
+  /** [[MinhashCtes]] with NO jaccard gate — every band-bucket candidate
+    * survives with its verified jaccard (the x117 sweep's input). */
+  private val MinhashAllCtes =
+    s"""$ShingleCte,
+       |${minhashTail(0.0)}""".stripMargin
 
   /** Shared by x107 (one-shot) and x109 (incremental) — identical
     * required results: lowest-cap-by-hash is associative, so the
@@ -2152,6 +2191,26 @@ object ExtensionQueries {
       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x117_threshold_sweep" ->
+      s"""WITH $MinhashAllCtes,
+         |rungs AS (SELECT CAST(thr AS BIGINT) AS thr_micro FROM (VALUES
+         |  (500000), (600000), (700000), (800000), (900000)) AS t(thr)),
+         |pm AS (SELECT CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jm,
+         |  doc_a, doc_b FROM lsh_pairs),
+         |kept AS (SELECT thr_micro, jm, doc_a, doc_b
+         |  FROM rungs JOIN pm ON jm >= thr_micro),
+         |agg AS (SELECT thr_micro, COUNT(*) AS n_pairs,
+         |  CAST(SUM(jm) AS BIGINT) AS jaccard_mass_micro FROM kept GROUP BY 1),
+         |docs_in AS (SELECT thr_micro, COUNT(*) AS nd FROM (
+         |  SELECT DISTINCT thr_micro, u.d FROM kept, UNNEST([doc_a, doc_b]) AS u(d))
+         |  GROUP BY 1)
+         |SELECT r.thr_micro,
+         |  CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(a.jaccard_mass_micro, 0) AS BIGINT) AS jaccard_mass_micro,
+         |  CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_docs_involved
+         |FROM rungs r LEFT JOIN agg a ON r.thr_micro = a.thr_micro
+         |LEFT JOIN docs_in d ON r.thr_micro = d.thr_micro
+         |ORDER BY r.thr_micro""".stripMargin,
     "x115_ann_recall" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding,

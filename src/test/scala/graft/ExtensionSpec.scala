@@ -1529,6 +1529,19 @@ class ExtensionSpec extends AnyFunSuite {
       s"hits mismatch: got $got want $want")
   }
 
+  test("threshold sweep: monotone in the rung, and the 0.6 rung equals the x3 pair count") {
+    val r = graft.queries.ExtensionQueries.x117ThresholdSweep(spark, dir)
+      .select($"thr_micro", $"n_pairs", $"jaccard_mass_micro", $"n_docs_involved")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(r.map(_._1) == (5 to 9).map(_ * 100000L))
+    // raising the threshold can only shrink every column
+    assert(r.sliding(2).forall { case Seq(a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 && b._4 <= a._4 }, s"not monotone: $r")
+    val at06 = Dedup.minhashLsh(docs, "doc_id", "text", 3, 4, 2, 0.6).count()
+    assert(r.find(_._1 == 600000L).get._2 == at06,
+      "the sweep's 0.6 rung must equal the single-threshold run")
+  }
+
   test("source overlap: canonical pair order, pair mass reconciles with the LSH pair list") {
     val r = graft.queries.ExtensionQueries.x111SourceOverlap(spark, dir).cache()
     assert(r.filter($"source_lo" >= $"source_hi").count() == 0,

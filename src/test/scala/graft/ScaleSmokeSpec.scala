@@ -285,6 +285,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x116_uncertainty_sample")
   }
 
+  test("x117 threshold sweep completes at 10x (one LSH pass, 5x candidate fan-out)") {
+    requested(); run("x117_threshold_sweep")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
