@@ -1792,7 +1792,133 @@ object ExtensionQueries {
       .orderBy(col("thr_micro"))
   }
 
+  // x118: incremental per-source datasheet — x114 as a CONTINUOUS process
+  // (the one-shot→incremental pairing of x107→x109 and x94→x102): id-
+  // ordered ingest batches maintain store tables so the release summary is
+  // always current WITHOUT rescanning history.
+  //  - ds.stats (source → docs/tokens/chars/sum-quality) and ds.langs
+  //    ((source, lang) → count): associative adds via file-pruned MERGE;
+  //  - exact-dup exposure is NOT associative — a new doc can flip an OLD
+  //    singleton into a dup — so ds.hashes holds per-(hash, source) counts
+  //    and each batch point-reads ONLY its touched hashes (box+bloom
+  //    pruned, the x83 probe shape) and applies the threshold-crossing
+  //    delta: docs of hash h are dups exactly when total(h) ≥ 2, so
+  //    Δ(s) = Σ_h c_new(h,s)·1{newTot≥2} − c_old(h,s)·1{oldTot≥2}.
+  // The final frame must equal x114's one-shot datasheet bit-for-bit
+  // (shared oracle). At 100 TB a batch costs the batch: three batch-sized
+  // aggs, a touched-hash point probe and candidate-bounded merges.
+  def x118IncrementalDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= c1),
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      docs.filter(col("doc_id") > c2))
+    val store = Scratch.store(s, "graft_x118")
+    Scratch.sealing(store) {
+      batches.foreach(b => datasheetIngest(store, b))
+      val stats = store.read("ds.stats")
+        .withColumn("mean_quality_micro", expr("sum_q div n_docs"))
+      val langMode = store.read("ds.langs")
+        .groupBy(col("source"))
+        .agg(min(struct((-col("lc")).as("neg"), col("lang").as("lang"))).as("m"),
+          sum(col("lc")).as("nd"))
+        .select(col("source"), col("m.lang").as("top_lang"),
+          expr("(-m.neg) * 1000000 div nd").as("top_lang_share_micro"))
+      val dup = store.read("ds.dup")
+      stats.join(dup, Seq("source"), "left_outer").na.fill(0L, Seq("dup_docs"))
+        .join(langMode, "source")
+        .withColumn("dup_rate_micro", expr("dup_docs * 1000000 div n_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("mean_quality_micro"), col("top_lang"), col("top_lang_share_micro"),
+          col("dup_docs"), col("dup_rate_micro"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** One x118 ingest batch: associative MERGEs for stats/langs, the
+    * touched-hash crossing delta for dup exposure. */
+  private[graft] def datasheetIngest(store: graft.tables.TableStore, b: DataFrame): Unit = {
+    import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    val norm = TextFunctions.normalizeText(col("text"))
+    val stats = b.select(col("source"),
+        size(filter(split(norm, " "), w => length(w) > 0)).cast("long").as("tk"),
+        length(col("text")).cast("long").as("ch"),
+        round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"), sum(col("qm")).as("sum_q"))
+    if (!store.exists("ds.stats"))
+      store.createOrReplace("ds.stats", stats.limit(0), statsFor = Seq("source"))
+    store.merge("ds.stats", stats, Seq("source"),
+      matched = Seq(MatchedUpdate(None, Map(
+        "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
+        "n_tokens" -> (col("t.n_tokens") + col("s.n_tokens")),
+        "n_chars" -> (col("t.n_chars") + col("s.n_chars")),
+        "sum_q" -> (col("t.sum_q") + col("s.sum_q"))))),
+      notMatched = Seq(NotMatchedInsert(None, Map(
+        "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
+        "n_tokens" -> col("s.n_tokens"), "n_chars" -> col("s.n_chars"),
+        "sum_q" -> col("s.sum_q")))))
+    val langs = b.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
+    if (!store.exists("ds.langs"))
+      store.createOrReplace("ds.langs", langs.limit(0), statsFor = Seq("source"))
+    store.merge("ds.langs", langs, Seq("source", "lang"),
+      matched = Seq(MatchedUpdate(None, Map("lc" -> (col("t.lc") + col("s.lc"))))),
+      notMatched = Seq(NotMatchedInsert(None, Map(
+        "source" -> col("s.source"), "lang" -> col("s.lang"),
+        "lc" -> col("s.lc")))))
+    // dup exposure: per-(hash, source) batch counts against the touched
+    // slice of the persisted hash index
+    val bc = b.select(col("source"), Dedup.shingleHash(col("text")).as("h"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = bc.select(col("h")).distinct()
+    val old =
+      if (store.exists("ds.hashes")) {
+        val (idx, _) = store.readPointPruned("ds.hashes", touched, Seq("h"))
+        idx.join(touched, Seq("h"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else bc.limit(0)
+    val oldTot = old.groupBy(col("h")).agg(sum(col("c")).as("old_tot"))
+    val tot = bc.groupBy(col("h")).agg(sum(col("c")).as("b_tot"))
+      .join(oldTot, Seq("h"), "left_outer").na.fill(0L, Seq("old_tot"))
+      .withColumn("new_tot", col("b_tot") + col("old_tot"))
+    val plus = old.unionByName(bc)
+      .groupBy(col("h"), col("source")).agg(sum(col("c")).as("cn"))
+      .join(tot.filter(col("new_tot") >= 2).select(col("h")), "h")
+      .groupBy(col("source")).agg(sum(col("cn")).as("p"))
+    val minus = old
+      .join(tot.filter(col("old_tot") >= 2).select(col("h")), "h")
+      .groupBy(col("source")).agg(sum(col("c")).as("m"))
+    val delta = plus.join(minus, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("p", "m"))
+      .select(col("source"), (col("p") - col("m")).as("d"))
+      .filter(col("d") =!= 0L)
+    if (!store.exists("ds.dup"))
+      store.createOrReplace("ds.dup",
+        delta.select(col("source"), col("d").as("dup_docs")).limit(0),
+        statsFor = Seq("source"))
+    store.merge("ds.dup", delta, Seq("source"),
+      matched = Seq(MatchedUpdate(None,
+        Map("dup_docs" -> (col("t.dup_docs") + col("s.d"))))),
+      notMatched = Seq(NotMatchedInsert(None, Map(
+        "source" -> col("s.source"), "dup_docs" -> col("s.d")))))
+    if (!store.exists("ds.hashes"))
+      store.createOrReplace("ds.hashes", bc.limit(0), statsFor = Seq("h"))
+    store.merge("ds.hashes", bc, Seq("h", "source"),
+      matched = Seq(MatchedUpdate(None, Map("c" -> (col("t.c") + col("s.c"))))),
+      notMatched = Seq(NotMatchedInsert(None, Map(
+        "h" -> col("s.h"), "source" -> col("s.source"), "c" -> col("s.c")))))
+    old.unpersist(false)
+    bc.unpersist(false)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x118_incremental_datasheet" -> x118IncrementalDatasheet _,
     "x117_threshold_sweep" -> x117ThresholdSweep _,
     "x115_ann_recall" -> x115AnnRecall _,
     "x114_source_datasheet" -> x114SourceDatasheet _,
@@ -2190,6 +2316,40 @@ object ExtensionQueries {
     """list_sum(list_transform(range(1, len(q.embedding)+1),
       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))""".stripMargin
 
+  /** Shared by x114 (one-shot) and x118 (incremental) — identical
+    * required results: the incremental store tables must converge to the
+    * one-shot datasheet bit-for-bit. */
+  private val DatasheetSql: String =
+      s"""WITH $QualityCtes,
+         |st AS (
+         |  SELECT b.source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(list_filter(string_split(b.t, ' '), w -> length(w) > 0))) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(LENGTH(b.text)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(CAST(ROUND(q.quality * 1000000) AS BIGINT)) AS BIGINT)
+         |      // COUNT(*) AS mean_quality_micro
+         |  FROM base b JOIN q ON b.doc_id = q.doc_id GROUP BY 1),
+         |lm AS (SELECT source, lang, COUNT(*) AS lc FROM documents GROUP BY 1, 2),
+         |top AS (
+         |  SELECT source, lang AS top_lang, lc,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rn,
+         |    SUM(lc) OVER (PARTITION BY source) AS nd
+         |  FROM lm),
+         |th AS (SELECT source,
+         |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |hf AS (SELECT h, COUNT(*) AS df FROM th GROUP BY 1),
+         |dup AS (
+         |  SELECT th.source, COUNT(*) AS dup_docs
+         |  FROM th JOIN hf ON th.h = hf.h WHERE hf.df >= 2 GROUP BY 1)
+         |SELECT st.source, st.n_docs, st.n_tokens, st.n_chars,
+         |  st.mean_quality_micro, top.top_lang,
+         |  CAST(top.lc * 1000000 // top.nd AS BIGINT) AS top_lang_share_micro,
+         |  CAST(COALESCE(dup.dup_docs, 0) AS BIGINT) AS dup_docs,
+         |  CAST(COALESCE(dup.dup_docs, 0) * 1000000 // st.n_docs AS BIGINT) AS dup_rate_micro
+         |FROM st JOIN top ON st.source = top.source AND top.rn = 1
+         |LEFT JOIN dup ON st.source = dup.source
+         |ORDER BY st.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x117_threshold_sweep" ->
       s"""WITH $MinhashAllCtes,
@@ -2242,36 +2402,8 @@ object ExtensionQueries {
          |  ON e.query_id = a.query_id
          |LEFT JOIN h ON e.query_id = h.query_id
          |ORDER BY e.query_id""".stripMargin,
-    "x114_source_datasheet" ->
-      s"""WITH $QualityCtes,
-         |st AS (
-         |  SELECT b.source, COUNT(*) AS n_docs,
-         |    CAST(SUM(len(list_filter(string_split(b.t, ' '), w -> length(w) > 0))) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(LENGTH(b.text)) AS BIGINT) AS n_chars,
-         |    CAST(SUM(CAST(ROUND(q.quality * 1000000) AS BIGINT)) AS BIGINT)
-         |      // COUNT(*) AS mean_quality_micro
-         |  FROM base b JOIN q ON b.doc_id = q.doc_id GROUP BY 1),
-         |lm AS (SELECT source, lang, COUNT(*) AS lc FROM documents GROUP BY 1, 2),
-         |top AS (
-         |  SELECT source, lang AS top_lang, lc,
-         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rn,
-         |    SUM(lc) OVER (PARTITION BY source) AS nd
-         |  FROM lm),
-         |th AS (SELECT source,
-         |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-         |  FROM documents),
-         |hf AS (SELECT h, COUNT(*) AS df FROM th GROUP BY 1),
-         |dup AS (
-         |  SELECT th.source, COUNT(*) AS dup_docs
-         |  FROM th JOIN hf ON th.h = hf.h WHERE hf.df >= 2 GROUP BY 1)
-         |SELECT st.source, st.n_docs, st.n_tokens, st.n_chars,
-         |  st.mean_quality_micro, top.top_lang,
-         |  CAST(top.lc * 1000000 // top.nd AS BIGINT) AS top_lang_share_micro,
-         |  CAST(COALESCE(dup.dup_docs, 0) AS BIGINT) AS dup_docs,
-         |  CAST(COALESCE(dup.dup_docs, 0) * 1000000 // st.n_docs AS BIGINT) AS dup_rate_micro
-         |FROM st JOIN top ON st.source = top.source AND top.rn = 1
-         |LEFT JOIN dup ON st.source = dup.source
-         |ORDER BY st.source""".stripMargin,
+    "x118_incremental_datasheet" -> DatasheetSql,
+    "x114_source_datasheet" -> DatasheetSql,
     "x110_pii_scan" ->
       """WITH aug AS (
         |  SELECT doc_id, text

@@ -1542,6 +1542,37 @@ class ExtensionSpec extends AnyFunSuite {
       "the sweep's 0.6 rung must equal the single-threshold run")
   }
 
+  test("incremental datasheet: equals the one-shot bit-for-bit; a dup arriving in a later " +
+      "batch flips its OLD singleton (the non-associative crossing case)") {
+    val inc = graft.queries.ExtensionQueries.x118IncrementalDatasheet(spark, dir).collect().toSeq
+    val one = graft.queries.ExtensionQueries.x114SourceDatasheet(spark, dir).collect().toSeq
+    assert(inc == one, "the incremental store tables must converge to the one-shot datasheet")
+    // hand-driven crossing case: doc 1 (s1) is a singleton after batch 1;
+    // its verbatim copy arrives in batch 3 under ANOTHER source — both
+    // docs must count as dups, including the doc whose batch is long gone
+    val root = java.nio.file.Files.createTempDirectory("graft_x118_spec").toString
+    val store = new graft.tables.TableStore(spark, root)
+    try {
+      def batch(rows: (Long, String, String, String)*) =
+        rows.toSeq.toDF("doc_id", "text", "lang", "source")
+      val ingest = graft.queries.ExtensionQueries.datasheetIngest _
+      ingest(store, batch((1L, "same text body", "en", "s1")))
+      assert(store.read("ds.dup").count() == 0, "a singleton is not a dup yet")
+      ingest(store, batch((2L, "something else", "en", "s2")))
+      ingest(store, batch((3L, "same text body", "en", "s2")))
+      val dup = store.read("ds.dup").as[(String, Long)].collect().toMap
+      assert(dup == Map("s1" -> 1L, "s2" -> 1L),
+        s"the old s1 singleton must flip when its copy lands in s2: $dup")
+      // and a third copy only adds ONE more dup doc
+      ingest(store, batch((4L, "same text body", "en", "s1")))
+      val dup2 = store.read("ds.dup").as[(String, Long)].collect().toMap
+      assert(dup2 == Map("s1" -> 2L, "s2" -> 1L), s"third copy adds one: $dup2")
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("source overlap: canonical pair order, pair mass reconciles with the LSH pair list") {
     val r = graft.queries.ExtensionQueries.x111SourceOverlap(spark, dir).cache()
     assert(r.filter($"source_lo" >= $"source_hi").count() == 0,

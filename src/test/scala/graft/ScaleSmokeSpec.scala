@@ -289,6 +289,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x117_threshold_sweep")
   }
 
+  test("x118 incremental datasheet completes at 10x (batch-sized aggs, point-probed dup delta)") {
+    requested(); run("x118_incremental_datasheet")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
