@@ -25,10 +25,22 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   lazy val spark = graft.core.GraftSession.local(4)
   import spark.implicits._
 
-  /** TRUE for `keys`, but every evaluation first waits for `marker`. */
-  private def gatedCond(marker: Path, keys: Seq[Int]) = {
+  /** TRUE for `keys`, but every evaluation first waits for `marker`.
+    * When `started` is given, the FIRST evaluation creates it — the
+    * "I am scanning under my snapshot" signal the fast writer waits for
+    * before committing. Without that handshake the test is a timing
+    * race: under JVM pressure the slow writer can open its snapshot
+    * AFTER the fast writer's commit+marker, see the post-commit version,
+    * and (correctly) not conflict — flaking the must-abort assertion. */
+  private def gatedCond(marker: Path, keys: Seq[Int],
+      started: Option[Path] = None) = {
     val m = marker.toString
+    val st = started.map(_.toString)
     val f = udf { (k: Int) =>
+      st.foreach { p =>
+        try Files.createFile(java.nio.file.Paths.get(p))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
       var waited = 0
       while (!Files.exists(java.nio.file.Paths.get(m)) && waited < 60000) {
         Thread.sleep(10); waited += 10
@@ -36,6 +48,13 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       keys.contains(k)
     }
     f(col("k"))
+  }
+
+  /** Block until `p` exists (the slow writer's scan has started). */
+  private def awaitFile(p: Path): Unit = {
+    var waited = 0
+    while (!Files.exists(p) && waited < 60000) { Thread.sleep(10); waited += 10 }
+    assert(Files.exists(p), s"scan-start signal $p never appeared")
   }
 
   private def run2(a: () => Unit, b: () => Unit): (Option[Throwable], Option[Throwable]) = {
@@ -66,11 +85,13 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_occ2").toString
     val store = new TableStore(spark, root)
     val marker = java.nio.file.Paths.get(root, "appended.marker")
+    val started = java.nio.file.Paths.get(root, "appended.marker.started")
     store.createOrReplace("db.t",
       (1 to 40).map(i => (i, 0L)).toDF("k", "n").repartition(2))
     val (ea, eb) = run2(
-      () => store.update("db.t", gatedCond(marker, Seq(7)), Map("n" -> lit(99L))),
+      () => store.update("db.t", gatedCond(marker, Seq(7), Some(started)), Map("n" -> lit(99L))),
       () => {
+        awaitFile(started) // the slow scan holds its snapshot
         store.append("db.t", Seq((1000, 5L)).toDF("k", "n"))
         Files.createFile(marker)
       })
@@ -85,11 +106,13 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_occ3").toString
     val store = new TableStore(spark, root)
     val marker = java.nio.file.Paths.get(root, "updated.marker")
+    val started = java.nio.file.Paths.get(root, "updated.marker.started")
     // one file — both updates must rewrite it, a genuine conflict
     store.createOrReplace("db.t", (1 to 10).map(i => (i, 0L)).toDF("k", "n").coalesce(1))
     val (ea, eb) = run2(
-      () => store.update("db.t", gatedCond(marker, Seq(1)), Map("n" -> lit(111L))),
+      () => store.update("db.t", gatedCond(marker, Seq(1), Some(started)), Map("n" -> lit(111L))),
       () => {
+        awaitFile(started) // the slow scan holds its snapshot
         store.update("db.t", col("k") === 2, Map("n" -> lit(222L)))
         Files.createFile(marker)
       })
@@ -104,11 +127,19 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_occ4").toString
     val store = new TableStore(spark, root)
     val marker = java.nio.file.Paths.get(root, "ser.marker")
-    store.createOrReplace("db.t", (1 to 10).map(i => (i, 0L)).toDF("k", "n"))
+    val started = java.nio.file.Paths.get(root, "ser.marker.started")
+    // 2 partitions, NOT the default 4: the gated scan's sleeping UDF tasks
+    // must never occupy every local core, or the fast append STARVES in
+    // the scheduler queue until the UDF's wait budget expires and the
+    // race collapses (the sibling tests coalesce/repartition for the same
+    // reason)
+    store.createOrReplace("db.t",
+      (1 to 10).map(i => (i, 0L)).toDF("k", "n").repartition(2))
     store.setIsolation("db.t", "serializable")
     val (ea, eb) = run2(
-      () => store.update("db.t", gatedCond(marker, Seq(3)), Map("n" -> lit(9L))),
+      () => store.update("db.t", gatedCond(marker, Seq(3), Some(started)), Map("n" -> lit(9L))),
       () => {
+        awaitFile(started) // the slow scan holds its snapshot
         store.append("db.t", Seq((99, 1L)).toDF("k", "n"))
         Files.createFile(marker)
       })
@@ -181,11 +212,13 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_occ6").toString
     val store = new TableStore(spark, root)
     val marker = java.nio.file.Paths.get(root, "cdf.marker")
+    val started = java.nio.file.Paths.get(root, "cdf.marker.started")
     store.createOrReplace("db.t", (1 to 20).map(i => (i, 0L)).toDF("k", "n").coalesce(1))
     store.enableChangeFeed("db.t")
     val (ea, eb) = run2(
-      () => store.update("db.t", gatedCond(marker, Seq(5)), Map("n" -> lit(50L))),
+      () => store.update("db.t", gatedCond(marker, Seq(5), Some(started)), Map("n" -> lit(50L))),
       () => {
+        awaitFile(started) // the slow scan holds its snapshot
         store.append("db.t", Seq((500, 1L)).toDF("k", "n"))
         Files.createFile(marker)
       })
