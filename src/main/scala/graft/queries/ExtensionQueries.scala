@@ -1701,39 +1701,54 @@ object ExtensionQueries {
   // costs three corpus scans, no row-data window, no wide shuffle.
   def x114SourceDatasheet(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val norm = TextFunctions.normalizeText(col("text"))
-    val stats = docs
-      .select(col("source"),
-        size(filter(split(norm, " "), w => length(w) > 0)).cast("long").as("tk"),
-        length(col("text")).cast("long").as("ch"),
-        round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
-        sum(col("ch")).as("n_chars"),
-        expr("sum(qm) div count(1)").as("mean_quality_micro"))
-    // modal language: per-(source,lang) counts, then a struct-min argmax
-    // (largest count, tie -> smallest lang) — no window
-    val langMode = docs.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("lc"))
-      .groupBy(col("source"))
-      .agg(min(struct((-col("lc")).as("neg"), col("lang").as("lang"))).as("m"),
-        sum(col("lc")).as("nd"))
-      .select(col("source"), col("m.lang").as("top_lang"),
-        expr("(-m.neg) * 1000000 div nd").as("top_lang_share_micro"))
     // corpus-wide exact-dup exposure: docs whose full-text hash occurs >= 2
     // times anywhere (cross-source aware), counted per source
     val th = docs.select(col("source"), Dedup.shingleHash(col("text")).as("h"))
     val dup = th.join(
         th.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2), "h")
       .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
-    stats.join(dup, Seq("source"), "left").na.fill(0L, Seq("dup_docs"))
+    datasheetAssemble(datasheetStatFrame(docs),
+      datasheetLangMode(
+        docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))),
+      dup)
+  }
+
+  /** Shared x114/x118 datasheet pieces — the one-shot and its incremental
+    * twin must stay bit-for-bit identical (the shared `DatasheetSql`
+    * oracle pins it), so every shared computation lives here exactly
+    * once. Per-source volume + quality sums (map-side combined): */
+  private def datasheetStatFrame(b: DataFrame): DataFrame = {
+    val norm = TextFunctions.normalizeText(col("text"))
+    b.select(col("source"),
+        size(filter(split(norm, " "), w => length(w) > 0)).cast("long").as("tk"),
+        length(col("text")).cast("long").as("ch"),
+        round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"), sum(col("qm")).as("sum_q"))
+  }
+
+  /** Modal language per source: struct-min argmax (largest count, tie ->
+    * smallest lang) over a (source, lang, lc) frame — no window. */
+  private def datasheetLangMode(lm: DataFrame): DataFrame =
+    lm.groupBy(col("source"))
+      .agg(min(struct((-col("lc")).as("neg"), col("lang").as("lang"))).as("m"),
+        sum(col("lc")).as("nd"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        expr("(-m.neg) * 1000000 div nd").as("top_lang_share_micro"))
+
+  /** Final datasheet assembly over source-cardinality frames. */
+  private def datasheetAssemble(stats: DataFrame, langMode: DataFrame,
+      dup: DataFrame): DataFrame =
+    stats.withColumn("mean_quality_micro", expr("sum_q div n_docs"))
+      .join(dup, Seq("source"), "left_outer").na.fill(0L, Seq("dup_docs"))
       .join(langMode, "source")
       .withColumn("dup_rate_micro", expr("dup_docs * 1000000 div n_docs"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
         col("mean_quality_micro"), col("top_lang"), col("top_lang_share_micro"),
         col("dup_docs"), col("dup_rate_micro"))
       .orderBy(col("source"))
-  }
+
 
   // x115: ANN recall report — the evaluation harness that says whether
   // an approximate index is good enough to ship: per query, the LSH
@@ -1775,9 +1790,10 @@ object ExtensionQueries {
         n = 3, bands = 4, rows = 2, threshold = 0.0)
       .select(round(col("jaccard") * 1000000).cast("long").as("jm"),
         col("doc_a"), col("doc_b"))
-    val rungs = (5 to 9).map(_ * 100000L).toDF("thr_micro")
+    val rungMicros = (5 to 9).map(_ * 100000L)
+    val rungs = rungMicros.toDF("thr_micro")
     val kept = pairs.select(
-        explode(array((5 to 9).map(r => lit(r * 100000L)): _*)).as("thr_micro"),
+        explode(array(rungMicros.map(lit(_)): _*)).as("thr_micro"),
         col("jm"), col("doc_a"), col("doc_b"))
       .filter(col("jm") >= col("thr_micro"))
     val base = kept.groupBy(col("thr_micro"))
@@ -1820,22 +1836,8 @@ object ExtensionQueries {
     val store = Scratch.store(s, "graft_x118")
     Scratch.sealing(store) {
       batches.foreach(b => datasheetIngest(store, b))
-      val stats = store.read("ds.stats")
-        .withColumn("mean_quality_micro", expr("sum_q div n_docs"))
-      val langMode = store.read("ds.langs")
-        .groupBy(col("source"))
-        .agg(min(struct((-col("lc")).as("neg"), col("lang").as("lang"))).as("m"),
-          sum(col("lc")).as("nd"))
-        .select(col("source"), col("m.lang").as("top_lang"),
-          expr("(-m.neg) * 1000000 div nd").as("top_lang_share_micro"))
-      val dup = store.read("ds.dup")
-      stats.join(dup, Seq("source"), "left_outer").na.fill(0L, Seq("dup_docs"))
-        .join(langMode, "source")
-        .withColumn("dup_rate_micro", expr("dup_docs * 1000000 div n_docs"))
-        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
-          col("mean_quality_micro"), col("top_lang"), col("top_lang_share_micro"),
-          col("dup_docs"), col("dup_rate_micro"))
-        .orderBy(col("source"))
+      datasheetAssemble(store.read("ds.stats"),
+        datasheetLangMode(store.read("ds.langs")), store.read("ds.dup"))
     }
   }
 
@@ -1843,14 +1845,7 @@ object ExtensionQueries {
     * touched-hash crossing delta for dup exposure. */
   private[graft] def datasheetIngest(store: graft.tables.TableStore, b: DataFrame): Unit = {
     import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
-    val norm = TextFunctions.normalizeText(col("text"))
-    val stats = b.select(col("source"),
-        size(filter(split(norm, " "), w => length(w) > 0)).cast("long").as("tk"),
-        length(col("text")).cast("long").as("ch"),
-        round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
-        sum(col("ch")).as("n_chars"), sum(col("qm")).as("sum_q"))
+    val stats = datasheetStatFrame(b)
     if (!store.exists("ds.stats"))
       store.createOrReplace("ds.stats", stats.limit(0), statsFor = Seq("source"))
     store.merge("ds.stats", stats, Seq("source"),
@@ -1907,8 +1902,13 @@ object ExtensionQueries {
         Map("dup_docs" -> (col("t.dup_docs") + col("s.d"))))),
       notMatched = Seq(NotMatchedInsert(None, Map(
         "source" -> col("s.source"), "dup_docs" -> col("s.d")))))
-    if (!store.exists("ds.hashes"))
+    if (!store.exists("ds.hashes")) {
+      // the bloom is what keeps the touched-hash probe flat as history
+      // grows: h is a uniform 60-bit hash, so every file's [min,max] box
+      // spans the full range and the box stage alone prunes nothing
       store.createOrReplace("ds.hashes", bc.limit(0), statsFor = Seq("h"))
+      store.setBloomFilterIndex("ds.hashes", Seq("h"), ndv = 1000000L)
+    }
     store.merge("ds.hashes", bc, Seq("h", "source"),
       matched = Seq(MatchedUpdate(None, Map("c" -> (col("t.c") + col("s.c"))))),
       notMatched = Seq(NotMatchedInsert(None, Map(
