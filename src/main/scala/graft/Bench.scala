@@ -96,12 +96,16 @@ object Bench {
       (name, cold, warm, coldErr.orElse(warmErr))
     }
     // The driver keeps only the last ~2000 bytes of process output, so the
-    // single JSON line must stay well under that or it is clipped at the
-    // front and unparseable (BENCH_r01..r04 all captured `parsed: null`).
-    // Two measures: (a) full-name per-query lines print first, for the
-    // human-readable log; (b) the machine line uses the short id prefix of
-    // each query name ("q44_zorder_read" -> "q44") and 2-decimal seconds,
-    // keeping the line ~1.1 KB even at 100 queries.
+    // final JSON line must stay well under that or it is clipped at the
+    // front and unparseable (BENCH_r01..r04 captured `parsed: null`; by
+    // r11 even the short-id per-query map outgrew the window at 174
+    // queries and truncated again). The artifact is therefore split:
+    // (a) full-name per-query lines print first, for the human log;
+    // (b) the FULL per-query map (cold+warm+recheck+errors) is written to
+    //     a committed file (GRAFT_BENCH_QUERIES_JSON, default
+    //     BENCH_QUERIES.json) so the run self-describes durably;
+    // (c) the final stdout line is a compact summary — totals, count,
+    //     rechecked map, errors — that stays parseable at any query count.
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     results.foreach { case (k, c, w, e) =>
       println(f"[bench] $k%-26s cold=${r2(c)}%-8s warm=${r2(w)}%-8s${e.fold("")("ERR " + _)}")
@@ -150,8 +154,6 @@ object Bench {
         fresh.stop()
         out
       }
-    val qs = results.map { case (k, _, w, _) => "\"" + shortIds(k) + "\":" + r2(w) }
-      .mkString("{", ",", "}")
     val recheckJson =
       if (rechecked.isEmpty) ""
       else rechecked.map { case (id, re) => "\"" + id + "\":" + r2(re) }
@@ -162,7 +164,22 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
     val sfShort = sfDir.split('/').last
-    println(s"""{"metric":"total_warm","value":${r2(warmTotal)},"unit":"sec","cold_total_sec":${r2(coldTotal)}$errJson$recheckJson,"queries":$qs,"sf":"$sfShort"}""")
+    // the durable full per-query record (FULL names, cold+warm, recheck)
+    val qFile = sys.env.getOrElse("GRAFT_BENCH_QUERIES_JSON", "BENCH_QUERIES.json")
+    val recheckByFull = rechecked.toMap
+    val qRows = results.map { case (k, c, w, e) =>
+      val re = recheckByFull.get(shortIds(k))
+        .fold("")(v => s""", "recheck_warm": ${r2(v)}""")
+      val er = e.fold("")(m =>
+        s""", "err": "${m.replaceAll("[\"\\\\\n\r\t]", " ").take(60)}"""")
+      s"""  "$k": {"cold": ${r2(c)}, "warm": ${r2(w)}$re$er}"""
+    }.mkString(",\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(qFile),
+      (s"""{\n  "_sf": "$sfShort", "_total_warm": ${r2(warmTotal)}, """ +
+        s""""_total_cold": ${r2(coldTotal)}, "_count": ${results.size},\n""" +
+        qRows + "\n}\n").getBytes("UTF-8"))
+    // compact machine summary — MUST be the final stdout line
+    println(s"""{"metric":"total_warm","value":${r2(warmTotal)},"unit":"sec","cold_total_sec":${r2(coldTotal)},"count":${results.size}$errJson$recheckJson,"queries_file":"$qFile","sf":"$sfShort"}""")
     if (rechecked.isEmpty) spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)
   }

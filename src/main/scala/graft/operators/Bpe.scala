@@ -105,7 +105,7 @@ object Bpe {
           val m = next.materialized
           // the predecessor checkpoint is dead the moment its successor
           // materializes — release it (never the caller's input frame)
-          if (acc ne df) org.apache.spark.sql.GraftShims.unpersistCheckpoint(acc)
+          if (acc ne df) org.apache.spark.sql.GraftShims.unpersistCheckpoint(acc, deleteFiles = true)
           m
         } else next
       }
@@ -169,7 +169,7 @@ object Bpe {
           // base): a 32k-merge run would otherwise pin rounds/Segment
           // dead copies of the vocab table in executor storage
           if (mat ne base)
-            org.apache.spark.sql.GraftShims.unpersistCheckpoint(mat)
+            org.apache.spark.sql.GraftShims.unpersistCheckpoint(mat, deleteFiles = true)
           mat = next
           matCount = acc.length
         }
@@ -201,7 +201,7 @@ object Bpe {
       // the merge table (plain data) is the result — the last
       // materialization is dead too
       if (mat ne base)
-        org.apache.spark.sql.GraftShims.unpersistCheckpoint(mat)
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(mat, deleteFiles = true)
       acc.toSeq
     } finally { base.unpersist(); () }
   }

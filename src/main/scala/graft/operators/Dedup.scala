@@ -300,8 +300,11 @@ object Dedup {
         throw new IllegalStateException(
           s"$indexTable is a v1 shingle index (raw-string '${fields.mkString(",")}' " +
             "layout); this build probes the v2 60-bit-hash format ('shh'). Either " +
-            "drop and re-seed the index, or migrate it once: CREATE the v2 table " +
-            "from SELECT doc, shingleHash(sh) AS shh and re-run clusterIndex.")
+            "drop the index and re-seed it by replaying batches through " +
+            "incrementalNovelty, or migrate it once: createOrReplace the table " +
+            "from SELECT doc, shingleHash(sh) AS shh with statsFor + " +
+            "setBloomFilterIndex on 'shh' so the point-pruned probe keeps " +
+            "its file skipping.")
     }
     // point-pruned probe frame: files whose [min,max] stats exclude every
     // batch shingle are skipped — and a skipped file by construction holds
@@ -498,7 +501,7 @@ object Dedup {
     // the repartitioned checkpoint supersedes edges0's blocks — release
     // them now, or every dupClusters call pins a dead edge copy in
     // executor storage for the life of the session
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(edges0)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(edges0, deleteFiles = true)
     // localCheckpoint (not persist): iterative algorithms re-optimize the
     // whole lineage each round otherwise — plan analysis cost grows
     // superlinearly with iteration count while the data stays tiny
@@ -540,11 +543,11 @@ object Dedup {
       // tiny scan over the materialized blocks — no recompute, no join
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
-      org.apache.spark.sql.GraftShims.unpersistCheckpoint(lastCkpt)
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(lastCkpt, deleteFiles = true)
       lastCkpt = next
       i += 1
     }
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(edges) // final join reads only labels
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(edges, deleteFiles = true) // final join reads only labels
     if (changed > 0) throw new IllegalStateException(
       s"dupClusters did not converge in $maxIter rounds ($changed labels still changing) — " +
         "raise maxIter; returning partial labels would split components silently")

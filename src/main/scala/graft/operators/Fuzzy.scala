@@ -56,9 +56,13 @@ object Fuzzy {
   final case class BlockStats(blocks: Long, maxBlockRows: Long, hotBlocks: Long,
       reroutedRows: Long, droppedRows: Long, candidatePairBound: Long)
 
-  /** Stats of the most recent [[fuzzySelfJoin]]/[[fuzzyLookup]] candidate
-    * generation (set at plan-construction time, like
-    * `Dedup.lastNoveltyScan`). */
+  /** Stats of the most recent stats-collecting [[fuzzySelfJoin]]/
+    * [[fuzzyLookup]] on this JVM — a single-run convenience for tests and
+    * interactive use. Concurrent queries overwrite each other here; an
+    * alert consumer that needs run-scoped stats uses the `WithStats`
+    * variants, which return the reading WITH the frame it describes.
+    * A `collectStats = false` run leaves this untouched (it measured
+    * nothing, so it has nothing to overwrite). */
   @volatile var lastBlockStats: Option[BlockStats] = None
 
   private def prefixBlk(k: String, blockLen: Int) =
@@ -83,13 +87,25 @@ object Fuzzy {
       expr(s"substring($k, greatest((length($k) - $blockLen) div 2 + 1, 1), $blockLen)"))
 
   /** Split `blocked` (id, k, blk) into under-cap rows (ready for the
-    * candidate join) and the mid-string reroute of hot-block rows, then
-    * record [[lastBlockStats]]. Shared by self-join and lookup: the cap
-    * logic only looks at block keys, never at which side a row is from.
+    * candidate join) and the mid-string reroute of hot-block rows,
+    * returning the stats reading with the frame it describes. Shared by
+    * self-join and lookup: the cap logic only looks at block keys, never
+    * at which side a row is from.
     */
   private def capBlocks(blocked: DataFrame, keyCols: Seq[String],
-      blockLen: Int, maxBlock: Int, collectStats: Boolean): DataFrame = {
-    val sizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      blockLen: Int, maxBlock: Int,
+      collectStats: Boolean): (DataFrame, Option[BlockStats]) = {
+    val sizes0 = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    // with stats on, the size tables serve TWO consumers — the eager
+    // stats job below and the returned lazy plan — so they are persisted
+    // across both (block-cardinality-bounded, tiny next to the corpus);
+    // without the persist the whole blocking/count pass would run twice.
+    // Released by the caller's session-level cache clear; stats-off runs
+    // stay fully lazy and persist nothing.
+    val sizes =
+      if (collectStats)
+        sizes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sizes0
     val tagged = blocked.join(sizes, "blk")
     val ok = tagged.filter(col("bn") <= maxBlock).drop("bn")
     // hot-block MEMBERSHIPS (a row hot in both its prefix and suffix
@@ -101,17 +117,21 @@ object Fuzzy {
       .select(keyCols.map(col) :+ col("blk").as("__hot_blk"): _*).distinct()
     val mid = hotRows.select(keyCols.map(col) :+
       midBlk(keyCols.last, col("__hot_blk"), blockLen).as("blk"): _*)
-    val midSizes = mid.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    val midSizes0 = mid.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    val midSizes =
+      if (collectStats)
+        midSizes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else midSizes0
     val midTagged = mid.join(midSizes, "blk")
     val midOk = midTagged.filter(col("bn") <= maxBlock).drop("bn")
     // observability: one small job over the block-cardinality-bounded
     // size tables (map-side combined; never corpus-row-sized output).
     // The routing above is fully lazy — this driver-side job is the ONLY
-    // eager work, so `collectStats = false` skips the extra blocking pass
-    // entirely when the hook isn't being read (the cap itself still
-    // applies; production keeps it on, it is the no-silent-truncation
-    // alerting surface).
-    if (!collectStats) { lastBlockStats = None; return ok.unionByName(midOk) }
+    // eager work, so `collectStats = false` skips the blocking pass
+    // entirely when the reading isn't being consumed (the cap itself
+    // still applies; production keeps it on, it is the
+    // no-silent-truncation alerting surface).
+    if (!collectStats) return (ok.unionByName(midOk), None)
     val st = sizes.select(col("bn"), lit(0).as("pass"))
       .unionAll(midSizes.select(col("bn"), lit(1).as("pass")))
       .agg(count(lit(1)).as("blocks"),
@@ -122,11 +142,10 @@ object Fuzzy {
         coalesce(sum(when(col("bn") <= maxBlock,
           expr("bn * (bn - 1) div 2"))), lit(0L)).as("bound"))
       .head()
-    lastBlockStats = Some(BlockStats(
+    (ok.unionByName(midOk), Some(BlockStats(
       blocks = st.getLong(0), maxBlockRows = st.getLong(1),
       hotBlocks = st.getLong(2), reroutedRows = st.getLong(3),
-      droppedRows = st.getLong(4), candidatePairBound = st.getLong(5)))
-    ok.unionByName(midOk)
+      droppedRows = st.getLong(4), candidatePairBound = st.getLong(5))))
   }
 
   /** Self-join `records` fuzzily on `key`: pairs (id_a < id_b) with
@@ -141,6 +160,19 @@ object Fuzzy {
   def fuzzySelfJoin(records: DataFrame, idCol: String, keyCol: String,
       maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096,
       collectStats: Boolean = true): DataFrame = {
+    val (out, st) = fuzzySelfJoinWithStats(records, idCol, keyCol, maxDist,
+      blockLen, maxBlock, collectStats)
+    st.foreach(s => lastBlockStats = Some(s))
+    out
+  }
+
+  /** [[fuzzySelfJoin]] returning the block-cap stats WITH the frame they
+    * describe — the run-scoped form an alert consumer uses when queries
+    * run concurrently (the [[lastBlockStats]] hook is last-writer-wins).
+    * Stats are `None` iff `collectStats = false`. */
+  def fuzzySelfJoinWithStats(records: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096,
+      collectStats: Boolean = true): (DataFrame, Option[BlockStats]) = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockLen > 0, "blockLen must be positive")
     require(maxBlock > 1, "maxBlock must admit at least a pair")
@@ -150,12 +182,13 @@ object Fuzzy {
     // suffix pass skips rows whose suffix equals their prefix (any key
     // shorter than blockLen) so no row enters a block twice — otherwise
     // the hot cap fires at maxBlock/2 true rows for whole-key blocks and
-    // lastBlockStats double-counts them
+    // the stats double-count them
     val blocked = keyed.select(col("id"), col("k"), prefixBlk("k", blockLen).as("blk"))
       .unionAll(keyed
         .select(col("id"), col("k"), suffixBlk("k", blockLen).as("blk"))
         .filter(col("blk") =!= prefixBlk("k", blockLen)))
-    val capped = capBlocks(blocked, Seq("id", "k"), blockLen, maxBlock, collectStats)
+    val (capped, stats) =
+      capBlocks(blocked, Seq("id", "k"), blockLen, maxBlock, collectStats)
     // candidates: same block, canonical order, length guard (necessary
     // condition for edit distance <= maxDist) BEFORE the quadratic scorer
     val a = capped.as("a")
@@ -170,10 +203,10 @@ object Fuzzy {
     // thresholded levenshtein: banded O(len·maxDist) DP with early exit
     // (returns -1 past the bound) instead of the full O(len²) table — the
     // scorer's cost is linear in the edit budget, not the key length
-    candidates
+    (candidates
       .select(col("id_a"), col("id_b"),
         levenshtein(col("k_a"), col("k_b"), maxDist).as("dist"))
-      .filter(col("dist") >= 0)
+      .filter(col("dist") >= 0), stats)
   }
 
   /** Two-table fuzzy lookup — the record-linkage shape proper: match each
@@ -194,6 +227,18 @@ object Fuzzy {
       leftId: String, leftKey: String, rightId: String, rightKey: String,
       maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096,
       collectStats: Boolean = true): DataFrame = {
+    val (out, st) = fuzzyLookupWithStats(left, right, leftId, leftKey,
+      rightId, rightKey, maxDist, blockLen, maxBlock, collectStats)
+    st.foreach(s => lastBlockStats = Some(s))
+    out
+  }
+
+  /** [[fuzzyLookup]] returning the block-cap stats WITH the frame they
+    * describe — see [[fuzzySelfJoinWithStats]]. */
+  def fuzzyLookupWithStats(left: DataFrame, right: DataFrame,
+      leftId: String, leftKey: String, rightId: String, rightKey: String,
+      maxDist: Int, blockLen: Int = 8, maxBlock: Int = 4096,
+      collectStats: Boolean = true): (DataFrame, Option[BlockStats]) = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockLen > 0, "blockLen must be positive")
     require(maxBlock > 1, "maxBlock must admit at least a pair")
@@ -211,8 +256,8 @@ object Fuzzy {
     }
     val blocked = sided(left, leftId, leftKey, "l")
       .unionAll(sided(right, rightId, rightKey, "r"))
-    val capped = capBlocks(blocked, Seq("id", "side", "k"), blockLen, maxBlock,
-      collectStats)
+    val (capped, stats) = capBlocks(blocked, Seq("id", "side", "k"),
+      blockLen, maxBlock, collectStats)
     val candidates = capped.filter(col("side") === "l")
       .select(col("id").as("l_id"), col("k").as("l_k"), col("blk"))
       .join(capped.filter(col("side") === "r")
@@ -225,11 +270,11 @@ object Fuzzy {
       .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"),
         levenshtein(col("l_k"), col("r_k"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
-    candidates
+    (candidates
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("l_id"))
           .orderBy(col("dist"), col("r_id"))))
       .filter(col("rn") === 1)
-      .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"), col("dist"))
+      .select(col("l_id"), col("r_id"), col("l_k"), col("r_k"), col("dist")), stats)
   }
 }

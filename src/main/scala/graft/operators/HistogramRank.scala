@@ -40,6 +40,28 @@ object HistogramRank {
     * `totalName` additionally emits the group's row count (it rides the
     * same histogram window pass — percentile denominators come free).
     *
+    * `tieBuckets` closes the residual skew of the exact-histogram mode:
+    * there the per-row window partitions by (part, score), so a
+    * massively-tied score value — a corpus where quality quantizes to 0
+    * for most docs — funnels that ONE tie group through a single task.
+    * With `tieBuckets = Some(t)` the same histogram trick recurses one
+    * level: each (part, score) group's LONG tie values are range-split
+    * into ~t sub-buckets of width `(max-min) div t + 1` (integer
+    * division of a shifted tie is monotone in the tie, so order is
+    * preserved exactly), a second bounded histogram cumulates rows in
+    * lower sub-buckets, and the only per-row window partitions by
+    * (part, score, sub-bucket) — 1/t of the worst tie group. Costs one
+    * extra map-side-combined aggregation pass; the min/max rides the
+    * first histogram for free. Requires a long-castable tie column, and
+    * applies only to `bucket = None` (with a hash bucket, rows inside a
+    * bucket order by (score, tie) — a tie-keyed split is not monotone in
+    * that order; hash-bucket tie groups are hash collisions, already
+    * tiny). Sub-buckets are range-uniform, not count-uniform: ties
+    * clustered in a narrow value range split perfectly (width ≥ 1 keeps
+    * distinct values apart), adversarial clustering at two far ends of
+    * the long range degrades toward the unsplit case — one more
+    * recursion level would fix that, realistic id spaces don't need it.
+    *
     * Score, tie and partition values must be NON-NULL: the histogram
     * joins back on (partCols, bucket) equi-keys, and a null key would
     * silently drop its rows instead of ranking them first the way the
@@ -48,7 +70,11 @@ object HistogramRank {
     */
   def rank(df: DataFrame, partCols: Seq[String], scoreCol: String,
       tieCol: String, bucket: Option[Column => Column] = None,
-      rankName: String = "rank", totalName: Option[String] = None): DataFrame = {
+      rankName: String = "rank", totalName: Option[String] = None,
+      tieBuckets: Option[Int] = None): DataFrame = {
+    require(tieBuckets.forall(_ > 1), "tieBuckets must be at least 2")
+    require(tieBuckets.isEmpty || bucket.isEmpty,
+      "tieBuckets applies to the exact-histogram mode only (bucket = None)")
     val part = partCols.map(col)
     // fail fast on a null key instead of silently dropping the row in the
     // equi-join: raise_error rides the bucketing projection (no extra pass)
@@ -61,8 +87,12 @@ object HistogramRank {
       case Some(f) => (guarded.withColumn("__hr_bkt", f(col(scoreCol))), "__hr_bkt")
       case None => (guarded, scoreCol)
     }
+    // tie min/max (for the sub-bucket width) ride the same histogram agg
+    val histAggs = count(lit(1)).as("__hr_c") +: tieBuckets.toSeq.flatMap(_ =>
+      Seq(min(col(tieCol).cast("long")).as("__hr_tmin"),
+        max(col(tieCol).cast("long")).as("__hr_tmax")))
     val hist = bucketed.groupBy((part :+ col(bktCol)): _*)
-      .agg(count(lit(1)).as("__hr_c"))
+      .agg(histAggs.head, histAggs.tail: _*)
     val below0 = hist.withColumn("__hr_below", coalesce(
         sum(col("__hr_c")).over(Window.partitionBy(part: _*)
           .orderBy(col(bktCol)).rowsBetween(Window.unboundedPreceding, -1)),
@@ -71,18 +101,48 @@ object HistogramRank {
       below0.withColumn(n,
         sum(col("__hr_c")).over(Window.partitionBy(part: _*)))
     }.drop("__hr_c")
-    // when the bucket IS the score, the score is constant within a tie
-    // partition — ordering by the tie column alone is the same order and
-    // keeps the window's sort key minimal
-    val tieOrder = bucket match {
-      case Some(_) => Seq(col(scoreCol), col(tieCol))
-      case None => Seq(col(tieCol))
+    tieBuckets match {
+      case None =>
+        // when the bucket IS the score, the score is constant within a tie
+        // partition — ordering by the tie column alone is the same order
+        // and keeps the window's sort key minimal
+        val tieOrder = bucket match {
+          case Some(_) => Seq(col(scoreCol), col(tieCol))
+          case None => Seq(col(tieCol))
+        }
+        bucketed
+          .withColumn("__hr_tie", row_number().over(
+            Window.partitionBy((part :+ col(bktCol)): _*).orderBy(tieOrder: _*)))
+          .join(below, partCols :+ bktCol)
+          .withColumn(rankName, col("__hr_below") + col("__hr_tie"))
+          .drop("__hr_bkt", "__hr_tie", "__hr_below")
+      case Some(tb) =>
+        // range-split each tie group into ~tb sub-buckets; integer width
+        // ≥ 1 so distinct tie values in a narrow range land in distinct
+        // sub-buckets. Monotone in the tie by construction.
+        val joined = bucketed.join(below, partCols :+ bktCol)
+          .withColumn("__hr_tbkt", expr(
+            s"(cast($tieCol as bigint) - __hr_tmin) div " +
+              s"greatest(1L, ((__hr_tmax - __hr_tmin) div ${tb}L) + 1L)"))
+        // second-level histogram: rows of MY score in LOWER tie sub-buckets
+        // (bounded by score-cardinality × tieBuckets, never corpus rows)
+        val sub = joined.groupBy((part :+ col(bktCol) :+ col("__hr_tbkt")): _*)
+          .agg(count(lit(1)).as("__hr_c2"))
+          .withColumn("__hr_below2", coalesce(
+            sum(col("__hr_c2")).over(
+              Window.partitionBy((part :+ col(bktCol)): _*)
+                .orderBy(col("__hr_tbkt"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .drop("__hr_c2")
+        joined.join(sub, partCols ++ Seq(bktCol, "__hr_tbkt"))
+          .withColumn("__hr_tie", row_number().over(
+            Window.partitionBy((part :+ col(bktCol) :+ col("__hr_tbkt")): _*)
+              .orderBy(col(tieCol))))
+          .withColumn(rankName,
+            col("__hr_below") + col("__hr_below2") + col("__hr_tie"))
+          .drop("__hr_tbkt", "__hr_tie", "__hr_below", "__hr_below2",
+            "__hr_tmin", "__hr_tmax")
     }
-    bucketed
-      .withColumn("__hr_tie", row_number().over(
-        Window.partitionBy((part :+ col(bktCol)): _*).orderBy(tieOrder: _*)))
-      .join(below, partCols :+ bktCol)
-      .withColumn(rankName, col("__hr_below") + col("__hr_tie"))
-      .drop("__hr_bkt", "__hr_tie", "__hr_below")
   }
 }

@@ -28,11 +28,28 @@ object Pii {
     * prefers false positives over leaked addresses. */
   val Ipv4: Rule = Rule("ipv4", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "[IP]")
   val Phone: Rule = Rule("phone", "\\d{3}-\\d{3}-\\d{4}", "[PHONE]")
+  /** US social security shape (3-2-4 digit groups); disjoint from
+    * [[Phone]]'s 3-3-4 by the middle group's width. */
+  val Ssn: Rule = Rule("ssn", "\\d{3}-\\d{2}-\\d{4}", "[SSN]")
+  /** Payment-card shape: 13–19 digits as 4-4-4-(1..7) groups with
+    * optional single dash/space separators — covers the common 16-digit
+    * grouping, Amex-length runs, and bare digit runs. Deliberately
+    * loose (no Luhn check — not expressible portably, and the policy
+    * prefers false positives over leaked numbers). */
+  val CreditCard: Rule =
+    Rule("cc", "\\d{4}([- ]?\\d{4}){2}[- ]?\\d{1,7}", "[CC]")
+  /** IBAN shape: 2-letter country, 2 check digits, 11–30 alnum body
+    * (uppercase only, as IBANs are written). */
+  val Iban: Rule = Rule("iban", "[A-Z]{2}\\d{2}[A-Z0-9]{11,30}", "[IBAN]")
 
-  /** Order matters only where patterns could nest; email (the only rule
+  /** Order matters only where patterns could nest: email (the only rule
     * with an alnum context that could swallow a dotted quad's digits)
-    * runs first, then the digit-shaped rules. */
-  val DefaultRules: Seq[Rule] = Seq(Email, Ipv4, Phone)
+    * runs first; IBAN before card so an account body's digit run redacts
+    * as part of its [IBAN], not as a card fragment; card before the
+    * short digit shapes (a redacted [CC] token can no longer feed a
+    * phone/SSN false positive). Counts are independent per rule over the
+    * ORIGINAL text either way — order only shapes the redacted string. */
+  val DefaultRules: Seq[Rule] = Seq(Email, Iban, CreditCard, Ssn, Phone, Ipv4)
 
   /** Per-rule occurrence count columns `n_<rule>` (long). */
   def scanCols(text: Column, rules: Seq[Rule] = DefaultRules): Seq[Column] =

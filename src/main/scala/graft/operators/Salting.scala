@@ -47,7 +47,10 @@ object Salting {
 
   /** Pre-flight result of the most recent [[autoSaltedJoin]]: how many
     * keys crossed the threshold and how many big-side rows they carry
-    * (set at plan-construction time, like `Fuzzy.lastBlockStats`). */
+    * (set at plan-construction time, like `Fuzzy.lastBlockStats`).
+    * Last-writer-wins across concurrent queries — a run-scoped consumer
+    * uses [[autoSaltedJoinWithStats]], which returns the reading with the
+    * frame it describes. */
   final case class AutoSaltStats(hotKeys: Long, hotRows: Long, buckets: Int)
   @volatile var lastAutoSaltStats: Option[AutoSaltStats] = None
 
@@ -75,6 +78,17 @@ object Salting {
     * semantics, as in [[saltedJoin]]). */
   def autoSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       hotThreshold: Long, buckets: Int, joinType: String = "inner"): DataFrame = {
+    val (out, st) = autoSaltedJoinWithStats(big, small, keys, hotThreshold,
+      buckets, joinType)
+    lastAutoSaltStats = Some(st)
+    out
+  }
+
+  /** [[autoSaltedJoin]] returning the pre-flight skew diagnosis WITH the
+    * frame it describes — the run-scoped form for concurrent queries. */
+  def autoSaltedJoinWithStats(big: DataFrame, small: DataFrame,
+      keys: Seq[String], hotThreshold: Long, buckets: Int,
+      joinType: String = "inner"): (DataFrame, AutoSaltStats) = {
     require(hotThreshold > 0, "hotThreshold must be positive")
     require(buckets > 1, "salting needs at least 2 buckets")
     require(Set("inner", "left", "left_outer")(joinType),
@@ -89,8 +103,8 @@ object Salting {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotThreshold)
       .collect()
-    lastAutoSaltStats = Some(AutoSaltStats(
-      hotRows.length.toLong, hotRows.map(_.getLong(keys.length)).sum, buckets))
+    val stats = AutoSaltStats(
+      hotRows.length.toLong, hotRows.map(_.getLong(keys.length)).sum, buckets)
     val s = big.sparkSession
     val hotSchema = org.apache.spark.sql.types.StructType(
       keys.map(k => big.schema(k)) :+
@@ -107,6 +121,6 @@ object Salting {
       .withColumn("__salt", explode(when(col("__hot").isNull, array(lit(0)))
         .otherwise(sequence(lit(0), lit(buckets - 1)))))
       .drop("__hot")
-    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
+    (bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt"), stats)
   }
 }

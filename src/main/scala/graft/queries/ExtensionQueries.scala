@@ -1187,14 +1187,30 @@ object ExtensionQueries {
   // 1e6/|its near-dup cluster|, so a 50-copy boilerplate family carries
   // the same total sampling mass as a singleton. The soft alternative to
   // hard dedup (x22 keeps one per cluster; this keeps all, downweighted).
+  //
+  // The weights join is autoSaltedJoin's production consumer: docs join
+  // their cluster's size on cluster_id, a frame that at 100 TB is
+  // cluster-cardinality (~half the corpus in the worst case — NOT
+  // broadcastable), and near-dup cluster sizes are the textbook skewed
+  // distribution (one viral boilerplate family = one hot key holding
+  // millions of rows). The diagnose→salt pass spreads only the hot
+  // clusters' rows; at sample scale no cluster crosses the threshold and
+  // the plan degenerates to the plain equi-join plus one map-side-
+  // combined pre-flight count (the x104 oracle pins salt-invariance, the
+  // x96 oracle pins this wiring).
   def x96ClusterWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         n = 3, bands = 4, rows = 2, threshold = 0.6)
       .select(col("doc_a"), col("doc_b"))
+    // materialize the labels once: THREE consumers read them (the size
+    // agg, the salted join's big side, and its hot-key pre-flight) — lazy,
+    // each would replay the whole LSH + label-propagation pipeline
     val clusters = Dedup.dupClusters(docs.select(col("doc_id")), pairs, "doc_id")
+      .materialized
     val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
-    clusters.join(sizes, "cluster_id")
+    graft.operators.Salting.autoSaltedJoin(clusters, sizes, Seq("cluster_id"),
+        hotThreshold = 4096L, buckets = 16)
       .select(col("doc_id"), col("cluster_id"), col("csize"),
         expr("1000000L div csize").as("weight_micro"))
       .orderBy(col("doc_id"))
@@ -1301,16 +1317,20 @@ object ExtensionQueries {
   //  - the "below" term cumulates over the per-(source, score) HISTOGRAM
   //    (bounded by score cardinality, never corpus rows — the only
   //    source-partitioned window in the plan runs on this aggregate);
-  //  - the tie position is a row_number partitioned by (source, quality)
-  //    — bounded by one tie group, never a whole source.
-  // The corpus shuffles once, on (source, quality); results are
-  // bit-identical to the window formulation (PlanSpec pins the shape).
+  //  - the tie position is a row_number partitioned by (source, quality,
+  //    tie-sub-bucket): tieBuckets=64 range-splits even a degenerate tie
+  //    group (a corpus where most docs share one quality value) 64 ways,
+  //    so no single score value funnels into one task either.
+  // The corpus shuffles on (source, quality) and once more on the tie
+  // sub-bucket key; results are bit-identical to the window formulation
+  // (PlanSpec pins the shape).
   def x101QualityPercentile(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextFunctions.qualityScore(col("text")).as("quality"))
     graft.operators.HistogramRank.rank(scored, Seq("source"), "quality",
-        "doc_id", rankName = "rk", totalName = Some("n"))
+        "doc_id", rankName = "rk", totalName = Some("n"),
+        tieBuckets = Some(64))
       .select(col("doc_id"), col("source"), col("quality"),
         expr("CASE WHEN n = 1 THEN 1000000L ELSE ((rk - 1) * 1000000L) div (n - 1) END")
           .as("pct_micro"))
@@ -1569,7 +1589,7 @@ object ExtensionQueries {
         // dupClusters superseded-checkpoint pattern)
         val kept = topCap(union).materialized
         store.createOrReplace("quota.kept", kept)
-        org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept, deleteFiles = true)
       }
       store.read("quota.kept")
         .select(col("doc_id"), col("source"), col("hash60"))
@@ -1579,12 +1599,13 @@ object ExtensionQueries {
 
   // x110: PII scan + redaction — the compliance pass before export. The
   // synthetic corpus carries no PII, so the query first INJECTS
-  // deterministic email/phone/IP tokens keyed off doc_id (the fixture,
-  // mirrored verbatim in the oracle); the operator under test is the
-  // scan/redact projection itself: stock codegen regexps, zero shuffle —
-  // at 100 TB this rides the export scan for free.
+  // deterministic email/phone/IP/SSN/card/IBAN tokens keyed off doc_id
+  // (the fixture, mirrored verbatim in the oracle); the operator under
+  // test is the scan/redact projection itself: stock codegen regexps,
+  // zero shuffle — at 100 TB this rides the export scan for free.
   def x110PiiScan(s: SparkSession, dir: String): DataFrame = {
     val ids = col("doc_id").cast("string")
+    def p(m: Int, w: Int) = lpad((col("doc_id") % m).cast("string"), w, "0")
     val aug = concat(col("text"),
       when(col("doc_id") % 3 === 0,
         concat(lit(" contact user"), ids, lit("@example.com now"))).otherwise(lit("")),
@@ -1593,15 +1614,30 @@ object ExtensionQueries {
       when(col("doc_id") % 11 === 0,
         concat(lit(" cc Ops.Team"), ids, lit("@Example.COM"))).otherwise(lit("")),
       when(col("doc_id") % 5 === 0,
-        concat(lit(" call 415-555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        concat(lit(" call 415-555-"), p(10000, 4))).otherwise(lit("")),
       when(col("doc_id") % 7 === 0,
         concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
-          lit(".0.1 up"))).otherwise(lit("")))
+          lit(".0.1 up"))).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        concat(lit(" ssn "), p(1000, 3), lit("-"), p(100, 2), lit("-"),
+          p(10000, 4))).otherwise(lit("")),
+      // two card shapes: dash-grouped 16-digit, and a bare digit run
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" card 4"), p(1000, 3), lit("-"), p(10000, 4), lit("-"),
+          p(10000, 4), lit("-"), p(10000, 4))).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        concat(lit(" pan 37"), p(10000, 4), p(10000, 4), p(100000, 5))
+        ).otherwise(lit("")),
+      // letters interleave the IBAN body so its digit runs stay under the
+      // card rule's 13-digit floor — the fixture tests each rule alone
+      when(col("doc_id") % 19 === 0,
+        concat(lit(" iban DE"), p(100, 2), lit("BANK"), p(100000000, 8),
+          lit("X end"))).otherwise(lit("")))
     graft.operators.Pii.scan(
         t(s, dir, "documents").select(col("doc_id"), aug.as("text")),
         "doc_id", "text")
       .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        col("n_ssn"), col("n_cc"), col("n_iban"),
         col("n_pii"), md5(col("redacted")).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
@@ -1842,30 +1878,20 @@ object ExtensionQueries {
   }
 
   /** One x118 ingest batch: associative MERGEs for stats/langs, the
-    * touched-hash crossing delta for dup exposure. */
+    * touched-hash crossing delta for dup exposure — all four index
+    * merges staged into ONE store transaction, so the batch lands
+    * everywhere or nowhere: a crash between merges can never leave stats
+    * absorbed but dup exposure not (the incremental twin would silently
+    * diverge from x114 until a re-run). Empty-schema seeds stay outside
+    * the transaction — an empty table is a harmless pre-state. */
   private[graft] def datasheetIngest(store: graft.tables.TableStore, b: DataFrame): Unit = {
     import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
     val stats = datasheetStatFrame(b)
     if (!store.exists("ds.stats"))
       store.createOrReplace("ds.stats", stats.limit(0), statsFor = Seq("source"))
-    store.merge("ds.stats", stats, Seq("source"),
-      matched = Seq(MatchedUpdate(None, Map(
-        "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
-        "n_tokens" -> (col("t.n_tokens") + col("s.n_tokens")),
-        "n_chars" -> (col("t.n_chars") + col("s.n_chars")),
-        "sum_q" -> (col("t.sum_q") + col("s.sum_q"))))),
-      notMatched = Seq(NotMatchedInsert(None, Map(
-        "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
-        "n_tokens" -> col("s.n_tokens"), "n_chars" -> col("s.n_chars"),
-        "sum_q" -> col("s.sum_q")))))
     val langs = b.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
     if (!store.exists("ds.langs"))
       store.createOrReplace("ds.langs", langs.limit(0), statsFor = Seq("source"))
-    store.merge("ds.langs", langs, Seq("source", "lang"),
-      matched = Seq(MatchedUpdate(None, Map("lc" -> (col("t.lc") + col("s.lc"))))),
-      notMatched = Seq(NotMatchedInsert(None, Map(
-        "source" -> col("s.source"), "lang" -> col("s.lang"),
-        "lc" -> col("s.lc")))))
     // dup exposure: per-(hash, source) batch counts against the touched
     // slice of the persisted hash index
     val bc = b.select(col("source"), Dedup.shingleHash(col("text")).as("h"))
@@ -1897,11 +1923,6 @@ object ExtensionQueries {
       store.createOrReplace("ds.dup",
         delta.select(col("source"), col("d").as("dup_docs")).limit(0),
         statsFor = Seq("source"))
-    store.merge("ds.dup", delta, Seq("source"),
-      matched = Seq(MatchedUpdate(None,
-        Map("dup_docs" -> (col("t.dup_docs") + col("s.d"))))),
-      notMatched = Seq(NotMatchedInsert(None, Map(
-        "source" -> col("s.source"), "dup_docs" -> col("s.d")))))
     if (!store.exists("ds.hashes")) {
       // the bloom is what keeps the touched-hash probe flat as history
       // grows: h is a uniform 60-bit hash, so every file's [min,max] box
@@ -1909,10 +1930,36 @@ object ExtensionQueries {
       store.createOrReplace("ds.hashes", bc.limit(0), statsFor = Seq("h"))
       store.setBloomFilterIndex("ds.hashes", Seq("h"), ndv = 1000000L)
     }
-    store.merge("ds.hashes", bc, Seq("h", "source"),
-      matched = Seq(MatchedUpdate(None, Map("c" -> (col("t.c") + col("s.c"))))),
-      notMatched = Seq(NotMatchedInsert(None, Map(
-        "h" -> col("s.h"), "source" -> col("s.source"), "c" -> col("s.c")))))
+    // the batch's atomic publish: every merge reads pre-transaction state
+    // (the dup delta was computed against the OLD hash index above, which
+    // is exactly the crossing-delta contract) and all four tables swap
+    // together under the transaction's locks
+    store.transaction { txn =>
+      txn.merge("ds.stats", stats, Seq("source"),
+        matched = Seq(MatchedUpdate(None, Map(
+          "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
+          "n_tokens" -> (col("t.n_tokens") + col("s.n_tokens")),
+          "n_chars" -> (col("t.n_chars") + col("s.n_chars")),
+          "sum_q" -> (col("t.sum_q") + col("s.sum_q"))))),
+        notMatched = Seq(NotMatchedInsert(None, Map(
+          "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
+          "n_tokens" -> col("s.n_tokens"), "n_chars" -> col("s.n_chars"),
+          "sum_q" -> col("s.sum_q")))))
+      txn.merge("ds.langs", langs, Seq("source", "lang"),
+        matched = Seq(MatchedUpdate(None, Map("lc" -> (col("t.lc") + col("s.lc"))))),
+        notMatched = Seq(NotMatchedInsert(None, Map(
+          "source" -> col("s.source"), "lang" -> col("s.lang"),
+          "lc" -> col("s.lc")))))
+      txn.merge("ds.dup", delta, Seq("source"),
+        matched = Seq(MatchedUpdate(None,
+          Map("dup_docs" -> (col("t.dup_docs") + col("s.d"))))),
+        notMatched = Seq(NotMatchedInsert(None, Map(
+          "source" -> col("s.source"), "dup_docs" -> col("s.d")))))
+      txn.merge("ds.hashes", bc, Seq("h", "source"),
+        matched = Seq(MatchedUpdate(None, Map("c" -> (col("t.c") + col("s.c"))))),
+        notMatched = Seq(NotMatchedInsert(None, Map(
+          "h" -> col("s.h"), "source" -> col("s.source"), "c" -> col("s.c")))))
+    }
     old.unpersist(false)
     bc.unpersist(false)
   }
@@ -2411,19 +2458,32 @@ object ExtensionQueries {
         |    || CASE WHEN doc_id % 6 = 0 THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END
         |    || CASE WHEN doc_id % 11 = 0 THEN ' cc Ops.Team' || CAST(doc_id AS VARCHAR) || '@Example.COM' ELSE '' END
         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END AS t
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' card 4' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN ' pan 37' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0 THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || 'X end' ELSE '' END AS t
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
         |  CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}')) AS BIGINT) AS n_cc,
+        |  CAST(len(regexp_extract_all(t, '[A-Z]{2}\d{2}[A-Z0-9]{11,30}')) AS BIGINT) AS n_iban,
         |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
         |    + len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
-        |    + len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_pii,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    + len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}'))
+        |    + len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}'))
+        |    + len(regexp_extract_all(t, '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}'))
+        |    + len(regexp_extract_all(t, '[A-Z]{2}\d{2}[A-Z0-9]{11,30}')) AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
-        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS redacted_md5
+        |    '[A-Z]{2}\d{2}[A-Z0-9]{11,30}', '[IBAN]', 'g'),
+        |    '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}', '[CC]', 'g'),
+        |    '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g')) AS redacted_md5
         |FROM aug ORDER BY doc_id""".stripMargin,
     "x111_source_overlap" ->
       s"""WITH $MinhashCtes,

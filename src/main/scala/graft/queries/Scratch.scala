@@ -65,8 +65,13 @@ private[graft] object Scratch {
 
   def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(q => Files.deleteIfExists(q))
+    if (Files.exists(p)) {
+      // Files.walk holds directory handles until closed — an unclosed
+      // stream per seal leaks handles (and an open handle can make the
+      // delete itself fail on some filesystems)
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(q => Files.deleteIfExists(q))
+    }
   }
 }

@@ -129,6 +129,36 @@ final class Txn private[tables] (store: TableStore) {
   def append(name: String, df: DataFrame, op: String = "txn_append"): Unit =
     stage(name, df, Nil, Nil, Nil, append = true, Some(op))
 
+  /** Stage a MERGE INTO (the full [[TableStore.merge]] clause surface,
+    * candidate-bounded file-pruned copy-on-write) whose visibility joins
+    * the transaction's all-or-nothing commit — the shape an incremental
+    * multi-index ingest wants: a batch that merges into stats + language
+    * + dup-exposure + hash tables either lands EVERYWHERE or nowhere, so
+    * a crash between merges can never leave the indexes mutually
+    * inconsistent. The merge reads the table's pre-transaction state
+    * (same as every staged write); `mor`-mode tables are rejected —
+    * deletion-vector commits don't stage. */
+  def merge(
+      name: String,
+      source: DataFrame,
+      keys: Seq[String],
+      extraOn: Option[org.apache.spark.sql.Column] = None,
+      matched: Seq[graft.operators.MergeInto.MatchedAction] = Nil,
+      notMatched: Seq[graft.operators.MergeInto.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[graft.operators.MergeInto.BySourceAction] = Nil,
+      schemaEvolution: Boolean = false,
+      op: String = "txn_merge"): Unit = {
+    require(!staged.exists(_._1 == name),
+      s"transaction already wrote $name — one write per table per transaction " +
+        "(writes see pre-transaction state, so a second write would silently " +
+        "discard the first)")
+    store.mergeInternal(name, source, keys, extraOn, matched, notMatched,
+      notMatchedBySource, schemaEvolution, op, txn = Some(this))
+  }
+
+  private[tables] def record(name: String, v: Int, dir: Path,
+      base: Option[Int]): Unit = staged += ((name, v, dir, base))
+
   private[tables] def commitAll(): Unit = store.txnCommit(staged.toSeq)
   private[tables] def abort(): Unit = store.txnAbort(staged.map(_._3).toSeq)
 }
@@ -3039,7 +3069,24 @@ final class TableStore(spark: SparkSession, root: String) {
       notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
       notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil,
       schemaEvolution: Boolean = false,
-      op: String = "merge"): Unit = {
+      op: String = "merge"): Unit =
+    mergeInternal(name, source, keys, extraOn, matched, notMatched,
+      notMatchedBySource, schemaEvolution, op, txn = None)
+
+  /** [[merge]] body; with `txn` set the rewritten version is STAGED into
+    * the transaction (pointer untouched until its all-or-nothing commit)
+    * instead of committed here — see [[Txn.merge]]. */
+  private[tables] def mergeInternal(
+      name: String,
+      source: DataFrame,
+      keys: Seq[String],
+      extraOn: Option[Column],
+      matched: Seq[MergeInto.MatchedAction],
+      notMatched: Seq[MergeInto.NotMatchedInsert],
+      notMatchedBySource: Seq[MergeInto.BySourceAction],
+      schemaEvolution: Boolean,
+      op: String,
+      txn: Option[Txn]): Unit = {
     val base = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema0, entries) = readManifest(name, base)
@@ -3072,6 +3119,10 @@ final class TableStore(spark: SparkSession, root: String) {
     // insert-only merge stays on the shared path below — it is a pure
     // append in either mode.
     if (dmlMode(name) == "mor" && (matched.nonEmpty || notMatchedBySource.nonEmpty)) {
+      require(txn.isEmpty,
+        s"transactional MERGE into $name: mor-mode tables commit deletion " +
+          "vectors in place and cannot stage — use copy-on-write (setDmlMode " +
+          "'cow') for tables merged inside a transaction")
       commitMorMerge(name, source, keys, extraOn, matched, notMatched,
         notMatchedBySource, schema, entries, base, op)
       return
@@ -3191,9 +3242,22 @@ final class TableStore(spark: SparkSession, root: String) {
     // "collect stats on filter columns" guidance made automatic.
     val layoutCols = (pb ++ sw ++ sf0).map(_.toLowerCase)
     val sf = sf0 ++ keys.filterNot(k => layoutCols.contains(k.toLowerCase))
-    commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
-      carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
-      expectedBase = Some(Some(base)), op = op, cdc = cdc)
+    txn match {
+      case None =>
+        commitVersion(name, rewritten.unionByName(inserts), pb, sw, sf,
+          carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
+          expectedBase = Some(Some(base)), op = op, cdc = cdc)
+      case Some(t) =>
+        // stage only: data + manifest + change feed land in the version
+        // dir, the pointer moves at the transaction's commit (or never —
+        // txnAbort drops the dir). Conflict detection is the transaction's
+        // strict observed-version check; no single-table rebase.
+        val (v, dir) = stageVersion(name, rewritten.unionByName(inserts),
+          pb, sw, sf, carryOver = entries.filterNot(e => touched(e.rel)),
+          schemaHint = Some(schema), op = op)
+        cdc.foreach(_.write.parquet(dir.resolve("cdc").toString))
+        t.record(name, v, dir, Some(base))
+    }
   }
 
   /** K5 in `mor` mode ([[setDmlMode]]): MERGE INTO as a deletion-vector

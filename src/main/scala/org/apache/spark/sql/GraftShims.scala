@@ -28,21 +28,26 @@ object GraftShims {
 
   /** Release the storage behind a checkpointed DataFrame
     * (`Dataset.unpersist` only talks to the cache manager, which never
-    * sees checkpoint state). Covers BOTH materialization modes:
-    * executor-storage blocks of a `localCheckpoint()`, and the
-    * `ReliableCheckpointRDD` files a reliable `checkpoint()` wrote under
-    * the session's checkpoint dir — Spark never deletes those on its own,
-    * so without the file delete every superseded loop round (BPE
+    * sees checkpoint state): drops the executor-storage blocks of a
+    * `localCheckpoint()`, and — with `deleteFiles = true` — ALSO deletes
+    * the `ReliableCheckpointRDD` files a reliable `checkpoint()` wrote
+    * under the session's checkpoint dir. Spark never deletes those on its
+    * own, so without the file delete every superseded loop round (BPE
     * segments, dupClusters labels, incremental indexes) would leave a
-    * dead table copy on HDFS/S3 for the job's lifetime. ONLY for
-    * checkpoints that are truly dead: a checkpoint has no lineage to
-    * recompute from, so touching the frame after this throws. No-op on
-    * non-checkpoint plans. */
-  def unpersistCheckpoint(df: DataFrame): Unit =
+    * dead table copy on HDFS/S3 for the job's lifetime.
+    *
+    * `deleteFiles` defaults to FALSE because the file delete is
+    * unrecoverable: a checkpoint has no lineage to recompute from, so if
+    * two Datasets share the checkpointed RDD (or the frame is not truly
+    * dead) the survivor fails on next access. Loop-internal
+    * superseded-state callers — the only sites that KNOW the previous
+    * round's state is dead — opt in explicitly. No-op on non-checkpoint
+    * plans. */
+  def unpersistCheckpoint(df: DataFrame, deleteFiles: Boolean = false): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
-        l.rdd.getCheckpointFile.foreach { f =>
+        if (deleteFiles) l.rdd.getCheckpointFile.foreach { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
           fs.delete(p, true)

@@ -1077,10 +1077,21 @@ class ExtensionSpec extends AnyFunSuite {
       "300 true rows under a 400 cap must not trigger the cap")
     assert(st.candidatePairBound == 300L * 299 / 2)
     assert(r.count() == 300L * 299 / 2, "identical keys all pair")
-    // stats opt-out: no eager job, hook explicitly cleared
-    Fuzzy.fuzzySelfJoin(rows, "id", "k", 1, 8, 400, collectStats = false)
-    assert(Fuzzy.lastBlockStats.isEmpty,
-      "collectStats=false must clear the hook, not leave a stale reading")
+    // stats opt-out: no eager job, and ANOTHER run's reading survives — a
+    // stats-off run measured nothing, so it must not clobber the hook
+    // (concurrent-query safety; run-scoped consumers use the WithStats
+    // variant, whose reading travels with the frame it describes)
+    val before = Fuzzy.lastBlockStats
+    val (offFrame, offStats) = Fuzzy.fuzzySelfJoinWithStats(
+      rows, "id", "k", 1, 8, 400, collectStats = false)
+    assert(offStats.isEmpty, "collectStats=false must not run the stats job")
+    assert(offFrame.count() == 300L * 299 / 2, "opt-out changes stats only, not results")
+    assert(Fuzzy.lastBlockStats == before,
+      "a stats-off run must leave another run's reading untouched")
+    // the WithStats variant returns the same reading the hook records
+    val (_, onStats) = Fuzzy.fuzzySelfJoinWithStats(rows, "id", "k", 1, 8, 400)
+    assert(onStats.exists(_.maxBlockRows == 300),
+      s"WithStats must carry the run's own reading, got $onStats")
   }
 
   test("fuzzy cap: mid-pass pairs stay within their hot block — cross-family rows " +
@@ -1179,9 +1190,15 @@ class ExtensionSpec extends AnyFunSuite {
         graft.operators.Dedup.incrementalNovelty(store, "idx.shingles",
           docs.limit(5))
       }
+      // the remedy must name a migration path that actually works on THIS
+      // index shape: re-seed via incrementalNovelty replays, or a one-time
+      // shh-keyed rewrite keeping stats + bloom (NOT clusterIndex, which
+      // maintains the (band, key) dedup index and would throw here)
       assert(e.getMessage.contains("v1 shingle index") &&
-        e.getMessage.contains("drop and re-seed"),
-        s"guard must name the format and the remedy, got: ${e.getMessage}")
+        e.getMessage.contains("incrementalNovelty") &&
+        e.getMessage.contains("setBloomFilterIndex") &&
+        !e.getMessage.contains("clusterIndex"),
+        s"guard must name the format and a WORKING remedy, got: ${e.getMessage}")
     } finally {
       store.detach()
       graft.queries.Scratch.deleteRecursively(
@@ -1431,17 +1448,35 @@ class ExtensionSpec extends AnyFunSuite {
       // a dotted quad inside a longer dotted run still redacts (policy:
       // loose match preferred over a leak) and the phone shape with an
       // extra digit block does NOT match
-      (4L, "v 1.2.3.4.5 and 1234-555-0199x")).toDF("id", "text")
+      (4L, "v 1.2.3.4.5 and 1234-555-0199x"),
+      (5L, "ssn 123-45-6789 filed"),
+      // dash-grouped 16-digit card + bare 15-digit Amex run
+      (6L, "pay 4111-1111-1111-1111 or 378282246310005 now"),
+      // a REAL IBAN's account body is a >12-digit run, so the card rule
+      // counts it too (counts are independent over the original text);
+      // redaction runs IBAN first, so the digits redact as ONE [IBAN]
+      (7L, "acct GB82WEST12345698765432 ok"),
+      // SSN (3-2-4) and phone (3-3-4) shapes stay disjoint side by side
+      (8L, "phone 415-555-0100 ssn 415-55-0100")).toDF("id", "text")
     val r = Pii.scan(rows, "id", "text").orderBy($"id")
-      .select($"id", $"n_email", $"n_ipv4", $"n_phone", $"redacted")
-      .as[(Long, Long, Long, Long, String)].collect().toSeq
-    assert(r.map(t => (t._1, t._2, t._3, t._4)) ==
-      Seq((1L, 2L, 0L, 0L), (2L, 0L, 2L, 1L), (3L, 0L, 0L, 0L), (4L, 0L, 1L, 1L)),
+      .select($"id", $"n_email", $"n_ipv4", $"n_phone", $"n_ssn", $"n_cc",
+        $"n_iban", $"redacted")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(r.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)) ==
+      Seq((1L, 2L, 0L, 0L, 0L, 0L, 0L), (2L, 0L, 2L, 1L, 0L, 0L, 0L),
+        (3L, 0L, 0L, 0L, 0L, 0L, 0L), (4L, 0L, 1L, 1L, 0L, 0L, 0L),
+        (5L, 0L, 0L, 0L, 1L, 0L, 0L), (6L, 0L, 0L, 0L, 0L, 2L, 0L),
+        (7L, 0L, 0L, 0L, 0L, 1L, 1L), (8L, 0L, 0L, 1L, 1L, 0L, 0L)),
       s"got $r")
-    assert(r(0)._5 == "mail me at [EMAIL] or [EMAIL] thanks")
-    assert(r(2)._5 == "no pii here at all", "clean text must pass through unchanged")
+    assert(r(0)._8 == "mail me at [EMAIL] or [EMAIL] thanks")
+    assert(r(2)._8 == "no pii here at all", "clean text must pass through unchanged")
+    assert(r(4)._8 == "ssn [SSN] filed")
+    assert(r(5)._8 == "pay [CC] or [CC] now")
+    assert(r(6)._8 == "acct [IBAN] ok",
+      "IBAN-before-card order must redact the account as one token")
+    assert(r(7)._8 == "phone [PHONE] ssn [SSN]")
     // fixed point: scanning the redacted text finds nothing
-    val again = Pii.scan(r.map(t => (t._1, t._5)).toDF("id", "text"), "id", "text")
+    val again = Pii.scan(r.map(t => (t._1, t._8)).toDF("id", "text"), "id", "text")
       .agg(sum($"n_pii")).as[Long].head()
     assert(again == 0, "redacted text must scan clean")
   }
@@ -1567,6 +1602,48 @@ class ExtensionSpec extends AnyFunSuite {
       ingest(store, batch((4L, "same text body", "en", "s1")))
       val dup2 = store.read("ds.dup").as[(String, Long)].collect().toMap
       assert(dup2 == Map("s1" -> 2L, "s2" -> 1L), s"third copy adds one: $dup2")
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  test("incremental datasheet batch is atomic: a failure between index merges publishes " +
+      "NOTHING, and each batch is one transaction per table in the history") {
+    val root = java.nio.file.Files.createTempDirectory("graft_x118_atomic").toString
+    val store = new graft.tables.TableStore(spark, root)
+    try {
+      def batch(rows: (Long, String, String, String)*) =
+        rows.toSeq.toDF("doc_id", "text", "lang", "source")
+      val ingest = graft.queries.ExtensionQueries.datasheetIngest _
+      ingest(store, batch((1L, "alpha beta gamma", "en", "s1")))
+      val statsBefore = store.read("ds.stats").collect().toSeq
+      val versBefore = store.history("ds.stats").size
+      // poison ONLY the lang column: the stats merge (which never reads
+      // lang) stages successfully, then the langs merge throws mid-
+      // transaction — the crash-between-merges shape. Before the
+      // transactional ingest, this left stats absorbed but langs/dup not,
+      // silently diverging the twin from x114 until a re-run.
+      val poisoned = batch((2L, "delta epsilon", "en", "s2"))
+        .withColumn("lang", when($"doc_id" < 0L, lit("en"))
+          .otherwise(raise_error(lit("boom between merges")).cast("string")))
+      val e = intercept[Exception] { ingest(store, poisoned) }
+      assert(e.getMessage != null, "the poisoned batch must fail loudly")
+      assert(store.read("ds.stats").collect().toSeq == statsBefore,
+        "an aborted batch must not leave ANY index absorbed (stats rolled back)")
+      assert(store.history("ds.stats").size == versBefore,
+        "the aborted stage may not appear as a committed version")
+      assert(store.read("ds.dup").count() == 0 &&
+        store.read("ds.hashes").count() == 1 && store.read("ds.langs").count() == 1,
+        "the other indexes hold exactly batch 1")
+      // the batch retries clean and converges
+      ingest(store, batch((2L, "delta epsilon", "en", "s2")))
+      assert(store.read("ds.stats").count() == 2)
+      // one transaction per batch per table, visible in DESCRIBE HISTORY:
+      // create + one txn_merge per successful batch, nothing else
+      val ops = store.history("ds.stats").map(_._3)
+      assert(ops.count(_ == "txn_merge") == 2 && ops.size == versBefore + 1,
+        s"history must show exactly one transactional merge per batch: $ops")
     } finally {
       store.detach()
       graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))

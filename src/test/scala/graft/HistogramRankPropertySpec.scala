@@ -51,4 +51,69 @@ class HistogramRankPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10).withInitialSeed(13L), prop)
     assert(r.passed, s"property failed: ${r.status}")
   }
+
+  test("tie sub-bucketing == window rank for arbitrary tied data (exact mode)") {
+    // the recursion must change NOTHING semantically: same generator, same
+    // window oracle, tieBuckets on — including sub-bucket counts far
+    // larger than the tie groups (every distinct tie its own bucket)
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("grp", "score", "id")
+      val expected = df.withColumn("exp", row_number()
+          .over(Window.partitionBy(col("grp")).orderBy(col("score"), col("id"))))
+      Seq(2, 4, 1024).forall { tb =>
+        val got = HistogramRank.rank(df, Seq("grp"), "score", "id",
+          rankName = "rk", tieBuckets = Some(tb))
+        got.join(expected, Seq("grp", "score", "id"))
+          .filter(col("rk") =!= col("exp")).count() == 0 &&
+          got.count() == rows.size.toLong
+      }
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withInitialSeed(29L), prop)
+    assert(r.passed, s"property failed: ${r.status}")
+  }
+
+  test("degenerate single-valued score: a 5000-row tie group ranks correctly with " +
+      "no row-data window partitioned by (group, score) alone") {
+    // the residual this closes: with the score constant, the UN-sub-
+    // bucketed plan funnels all 5000 rows through one row_number task.
+    // Ranks must still be exact (= id order), and the executed plan's
+    // only row_number window must carry the __hr_tbkt sub-bucket key.
+    // Ids are deliberately NON-contiguous (quadratic spacing) so the
+    // range split sees a skewed-but-realistic id distribution.
+    val df = (0 until 5000).map(i => ("g", 7L, i.toLong * i + 3))
+      .toDF("grp", "score", "id")
+    val got = HistogramRank.rank(df, Seq("grp"), "score", "id",
+      rankName = "rk", totalName = Some("n"), tieBuckets = Some(64))
+    val plan = got.queryExecution.executedPlan.toString
+    assert("row_number\\(\\) windowspecdefinition\\(grp#\\d+, score#\\d+L?, __hr_tbkt#\\d+L?".r
+      .findFirstIn(plan).isDefined,
+      s"tie window must partition by (grp, score, __hr_tbkt):\n${plan.take(1500)}")
+    assert("row_number\\(\\) windowspecdefinition\\(grp#\\d+, score#\\d+L?, id#\\d+L? ASC".r
+      .findFirstIn(plan).isEmpty,
+      "an un-sub-bucketed tie window would funnel the whole tie group through one task")
+    val checked = got.withColumn("exp",
+      row_number().over(Window.orderBy(col("id"))))
+    assert(checked.filter(col("rk") =!= col("exp") || col("n") =!= 5000L).count() == 0,
+      "constant-score ranks must equal the id order")
+    // sub-bucket occupancy sanity: the quadratic id space still spreads
+    // over many buckets (range split, not everything in bucket 0)
+    val nBkts = df.selectExpr("min(id) AS lo", "max(id) AS hi").head()
+    val (lo, hi) = (nBkts.getLong(0), nBkts.getLong(1))
+    val width = math.max(1L, (hi - lo) / 64 + 1)
+    val distinctBuckets = df.select((((col("id") - lo) / width).cast("long")).as("b"))
+      .distinct().count()
+    assert(distinctBuckets > 8, s"range split must spread the tie group, got $distinctBuckets buckets")
+  }
+
+  test("tieBuckets rejects the hash-bucket mode and degenerate bucket counts") {
+    val df = Seq(("g", 1L, 1L)).toDF("grp", "score", "id")
+    intercept[IllegalArgumentException] {
+      HistogramRank.rank(df, Seq("grp"), "score", "id",
+        bucket = Some(HistogramRank.hashBuckets(32)), tieBuckets = Some(4))
+    }
+    intercept[IllegalArgumentException] {
+      HistogramRank.rank(df, Seq("grp"), "score", "id", tieBuckets = Some(1))
+    }
+  }
 }

@@ -453,21 +453,27 @@ class PlanSpec extends AnyFunSuite {
       "the closure semi-join degraded to a nested-loop scan of the edge set")
   }
 
-  test("x101 percentile: no rank window ever partitions a whole source of corpus rows") {
+  test("x101 percentile: no rank window ever partitions a whole source — or a whole tie group") {
     val plan = executedIsolated(SparkEntry.queries("x101_quality_percentile")(spark, dir))
     // partition columns print WITHOUT an ASC/DESC marker inside
     // windowspecdefinition, ordering columns with one — so the tie window
-    // (partitionBy(source, quality).orderBy(doc_id)) and the forbidden
-    // corpus sort (partitionBy(source).orderBy(quality, doc_id)) are
-    // mechanically distinguishable in the executed plan text
-    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, quality#\\d+, doc_id#\\d+L? ASC".r
+    // (partitionBy(source, quality, __hr_tbkt).orderBy(doc_id)) and the
+    // forbidden corpus sort (partitionBy(source).orderBy(quality, doc_id))
+    // are mechanically distinguishable in the executed plan text
+    assert(("row_number\\(\\) windowspecdefinition\\(source#\\d+, quality#\\d+, " +
+        "__hr_tbkt#\\d+L?, doc_id#\\d+L? ASC").r
       .findFirstIn(plan).isDefined,
-      s"row-level tie window must partition by (source, quality):\n${plan.take(2000)}")
+      s"row-level tie window must partition by (source, quality, tie sub-bucket):\n${plan.take(2000)}")
     assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, quality#\\d+ ASC".r
       .findFirstIn(plan).isEmpty,
       "row_number().over(partitionBy(source)) resurfaced — the one-task-per-source sort")
-    // the histogram rank join keys on (source, quality): an equi join,
-    // never a per-row range probe
+    // a tie window WITHOUT the sub-bucket would re-open the degenerate
+    // single-score funnel (a corpus whose quality quantizes to one value)
+    assert("row_number\\(\\) windowspecdefinition\\(source#\\d+, quality#\\d+, doc_id#\\d+L? ASC".r
+      .findFirstIn(plan).isEmpty,
+      "tie window lost its sub-bucket — one score value funnels into one task again")
+    // the histogram rank join keys on (source, quality[, tbkt]): equi
+    // joins, never a per-row range probe
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "histogram rank must join back on (source, quality) equi-keys")
   }

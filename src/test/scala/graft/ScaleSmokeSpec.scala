@@ -30,10 +30,33 @@ class ScaleSmokeSpec extends AnyFunSuite
     * wall/floor ratio; ratios are informational (the smoke asserts
     * completion + invariants, the bench owns timing enforcement). */
   private val walls =
-    scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+    scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double, Option[String])]
 
-  private def record(name: String, rows: Long, wall: Double): Unit =
-    synchronized { walls(name) = (rows, wall) }
+  private def record(name: String, rows: Long, wall: Double,
+      note: Option[String] = None): Unit =
+    synchronized { walls(name) = (rows, wall, note) }
+
+  /** Heavy-by-design rows carry the reason IN the artifact, so their
+    * large floors are not misread as regressions in a later round. */
+  private val notes = Map(
+    "x115_ann_recall" ->
+      "runs brute-force ground truth over the full corpus by design",
+    "x116_uncertainty_sample" ->
+      "re-trains the perceptron (5 full-corpus iterations) inside the smoke",
+    "x117_threshold_sweep" ->
+      "scores the band-candidate set once, then fans out 5 thresholds",
+    "x118_incremental_datasheet" ->
+      "3 ingest batches x store merge commits dominate at toy scale")
+
+  /** Bound cross-test JVM state the way the bench bounds cross-query
+    * state: drop cached frames + checkpointed RDDs and nudge a GC after
+    * each test, so one test's pressure isn't billed to the next (r11's
+    * 23-s x101 batch reading vs its ~7-s solo cost was exactly this). */
+  private def clearState(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
+  }
 
   override def afterAll(): Unit = {
     if (walls.nonEmpty) {
@@ -58,7 +81,7 @@ class ScaleSmokeSpec extends AnyFunSuite
       // lazy session initializes after this afterAll, and getOrCreate
       // replaces a stopped session with a fresh one.
       val flagged = walls.collect {
-        case (n, (_, w)) if SparkEntry.queries.contains(n) &&
+        case (n, (_, w, _)) if SparkEntry.queries.contains(n) &&
           floors.get(n).exists(fl => w > 2 * fl && w - fl > 1.0) => n
       }.toSeq
       val rechecked: Map[String, Double] =
@@ -71,19 +94,28 @@ class ScaleSmokeSpec extends AnyFunSuite
           val res = flagged.map { n =>
             val t0 = System.nanoTime()
             SparkEntry.queries(n)(fresh, d).count()
-            n -> (System.nanoTime() - t0) / 1e9
+            val w = (System.nanoTime() - t0) / 1e9
+            // clear per-query state INSIDE the recheck session too (the
+            // bench does the same): without it the first rechecked
+            // query's persisted frames poison the later readings — the
+            // exact pressure the recheck exists to remove
+            fresh.catalog.clearCache()
+            fresh.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+            System.gc()
+            n -> w
           }.toMap
           fresh.stop()
           res
         }
-      val rows = walls.map { case (n, (r, w)) =>
+      val rows = walls.map { case (n, (r, w, note)) =>
         val fl = floors.get(n)
         val extra = fl.map(f =>
           f""","floor":$f,"ratio":${math.round(w / f * 100) / 100.0}""")
           .getOrElse("")
         val re = rechecked.get(n)
           .map(v => f""","recheck_sec":$v%.1f""").getOrElse("")
-        f"""  "$n": {"rows": $r, "wall_sec": $w%.1f$extra$re}"""
+        val nt = note.map(t => s""","_note":"$t"""").getOrElse("")
+        f"""  "$n": {"rows": $r, "wall_sec": $w%.1f$extra$re$nt}"""
       }.mkString(",\n")
       Files.write(java.nio.file.Paths.get(out),
         s"""{\n  "_sf": "sf0.1 x$R",\n$rows\n}\n""".getBytes("UTF-8"))
@@ -134,8 +166,9 @@ class ScaleSmokeSpec extends AnyFunSuite
     val t0 = System.nanoTime()
     val n = SparkEntry.queries(name)(spark, dir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    record(name, n, wall)
+    record(name, n, wall, notes.get(name))
     info(f"[scale] $name rows=$n wall=$wall%.1fs")
+    clearState()
     assert(n > 0, s"$name returned no rows at 10x scale")
   }
 
@@ -169,6 +202,7 @@ class ScaleSmokeSpec extends AnyFunSuite
     val wall = (System.nanoTime() - t0) / 1e9
     record("x75_bpe_merges", merges.length.toLong, wall)
     info(f"[scale] x75 merges=${merges.length} wall=$wall%.1fs")
+    clearState()
     assert(merges.length == 12)
   }
   test("x77 perceptron training completes at 10x") { requested(); run("x77_perceptron_train") }
@@ -201,6 +235,7 @@ class ScaleSmokeSpec extends AnyFunSuite
     val r = SparkEntry.queries("x96_cluster_weights")(spark, dir)
     val n = r.count()
     record("x96_cluster_weights", n, (System.nanoTime() - t0) / 1e9)
+    clearState()
     assert(n == spark.read.parquet(s"$dir/documents.parquet").count(),
       "every doc needs exactly one weight at 10x")
   }
