@@ -119,11 +119,26 @@ object HistogramRank {
       case Some(tb) =>
         // range-split each tie group into ~tb sub-buckets; integer width
         // ≥ 1 so distinct tie values in a narrow range land in distinct
-        // sub-buckets. Monotone in the tie by construction.
+        // sub-buckets. Monotone in the tie by construction. Arithmetic is
+        // divide-FIRST (quotient difference, never a raw span subtraction)
+        // so full-range 64-bit ties cannot overflow: width = 1 only when
+        // tmax and tmin share a tb-quotient, which bounds |tie - tmin| by
+        // ~2·tb — every subtraction below stays in range for any input.
+        // A null (or not-long-castable) tie fails fast here: the sub-
+        // bucket is a join key, and a null key would silently DROP the
+        // row where the un-sub-bucketed plan merely sorted it first.
+        val tieL = col(tieCol).cast("bigint")
         val joined = bucketed.join(below, partCols :+ bktCol)
-          .withColumn("__hr_tbkt", expr(
-            s"(cast($tieCol as bigint) - __hr_tmin) div " +
-              s"greatest(1L, ((__hr_tmax - __hr_tmin) div ${tb}L) + 1L)"))
+          .withColumn("__hr_tbkt",
+            when(tieL.isNull, raise_error(lit(
+              s"HistogramRank: $tieCol is null or not long-castable — " +
+                "tieBuckets requires a non-null long-castable tie column"))
+              .cast("bigint"))
+            .otherwise(expr(
+              s"(cast($tieCol as bigint) div greatest(1L, " +
+                s"((__hr_tmax div ${tb}L) - (__hr_tmin div ${tb}L)) + 1L)) - " +
+              s"(__hr_tmin div greatest(1L, " +
+                s"((__hr_tmax div ${tb}L) - (__hr_tmin div ${tb}L)) + 1L))")))
         // second-level histogram: rows of MY score in LOWER tie sub-buckets
         // (bounded by score-cardinality × tieBuckets, never corpus rows)
         val sub = joined.groupBy((part :+ col(bktCol) :+ col("__hr_tbkt")): _*)

@@ -1933,8 +1933,9 @@ object ExtensionQueries {
     // the batch's atomic publish: every merge reads pre-transaction state
     // (the dup delta was computed against the OLD hash index above, which
     // is exactly the crossing-delta contract) and all four tables swap
-    // together under the transaction's locks
-    store.transaction { txn =>
+    // together under the transaction's locks. The unpersists live in the
+    // finally: a failed-and-retried batch must not accumulate dead blocks
+    try store.transaction { txn =>
       txn.merge("ds.stats", stats, Seq("source"),
         matched = Seq(MatchedUpdate(None, Map(
           "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
@@ -1959,9 +1960,10 @@ object ExtensionQueries {
         matched = Seq(MatchedUpdate(None, Map("c" -> (col("t.c") + col("s.c"))))),
         notMatched = Seq(NotMatchedInsert(None, Map(
           "h" -> col("s.h"), "source" -> col("s.source"), "c" -> col("s.c")))))
+    } finally {
+      old.unpersist(false)
+      bc.unpersist(false)
     }
-    old.unpersist(false)
-    bc.unpersist(false)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -159,8 +159,15 @@ final class Txn private[tables] (store: TableStore) {
   private[tables] def record(name: String, v: Int, dir: Path,
       base: Option[Int]): Unit = staged += ((name, v, dir, base))
 
-  private[tables] def commitAll(): Unit = store.txnCommit(staged.toSeq)
-  private[tables] def abort(): Unit = store.txnAbort(staged.map(_._3).toSeq)
+  /** Once the commit's intent journal is durable, failures roll FORWARD
+    * (the attach-time recovery completes the publish) — aborting would
+    * drop version directories out from under already-swapped pointers. */
+  private[tables] var commitBegan = false
+
+  private[tables] def commitAll(): Unit =
+    store.txnCommit(staged.toSeq, () => { commitBegan = true })
+  private[tables] def abort(): Unit =
+    if (!commitBegan) store.txnAbort(staged.map(_._3).toSeq)
 }
 
 final class TableStore(spark: SparkSession, root: String) {
@@ -3252,11 +3259,14 @@ final class TableStore(spark: SparkSession, root: String) {
         // dir, the pointer moves at the transaction's commit (or never —
         // txnAbort drops the dir). Conflict detection is the transaction's
         // strict observed-version check; no single-table rebase.
+        // record BEFORE the cdc write: if that write throws, the staged
+        // dir is already in the transaction's ledger and txnAbort drops
+        // it (stageVersion's own cleanup no longer covers this point).
         val (v, dir) = stageVersion(name, rewritten.unionByName(inserts),
           pb, sw, sf, carryOver = entries.filterNot(e => touched(e.rel)),
           schemaHint = Some(schema), op = op)
-        cdc.foreach(_.write.parquet(dir.resolve("cdc").toString))
         t.record(name, v, dir, Some(base))
+        cdc.foreach(_.write.parquet(dir.resolve("cdc").toString))
     }
   }
 
@@ -3498,7 +3508,8 @@ final class TableStore(spark: SparkSession, root: String) {
     (v, dir, base)
   }
 
-  private[tables] def txnCommit(staged: Seq[(String, Int, Path, Option[Int])]): Unit = {
+  private[tables] def txnCommit(staged: Seq[(String, Int, Path, Option[Int])],
+      onCommitBegan: () => Unit = () => ()): Unit = {
     val names = staged.map(_._1).sorted
     def lockAll(ns: Seq[String])(body: => Unit): Unit = ns match {
       case Seq() => body
@@ -3511,7 +3522,91 @@ final class TableStore(spark: SparkSession, root: String) {
           s"transaction: $name moved from version $base to $cur since staging — " +
             "the whole transaction is rolled back")
       }
-      staged.foreach { case (name, v, _, _) => promoteManifest(name, v); swapTo(name, v) }
+      // Intent journal: the per-table pointer swaps below are atomic
+      // renames issued back-to-back, so a crash BETWEEN them would leave
+      // the tables mutually inconsistent — exactly what the transaction
+      // exists to prevent. The (table -> version) intent is made durable
+      // FIRST; from that instant the transaction is committed-in-spirit
+      // and every failure rolls FORWARD: attach-time recovery
+      // ([[recoverTxnIntents]]) completes the remaining swaps, and the
+      // intent file is deleted only after the last one. Before the intent
+      // exists, failures still abort cleanly (nothing was published).
+      val intent = writeTxnIntent(staged.map(s => (s._1, s._2)))
+      onCommitBegan()
+      var i = 0
+      try {
+        staged.foreach { case (name, v, _, _) =>
+          promoteManifest(name, v); swapTo(name, v)
+          i += 1
+          if (i == crashAfterSwapsForTest)
+            throw new IllegalStateException("simulated crash mid-publish")
+        }
+        Files.deleteIfExists(intent)
+        ()
+      } catch {
+        case t: Throwable =>
+          throw new IllegalStateException(
+            s"transaction publish interrupted after $i/${staged.size} tables; " +
+              s"intent ${intent.getFileName} retained — re-attaching the store " +
+              "completes the remaining swaps (roll-forward recovery)", t)
+      }
+    }
+  }
+
+  /** Test seam: throw after N pointer swaps to simulate a crash
+    * mid-publish (-1 = never). */
+  private[tables] var crashAfterSwapsForTest: Int = -1
+
+  private def txnIntentDir: Path = Paths.get(root, "_txn_intents")
+
+  private def writeTxnIntent(tables: Seq[(String, Int)]): Path = {
+    Files.createDirectories(txnIntentDir)
+    val id = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tmp = txnIntentDir.resolve(s"intent.$id.tmp")
+    Files.write(tmp, tables.map { case (n, v) => s"$n\t$v" }
+      .mkString("\n").getBytes(UTF_8))
+    val fin = txnIntentDir.resolve(s"intent.$id")
+    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+    fin
+  }
+
+  /** Complete transactions that crashed mid-publish: for every retained
+    * intent, promote+swap each listed table that is still behind its
+    * intended version, then drop the intent. Runs at attach, before the
+    * store serves anything. A table already at (or past) the intended
+    * version is skipped — its swap happened before the crash. Stale
+    * commit locks held by the crashed writer are cleared for the listed
+    * tables (one writer process per store root at a time, the same
+    * assumption the lock's timeout message states). */
+  private def recoverTxnIntents(): Unit = {
+    if (!Files.isDirectory(txnIntentDir)) return
+    import scala.jdk.CollectionConverters._
+    val stream = Files.list(txnIntentDir)
+    val intents = try stream.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    intents.filter(_.getFileName.toString.startsWith("intent.")).foreach { f =>
+      if (f.getFileName.toString.endsWith(".tmp")) Files.deleteIfExists(f)
+      else {
+        val pairs = new String(Files.readAllBytes(f), UTF_8).split('\n')
+          .filter(_.nonEmpty).toSeq
+          .map { l => val p = l.split('\t'); (p(0), p(1).toInt) }
+        pairs.foreach { case (name, v) =>
+          // the crashed writer died holding this lock; it cannot release it
+          Files.deleteIfExists(tableDir(name).resolve("_COMMIT_LOCK"))
+          withCommitLock(name) {
+            if (!currentVersion(name).exists(_ >= v)) {
+              if (Files.exists(stagedManifestPath(name, v))) promoteManifest(name, v)
+              if (Files.exists(manifestPath(name, v))) swapTo(name, v)
+              else throw new IllegalStateException(
+                s"transaction recovery: $name v$v listed in intent " +
+                  s"${f.getFileName} but no staged or committed manifest " +
+                  "exists — the store is corrupted, refusing to serve")
+            }
+          }
+        }
+        Files.deleteIfExists(f)
+        ()
+      }
     }
   }
 
@@ -4089,4 +4184,9 @@ final class TableStore(spark: SparkSession, root: String) {
       }
     }
   }
+
+  // Complete any transaction that crashed mid-publish BEFORE this store
+  // serves queries — the intent journal's roll-forward half (txnCommit).
+  // Runs LAST in the constructor so every field above is initialized.
+  recoverTxnIntents()
 }

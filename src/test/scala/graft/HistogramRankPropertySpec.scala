@@ -106,6 +106,30 @@ class HistogramRankPropertySpec extends AnyFunSuite {
     assert(distinctBuckets > 8, s"range split must spread the tie group, got $distinctBuckets buckets")
   }
 
+  test("tie sub-bucketing survives full-range 64-bit ties and fails fast on a null tie") {
+    import spark.implicits._
+    // extremes that would overflow a naive (tmax - tmin) span subtraction:
+    // the divide-first width must still produce a monotone split
+    val ids = Seq(Long.MinValue, Long.MinValue + 7, -3L, 0L, 5L,
+      Long.MaxValue - 11, Long.MaxValue)
+    val df = ids.map(i => ("g", 1L, i)).toDF("grp", "score", "id")
+    val got = HistogramRank.rank(df, Seq("grp"), "score", "id",
+        rankName = "rk", tieBuckets = Some(4))
+      .orderBy(col("id")).select(col("rk")).as[Long].collect().toSeq
+    assert(got == (1L to ids.size.toLong), s"full-range ties must rank in id order, got $got")
+    // a null tie must FAIL (it would silently drop through the sub-bucket
+    // equi-join), unlike the un-sub-bucketed mode where it merely sorts first
+    val withNull = Seq(("g", 1L, Some(2L)), ("g", 1L, Option.empty[Long]))
+      .toDF("grp", "score", "id")
+    val e = intercept[Exception] {
+      HistogramRank.rank(withNull, Seq("grp"), "score", "id",
+        rankName = "rk", tieBuckets = Some(4)).count()
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("long-castable") ||
+      Option(e.getCause).exists(_.getMessage.contains("long-castable"))),
+      s"null tie must fail fast with the remedy, got: $e")
+  }
+
   test("tieBuckets rejects the hash-bucket mode and degenerate bucket counts") {
     val df = Seq(("g", 1L, 1L)).toDF("grp", "score", "id")
     intercept[IllegalArgumentException] {
