@@ -92,9 +92,15 @@ class ScaleSmokeSpec extends AnyFunSuite
           System.gc()
           val fresh = graft.core.GraftSession.local(16)
           val res = flagged.map { n =>
-            val t0 = System.nanoTime()
-            SparkEntry.queries(n)(fresh, d).count()
-            val w = (System.nanoTime() - t0) / 1e9
+            // two runs, min — the bench's recheck recipe: the first run in
+            // a fresh session carries ~10 s of codegen/classloading that
+            // would otherwise read as the operator's own cost
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              SparkEntry.queries(n)(fresh, d).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            val w = math.min(once(), once())
             // clear per-query state INSIDE the recheck session too (the
             // bench does the same): without it the first rechecked
             // query's persisted frames poison the later readings — the
