@@ -432,6 +432,50 @@ object Dedup {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** Per-(benchmark, corpus-group) contamination REPORT — the aggregate
+    * twin of [[crossCorpusOverlap]]: that pass says WHICH corpus docs
+    * overlap the held-out set; the eval-integrity audit every training
+    * run publishes wants it per benchmark and per corpus source — how
+    * many training docs carry at least `threshold` of benchmark B's
+    * n-grams, what fraction of source S that is, and the total leaked
+    * n-gram mass. Zero-contamination (benchmark, group) pairs appear
+    * with zeros: an audit that omits clean rows can't prove it checked.
+    *
+    * Scale shape: benchmark shingles travel TAGGED by their benchmark
+    * and broadcast (eval suites are tiny next to a training corpus); the
+    * corpus pays one shingle explode; per-(doc, benchmark) counts
+    * combine map-side; the report frame is benchmark × group cardinality
+    * — the one cross join in the plan multiplies two agg-bounded tiny
+    * frames, never row data. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, groupCol: String, benchCol: String,
+      n: Int = 3, threshold: Long = 3L): DataFrame = {
+    require(threshold >= 1, "threshold must be at least 1")
+    val cs = shingles(corpus, idCol, textCol, n)
+    // shingles() keys by its id column — passing the benchmark tag AS the
+    // id yields exactly the distinct (benchmark, shingle) relation
+    val bsh = shingles(benchmark, benchCol, textCol, n)
+      .select(col("doc").as("__bench"), col("shingle"))
+    val perDoc = cs.join(broadcast(bsh), Seq("shingle"))
+      .groupBy(col("doc"), col("__bench"))
+      .agg(count(lit(1)).as("overlap_ngrams"))
+    val src = corpus.select(col(idCol).as("doc"), col(groupCol).as("__grp"))
+    val totals = src.groupBy(col("__grp")).agg(count(lit(1)).as("n_docs"))
+    val benches = benchmark.select(col(benchCol).as("__bench")).distinct()
+    val hits = perDoc.join(src, "doc")
+      .groupBy(col("__bench"), col("__grp"))
+      .agg(sum(col("overlap_ngrams")).as("overlap_ngrams"),
+        sum(when(col("overlap_ngrams") >= threshold, lit(1L)).otherwise(lit(0L)))
+          .as("n_contaminated"))
+    benches.crossJoin(totals)
+      .join(hits, Seq("__bench", "__grp"), "left_outer")
+      .na.fill(0L, Seq("overlap_ngrams", "n_contaminated"))
+      .select(col("__bench").as(benchCol), col("__grp").as(groupCol),
+        col("n_docs"), col("n_contaminated"),
+        expr("(1000000 * n_contaminated) div n_docs").as("contaminated_micro"),
+        col("overlap_ngrams"))
+  }
+
   /** 32-bit SimHash per doc: token hash bits vote ±1, fingerprint = sign
     * vector. One groupBy(doc) with 32 conditional sums. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -93,14 +93,17 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
 
   // x10: multimodal decode — image rows are real PNGs decoded through
-  // javax.imageio; pixel payloads are md5-derived, so DuckDB recomputes the
-  // expected stats from the hash and the oracle validates the full
-  // encode → PNG container → decode round trip exactly. n_bytes (the PNG
-  // container size, an encoder detail) is intentionally not selected.
+  // javax.imageio, audio rows real WAV containers decoded through
+  // javax.sound.sampled (format/rate/frames from the actual RIFF parse);
+  // both payloads are md5-derived, so DuckDB recomputes the expected
+  // stats from the hash and the oracle validates BOTH encode → container
+  // → decode round trips exactly. n_bytes (container size, an encoder
+  // detail) is intentionally not selected.
   def x10MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
-        col("channels"), round(col("px_mean"), 6).as("px_mean"), col("px_max"))
+        col("channels"), col("sample_rate"), col("n_frames"),
+        round(col("px_mean"), 6).as("px_mean"), col("px_max"))
       .orderBy(col("media_id"))
 
   // x22: near-duplicate clusters — connected components over the MinHash
@@ -1933,40 +1936,74 @@ object ExtensionQueries {
     // the batch's atomic publish: every merge reads pre-transaction state
     // (the dup delta was computed against the OLD hash index above, which
     // is exactly the crossing-delta contract) and all four tables swap
-    // together under the transaction's locks. The unpersists live in the
-    // finally: a failed-and-retried batch must not accumulate dead blocks
+    // together under the transaction's locks. The four stagings write
+    // four INDEPENDENT tables, so they run concurrently (Txn's ledger is
+    // synchronized; Spark schedules jobs from many threads) — the batch's
+    // wall time is the slowest index, not the sum. Failures are collected
+    // AFTER every staging settles, so the abort sees every staged dir.
+    // The unpersists live in the finally: a failed-and-retried batch must
+    // not accumulate dead blocks.
     try store.transaction { txn =>
-      txn.merge("ds.stats", stats, Seq("source"),
-        matched = Seq(MatchedUpdate(None, Map(
-          "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
-          "n_tokens" -> (col("t.n_tokens") + col("s.n_tokens")),
-          "n_chars" -> (col("t.n_chars") + col("s.n_chars")),
-          "sum_q" -> (col("t.sum_q") + col("s.sum_q"))))),
-        notMatched = Seq(NotMatchedInsert(None, Map(
-          "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
-          "n_tokens" -> col("s.n_tokens"), "n_chars" -> col("s.n_chars"),
-          "sum_q" -> col("s.sum_q")))))
-      txn.merge("ds.langs", langs, Seq("source", "lang"),
-        matched = Seq(MatchedUpdate(None, Map("lc" -> (col("t.lc") + col("s.lc"))))),
-        notMatched = Seq(NotMatchedInsert(None, Map(
-          "source" -> col("s.source"), "lang" -> col("s.lang"),
-          "lc" -> col("s.lc")))))
-      txn.merge("ds.dup", delta, Seq("source"),
-        matched = Seq(MatchedUpdate(None,
-          Map("dup_docs" -> (col("t.dup_docs") + col("s.d"))))),
-        notMatched = Seq(NotMatchedInsert(None, Map(
-          "source" -> col("s.source"), "dup_docs" -> col("s.d")))))
-      txn.merge("ds.hashes", bc, Seq("h", "source"),
-        matched = Seq(MatchedUpdate(None, Map("c" -> (col("t.c") + col("s.c"))))),
-        notMatched = Seq(NotMatchedInsert(None, Map(
-          "h" -> col("s.h"), "source" -> col("s.source"), "c" -> col("s.c")))))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val stagings = Seq(
+        Future(txn.merge("ds.stats", stats, Seq("source"),
+          matched = Seq(MatchedUpdate(None, Map(
+            "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
+            "n_tokens" -> (col("t.n_tokens") + col("s.n_tokens")),
+            "n_chars" -> (col("t.n_chars") + col("s.n_chars")),
+            "sum_q" -> (col("t.sum_q") + col("s.sum_q"))))),
+          notMatched = Seq(NotMatchedInsert(None, Map(
+            "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
+            "n_tokens" -> col("s.n_tokens"), "n_chars" -> col("s.n_chars"),
+            "sum_q" -> col("s.sum_q")))))),
+        Future(txn.merge("ds.langs", langs, Seq("source", "lang"),
+          matched = Seq(MatchedUpdate(None, Map("lc" -> (col("t.lc") + col("s.lc"))))),
+          notMatched = Seq(NotMatchedInsert(None, Map(
+            "source" -> col("s.source"), "lang" -> col("s.lang"),
+            "lc" -> col("s.lc")))))),
+        Future(txn.merge("ds.dup", delta, Seq("source"),
+          matched = Seq(MatchedUpdate(None,
+            Map("dup_docs" -> (col("t.dup_docs") + col("s.d"))))),
+          notMatched = Seq(NotMatchedInsert(None, Map(
+            "source" -> col("s.source"), "dup_docs" -> col("s.d")))))),
+        Future(txn.merge("ds.hashes", bc, Seq("h", "source"),
+          matched = Seq(MatchedUpdate(None, Map("c" -> (col("t.c") + col("s.c"))))),
+          notMatched = Seq(NotMatchedInsert(None, Map(
+            "h" -> col("s.h"), "source" -> col("s.source"), "c" -> col("s.c")))))))
+      val settled = stagings.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(t) => throw t }
     } finally {
       old.unpersist(false)
       bc.unpersist(false)
     }
   }
 
+  // x119: per-benchmark contamination report — x30 flags WHICH corpus
+  // docs overlap the held-out set; the eval-integrity audit a training
+  // run publishes wants it AGGREGATED: for every (benchmark, corpus
+  // source), how many training docs carry >= 3 of that benchmark's
+  // 3-grams, the per-source contamination rate, and the leaked n-gram
+  // mass — zero rows included (an audit that omits clean cells can't
+  // prove it checked them). The benchmark suite is x30's held-out
+  // doc_id % 13 slice, one benchmark per eval language. Scale shape:
+  // tagged benchmark shingles broadcast; the corpus pays one explode;
+  // the report frame is benchmark x source (see Dedup.contaminationReport).
+  def x119ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationReport(
+        corpus = docs.filter(col("doc_id") % 13 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("lang").as("benchmark"), col("text")),
+        idCol = "doc_id", textCol = "text",
+        groupCol = "source", benchCol = "benchmark",
+        n = 3, threshold = 3L)
+      .orderBy(col("benchmark"), col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x119_contamination_report" -> x119ContaminationReport _,
     "x118_incremental_datasheet" -> x118IncrementalDatasheet _,
     "x117_threshold_sweep" -> x117ThresholdSweep _,
     "x115_ann_recall" -> x115AnnRecall _,
@@ -3142,9 +3179,15 @@ object ExtensionQueries {
         |SELECT media_id, media_type,
         |  CASE WHEN media_type = 'image' THEN 4 END AS width,
         |  CASE WHEN media_type = 'image' THEN 4 END AS height,
-        |  CASE WHEN media_type = 'image' THEN 1 END AS channels,
-        |  ROUND(list_sum(px) / 16.0, 6) AS px_mean,
-        |  list_max(px) AS px_max
+        |  CASE WHEN media_type IN ('image', 'audio') THEN 1 END AS channels,
+        |  CASE WHEN media_type = 'audio' THEN 8000 END AS sample_rate,
+        |  CASE WHEN media_type = 'audio' THEN 16 END AS n_frames,
+        |  ROUND(CASE WHEN media_type = 'audio'
+        |        THEN list_sum(list_transform(px, v -> (v - 128) * 256)) / 16.0
+        |        ELSE list_sum(px) / 16.0 END, 6) AS px_mean,
+        |  CAST(CASE WHEN media_type = 'audio'
+        |       THEN list_max(list_transform(px, v -> (v - 128) * 256))
+        |       ELSE list_max(px) END AS INT) AS px_max
         |FROM h ORDER BY media_id""".stripMargin,
     "x26_curation" ->
       s"""WITH RECURSIVE
@@ -3245,6 +3288,29 @@ object ExtensionQueries {
         |SELECT doc_id, split, shuffle_key,
         |  ROW_NUMBER() OVER (PARTITION BY split ORDER BY shuffle_key) AS shuffle_pos
         |FROM s ORDER BY split, shuffle_pos""".stripMargin,
+    "x119_contamination_report" ->
+      s"""WITH c AS (SELECT doc_id AS doc, source, $Norm AS t FROM documents WHERE doc_id % 13 <> 0),
+         |b AS (SELECT lang AS bench, $Norm AS t FROM documents WHERE doc_id % 13 = 0),
+         |cw AS (SELECT doc, source, string_split(t, ' ') AS w FROM c),
+         |csh AS (SELECT DISTINCT doc, source, array_to_string(w[i:i+2], ' ') AS shingle
+         |        FROM cw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
+         |bw AS (SELECT bench, string_split(t, ' ') AS w FROM b),
+         |bsh AS (SELECT DISTINCT bench, array_to_string(w[i:i+2], ' ') AS shingle
+         |        FROM bw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
+         |ov AS (SELECT cs.doc, cs.source, bs.bench, COUNT(*) AS o
+         |       FROM csh cs JOIN bsh bs USING (shingle) GROUP BY 1, 2, 3),
+         |hits AS (SELECT bench, source, SUM(o) AS overlap_ngrams,
+         |           SUM(CASE WHEN o >= 3 THEN 1 ELSE 0 END) AS n_contaminated
+         |         FROM ov GROUP BY 1, 2),
+         |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents WHERE doc_id % 13 <> 0 GROUP BY 1),
+         |bl AS (SELECT DISTINCT bench FROM b)
+         |SELECT bl.bench AS benchmark, tot.source, tot.n_docs,
+         |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  CAST((1000000 * COALESCE(h.n_contaminated, 0)) // tot.n_docs AS BIGINT) AS contaminated_micro,
+         |  CAST(COALESCE(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams
+         |FROM bl CROSS JOIN tot
+         |LEFT JOIN hits h ON h.bench = bl.bench AND h.source = tot.source
+         |ORDER BY 1, 2""".stripMargin,
     "x30_decontaminate" ->
       s"""WITH c AS (SELECT doc_id AS doc, $Norm AS t FROM documents WHERE doc_id % 13 <> 0),
          |b AS (SELECT doc_id AS doc, $Norm AS t FROM documents WHERE doc_id % 13 = 0),

@@ -107,13 +107,15 @@ final class Txn private[tables] (store: TableStore) {
   private def stage(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], append: Boolean,
       op: Option[String] = None): Unit = {
-    require(!staged.exists(_._1 == name),
-      s"transaction already wrote $name — one write per table per transaction " +
-        "(writes see pre-transaction state, so a second write would silently " +
-        "discard the first)")
-    staged += { val (v, d, b) = store.txnStage(name, df, partitionBy, sortWithin,
-      statsFor, append,
-      op.getOrElse(if (append) "txn_append" else "txn_write")); (name, v, d, b) }
+    staged.synchronized {
+      require(!staged.exists(_._1 == name),
+        s"transaction already wrote $name — one write per table per transaction " +
+          "(writes see pre-transaction state, so a second write would silently " +
+          "discard the first)")
+    }
+    val (v, d, b) = store.txnStage(name, df, partitionBy, sortWithin,
+      statsFor, append, op.getOrElse(if (append) "txn_append" else "txn_write"))
+    record(name, v, d, b)
   }
 
   /** Stage a full-snapshot write (createOrReplace semantics). */
@@ -148,16 +150,26 @@ final class Txn private[tables] (store: TableStore) {
       notMatchedBySource: Seq[graft.operators.MergeInto.BySourceAction] = Nil,
       schemaEvolution: Boolean = false,
       op: String = "txn_merge"): Unit = {
-    require(!staged.exists(_._1 == name),
-      s"transaction already wrote $name — one write per table per transaction " +
-        "(writes see pre-transaction state, so a second write would silently " +
-        "discard the first)")
+    staged.synchronized {
+      require(!staged.exists(_._1 == name),
+        s"transaction already wrote $name — one write per table per transaction " +
+          "(writes see pre-transaction state, so a second write would silently " +
+          "discard the first)")
+    }
     store.mergeInternal(name, source, keys, extraOn, matched, notMatched,
       notMatchedBySource, schemaEvolution, op, txn = Some(this))
   }
 
+  /** Staging is thread-safe on DIFFERENT tables — a multi-index ingest
+    * stages its independent merges concurrently (Spark schedules jobs
+    * from many threads); the ledger is the only shared state, and the
+    * duplicate-table guard re-checks under the lock at record time. */
   private[tables] def record(name: String, v: Int, dir: Path,
-      base: Option[Int]): Unit = staged += ((name, v, dir, base))
+      base: Option[Int]): Unit = staged.synchronized {
+    require(!staged.exists(_._1 == name),
+      s"transaction already wrote $name — concurrent stagings raced on one table")
+    staged += ((name, v, dir, base))
+  }
 
   /** Once the commit's intent journal is durable, failures roll FORWARD
     * (the attach-time recovery completes the publish) — aborting would
@@ -165,9 +177,9 @@ final class Txn private[tables] (store: TableStore) {
   private[tables] var commitBegan = false
 
   private[tables] def commitAll(): Unit =
-    store.txnCommit(staged.toSeq, () => { commitBegan = true })
+    store.txnCommit(staged.synchronized(staged.toSeq), () => { commitBegan = true })
   private[tables] def abort(): Unit =
-    if (!commitBegan) store.txnAbort(staged.map(_._3).toSeq)
+    if (!commitBegan) store.txnAbort(staged.synchronized(staged.map(_._3).toSeq))
 }
 
 final class TableStore(spark: SparkSession, root: String) {

@@ -376,14 +376,36 @@ class ExtensionSpec extends AnyFunSuite {
     assert(decoded == payload.toSeq, "grayscale PNG round trip is lossless")
   }
 
-  test("multimodal: image rows decode via imageio, audio/video via the byte stub") {
+  test("multimodal: WAV encode→javax.sound decode round-trips samples exactly") {
+    val payload = Array.tabulate[Byte](16)(i => ((i * 29 + 11) % 256).toByte)
+    val wav = Multimodal.encodeWav(payload)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "real RIFF container")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getChannels == 1 && fmt.getSampleRate == 8000f &&
+      fmt.getSampleSizeInBits == 16 && ais.getFrameLength == 16)
+    val data = ais.readAllBytes()
+    val decoded = (0 until 16).map(i =>
+      ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt)
+    assert(decoded == payload.map(b => ((b & 0xff) - 128) * 256).toSeq,
+      "PCM round trip is lossless")
+  }
+
+  test("multimodal: image rows decode via imageio, audio via javax.sound, video via the byte stub") {
     val media = Multimodal.syntheticMedia(docs)
     val feats = Multimodal.extractFeatures(media).cache()
     assert(feats.count() == docs.count())
     val images = feats.filter($"media_type" === "image")
     assert(images.filter($"width" =!= 4 || $"height" =!= 4 || $"channels" =!= 1).count() == 0)
     assert(images.filter($"n_bytes" <= 16).count() == 0, "PNG container adds bytes over the payload")
-    assert(feats.filter($"media_type" =!= "image" && $"n_bytes" =!= 16).count() == 0)
+    val audio = feats.filter($"media_type" === "audio")
+    assert(audio.filter($"channels" =!= 1 || $"sample_rate" =!= 8000 ||
+      $"n_frames" =!= 16).count() == 0, "audio format comes from the real RIFF parse")
+    assert(audio.filter($"n_bytes" =!= 44 + 32).count() == 0,
+      "WAV container = 44-byte header + 32 PCM bytes")
+    assert(feats.filter($"media_type" === "video" && $"n_bytes" =!= 16).count() == 0)
     val twice = Multimodal.extractFeatures(media)
     assert(feats.exceptAll(twice).count() == 0, "decode is deterministic")
     // metadata-only access never touches the binary column
@@ -1648,6 +1670,32 @@ class ExtensionSpec extends AnyFunSuite {
       store.detach()
       graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
     }
+  }
+
+  test("contamination report: complete benchmark x source frame, bounded rates, and one " +
+      "cell reconciles with a direct single-benchmark overlap recount") {
+    val r = graft.queries.ExtensionQueries.x119ContaminationReport(spark, dir).cache()
+    val corpus = docs.filter($"doc_id" % 13 =!= 0)
+    val benches = docs.filter($"doc_id" % 13 === 0).select($"lang").distinct().count()
+    val sources = corpus.select($"source").distinct().count()
+    assert(r.count() == benches * sources,
+      "the audit must emit EVERY (benchmark, source) cell, zeros included")
+    assert(r.filter($"n_contaminated" > $"n_docs" || $"contaminated_micro" > 1000000L ||
+      $"contaminated_micro" < 0L).count() == 0, "rates must be bounded")
+    assert(r.filter($"n_contaminated" === 0L && $"overlap_ngrams" =!= 0L).count() == 0 ||
+      r.filter($"overlap_ngrams" < $"n_contaminated").count() == 0,
+      "mass must be consistent with counts")
+    // direct recount of the heaviest cell via the per-doc overlap operator
+    // restricted to that one benchmark and source
+    val top = r.orderBy($"n_contaminated".desc).head()
+    val (bench, source) = (top.getString(0), top.getString(1))
+    val direct = Dedup.crossCorpusOverlap(
+        corpus.filter($"source" === source),
+        docs.filter($"doc_id" % 13 === 0 && $"lang" === bench), "doc_id", "text", n = 3)
+      .filter($"n_overlap" >= 3).count()
+    r.unpersist(false)
+    assert(top.getLong(3) == direct,
+      s"cell ($bench, $source) must equal the direct recount: ${top.getLong(3)} vs $direct")
   }
 
   test("source overlap: canonical pair order, pair mass reconciles with the LSH pair list") {

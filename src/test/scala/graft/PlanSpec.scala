@@ -478,6 +478,24 @@ class PlanSpec extends AnyFunSuite {
       "histogram rank must join back on (source, quality) equi-keys")
   }
 
+  test("x119 contamination report: benchmark shingles broadcast, the only non-equi join " +
+      "multiplies two agg-bounded tiny frames") {
+    val plan = executedIsolated(SparkEntry.queries("x119_contamination_report")(spark, dir))
+      .split("== Initial Plan ==").head
+    // the corpus-sized join (corpus shingles x benchmark shingles) must be
+    // a broadcast hash equi-join — a shuffled shingle join would move the
+    // whole corpus's n-gram explosion for a tiny eval suite
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast into the corpus explode:\n${plan.take(1500)}")
+    // the benchmark x source completeness frame is the codebase's accepted
+    // tiny-frame cross join (both sides agg-bounded); a CartesianProduct
+    // over row data is not
+    assert(!plan.contains("CartesianProduct"),
+      s"no row-data cartesian anywhere:\n${plan.take(1500)}")
+    assert(!plan.contains("windowspecdefinition"),
+      "the report is pure aggregation — no windows")
+  }
+
   test("x106 best-of-cluster: the per-cluster argmax is one hash agg — no window, no sort") {
     val plan = executedIsolated(SparkEntry.queries("x106_best_of_cluster")(spark, dir))
     // argmax(quality, tie -> smallest id) rides max(struct(...)): it

@@ -334,6 +334,10 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x118_incremental_datasheet")
   }
 
+  test("x119 contamination report completes at 10x (broadcast benchmark shingles)") {
+    requested(); run("x119_contamination_report")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
