@@ -31,9 +31,31 @@ object BpeQueries {
       .orderBy(col("doc_id"))
   }
 
+  // x120: per-source tokenizer fertility — the corpus-mix view of x76's
+  // per-doc audit: subwords-per-word in micro-units for every source. The
+  // curation signal that says which corpora the learned tokenizer
+  // compresses poorly (high fertility = more tokens per word = that
+  // source burns training budget); every serious tokenizer report
+  // publishes it per domain. Scale shape: x76's per-doc stats are already
+  // corpus-linear; the rollup is one source-keyed map-side-combined agg —
+  // a fertility of exactly 1e6 means every word stayed one token.
+  def x120TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Bpe.subwordStats(docs, Bpe.learnMerges(docs, Rounds))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility_micro",
+        expr("(n_subwords * 1000000) div n_words"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x75_bpe_merges" -> x75BpeMerges _,
-    "x76_bpe_encode" -> x76BpeEncode _)
+    "x76_bpe_encode" -> x76BpeEncode _,
+    "x120_tokenizer_fertility" -> x120TokenizerFertility _)
 
   /** CTE chain replaying BPE training in DuckDB: w0 = delimited
     * word-frequency table; per round k, pK = weighted adjacent-pair
@@ -93,7 +115,27 @@ object BpeQueries {
        |FROM docw JOIN sub USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private def fertilitySql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |sub AS (
+       |  SELECT w, CAST((length(s) - length(replace(s, '||', ''))) // 2 + 1 AS BIGINT) AS n_sub
+       |  FROM w$rounds),
+       |docw AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY doc_id, w),
+       |perdoc AS (
+       |  SELECT doc_id, sum(k) AS nw, sum(k * n_sub) AS ns
+       |  FROM docw JOIN sub USING (w) GROUP BY doc_id)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(nw) AS BIGINT) AS n_words,
+       |       CAST(SUM(ns) AS BIGINT) AS n_subwords,
+       |       CAST((SUM(ns) * 1000000) // SUM(nw) AS BIGINT) AS fertility_micro
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x75_bpe_merges" -> mergesSql(Rounds),
-    "x76_bpe_encode" -> encodeSql(Rounds))
+    "x76_bpe_encode" -> encodeSql(Rounds),
+    "x120_tokenizer_fertility" -> fertilitySql(Rounds))
 }

@@ -146,4 +146,24 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b && a.length == 3)
     assert(a.forall(_.pairCount > 0))
   }
+
+  test("per-source fertility (x120) reconciles with the per-doc stats and stays bounded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = graft.queries.BpeQueries.x120TokenizerFertility(spark, "/root/testdata/sf0.001")
+      .cache()
+    // a word is at least one subword, so fertility_micro >= 1e6; and a
+    // subword is at least one char, so it is bounded by chars-per-word
+    assert(r.filter($"fertility_micro" < 1000000L).count() == 0)
+    assert(r.filter($"n_subwords" < $"n_words").count() == 0)
+    // the rollup must equal x76's per-doc stats summed by source
+    val perDoc = graft.queries.BpeQueries.x76BpeEncode(spark, "/root/testdata/sf0.001")
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n_words").as("w"),
+        org.apache.spark.sql.functions.sum($"n_subwords").as("s"))
+    val bad = r.join(perDoc, "source")
+      .filter($"n_words" =!= $"w" || $"n_subwords" =!= $"s").count()
+    r.unpersist(false)
+    assert(bad == 0, "x120 must be exactly x76 rolled up by source")
+  }
 }

@@ -338,6 +338,28 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x119_contamination_report")
   }
 
+  test("x120 tokenizer fertility completes at 10x (vocabulary-sized encode, source rollup)") {
+    requested()
+    // plain replication, like x75: the scaled corpus's replica-suffix
+    // digits would fall outside BPE's ^[a-z]+$ training charset and
+    // empty the word-frequency table
+    val docs = (0 until R).map(i =>
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
+      .reduce(_ unionAll _)
+    val t0 = System.nanoTime()
+    val merges = graft.operators.Bpe.learnMerges(docs, rounds = 12)
+    val n = graft.operators.Bpe.subwordStats(docs, merges)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .count()
+    record("x120_tokenizer_fertility", n, (System.nanoTime() - t0) / 1e9)
+    info(f"[scale] x120 sources=$n")
+    clearState()
+    assert(n > 0, "x120 returned no rows at 10x scale")
+  }
+
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {
     requested()
     import graft.operators.MergeInto
