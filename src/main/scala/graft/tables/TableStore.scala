@@ -104,15 +104,20 @@ final class Txn private[tables] (store: TableStore) {
   private val staged =
     scala.collection.mutable.ArrayBuffer.empty[(String, Int, Path, Option[Int])]
 
+  /** The one-write-per-table rule, checked EARLY (before the expensive
+    * staging work) here and authoritatively (under the ledger lock, with
+    * cleanup) in [[record]]. */
+  private def failIfStaged(name: String): Unit = staged.synchronized {
+    require(!staged.exists(_._1 == name),
+      s"transaction already wrote $name — one write per table per transaction " +
+        "(writes see pre-transaction state, so a second write would silently " +
+        "discard the first)")
+  }
+
   private def stage(name: String, df: DataFrame, partitionBy: Seq[String],
       sortWithin: Seq[String], statsFor: Seq[String], append: Boolean,
       op: Option[String] = None): Unit = {
-    staged.synchronized {
-      require(!staged.exists(_._1 == name),
-        s"transaction already wrote $name — one write per table per transaction " +
-          "(writes see pre-transaction state, so a second write would silently " +
-          "discard the first)")
-    }
+    failIfStaged(name)
     val (v, d, b) = store.txnStage(name, df, partitionBy, sortWithin,
       statsFor, append, op.getOrElse(if (append) "txn_append" else "txn_write"))
     record(name, v, d, b)
@@ -150,12 +155,7 @@ final class Txn private[tables] (store: TableStore) {
       notMatchedBySource: Seq[graft.operators.MergeInto.BySourceAction] = Nil,
       schemaEvolution: Boolean = false,
       op: String = "txn_merge"): Unit = {
-    staged.synchronized {
-      require(!staged.exists(_._1 == name),
-        s"transaction already wrote $name — one write per table per transaction " +
-          "(writes see pre-transaction state, so a second write would silently " +
-          "discard the first)")
-    }
+    failIfStaged(name)
     store.mergeInternal(name, source, keys, extraOn, matched, notMatched,
       notMatchedBySource, schemaEvolution, op, txn = Some(this))
   }
@@ -163,11 +163,18 @@ final class Txn private[tables] (store: TableStore) {
   /** Staging is thread-safe on DIFFERENT tables — a multi-index ingest
     * stages its independent merges concurrently (Spark schedules jobs
     * from many threads); the ledger is the only shared state, and the
-    * duplicate-table guard re-checks under the lock at record time. */
+    * duplicate-table guard re-checks under the lock at record time. A
+    * loser of that race has already staged a full version dir that was
+    * never recorded, so it is dropped HERE — txnAbort only cleans
+    * recorded entries. */
   private[tables] def record(name: String, v: Int, dir: Path,
       base: Option[Int]): Unit = staged.synchronized {
-    require(!staged.exists(_._1 == name),
-      s"transaction already wrote $name — concurrent stagings raced on one table")
+    if (staged.exists(_._1 == name)) {
+      store.txnAbort(Seq(dir))
+      throw new IllegalArgumentException(
+        s"transaction already wrote $name — concurrent stagings raced on one " +
+          "table; the losing version directory was dropped")
+    }
     staged += ((name, v, dir, base))
   }
 
@@ -3171,7 +3178,11 @@ final class TableStore(spark: SparkSession, root: String) {
       if (notMatchedBySource.isEmpty) None
       else if (bsUnconditioned) Some(lit(true))
       else Some(notMatchedBySource.flatMap(_.cond).reduce(_ || _))
-    lastMergeDiscovery = None
+    // the single-run discovery hook is maintained only for DIRECT merges:
+    // transactional stagings may run concurrently (x118 stages four
+    // tables from four threads), and interleaved writes would leave the
+    // hook holding an arbitrary table's reading — or None mid-race
+    if (txn.isEmpty) lastMergeDiscovery = None
     val touched: Set[String] =
       if (matched.isEmpty && bsCond.isEmpty) Set.empty // insert-only: pure append
       else {
@@ -3184,7 +3195,8 @@ final class TableStore(spark: SparkSession, root: String) {
         val bsCand: Seq[FileEntry] =
           bsCond.map(c => pruneEntries(name, schema, entries, c)).getOrElse(Nil)
         val cand = (mCand ++ bsCand).groupBy(_.rel).map(_._2.head).toSeq
-        if (matched.nonEmpty) lastMergeDiscovery = Some((cand.size, entries.size))
+        if (matched.nonEmpty && txn.isEmpty)
+          lastMergeDiscovery = Some((cand.size, entries.size))
         if (cand.isEmpty) Set.empty
         else {
           // ONE join pass over the candidates decides everything:

@@ -1682,9 +1682,11 @@ class ExtensionSpec extends AnyFunSuite {
       "the audit must emit EVERY (benchmark, source) cell, zeros included")
     assert(r.filter($"n_contaminated" > $"n_docs" || $"contaminated_micro" > 1000000L ||
       $"contaminated_micro" < 0L).count() == 0, "rates must be bounded")
-    assert(r.filter($"n_contaminated" === 0L && $"overlap_ngrams" =!= 0L).count() == 0 ||
-      r.filter($"overlap_ngrams" < $"n_contaminated").count() == 0,
-      "mass must be consistent with counts")
+    // every doc counted as contaminated crossed the >= 3 n-gram threshold,
+    // so the cell's total overlap mass is at least 3x its contaminated
+    // count (sub-threshold docs only ADD mass on top)
+    assert(r.filter($"overlap_ngrams" < $"n_contaminated" * 3).count() == 0,
+      "mass must be consistent with counts: each contaminated doc carries >= 3 n-grams")
     // direct recount of the heaviest cell via the per-doc overlap operator
     // restricted to that one benchmark and source
     val top = r.orderBy($"n_contaminated".desc).head()
