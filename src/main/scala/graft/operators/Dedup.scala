@@ -441,22 +441,58 @@ object Dedup {
     * n-gram mass. Zero-contamination (benchmark, group) pairs appear
     * with zeros: an audit that omits clean rows can't prove it checked.
     *
-    * Scale shape: benchmark shingles travel TAGGED by their benchmark
-    * and broadcast (eval suites are tiny next to a training corpus); the
-    * corpus pays one shingle explode; per-(doc, benchmark) counts
+    * Scale shape: benchmark shingles travel TAGGED by their benchmark;
+    * the corpus pays one shingle explode; per-(doc, benchmark) counts
     * combine map-side; the report frame is benchmark × group cardinality
     * — the one cross join in the plan multiplies two agg-bounded tiny
-    * frames, never row data. */
+    * frames, never row data. The corpus-sized shingle probe is
+    * SIZE-GATED: the benchmark's token mass (an upper bound on its
+    * distinct-shingle count, measured with one cheap scan — no explode)
+    * decides between a broadcast hash join (eval suites are normally tiny
+    * next to a training corpus) and a plain shuffled equi-join — an
+    * unconditional broadcast hint would grow linearly with a
+    * caller-supplied benchmark and OOM the driver at scale instead of
+    * degrading to a shuffle. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, groupCol: String, benchCol: String,
-      n: Int = 3, threshold: Long = 3L): DataFrame = {
+      n: Int = 3, threshold: Long = 3L,
+      broadcastMaxTokens: Long = DefaultBroadcastMaxTokens): DataFrame =
+    contaminationReportWithStats(corpus, benchmark, idCol, textCol,
+      groupCol, benchCol, n, threshold, broadcastMaxTokens)._1
+
+  /** Broadcast gate for [[contaminationReport]]: benchmark token masses up
+    * to this broadcast the tagged shingle set (~tens of MB of short
+    * strings — comfortably inside executor memory); above it the probe
+    * becomes a shuffled equi-join that degrades instead of OOMing. */
+  val DefaultBroadcastMaxTokens: Long = 2L << 20
+
+  /** Observability reading for the [[contaminationReport]] size gate,
+    * returned WITH the frame it describes (run-scoped, same pattern as
+    * [[graft.operators.Fuzzy.fuzzySelfJoinWithStats]]): the measured
+    * benchmark token mass and which probe path the gate chose. */
+  final case class ContaminationStats(benchTokens: Long, broadcastProbe: Boolean)
+
+  /** [[contaminationReport]] returning the size-gate reading with the
+    * report frame. The gate costs one aggregate scan of the benchmark
+    * frame (token counts, no explode/shuffle) — negligible next to the
+    * corpus-side shingle explode it protects. */
+  def contaminationReportWithStats(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, groupCol: String, benchCol: String,
+      n: Int = 3, threshold: Long = 3L,
+      broadcastMaxTokens: Long = DefaultBroadcastMaxTokens): (DataFrame, ContaminationStats) = {
     require(threshold >= 1, "threshold must be at least 1")
     val cs = shingles(corpus, idCol, textCol, n)
+    val benchTokens = benchmark
+      .agg(coalesce(sum(size(split(
+        normalizeText(coalesce(col(textCol), lit(""))), " "))), lit(0L)))
+      .head().getLong(0)
+    val broadcastProbe = benchTokens <= broadcastMaxTokens
     // shingles() keys by its id column — passing the benchmark tag AS the
     // id yields exactly the distinct (benchmark, shingle) relation
-    val bsh = shingles(benchmark, benchCol, textCol, n)
+    val bsh0 = shingles(benchmark, benchCol, textCol, n)
       .select(col("doc").as("__bench"), col("shingle"))
-    val perDoc = cs.join(broadcast(bsh), Seq("shingle"))
+    val bsh = if (broadcastProbe) broadcast(bsh0) else bsh0
+    val perDoc = cs.join(bsh, Seq("shingle"))
       .groupBy(col("doc"), col("__bench"))
       .agg(count(lit(1)).as("overlap_ngrams"))
     val src = corpus.select(col(idCol).as("doc"), col(groupCol).as("__grp"))
@@ -467,13 +503,14 @@ object Dedup {
       .agg(sum(col("overlap_ngrams")).as("overlap_ngrams"),
         sum(when(col("overlap_ngrams") >= threshold, lit(1L)).otherwise(lit(0L)))
           .as("n_contaminated"))
-    benches.crossJoin(totals)
+    val report = benches.crossJoin(totals)
       .join(hits, Seq("__bench", "__grp"), "left_outer")
       .na.fill(0L, Seq("overlap_ngrams", "n_contaminated"))
       .select(col("__bench").as(benchCol), col("__grp").as(groupCol),
         col("n_docs"), col("n_contaminated"),
         expr("(1000000 * n_contaminated) div n_docs").as("contaminated_micro"),
         col("overlap_ngrams"))
+    (report, ContaminationStats(benchTokens, broadcastProbe))
   }
 
   /** 32-bit SimHash per doc: token hash bits vote ±1, fingerprint = sign

@@ -52,7 +52,10 @@ object HistogramRank {
     * lower sub-buckets, and the only per-row window partitions by
     * (part, score, sub-bucket) — 1/t of the worst tie group. Costs one
     * extra map-side-combined aggregation pass; the min/max rides the
-    * first histogram for free. Requires a long-castable tie column, and
+    * first histogram for free. Requires a long-castable tie column whose
+    * ties order NUMERICALLY (by their long cast — the same order the
+    * sub-bucket boundaries follow; for integral tie columns this is the
+    * native order, bit-identical to the un-sub-bucketed mode), and
     * applies only to `bucket = None` (with a hash bucket, rows inside a
     * bucket order by (score, tie) — a tie-keyed split is not monotone in
     * that order; hash-bucket tie groups are hash collisions, already
@@ -121,13 +124,21 @@ object HistogramRank {
         // ≥ 1 so distinct tie values in a narrow range land in distinct
         // sub-buckets. Monotone in the tie by construction. Arithmetic is
         // divide-FIRST (quotient difference, never a raw span subtraction)
-        // so full-range 64-bit ties cannot overflow: width = 1 only when
-        // tmax and tmin share a tb-quotient, which bounds |tie - tmin| by
-        // ~2·tb — every subtraction below stays in range for any input.
+        // so full-range 64-bit ties cannot overflow — and the one residual
+        // wrap is capped: for tb = 2 the quotient difference itself can
+        // equal Long.MaxValue (tmin div 2 = -2^62, tmax div 2 = 2^62 - 1),
+        // where + 1L would wrap width to Long.MinValue, greatest() would
+        // collapse it to 1, and the tie - tmin subtraction would wrap —
+        // silently wrong ranks. least(diff, MaxValue - 1) keeps the + 1L
+        // in range; the capped width (MaxValue) still splits the full
+        // 64-bit range into 3 monotone sub-buckets, and every division
+        // below stays in [-1, 1] before subtraction.
         // A null (or not-long-castable) tie fails fast here: the sub-
         // bucket is a join key, and a null key would silently DROP the
         // row where the un-sub-bucketed plan merely sorted it first.
         val tieL = col(tieCol).cast("bigint")
+        val widthSql = s"greatest(1L, least((__hr_tmax div ${tb}L) - " +
+          s"(__hr_tmin div ${tb}L), ${Long.MaxValue - 1}L) + 1L)"
         val joined = bucketed.join(below, partCols :+ bktCol)
           .withColumn("__hr_tbkt",
             when(tieL.isNull, raise_error(lit(
@@ -135,10 +146,8 @@ object HistogramRank {
                 "tieBuckets requires a non-null long-castable tie column"))
               .cast("bigint"))
             .otherwise(expr(
-              s"(cast($tieCol as bigint) div greatest(1L, " +
-                s"((__hr_tmax div ${tb}L) - (__hr_tmin div ${tb}L)) + 1L)) - " +
-              s"(__hr_tmin div greatest(1L, " +
-                s"((__hr_tmax div ${tb}L) - (__hr_tmin div ${tb}L)) + 1L))")))
+              s"(cast($tieCol as bigint) div $widthSql) - " +
+                s"(__hr_tmin div $widthSql)")))
         // second-level histogram: rows of MY score in LOWER tie sub-buckets
         // (bounded by score-cardinality × tieBuckets, never corpus rows)
         val sub = joined.groupBy((part :+ col(bktCol) :+ col("__hr_tbkt")): _*)
@@ -150,10 +159,16 @@ object HistogramRank {
                 .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)))
           .drop("__hr_c2")
+        // the within-sub-bucket order must agree with the sub-bucket
+        // boundaries, which follow the tie's LONG cast — ordering by the
+        // raw column would disagree for a long-castable but non-numeric
+        // tie (string '9' sorts after '10') and produce ranks that differ
+        // from the un-sub-bucketed mode; the raw column stays as a
+        // secondary key so cast-equal raw-distinct ties stay deterministic
         joined.join(sub, partCols ++ Seq(bktCol, "__hr_tbkt"))
           .withColumn("__hr_tie", row_number().over(
             Window.partitionBy((part :+ col(bktCol) :+ col("__hr_tbkt")): _*)
-              .orderBy(col(tieCol))))
+              .orderBy(tieL, col(tieCol))))
           .withColumn(rankName,
             col("__hr_below") + col("__hr_below2") + col("__hr_tie"))
           .drop("__hr_tbkt", "__hr_tie", "__hr_below", "__hr_below2",

@@ -32,12 +32,17 @@ object Pii {
     * [[Phone]]'s 3-3-4 by the middle group's width. */
   val Ssn: Rule = Rule("ssn", "\\d{3}-\\d{2}-\\d{4}", "[SSN]")
   /** Payment-card shape: 13–19 digits as 4-4-4-(1..7) groups with
-    * optional single dash/space separators — covers the common 16-digit
-    * grouping, Amex-length runs, and bare digit runs. Deliberately
-    * loose (no Luhn check — not expressible portably, and the policy
-    * prefers false positives over leaked numbers). */
+    * optional single dash/space separators (covers the common 16-digit
+    * grouping and bare digit runs, including bare 15-digit Amex), OR the
+    * conventional Amex 4-6-5 separator grouping — a dashed/spaced Amex
+    * has no 4-digit middle group, so the first alternative alone misses
+    * it. The general alternative stays FIRST: both Java and RE2
+    * alternation are leftmost-first, so bare runs keep matching at their
+    * old (longest) span. Deliberately loose (no Luhn check — not
+    * expressible portably, and the policy prefers false positives over
+    * leaked numbers). */
   val CreditCard: Rule =
-    Rule("cc", "\\d{4}([- ]?\\d{4}){2}[- ]?\\d{1,7}", "[CC]")
+    Rule("cc", "\\d{4}([- ]?\\d{4}){2}[- ]?\\d{1,7}|\\d{4}[- ]?\\d{6}[- ]?\\d{5}", "[CC]")
   /** IBAN shape: 2-letter country, 2 check digits, 11–30 alnum body
     * (uppercase only, as IBANs are written). */
   val Iban: Rule = Rule("iban", "[A-Z]{2}\\d{2}[A-Z0-9]{11,30}", "[IBAN]")

@@ -52,10 +52,62 @@ object BpeQueries {
       .orderBy(col("source"))
   }
 
+  // x121: x120's report as a CONTINUOUS process — the incremental-twin
+  // pattern (x107/x109, x114/x118): the tokenizer is trained ONCE up
+  // front (FROZEN merge table; retraining per batch would change what
+  // the report measures), then each arriving batch pays only its own
+  // subword encode plus a source-keyed rollup MERGEd into the running
+  // (source, n_docs, n_words, n_subwords) accumulator. Per-source sums
+  // are associative, so the accumulated report converges bit-for-bit to
+  // x120's one-shot — they share fertilitySql. At 100 TB a batch costs
+  // the batch: frozen merges ride the plan as literals, the replace
+  // chain runs on the batch's distinct-word table, and the MERGE
+  // touches a sources-sized accumulator.
+  def x121IncrementalFertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.learnMerges(docs, Rounds) // frozen
+    val r = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= c1),
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      docs.filter(col("doc_id") > c2))
+    val store = Scratch.store(s, "graft_x121")
+    Scratch.sealing(store) {
+      batches.foreach { b =>
+        val roll = Bpe.subwordStats(b, merges)
+          .join(b.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_subwords")).as("n_subwords"))
+        if (!store.exists("fert.by_source"))
+          store.createOrReplace("fert.by_source", roll)
+        else store.merge("fert.by_source", roll, Seq("source"),
+          matched = Seq(MatchedUpdate(None, Map(
+            "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
+            "n_words" -> (col("t.n_words") + col("s.n_words")),
+            "n_subwords" -> (col("t.n_subwords") + col("s.n_subwords"))))),
+          notMatched = Seq(NotMatchedInsert(None, Map(
+            "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
+            "n_words" -> col("s.n_words"), "n_subwords" -> col("s.n_subwords")))))
+      }
+      store.read("fert.by_source")
+        .withColumn("fertility_micro", expr("(n_subwords * 1000000) div n_words"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_subwords"), col("fertility_micro"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x75_bpe_merges" -> x75BpeMerges _,
     "x76_bpe_encode" -> x76BpeEncode _,
-    "x120_tokenizer_fertility" -> x120TokenizerFertility _)
+    "x120_tokenizer_fertility" -> x120TokenizerFertility _,
+    "x121_incremental_fertility" -> x121IncrementalFertility _)
 
   /** CTE chain replaying BPE training in DuckDB: w0 = delimited
     * word-frequency table; per round k, pK = weighted adjacent-pair
@@ -137,5 +189,7 @@ object BpeQueries {
   val oracles: Map[String, String] = Map(
     "x75_bpe_merges" -> mergesSql(Rounds),
     "x76_bpe_encode" -> encodeSql(Rounds),
-    "x120_tokenizer_fertility" -> fertilitySql(Rounds))
+    "x120_tokenizer_fertility" -> fertilitySql(Rounds),
+    // the incremental twin must converge bit-for-bit to the one-shot
+    "x121_incremental_fertility" -> fertilitySql(Rounds))
 }

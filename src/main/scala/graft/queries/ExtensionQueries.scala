@@ -94,11 +94,15 @@ object ExtensionQueries {
 
   // x10: multimodal decode — image rows are real PNGs decoded through
   // javax.imageio, audio rows real WAV containers decoded through
-  // javax.sound.sampled (format/rate/frames from the actual RIFF parse);
-  // both payloads are md5-derived, so DuckDB recomputes the expected
-  // stats from the hash and the oracle validates BOTH encode → container
-  // → decode round trips exactly. n_bytes (container size, an encoder
-  // detail) is intentionally not selected.
+  // javax.sound.sampled (format/rate/frames from the actual RIFF parse),
+  // video rows real AVI containers (uncompressed RGB24 DIB frames)
+  // decoded through a RIFF chunk walk that reads geometry from the
+  // parsed avih/strf headers; every payload is md5-derived and the video
+  // frames tile the digest cyclically (each byte exactly 3x across the
+  // 48 samples), so DuckDB recomputes the expected stats from the hash
+  // and the oracle validates ALL THREE encode → container → decode round
+  // trips exactly. n_bytes (container size, an encoder detail) is
+  // intentionally not selected.
   def x10MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.syntheticMedia(t(s, dir, "documents")))
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
@@ -1049,11 +1053,22 @@ object ExtensionQueries {
   // only inside blocks. Finds the near-identical intro boilerplate pairs
   // without an all-pairs comparison.
   def x84FuzzyJoin(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Fuzzy.fuzzySelfJoin(
-        t(s, dir, "documents").select(col("doc_id"),
-          substring(col("text"), 1, 60).as("title")),
-        "doc_id", "title", maxDist = 8, blockLen = 8)
-      .orderBy(col("id_a"), col("id_b"))
+    x84FuzzyJoinWithStats(s, dir)._1
+
+  /** x84 through the run-scoped stats API ([[graft.operators.Fuzzy
+    * .fuzzySelfJoinWithStats]]): the (frame, reading) pair an alert
+    * consumer uses when queries run concurrently (the `lastBlockStats`
+    * hook is last-writer-wins). The oracle map gates `_1`; ExtensionSpec
+    * gates `_2` against a direct block-size recompute. */
+  def x84FuzzyJoinWithStats(s: SparkSession, dir: String,
+      maxBlock: Int = 4096): (DataFrame, graft.operators.Fuzzy.BlockStats) = {
+    val (out, st) = graft.operators.Fuzzy.fuzzySelfJoinWithStats(
+      t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 60).as("title")),
+      "doc_id", "title", maxDist = 8, blockLen = 8, maxBlock = maxBlock)
+    (out.orderBy(col("id_a"), col("id_b")),
+      st.getOrElse(sys.error("stats-collecting run returned no reading")))
+  }
 
   // x85: exact triangle census of the part co-purchase graph (subsampled
   // to every 7th order so the wedge stage stays bench-bounded at sf0.1)
@@ -1631,6 +1646,11 @@ object ExtensionQueries {
       when(col("doc_id") % 17 === 0,
         concat(lit(" pan 37"), p(10000, 4), p(10000, 4), p(100000, 5))
         ).otherwise(lit("")),
+      // Amex in its conventional 4-6-5 separator grouping — has no
+      // 4-digit middle group, so only the rule's 4-6-5 alternative sees it
+      when(col("doc_id") % 23 === 0,
+        concat(lit(" amex 37"), p(100, 2), lit("-"), p(1000000, 6),
+          lit("-"), p(100000, 5))).otherwise(lit("")),
       // letters interleave the IBAN body so its digit runs stay under the
       // card rule's 13-digit floor — the fixture tests each rule alone
       when(col("doc_id") % 19 === 0,
@@ -1988,8 +2008,11 @@ object ExtensionQueries {
   // mass — zero rows included (an audit that omits clean cells can't
   // prove it checked them). The benchmark suite is x30's held-out
   // doc_id % 13 slice, one benchmark per eval language. Scale shape:
-  // tagged benchmark shingles broadcast; the corpus pays one explode;
-  // the report frame is benchmark x source (see Dedup.contaminationReport).
+  // tagged benchmark shingles broadcast ONLY under the size gate (token
+  // mass <= Dedup.DefaultBroadcastMaxTokens — an oversized benchmark
+  // degrades to a shuffled equi-join instead of OOMing the driver); the
+  // corpus pays one explode; the report frame is benchmark x source
+  // (see Dedup.contaminationReport).
   def x119ContaminationReport(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Dedup.contaminationReport(
@@ -2501,6 +2524,7 @@ object ExtensionQueries {
         |    || CASE WHEN doc_id % 9 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
         |    || CASE WHEN doc_id % 13 = 0 THEN ' card 4' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
         |    || CASE WHEN doc_id % 17 = 0 THEN ' pan 37' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 23 = 0 THEN ' amex 37' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') || '-' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') ELSE '' END
         |    || CASE WHEN doc_id % 19 = 0 THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || 'X end' ELSE '' END AS t
         |  FROM documents)
         |SELECT doc_id,
@@ -2508,18 +2532,18 @@ object ExtensionQueries {
         |  CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ipv4,
         |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssn,
-        |  CAST(len(regexp_extract_all(t, '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}')) AS BIGINT) AS n_cc,
+        |  CAST(len(regexp_extract_all(t, '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}|\d{4}[- ]?\d{6}[- ]?\d{5}')) AS BIGINT) AS n_cc,
         |  CAST(len(regexp_extract_all(t, '[A-Z]{2}\d{2}[A-Z0-9]{11,30}')) AS BIGINT) AS n_iban,
         |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
         |    + len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
         |    + len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}'))
         |    + len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}'))
-        |    + len(regexp_extract_all(t, '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}'))
+        |    + len(regexp_extract_all(t, '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}|\d{4}[- ]?\d{6}[- ]?\d{5}'))
         |    + len(regexp_extract_all(t, '[A-Z]{2}\d{2}[A-Z0-9]{11,30}')) AS BIGINT) AS n_pii,
         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
         |    '[A-Z]{2}\d{2}[A-Z0-9]{11,30}', '[IBAN]', 'g'),
-        |    '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}', '[CC]', 'g'),
+        |    '\d{4}([- ]?\d{4}){2}[- ]?\d{1,7}|\d{4}[- ]?\d{6}[- ]?\d{5}', '[CC]', 'g'),
         |    '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
         |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
         |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g')) AS redacted_md5
@@ -3177,11 +3201,11 @@ object ExtensionQueries {
         |      i -> CAST(('0x' || substring(md5(text), 2*i+1, 2)) AS INT)) AS px
         |  FROM documents)
         |SELECT media_id, media_type,
-        |  CASE WHEN media_type = 'image' THEN 4 END AS width,
-        |  CASE WHEN media_type = 'image' THEN 4 END AS height,
-        |  CASE WHEN media_type IN ('image', 'audio') THEN 1 END AS channels,
+        |  CASE WHEN media_type = 'image' THEN 4 WHEN media_type = 'video' THEN 2 END AS width,
+        |  CASE WHEN media_type = 'image' THEN 4 WHEN media_type = 'video' THEN 2 END AS height,
+        |  CASE WHEN media_type IN ('image', 'audio') THEN 1 WHEN media_type = 'video' THEN 3 END AS channels,
         |  CASE WHEN media_type = 'audio' THEN 8000 END AS sample_rate,
-        |  CASE WHEN media_type = 'audio' THEN 16 END AS n_frames,
+        |  CASE WHEN media_type = 'audio' THEN 16 WHEN media_type = 'video' THEN 4 END AS n_frames,
         |  ROUND(CASE WHEN media_type = 'audio'
         |        THEN list_sum(list_transform(px, v -> (v - 128) * 256)) / 16.0
         |        ELSE list_sum(px) / 16.0 END, 6) AS px_mean,

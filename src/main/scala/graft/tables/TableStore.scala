@@ -94,6 +94,15 @@ object TableStore {
         s"database $db exists in ${many.size} attached TableStores (roots " +
           s"${many.map(_.rootDir).mkString(", ")}) — detach the stale store first")
     }
+
+  /** Intent ids (`<pid>_<nanos>`) whose commit window is OPEN in this
+    * process — registered before the intent file exists, removed when the
+    * publish finishes or fails. Attach-time recovery must skip these: an
+    * intent file exists during every HEALTHY commit, and "our own pid is
+    * alive" cannot distinguish a live commit on another thread from an
+    * interrupted one whose intent must be rolled forward. */
+  private[tables] val inflightTxnIntents: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 /** Writer handle inside a [[TableStore.transaction]]: collects staged
@@ -3556,24 +3565,34 @@ final class TableStore(spark: SparkSession, root: String) {
       // intent file is deleted only after the last one. Before the intent
       // exists, failures still abort cleanly (nothing was published).
       val intent = writeTxnIntent(staged.map(s => (s._1, s._2)))
-      onCommitBegan()
+      val intentId = intent.getFileName.toString.stripPrefix("intent.")
       var i = 0
       try {
+        onCommitBegan()
         staged.foreach { case (name, v, _, _) =>
           promoteManifest(name, v); swapTo(name, v)
           i += 1
           if (i == crashAfterSwapsForTest)
             throw new IllegalStateException("simulated crash mid-publish")
         }
-        Files.deleteIfExists(intent)
-        ()
       } catch {
         case t: Throwable =>
+          // the commit window is over (interrupted) — deregister so a
+          // fresh attach IN THIS PROCESS can roll the publish forward
+          TableStore.inflightTxnIntents.remove(intentId)
           throw new IllegalStateException(
             s"transaction publish interrupted after $i/${staged.size} tables; " +
               s"intent ${intent.getFileName} retained — re-attaching the store " +
               "completes the remaining swaps (roll-forward recovery)", t)
       }
+      // Every pointer moved — the transaction IS published. Deleting the
+      // intent is cleanup, not commit: an IO failure here must not surface
+      // as a publish failure (a retained intent is harmless — recovery is
+      // idempotent for tables already at their intended version).
+      try Files.deleteIfExists(intent)
+      catch { case _: java.io.IOException => () }
+      finally TableStore.inflightTxnIntents.remove(intentId)
+      ()
     }
   }
 
@@ -3586,37 +3605,71 @@ final class TableStore(spark: SparkSession, root: String) {
   private def writeTxnIntent(tables: Seq[(String, Int)]): Path = {
     Files.createDirectories(txnIntentDir)
     val id = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    val tmp = txnIntentDir.resolve(s"intent.$id.tmp")
-    Files.write(tmp, tables.map { case (n, v) => s"$n\t$v" }
-      .mkString("\n").getBytes(UTF_8))
-    val fin = txnIntentDir.resolve(s"intent.$id")
-    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-    fin
+    // registered BEFORE the file exists so a concurrent same-process
+    // attach can never observe this healthy commit's intent unregistered
+    TableStore.inflightTxnIntents.add(id)
+    try {
+      val tmp = txnIntentDir.resolve(s"intent.$id.tmp")
+      Files.write(tmp, tables.map { case (n, v) => s"$n\t$v" }
+        .mkString("\n").getBytes(UTF_8))
+      val fin = txnIntentDir.resolve(s"intent.$id")
+      Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+      fin
+    } catch {
+      case t: Throwable => TableStore.inflightTxnIntents.remove(id); throw t
+    }
+  }
+
+  /** The writer pid embedded in an intent filename
+    * (`intent.<pid>_<nanos>[.tmp]`); None for unparseable names. */
+  private def intentWriterPid(fileName: String): Option[Long] = {
+    val digits = fileName.stripPrefix("intent.").stripSuffix(".tmp")
+      .takeWhile(_ != '_')
+    if (digits.nonEmpty && digits.forall(_.isDigit))
+      scala.util.Try(digits.toLong).toOption
+    else None
   }
 
   /** Complete transactions that crashed mid-publish: for every retained
     * intent, promote+swap each listed table that is still behind its
     * intended version, then drop the intent. Runs at attach, before the
     * store serves anything. A table already at (or past) the intended
-    * version is skipped — its swap happened before the crash. Stale
-    * commit locks held by the crashed writer are cleared for the listed
-    * tables (one writer process per store root at a time, the same
-    * assumption the lock's timeout message states). */
+    * version is skipped — its swap happened before the crash.
+    *
+    * An intent file exists during every HEALTHY commit window too, so
+    * recovery first proves the writer is gone: intents whose embedded pid
+    * is a live OTHER process are skipped (that writer finishes or its own
+    * next attach recovers), and intents of THIS process are skipped while
+    * their commit is still in flight ([[TableStore.inflightTxnIntents]]).
+    * Stale `_COMMIT_LOCK` files are cleared only for provably-dead
+    * writers — an interrupted same-process commit released its locks on
+    * the way out, and deleting a live writer's held lock would break the
+    * commit mutex. */
   private def recoverTxnIntents(): Unit = {
     if (!Files.isDirectory(txnIntentDir)) return
     import scala.jdk.CollectionConverters._
     val stream = Files.list(txnIntentDir)
     val intents = try stream.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
       finally stream.close()
+    val selfPid = ProcessHandle.current().pid()
     intents.filter(_.getFileName.toString.startsWith("intent.")).foreach { f =>
-      if (f.getFileName.toString.endsWith(".tmp")) Files.deleteIfExists(f)
+      val fn = f.getFileName.toString
+      val pid = intentWriterPid(fn)
+      val isSelf = pid.contains(selfPid)
+      val otherWriterAlive = pid.exists(p => p != selfPid &&
+        ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
+      val selfInFlight = isSelf && TableStore.inflightTxnIntents
+        .contains(fn.stripPrefix("intent.").stripSuffix(".tmp"))
+      if (otherWriterAlive || selfInFlight) () // live commit window — not ours to touch
+      else if (fn.endsWith(".tmp")) { Files.deleteIfExists(f); () }
       else {
         val pairs = new String(Files.readAllBytes(f), UTF_8).split('\n')
           .filter(_.nonEmpty).toSeq
           .map { l => val p = l.split('\t'); (p(0), p(1).toInt) }
         pairs.foreach { case (name, v) =>
-          // the crashed writer died holding this lock; it cannot release it
-          Files.deleteIfExists(tableDir(name).resolve("_COMMIT_LOCK"))
+          // a DEAD writer died holding this lock and cannot release it; an
+          // interrupted same-process commit already released its locks
+          if (!isSelf) Files.deleteIfExists(tableDir(name).resolve("_COMMIT_LOCK"))
           withCommitLock(name) {
             if (!currentVersion(name).exists(_ >= v)) {
               if (Files.exists(stagedManifestPath(name, v))) promoteManifest(name, v)

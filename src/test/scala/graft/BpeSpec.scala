@@ -166,4 +166,16 @@ class BpeSpec extends AnyFunSuite {
     r.unpersist(false)
     assert(bad == 0, "x120 must be exactly x76 rolled up by source")
   }
+
+  test("incremental fertility (x121) converges bit-for-bit to the one-shot x120") {
+    // the incremental twin's contract: 3 batches merged under the frozen
+    // merge table accumulate to EXACTLY the one-shot report — same rows,
+    // same sums, same micro-unit fertility
+    val dir = "/root/testdata/sf0.001"
+    val inc = graft.queries.BpeQueries.x121IncrementalFertility(spark, dir)
+      .collect().toSeq
+    val one = graft.queries.BpeQueries.x120TokenizerFertility(spark, dir)
+      .collect().toSeq
+    assert(inc == one, s"incremental != one-shot:\n$inc\nvs\n$one")
+  }
 }

@@ -393,7 +393,28 @@ class ExtensionSpec extends AnyFunSuite {
       "PCM round trip is lossless")
   }
 
-  test("multimodal: image rows decode via imageio, audio via javax.sound, video via the byte stub") {
+  test("multimodal: AVI encode -> RIFF chunk walk -> DIB decode round trip is lossless") {
+    import graft.operators.Multimodal
+    val payload = Array.tabulate[Byte](16)(i => ((i * 37 + 5) % 256).toByte)
+    val avi = Multimodal.encodeAvi(payload)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ", "real RIFF container")
+    val clip = Multimodal.decodeAvi(avi)
+    assert(clip.width == 2 && clip.height == 2 && clip.channels == 3 &&
+      clip.nFrames == 4, s"geometry must come from the parsed headers: $clip")
+    assert(clip.samples == Multimodal.aviSamples(payload),
+      "DIB wire format (bottom-up, BGR, stride) must reverse exactly")
+    // a frame-count lie in avih is an error, not a silent truncation
+    val lied = avi.clone()
+    val avihOff = { // locate dwTotalFrames: RIFF(12) LIST(8) 'hdrl'(4) avih-hdr(8) + 16
+      12 + 8 + 4 + 8 + 16
+    }
+    lied(avihOff) = 9
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeAvi(lied) }
+    assert(e.getMessage.contains("frames"), s"got: ${e.getMessage}")
+  }
+
+  test("multimodal: image rows decode via imageio, audio via javax.sound, video via the AVI parse") {
     val media = Multimodal.syntheticMedia(docs)
     val feats = Multimodal.extractFeatures(media).cache()
     assert(feats.count() == docs.count())
@@ -405,7 +426,11 @@ class ExtensionSpec extends AnyFunSuite {
       $"n_frames" =!= 16).count() == 0, "audio format comes from the real RIFF parse")
     assert(audio.filter($"n_bytes" =!= 44 + 32).count() == 0,
       "WAV container = 44-byte header + 32 PCM bytes")
-    assert(feats.filter($"media_type" === "video" && $"n_bytes" =!= 16).count() == 0)
+    val video = feats.filter($"media_type" === "video")
+    assert(video.filter($"width" =!= 2 || $"height" =!= 2 || $"channels" =!= 3 ||
+      $"n_frames" =!= 4).count() == 0, "video geometry comes from the real AVI parse")
+    assert(video.filter($"n_bytes" <= 16).count() == 0,
+      "AVI container adds bytes over the payload")
     val twice = Multimodal.extractFeatures(media)
     assert(feats.exceptAll(twice).count() == 0, "decode is deterministic")
     // metadata-only access never touches the binary column
@@ -1035,6 +1060,48 @@ class ExtensionSpec extends AnyFunSuite {
     assert(fuzzy.filter($"dist" > 8 || $"dist" < 0).count() == 0)
   }
 
+  test("x84 run-scoped stats reading matches a direct block-size recompute, " +
+      "cap on and off the hot path") {
+    // direct recompute of the pass-0 blocking (same prefix/suffix algebra
+    // as Fuzzy) and the mid reroute, entirely outside the operator
+    def expected(maxBlock: Int) = {
+      val keyed = docs.select($"doc_id".cast("long").as("id"),
+        substring($"text", 1, 60).cast("string").as("k"))
+      val pre = keyed.select($"id", $"k", substring($"k", 1, 8).as("blk"))
+      val blocked = pre.unionAll(
+        keyed.select($"id", $"k",
+            expr("substring(k, greatest(length(k) - 7, 1), 8)").as("blk"))
+          .filter($"blk" =!= substring($"k", 1, 8)))
+      val sizes = blocked.groupBy($"blk").agg(count(lit(1)).as("bn")).cache()
+      val hotRows = blocked.join(sizes.filter($"bn" > maxBlock), "blk")
+      val mid = hotRows.select($"id", $"k",
+        concat(lit("m:"), $"blk", lit("|"),
+          expr("substring(k, greatest((length(k) - 8) div 2 + 1, 1), 8)")).as("blk"))
+      val midSizes = mid.groupBy($"blk").agg(count(lit(1)).as("bn"))
+      val r = (sizes.count() + midSizes.count(),
+        sizes.select($"bn").unionAll(midSizes.select($"bn"))
+          .agg(coalesce(max($"bn"), lit(0L))).as[Long].head(),
+        sizes.filter($"bn" > maxBlock).count(),
+        midSizes.agg(coalesce(sum($"bn"), lit(0L))).as[Long].head())
+      sizes.unpersist(false)
+      r
+    }
+    // default cap: the sf0.001 corpus has no hot block — the reading must
+    // say so explicitly (that IS the alerting contract)
+    val (_, cold) = graft.queries.ExtensionQueries.x84FuzzyJoinWithStats(spark, dir)
+    assert((cold.blocks, cold.maxBlockRows, cold.hotBlocks, cold.reroutedRows) ==
+      expected(4096), s"cold reading disagrees with recompute: $cold")
+    assert(cold.hotBlocks == 0 && cold.reroutedRows == 0 && cold.droppedRows == 0)
+    // forced-hot cap: blocks/hot/rerouted all move, and still reconcile
+    val (hotFrame, hot) = graft.queries.ExtensionQueries
+      .x84FuzzyJoinWithStats(spark, dir, maxBlock = 8)
+    assert((hot.blocks, hot.maxBlockRows, hot.hotBlocks, hot.reroutedRows) ==
+      expected(8), s"hot reading disagrees with recompute: $hot")
+    assert(hot.hotBlocks > 0 && hot.reroutedRows > 0,
+      "maxBlock=8 must trip the cap on this corpus")
+    assert(hotFrame.filter($"dist" > 8 || $"dist" < 0).count() == 0)
+  }
+
   test("fuzzy lookup: best match wins, ties break low, out-of-range and unmatched drop") {
     val left = Seq((1L, "the quick brown fox"), (2L, "zzzz unmatched zzzz")).toDF("id", "k")
     val dict = Seq(
@@ -1479,7 +1546,13 @@ class ExtensionSpec extends AnyFunSuite {
       // redaction runs IBAN first, so the digits redact as ONE [IBAN]
       (7L, "acct GB82WEST12345698765432 ok"),
       // SSN (3-2-4) and phone (3-3-4) shapes stay disjoint side by side
-      (8L, "phone 415-555-0100 ssn 415-55-0100")).toDF("id", "text")
+      (8L, "phone 415-555-0100 ssn 415-55-0100"),
+      // Amex in its conventional 4-6-5 separator grouping: no 4-digit
+      // middle group, so only the rule's 4-6-5 alternative matches it —
+      // and its 3-digit runs around the dashes must NOT leak a phone/SSN
+      // false positive
+      (9L, "amex 3782-822463-10005 and spaced 3714 496353 98431 billed"))
+      .toDF("id", "text")
     val r = Pii.scan(rows, "id", "text").orderBy($"id")
       .select($"id", $"n_email", $"n_ipv4", $"n_phone", $"n_ssn", $"n_cc",
         $"n_iban", $"redacted")
@@ -1488,7 +1561,8 @@ class ExtensionSpec extends AnyFunSuite {
       Seq((1L, 2L, 0L, 0L, 0L, 0L, 0L), (2L, 0L, 2L, 1L, 0L, 0L, 0L),
         (3L, 0L, 0L, 0L, 0L, 0L, 0L), (4L, 0L, 1L, 1L, 0L, 0L, 0L),
         (5L, 0L, 0L, 0L, 1L, 0L, 0L), (6L, 0L, 0L, 0L, 0L, 2L, 0L),
-        (7L, 0L, 0L, 0L, 0L, 1L, 1L), (8L, 0L, 0L, 1L, 1L, 0L, 0L)),
+        (7L, 0L, 0L, 0L, 0L, 1L, 1L), (8L, 0L, 0L, 1L, 1L, 0L, 0L),
+        (9L, 0L, 0L, 0L, 0L, 2L, 0L)),
       s"got $r")
     assert(r(0)._8 == "mail me at [EMAIL] or [EMAIL] thanks")
     assert(r(2)._8 == "no pii here at all", "clean text must pass through unchanged")
@@ -1497,6 +1571,8 @@ class ExtensionSpec extends AnyFunSuite {
     assert(r(6)._8 == "acct [IBAN] ok",
       "IBAN-before-card order must redact the account as one token")
     assert(r(7)._8 == "phone [PHONE] ssn [SSN]")
+    assert(r(8)._8 == "amex [CC] and spaced [CC] billed",
+      "the 4-6-5 Amex grouping must redact as one [CC] per card")
     // fixed point: scanning the redacted text finds nothing
     val again = Pii.scan(r.map(t => (t._1, t._8)).toDF("id", "text"), "id", "text")
       .agg(sum($"n_pii")).as[Long].head()
@@ -1698,6 +1774,34 @@ class ExtensionSpec extends AnyFunSuite {
     r.unpersist(false)
     assert(top.getLong(3) == direct,
       s"cell ($bench, $source) must equal the direct recount: ${top.getLong(3)} vs $direct")
+  }
+
+  test("contamination report: an oversized benchmark drops the broadcast hint and completes " +
+      "via the shuffle path with identical results") {
+    val corpus = docs.filter($"doc_id" % 13 =!= 0)
+    val bench = docs.filter($"doc_id" % 13 === 0)
+      .select($"lang".as("benchmark"), $"text")
+    def run(maxTokens: Long) = Dedup.contaminationReportWithStats(
+      corpus, bench, "doc_id", "text", "source", "benchmark",
+      n = 3, threshold = 3L, broadcastMaxTokens = maxTokens)
+    // default gate: the fixture benchmark is tiny -> broadcast path
+    val (viaBroadcast, sb) = run(Dedup.DefaultBroadcastMaxTokens)
+    assert(sb.broadcastProbe && sb.benchTokens > 0,
+      s"fixture benchmark must take the broadcast path: $sb")
+    // gate forced shut: the "oversized benchmark" case — the probe must
+    // complete WITHOUT the hint (shuffle equi-join; the planner may still
+    // choose broadcast at runtime from real sizes, which is the point:
+    // degrade by its choice, never OOM by ours)
+    val (viaShuffle, ss) = run(maxTokens = 1L)
+    assert(!ss.broadcastProbe && ss.benchTokens == sb.benchTokens,
+      s"an over-threshold benchmark must shuffle: $ss")
+    assert(viaShuffle.queryExecution.optimizedPlan.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.isEmpty, "the shuffle path must carry NO broadcast hint")
+    val key = Seq("benchmark", "source").map(col)
+    assert(viaBroadcast.orderBy(key: _*).collect().toSeq ==
+      viaShuffle.orderBy(key: _*).collect().toSeq,
+      "both probe paths must produce the identical report")
   }
 
   test("source overlap: canonical pair order, pair mass reconciles with the LSH pair list") {

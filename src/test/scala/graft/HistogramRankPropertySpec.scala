@@ -113,10 +113,17 @@ class HistogramRankPropertySpec extends AnyFunSuite {
     val ids = Seq(Long.MinValue, Long.MinValue + 7, -3L, 0L, 5L,
       Long.MaxValue - 11, Long.MaxValue)
     val df = ids.map(i => ("g", 1L, i)).toDF("grp", "score", "id")
-    val got = HistogramRank.rank(df, Seq("grp"), "score", "id",
-        rankName = "rk", tieBuckets = Some(4))
-      .orderBy(col("id")).select(col("rk")).as[Long].collect().toSeq
-    assert(got == (1L to ids.size.toLong), s"full-range ties must rank in id order, got $got")
+    // tieBuckets = 2 is the overflow worst case: the tb-quotient difference
+    // equals Long.MaxValue exactly, where an uncapped + 1L wraps the width
+    // to Long.MinValue, greatest() collapses it to 1, and (tie - tmin)
+    // wraps — silently wrong ranks
+    for (tb <- Seq(2, 4)) {
+      val got = HistogramRank.rank(df, Seq("grp"), "score", "id",
+          rankName = "rk", tieBuckets = Some(tb))
+        .orderBy(col("id")).select(col("rk")).as[Long].collect().toSeq
+      assert(got == (1L to ids.size.toLong),
+        s"full-range ties must rank in id order at tieBuckets=$tb, got $got")
+    }
     // a null tie must FAIL (it would silently drop through the sub-bucket
     // equi-join), unlike the un-sub-bucketed mode where it merely sorts first
     val withNull = Seq(("g", 1L, Some(2L)), ("g", 1L, Option.empty[Long]))
@@ -128,6 +135,21 @@ class HistogramRankPropertySpec extends AnyFunSuite {
     assert(e.getMessage != null && (e.getMessage.contains("long-castable") ||
       Option(e.getCause).exists(_.getMessage.contains("long-castable"))),
       s"null tie must fail fast with the remedy, got: $e")
+  }
+
+  test("tieBuckets orders ties by their long cast — a string tie whose raw order disagrees " +
+      "with its numeric order still ranks numerically") {
+    import spark.implicits._
+    // raw string order: '10' < '100' < '9'; the sub-bucket boundaries
+    // follow the long cast, so the within-bucket order must too — a raw
+    // tie order would disagree with the boundaries and mis-rank
+    val df = Seq(("g", 1L, "10"), ("g", 1L, "9"), ("g", 1L, "100"))
+      .toDF("grp", "score", "id")
+    val ranks = HistogramRank.rank(df, Seq("grp"), "score", "id",
+        rankName = "rk", tieBuckets = Some(2))
+      .orderBy(col("id").cast("bigint")).select(col("rk")).as[Long].collect().toSeq
+    assert(ranks == Seq(1L, 2L, 3L),
+      s"ties must rank in numeric (cast) order 9 < 10 < 100, got $ranks")
   }
 
   test("tieBuckets rejects the hash-bucket mode and degenerate bucket counts") {
