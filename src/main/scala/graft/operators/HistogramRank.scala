@@ -163,12 +163,24 @@ object HistogramRank {
         // boundaries, which follow the tie's LONG cast — ordering by the
         // raw column would disagree for a long-castable but non-numeric
         // tie (string '9' sorts after '10') and produce ranks that differ
-        // from the un-sub-bucketed mode; the raw column stays as a
-        // secondary key so cast-equal raw-distinct ties stay deterministic
+        // from the un-sub-bucketed mode. For integral tie columns the
+        // native order IS the cast order, so the raw column sorts alone
+        // (no redundant cast key in the window sort); otherwise the cast
+        // leads and the raw column stays as a secondary key so cast-equal
+        // raw-distinct ties stay deterministic.
+        val integralTie = bucketed.schema(tieCol).dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
+        }
+        val tieOrder =
+          if (integralTie) Seq(col(tieCol)) else Seq(tieL, col(tieCol))
         joined.join(sub, partCols ++ Seq(bktCol, "__hr_tbkt"))
           .withColumn("__hr_tie", row_number().over(
             Window.partitionBy((part :+ col(bktCol) :+ col("__hr_tbkt")): _*)
-              .orderBy(tieL, col(tieCol))))
+              .orderBy(tieOrder: _*)))
           .withColumn(rankName,
             col("__hr_below") + col("__hr_below2") + col("__hr_tie"))
           .drop("__hr_tbkt", "__hr_tie", "__hr_below", "__hr_below2",

@@ -185,10 +185,16 @@ object Scd {
     * makes the streaming sink safe under foreachBatch's at-least-once
     * contract. */
   def scd2ApplyBatch(store: graft.tables.TableStore, table: String, batch: DataFrame,
-      keys: Seq[String], loadTs: Column, initAudit: Boolean = false): Unit = {
+      keys: Seq[String], loadTs: Column, initAudit: Boolean = false,
+      txn: Option[graft.tables.Txn] = None): Unit = {
     val ts = loadTs.cast(TimestampType)
     if (!store.exists(table)) {
-      store.createOrReplace(table, scd2Init(batch, ts, audit = initAudit)); return
+      val init = scd2Init(batch, ts, audit = initAudit)
+      txn match {
+        case Some(t) => t.createOrReplace(table, init)
+        case None => store.createOrReplace(table, init)
+      }
+      return
     }
     val payload = batch.columns.filterNot(keys.contains).toSeq
     val audit = hasAudit(store.read(table))
@@ -227,12 +233,20 @@ object Scd {
         (if (audit) Map(CreateDate -> (ts: Column), UpdateDate -> (ts: Column))
          else Map.empty)
 
-    store.merge(table, source, keys,
-      extraOn = Some(currentOnly),
-      matched = Seq(MergeInto.MatchedUpdate(
-        Some(changePredicate(payload, nullSafe = false)), closeSet)),
-      notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
-      notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
+    txn match {
+      case Some(t) => t.merge(table, source, keys,
+        extraOn = Some(currentOnly),
+        matched = Seq(MergeInto.MatchedUpdate(
+          Some(changePredicate(payload, nullSafe = false)), closeSet)),
+        notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
+        notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
+      case None => store.merge(table, source, keys,
+        extraOn = Some(currentOnly),
+        matched = Seq(MergeInto.MatchedUpdate(
+          Some(changePredicate(payload, nullSafe = false)), closeSet)),
+        notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
+        notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
+    }
   }
 
   /** SCD1 merge: matched-and-changed → update payload, unmatched → insert;

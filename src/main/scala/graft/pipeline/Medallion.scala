@@ -58,23 +58,28 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
     * non-unique key. The dedup is deterministic (row_number over the key,
     * ordered by every payload column) so replays and the DuckDB oracle
     * pick the same survivor. */
-  def runSilver(loadTs: Column): Unit = {
-    val specs = Seq(
-      ("customer", Seq("c_custkey")),
-      ("orders", Seq("o_orderkey")),
-      ("lineitem", Seq("l_orderkey", "l_linenumber")),
-      ("nation", Seq("n_nationkey")),
-      ("region", Seq("r_regionkey")))
-    inParallel(specs.map { case (name, keys) => () =>
-      val raw = store.read(s"bronze.$name")
-      val payloadOrder = raw.columns.filterNot(keys.contains).map(col).toSeq
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(payloadOrder: _*)
-      val src = raw.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      Scd.scd2ApplyBatch(store, s"silver.$name", src, keys, loadTs, initAudit = true)
-    })
+  private val silverSpecs = Seq(
+    ("customer", Seq("c_custkey")),
+    ("orders", Seq("o_orderkey")),
+    ("lineitem", Seq("l_orderkey", "l_linenumber")),
+    ("nation", Seq("n_nationkey")),
+    ("region", Seq("r_regionkey")))
+
+  /** Deterministic one-row-per-natural-key survivor pick (see the
+    * cleansing contract above). */
+  private def dedupKey(raw: DataFrame, keys: Seq[String]): DataFrame = {
+    val payloadOrder = raw.columns.filterNot(keys.contains).map(col).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(payloadOrder: _*)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
+
+  def runSilver(loadTs: Column): Unit =
+    inParallel(silverSpecs.map { case (name, keys) => () =>
+      Scd.scd2ApplyBatch(store, s"silver.$name",
+        dedupKey(store.read(s"bronze.$name"), keys), keys, loadTs, initAudit = true)
+    })
 
   private def current(name: String): DataFrame =
     // readWhere, not read().filter(): the IS NULL predicate reaches the
@@ -90,42 +95,56 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
     * (reference 01:180-233 calendar; 33 dims; 01:265-321 seeds), all
     * carrying the audit pair like the reference tables. */
   def runGoldDims(loadTs: Column): Unit = {
+    stageGoldDims(loadTs, current, store.createOrReplace(_, _))
+    dimMetadata()
+  }
+
+  /** The dim builds, parameterized over where the silver current slice
+    * comes from and where the dims land — the per-stage path passes the
+    * store read/write, the transactional path the txn's staged forms. */
+  private def stageGoldDims(loadTs: Column, cur: String => DataFrame,
+      write: (String, DataFrame) => Unit): Unit = {
     // testdata order dates start in 1995, so the calendar range is widened
     // vs the reference's 2000-01-01 start (01_Init.py:188)
-    store.createOrReplace("gold.dim_calendar",
+    write("gold.dim_calendar",
       withAudit(Calendar.build(spark, start = "1995-01-01"), loadTs))
-    // declarative metadata like the reference's COMMENT + ADD PRIMARY KEY
-    // DDL (01_Init.py:196-197, 236-241) — recorded, not enforced
-    store.setMeta("gold.dim_calendar", graft.tables.TableMeta(
-      comment = Some("Calendar dimension, one row per day"),
-      columnComments = Map("date_key" -> "smart key 10000*Y + 100*M + D")))
-    store.setPrimaryKey("gold.dim_calendar", Seq("date_key"))
 
     // dim_geography ≈ nation ⋈ region with N/A defaults (reference 33:44-57)
     val geoUnknown = spark.sql(
       "SELECT CAST(-9 AS BIGINT) AS _tf_dim_geography_id, CAST(-9 AS INT) AS nation_key, 'N/A' AS nation_name, 'N/A' AS region_name")
-    val geo = current("silver.nation").alias("n")
-      .join(broadcast(current("silver.region").alias("r")),
+    val geo = cur("silver.nation").alias("n")
+      .join(broadcast(cur("silver.region").alias("r")),
         col("n.n_regionkey") === col("r.r_regionkey"), "left_outer")
       .select(
         col("n.n_nationkey").as("nation_key"),
         coalesce(col("n.n_name").try_cast("string"), lit("N/A")).as("nation_name"),
         coalesce(col("r.r_name").try_cast("string"), lit("N/A")).as("region_name"))
-    store.createOrReplace("gold.dim_geography",
+    write("gold.dim_geography",
       withAudit(geoUnknown.unionByName(
         SurrogateKeys.assignOrdered(geo, "_tf_dim_geography_id", Seq(col("nation_key")))), loadTs))
 
     // dim_customer (reference 33:108-125)
     val custUnknown = spark.sql(
       "SELECT CAST(-9 AS BIGINT) AS _tf_dim_customer_id, CAST(-9 AS BIGINT) AS customer_key, 'N/A' AS customer_name, 'N/A' AS mktsegment, CAST(-9 AS INT) AS nation_key")
-    val cust = current("silver.customer").select(
+    val cust = cur("silver.customer").select(
       col("c_custkey").as("customer_key"),
       coalesce(col("c_name").try_cast("string"), lit("N/A")).as("customer_name"),
       coalesce(col("c_mktsegment").try_cast("string"), lit("N/A")).as("mktsegment"),
       col("c_nationkey").as("nation_key"))
-    store.createOrReplace("gold.dim_customer",
+    write("gold.dim_customer",
       withAudit(custUnknown.unionByName(
         SurrogateKeys.assignOrdered(cust, "_tf_dim_customer_id", Seq(col("customer_key")))), loadTs))
+  }
+
+  /** Declarative metadata like the reference's COMMENT + ADD PRIMARY KEY
+    * DDL (01_Init.py:196-197, 236-241) — recorded, not enforced. The
+    * sidecars are unversioned, so the transactional path applies them
+    * after the publish. */
+  private def dimMetadata(): Unit = {
+    store.setMeta("gold.dim_calendar", graft.tables.TableMeta(
+      comment = Some("Calendar dimension, one row per day"),
+      columnComments = Map("date_key" -> "smart key 10000*Y + 100*M + D")))
+    store.setPrimaryKey("gold.dim_calendar", Seq("date_key"))
   }
 
   /** Bucket count for the co-located header/detail join — sized to the
@@ -150,21 +169,23 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
     * a left join row can only match a current header). Dimensions stay
     * broadcast. PlanSpec pins the no-Exchange property mechanically on
     * this exact build path. */
-  private[graft] def buildFact(loadTs: Column): DataFrame = {
+  private[graft] def buildFact(loadTs: Column,
+      cur: String => DataFrame = current,
+      dims: String => DataFrame = n => store.read(n)): DataFrame = {
     val (li, o) =
       if (bucketedFact) {
         spark.sql("CREATE DATABASE IF NOT EXISTS silver_cur")
         graft.tables.Bucketing.writeBucketed(
-          current("silver.lineitem"), "silver_cur.lineitem", "l_orderkey", factBuckets)
+          cur("silver.lineitem"), "silver_cur.lineitem", "l_orderkey", factBuckets)
         graft.tables.Bucketing.writeBucketed(
-          current("silver.orders"), "silver_cur.orders", "o_orderkey", factBuckets)
+          cur("silver.orders"), "silver_cur.orders", "o_orderkey", factBuckets)
         (spark.table("silver_cur.lineitem").alias("li"),
           spark.table("silver_cur.orders").alias("o"))
       } else
-        (current("silver.lineitem").alias("li"),
-          current("silver.orders").alias("o"))
-    val dc = store.read("gold.dim_customer").alias("dc")
-    val dg = store.read("gold.dim_geography").alias("dg")
+        (cur("silver.lineitem").alias("li"),
+          cur("silver.orders").alias("o"))
+    val dc = dims("gold.dim_customer").alias("dc")
+    val dg = dims("gold.dim_geography").alias("dg")
     li
       .join(o, col("li.l_orderkey") === col("o.o_orderkey"), "left_outer")
       .join(broadcast(dc), col("o.o_custkey") === col("dc.customer_key"), "left_outer")
@@ -186,7 +207,15 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
   }
 
   def runGoldFact(loadTs: Column): Unit = {
-    val fact = withAudit(buildFact(loadTs), loadTs)
+    stageGoldFact(loadTs, txn = None)
+    factMetadata()
+  }
+
+  private def stageGoldFact(loadTs: Column,
+      txn: Option[graft.tables.Txn],
+      cur: String => DataFrame = current,
+      dims: String => DataFrame = n => store.read(n)): Unit = {
+    val fact = withAudit(buildFact(loadTs, cur, dims), loadTs)
     if (store.exists("gold.fact_sales")) {
       // incremental load = the reference's SCD1 MERGE on the line grain
       // (34_ETL_Gold_Fact_PySpark.py:90-139): update changed measures/FKs,
@@ -199,23 +228,35 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
       val payload = fact.columns.filterNot(c =>
         keys.contains(c) || c == Scd.CreateDate || c == Scd.UpdateDate).toSeq
       val changed = payload.map(c => col(s"t.$c") =!= col(s"s.$c")).reduce(_ || _)
-      store.merge("gold.fact_sales", fact, keys,
-        matched = Seq(MergeInto.MatchedUpdate(Some(changed),
-          payload.map(c => c -> col(s"s.$c")).toMap +
-            (Scd.UpdateDate -> loadTs.cast("timestamp")))),
-        notMatched = Seq(MergeInto.NotMatchedInsert(None,
-          fact.columns.map(c => c -> col(s"s.$c")).toMap)))
-    } else
+      val matched = Seq(MergeInto.MatchedUpdate(Some(changed),
+        payload.map(c => c -> col(s"s.$c")).toMap +
+          (Scd.UpdateDate -> loadTs.cast("timestamp"))))
+      val notMatched = Seq(MergeInto.NotMatchedInsert(None,
+        fact.columns.map(c => c -> col(s"s.$c")).toMap))
+      txn match {
+        case Some(t) => t.merge("gold.fact_sales", fact, keys,
+          matched = matched, notMatched = notMatched)
+        case None => store.merge("gold.fact_sales", fact, keys,
+          matched = matched, notMatched = notMatched)
+      }
+    } else {
       // initial load: fact snapshot sorted by its grain key inside each
       // file — per-file min/max manifest stats on the key become
       // selective, the file-level pruning lever after directory
       // partitioning (reference facts rely on Delta data skipping for the
       // same effect)
-      store.createOrReplace("gold.fact_sales", fact,
-        sortWithin = Seq("sales_order_key", "sales_line_number"))
-    // the reference's informational star topology (01_Init.py:336-341:
-    // `_tf_dim_calendar_id INT REFERENCES gold.dim_calendar(...)`) —
-    // recorded, not enforced, like Databricks FK constraints
+      val sort = Seq("sales_order_key", "sales_line_number")
+      txn match {
+        case Some(t) => t.createOrReplace("gold.fact_sales", fact, sortWithin = sort)
+        case None => store.createOrReplace("gold.fact_sales", fact, sortWithin = sort)
+      }
+    }
+  }
+
+  /** The reference's informational star topology (01_Init.py:336-341:
+    * `_tf_dim_calendar_id INT REFERENCES gold.dim_calendar(...)`) —
+    * recorded, not enforced, like Databricks FK constraints. */
+  private def factMetadata(): Unit = {
     store.setForeignKey("gold.fact_sales", "fk_calendar",
       Seq("_tf_dim_calendar_id"), "gold.dim_calendar", Seq("date_key"))
     store.setForeignKey("gold.fact_sales", "fk_customer",
@@ -235,5 +276,53 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
     staged("silver scd2")(runSilver(loadTs))
     staged("gold dims")(runGoldDims(loadTs))
     staged("gold fact")(runGoldFact(loadTs))
+  }
+
+  /** Test seam: abort the transactional run after a named stage finishes
+    * staging ("silver", "gold dims") — simulates a crash mid-run. */
+  private[graft] var crashAfterStageForTest: Option[String] = None
+
+  /** The whole bronze → silver → gold run staged as ONE store
+    * transaction: every ordinary reader sees the PRE-run state of all
+    * thirteen tables until the all-or-nothing commit publishes them
+    * together, so a run() that crashes anywhere mid-pipeline is invisible
+    * (the per-stage [[run]] can leave new bronze + old gold for a late
+    * crash — fine for a benchmarked rebuild, wrong for a warehouse
+    * readers query during loads).
+    *
+    * Stage dependencies thread THROUGH the transaction: silver consumes
+    * the same source frames bronze stages (bronze is by construction a
+    * snapshot of them), and gold reads silver/dims via [[Txn.readStaged]]
+    * — read-your-writes over the staged manifests. Staged reads skip the
+    * manifest-stats file pruning (each staged version is consumed once,
+    * by this run, not served); the published read path keeps it.
+    * Bronze + silver stage concurrently (independent tables, same rule
+    * as the parallel multi-index ingest); dims wait on silver, fact on
+    * dims. Metadata sidecars are unversioned and apply after the
+    * publish. Bucketed-fact mode publishes catalog tables outside the
+    * store, so it cannot join the transaction. */
+  def runTransactional(loadTs: Column): Unit = {
+    require(!bucketedFact,
+      "bucketedFact publishes catalog tables outside the store transaction")
+    store.transaction { txn =>
+      def checkpoint(stage: String): Unit =
+        if (crashAfterStageForTest.contains(stage))
+          sys.error(s"simulated crash after $stage staging")
+      val src = bronzeTables.map(n => n -> Tables.t(spark, sfDir, n)).toMap
+      inParallel(
+        bronzeTables.map(n => () => txn.createOrReplace(s"bronze.$n", src(n))) ++
+          silverSpecs.map { case (name, keys) => () =>
+            Scd.scd2ApplyBatch(store, s"silver.$name", dedupKey(src(name), keys),
+              keys, loadTs, initAudit = true, txn = Some(txn))
+          })
+      checkpoint("silver")
+      val stagedCur = (n: String) =>
+        txn.readStaged(n).filter(col(Scd.ValidTo).isNull)
+      stageGoldDims(loadTs, stagedCur, (n, df) => txn.createOrReplace(n, df))
+      checkpoint("gold dims")
+      stageGoldFact(loadTs, Some(txn), stagedCur, n => txn.readStaged(n))
+    }
+    dimMetadata()
+    factMetadata()
   }
 }

@@ -64,7 +64,6 @@ object BpeQueries {
   // chain runs on the batch's distinct-word table, and the MERGE
   // touches a sources-sized accumulator.
   def x121IncrementalFertility(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
     val docs = t(s, dir, "documents")
     val merges = Bpe.learnMerges(docs, Rounds) // frozen
     val r = docs.agg(min(col("doc_id")).cast("long"),
@@ -77,30 +76,37 @@ object BpeQueries {
       docs.filter(col("doc_id") > c2))
     val store = Scratch.store(s, "graft_x121")
     Scratch.sealing(store) {
-      batches.foreach { b =>
-        val roll = Bpe.subwordStats(b, merges)
-          .join(b.select(col("doc_id"), col("source")), "doc_id")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_words")).as("n_words"),
-            sum(col("n_subwords")).as("n_subwords"))
-        if (!store.exists("fert.by_source"))
-          store.createOrReplace("fert.by_source", roll)
-        else store.merge("fert.by_source", roll, Seq("source"),
-          matched = Seq(MatchedUpdate(None, Map(
-            "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
-            "n_words" -> (col("t.n_words") + col("s.n_words")),
-            "n_subwords" -> (col("t.n_subwords") + col("s.n_subwords"))))),
-          notMatched = Seq(NotMatchedInsert(None, Map(
-            "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
-            "n_words" -> col("s.n_words"), "n_subwords" -> col("s.n_subwords")))))
-      }
+      batches.foreach(b => fertilityIngestBatch(store, "fert.by_source", b, merges))
       store.read("fert.by_source")
         .withColumn("fertility_micro", expr("(n_subwords * 1000000) div n_words"))
         .select(col("source"), col("n_docs"), col("n_words"),
           col("n_subwords"), col("fertility_micro"))
         .orderBy(col("source"))
     }
+  }
+
+  /** One x121 ingest step: roll the batch up by source under the FROZEN
+    * merge table and MERGE the sums into the accumulator — the per-batch
+    * unit the Scale100 flat-cost profile measures. Batch cost = one
+    * batch-sized encode + a sources-sized merge. */
+  def fertilityIngestBatch(store: graft.tables.TableStore, table: String,
+      batch: DataFrame, merges: Seq[Bpe.Merge]): Unit = {
+    import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    val roll = Bpe.subwordStats(batch, merges)
+      .join(batch.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+    if (!store.exists(table)) store.createOrReplace(table, roll)
+    else store.merge(table, roll, Seq("source"),
+      matched = Seq(MatchedUpdate(None, Map(
+        "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
+        "n_words" -> (col("t.n_words") + col("s.n_words")),
+        "n_subwords" -> (col("t.n_subwords") + col("s.n_subwords"))))),
+      notMatched = Seq(NotMatchedInsert(None, Map(
+        "source" -> col("s.source"), "n_docs" -> col("s.n_docs"),
+        "n_words" -> col("s.n_words"), "n_subwords" -> col("s.n_subwords")))))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2025,7 +2025,63 @@ object ExtensionQueries {
       .orderBy(col("benchmark"), col("source"))
   }
 
+  // x122: x119 as a CONTINUOUS process — the one-shot→incremental pairing
+  // of x107→x109 / x114→x118 / x120→x121 applied to the eval-integrity
+  // audit: the benchmark suite is FROZEN (a moving target would change
+  // what the audit measures) and each arriving corpus batch pays one
+  // batch-sized contamination report MERGEd into the per-(benchmark,
+  // source) accumulator. Every column is batch-associative — a doc's
+  // n-gram overlap completes within its own batch (per-doc shingles never
+  // span batches), so the >= threshold test per doc is decided there too
+  // — and the micro-rate is derived from the accumulated sums at read
+  // time, so the report converges bit-for-bit to x119's one-shot (shared
+  // oracle). History is never rescanned; the broadcast size gate applies
+  // per batch.
+  def x122IncrementalContamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("lang").as("benchmark"), col("text"))
+    val r = corpus.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val batches = Seq(
+      corpus.filter(col("doc_id") <= c1),
+      corpus.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      corpus.filter(col("doc_id") > c2))
+    val store = Scratch.store(s, "graft_x122")
+    Scratch.sealing(store) {
+      batches.foreach { b =>
+        val rep = Dedup.contaminationReport(b, bench,
+            "doc_id", "text", "source", "benchmark", n = 3, threshold = 3L)
+          .select(col("benchmark"), col("source"), col("n_docs"),
+            col("n_contaminated"), col("overlap_ngrams"))
+        if (!store.exists("audit.contam"))
+          store.createOrReplace("audit.contam", rep)
+        else store.merge("audit.contam", rep, Seq("benchmark", "source"),
+          matched = Seq(MatchedUpdate(None, Map(
+            "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
+            "n_contaminated" -> (col("t.n_contaminated") + col("s.n_contaminated")),
+            "overlap_ngrams" -> (col("t.overlap_ngrams") + col("s.overlap_ngrams"))))),
+          notMatched = Seq(NotMatchedInsert(None, Map(
+            "benchmark" -> col("s.benchmark"), "source" -> col("s.source"),
+            "n_docs" -> col("s.n_docs"),
+            "n_contaminated" -> col("s.n_contaminated"),
+            "overlap_ngrams" -> col("s.overlap_ngrams")))))
+      }
+      store.read("audit.contam")
+        .withColumn("contaminated_micro",
+          expr("(1000000 * n_contaminated) div n_docs"))
+        .select(col("benchmark"), col("source"), col("n_docs"),
+          col("n_contaminated"), col("contaminated_micro"), col("overlap_ngrams"))
+        .orderBy(col("benchmark"), col("source"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x122_incremental_contamination" -> x122IncrementalContamination _,
     "x119_contamination_report" -> x119ContaminationReport _,
     "x118_incremental_datasheet" -> x118IncrementalDatasheet _,
     "x117_threshold_sweep" -> x117ThresholdSweep _,
@@ -2428,6 +2484,32 @@ object ExtensionQueries {
   /** Shared by x114 (one-shot) and x118 (incremental) — identical
     * required results: the incremental store tables must converge to the
     * one-shot datasheet bit-for-bit. */
+  /** x119's DuckDB replay — shared with x122, whose batch-merged
+    * accumulator must converge to the one-shot report bit-for-bit. */
+  private val ContaminationReportSql: String =
+    s"""WITH c AS (SELECT doc_id AS doc, source, $Norm AS t FROM documents WHERE doc_id % 13 <> 0),
+       |b AS (SELECT lang AS bench, $Norm AS t FROM documents WHERE doc_id % 13 = 0),
+       |cw AS (SELECT doc, source, string_split(t, ' ') AS w FROM c),
+       |csh AS (SELECT DISTINCT doc, source, array_to_string(w[i:i+2], ' ') AS shingle
+       |        FROM cw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
+       |bw AS (SELECT bench, string_split(t, ' ') AS w FROM b),
+       |bsh AS (SELECT DISTINCT bench, array_to_string(w[i:i+2], ' ') AS shingle
+       |        FROM bw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
+       |ov AS (SELECT cs.doc, cs.source, bs.bench, COUNT(*) AS o
+       |       FROM csh cs JOIN bsh bs USING (shingle) GROUP BY 1, 2, 3),
+       |hits AS (SELECT bench, source, SUM(o) AS overlap_ngrams,
+       |           SUM(CASE WHEN o >= 3 THEN 1 ELSE 0 END) AS n_contaminated
+       |         FROM ov GROUP BY 1, 2),
+       |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents WHERE doc_id % 13 <> 0 GROUP BY 1),
+       |bl AS (SELECT DISTINCT bench FROM b)
+       |SELECT bl.bench AS benchmark, tot.source, tot.n_docs,
+       |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  CAST((1000000 * COALESCE(h.n_contaminated, 0)) // tot.n_docs AS BIGINT) AS contaminated_micro,
+       |  CAST(COALESCE(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams
+       |FROM bl CROSS JOIN tot
+       |LEFT JOIN hits h ON h.bench = bl.bench AND h.source = tot.source
+       |ORDER BY 1, 2""".stripMargin
+
   private val DatasheetSql: String =
       s"""WITH $QualityCtes,
          |st AS (
@@ -3312,29 +3394,10 @@ object ExtensionQueries {
         |SELECT doc_id, split, shuffle_key,
         |  ROW_NUMBER() OVER (PARTITION BY split ORDER BY shuffle_key) AS shuffle_pos
         |FROM s ORDER BY split, shuffle_pos""".stripMargin,
-    "x119_contamination_report" ->
-      s"""WITH c AS (SELECT doc_id AS doc, source, $Norm AS t FROM documents WHERE doc_id % 13 <> 0),
-         |b AS (SELECT lang AS bench, $Norm AS t FROM documents WHERE doc_id % 13 = 0),
-         |cw AS (SELECT doc, source, string_split(t, ' ') AS w FROM c),
-         |csh AS (SELECT DISTINCT doc, source, array_to_string(w[i:i+2], ' ') AS shingle
-         |        FROM cw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
-         |bw AS (SELECT bench, string_split(t, ' ') AS w FROM b),
-         |bsh AS (SELECT DISTINCT bench, array_to_string(w[i:i+2], ' ') AS shingle
-         |        FROM bw, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS u(i)),
-         |ov AS (SELECT cs.doc, cs.source, bs.bench, COUNT(*) AS o
-         |       FROM csh cs JOIN bsh bs USING (shingle) GROUP BY 1, 2, 3),
-         |hits AS (SELECT bench, source, SUM(o) AS overlap_ngrams,
-         |           SUM(CASE WHEN o >= 3 THEN 1 ELSE 0 END) AS n_contaminated
-         |         FROM ov GROUP BY 1, 2),
-         |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents WHERE doc_id % 13 <> 0 GROUP BY 1),
-         |bl AS (SELECT DISTINCT bench FROM b)
-         |SELECT bl.bench AS benchmark, tot.source, tot.n_docs,
-         |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-         |  CAST((1000000 * COALESCE(h.n_contaminated, 0)) // tot.n_docs AS BIGINT) AS contaminated_micro,
-         |  CAST(COALESCE(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams
-         |FROM bl CROSS JOIN tot
-         |LEFT JOIN hits h ON h.bench = bl.bench AND h.source = tot.source
-         |ORDER BY 1, 2""".stripMargin,
+    // shared by the incremental twin: x122 must converge to x119
+    // bit-for-bit under the frozen benchmark suite
+    "x122_incremental_contamination" -> ContaminationReportSql,
+    "x119_contamination_report" -> ContaminationReportSql,
     "x30_decontaminate" ->
       s"""WITH c AS (SELECT doc_id AS doc, $Norm AS t FROM documents WHERE doc_id % 13 <> 0),
          |b AS (SELECT doc_id AS doc, $Norm AS t FROM documents WHERE doc_id % 13 = 0),

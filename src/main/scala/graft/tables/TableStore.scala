@@ -187,6 +187,22 @@ final class Txn private[tables] (store: TableStore) {
     staged += ((name, v, dir, base))
   }
 
+  /** Read-your-writes WITHIN the transaction: the staged (uncommitted)
+    * content of a table this transaction has written — or the table's
+    * pre-transaction state if it hasn't. This is what lets a multi-stage
+    * pipeline chain its stages (silver feeds gold) inside ONE
+    * all-or-nothing commit: ordinary readers see nothing until every
+    * pointer swaps, while the transaction itself reads what it staged.
+    * Staged reads carry no manifest-stats file skipping — a staged
+    * version is consumed once by its own transaction, not served. */
+  def readStaged(name: String): DataFrame = {
+    val hit = staged.synchronized { staged.find(_._1 == name).map(_._2) }
+    hit match {
+      case Some(v) => store.readStagedVersion(name, v)
+      case None => store.read(name)
+    }
+  }
+
   /** Once the commit's intent journal is durable, failures roll FORWARD
     * (the attach-time recovery completes the publish) — aborting would
     * drop version directories out from under already-swapped pointers. */
@@ -1980,6 +1996,17 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Time travel: read a specific retained snapshot version. */
   def readVersion(name: String, version: Int): DataFrame = {
     val (schema, entries) = readManifest(name, version)
+    readEntries(name, schema, entries)
+  }
+
+  /** Read a transaction-STAGED (not yet committed) version: the staged
+    * manifest's files, invisible to every ordinary reader until the
+    * transaction publishes. The read-your-writes primitive behind
+    * [[Txn.readStaged]] — no manifest-stats file skipping (a staged
+    * version is read once, by its own transaction, not served). */
+  private[tables] def readStagedVersion(name: String, version: Int): DataFrame = {
+    val (schema, entries, _) = parseManifest(stagedManifestPath(name, version),
+      s"staged manifest of $name v$version")
     readEntries(name, schema, entries)
   }
 

@@ -1776,6 +1776,17 @@ class ExtensionSpec extends AnyFunSuite {
       s"cell ($bench, $source) must equal the direct recount: ${top.getLong(3)} vs $direct")
   }
 
+  test("incremental contamination (x122) converges bit-for-bit to the one-shot x119") {
+    // the twin's contract: 3 corpus batches merged under the frozen
+    // benchmark suite accumulate to EXACTLY the one-shot audit — every
+    // cell, every sum, the derived micro-rate
+    val inc = graft.queries.ExtensionQueries
+      .x122IncrementalContamination(spark, dir).collect().toSeq
+    val one = graft.queries.ExtensionQueries
+      .x119ContaminationReport(spark, dir).collect().toSeq
+    assert(inc == one, s"incremental != one-shot:\n$inc\nvs\n$one")
+  }
+
   test("contamination report: an oversized benchmark drops the broadcast hint and completes " +
       "via the shuffle path with identical results") {
     val corpus = docs.filter($"doc_id" % 13 =!= 0)

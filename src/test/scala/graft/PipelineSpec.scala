@@ -46,6 +46,58 @@ class PipelineSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("transactional medallion run: crash mid-run leaves every table at pre-run state; " +
+      "a completed run matches the per-stage pipeline") {
+    val root = Files.createTempDirectory("graft_txnrun").toString
+    val store = new TableStore(spark, root)
+    val pipe = new Medallion(spark, store, sfDir)
+    val ts1 = lit("2024-01-01 00:00:00"); val ts2 = lit("2024-02-01 00:00:00")
+    try {
+      // first transactional load publishes the whole star at once
+      pipe.runTransactional(ts1)
+      val factRows = store.read("gold.fact_sales").count()
+      assert(factRows > 0 && store.read("gold.dim_customer").count() > 0)
+      val verBefore = Seq("bronze.lineitem", "silver.lineitem",
+        "gold.dim_customer", "gold.fact_sales").map(t => t -> store.version(t)).toMap
+      // a run crashing AFTER silver staged (gold never staged) must be
+      // invisible: no version moves, no table readable mid-state
+      pipe.crashAfterStageForTest = Some("silver")
+      val e = intercept[Exception] { pipe.runTransactional(ts2) }
+      assert(e.getMessage.contains("simulated crash"), s"got $e")
+      pipe.crashAfterStageForTest = None
+      verBefore.foreach { case (t, v) =>
+        assert(store.version(t) == v, s"$t moved after an aborted run") }
+      assert(store.read("gold.fact_sales").count() == factRows)
+      // and no staged version directories leak from the abort
+      // (the txn drops them; a second run succeeding proves the store
+      // is clean)
+      pipe.runTransactional(ts2)
+      assert(store.read("gold.fact_sales").count() == factRows,
+        "identical data replay keeps the fact grain")
+      // the transactional pipeline's published star equals the per-stage
+      // pipeline's on the same inputs
+      val root2 = Files.createTempDirectory("graft_stagedrun").toString
+      val store2 = new TableStore(spark, root2)
+      try {
+        val pipe2 = new Medallion(spark, store2, sfDir)
+        pipe2.run(ts1)
+        pipe2.run(ts2)
+        for (t <- Seq("gold.fact_sales", "gold.dim_customer", "gold.dim_geography",
+            "silver.lineitem", "silver.customer")) {
+          val a = store.read(t); val b = store2.read(t)
+          assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+            s"$t differs between transactional and per-stage runs")
+        }
+      } finally {
+        store2.detach()
+        graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root2))
+      }
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("incremental gold fact load: SCD1 merge rewrites only changed-grain files") {
     val root = Files.createTempDirectory("graft_factinc").toString
     val store = new TableStore(spark, root)

@@ -131,6 +131,41 @@ class Scale100Spec extends AnyFunSuite
     } finally store.detach()
   }
 
+  test("x121 incremental fertility: 12 batches under frozen merges; batch cost stays flat " +
+      "and the accumulator converges to the one-shot rollup") {
+    requested()
+    import graft.operators.Bpe
+    // the tokenizer trains ONCE (the incremental contract); its cost is
+    // recorded separately so the per-batch rows measure only batch work
+    val merges = timed("x121_learn_frozen", 12L) { Bpe.learnMerges(docs10, 12) }
+    val store = new graft.tables.TableStore(spark,
+      Files.createTempDirectory("graft_s100_fert").toString)
+    try {
+      val ids = docs10.select(col("doc_id").cast("long")).as[Long](
+        spark.implicits.newLongEncoder).collect().sorted
+      val cuts = (1 to 11).map(i => ids((ids.length.toLong * i / 12).toInt))
+      val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+      ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val b = docs10.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        val t0 = System.nanoTime()
+        graft.queries.BpeQueries.fertilityIngestBatch(store, "fert.by_source", b, merges)
+        record(f"x121_batch_${i + 1}%02d",
+          store.read("fert.by_source").count(), (System.nanoTime() - t0) / 1e9)
+      }
+      // the accumulated sums equal the one-shot rollup bit-for-bit —
+      // the same convergence contract the sf0.01 oracle enforces
+      val acc = store.read("fert.by_source")
+      val one = Bpe.subwordStats(docs10, merges)
+        .join(docs10.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+      assert(acc.exceptAll(one).isEmpty && one.exceptAll(acc).isEmpty,
+        "12-batch accumulator must equal the one-shot rollup")
+    } finally store.detach()
+  }
+
   test("x60 IVF: 8 ingest batches; probe scans a flat FRACTION of the index") {
     requested()
     val emb10 = (0 until R).map { i =>

@@ -334,8 +334,14 @@ class ScaleSmokeSpec extends AnyFunSuite
     requested(); run("x118_incremental_datasheet")
   }
 
-  test("x119 contamination report completes at 10x (broadcast benchmark shingles)") {
+  test("x119 contamination report completes at 10x (size-gated benchmark shingles: " +
+      "~210k tokens stays broadcast)") {
     requested(); run("x119_contamination_report")
+  }
+
+  test("x122 incremental contamination completes at 10x (per-batch gated reports, " +
+      "merged accumulator)") {
+    requested(); run("x122_incremental_contamination")
   }
 
   test("x120 tokenizer fertility completes at 10x (vocabulary-sized encode, source rollup)") {
@@ -358,6 +364,26 @@ class ScaleSmokeSpec extends AnyFunSuite
     info(f"[scale] x120 sources=$n")
     clearState()
     assert(n > 0, "x120 returned no rows at 10x scale")
+  }
+
+  test("x121 incremental fertility completes at 10x (frozen merges, batch-cost batches)") {
+    requested()
+    // plain replication like x75/x120 (BPE charset), materialized to a
+    // temp table dir because the incremental twin drives the real query
+    // (store merges included) rather than its pieces
+    val d = Files.createTempDirectory("graft_scale_x121").toString
+    (0 until R).map(i =>
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$d/documents.parquet")
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries("x121_incremental_fertility")(spark, d).count()
+    record("x121_incremental_fertility", n, (System.nanoTime() - t0) / 1e9)
+    info(f"[scale] x121 sources=$n")
+    clearState()
+    graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(d))
+    assert(n > 0, "x121 returned no rows at 10x scale")
   }
 
   test("merge discovery stays file-pruned at 10x (6M-row clustered target)") {

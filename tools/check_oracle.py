@@ -21,8 +21,16 @@ def canon(df):
     df = df.sort_values(by=cols, kind="mergesort", na_position="first").reset_index(drop=True)
     return df
 
-def cmp_frames(name, spark_df, oracle_df):
+def cmp_frames(name, spark_df, oracle_df, rec=None):
+    """Exact compare; when `rec` (a dict) is given, fill the driver's
+    per-query record shape (rows/schema/hash match + row counts)."""
+    if rec is None:
+        rec = {}
     a, b = canon(spark_df), canon(oracle_df)
+    rec.update({"rows_match": len(a) == len(b),
+                "schema_match": list(a.columns) == list(b.columns),
+                "hash_match": False,
+                "spark_rows": len(a), "oracle_rows": len(b), "err": None})
     if list(a.columns) != list(b.columns):
         print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
         return False
@@ -48,6 +56,7 @@ def cmp_frames(name, spark_df, oracle_df):
                 break
     if ok:
         print(f"OK   {name}: {len(a)} rows x {len(a.columns)} cols")
+    rec["hash_match"] = ok
     return ok
 
 def main():
@@ -60,12 +69,16 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_fail = 0
+    report = {}
+    empty = {"rows_match": False, "schema_match": False, "hash_match": False,
+             "spark_rows": None, "oracle_rows": None}
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
         spark_path = f"{out_dir}/{name}"
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output at {spark_path}")
+            report[name] = dict(empty, err=f"no spark output at {spark_path}")
             n_fail += 1
             continue
         try:
@@ -73,13 +86,23 @@ def main():
             oracle_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            report[name] = dict(empty, err=str(e)[:500])
             n_fail += 1
             continue
-        if cmp_frames(name, spark_df, oracle_df):
+        rec = {}
+        if cmp_frames(name, spark_df, oracle_df, rec):
             n_ok += 1
         else:
             n_fail += 1
+        report[name] = rec
     print(f"== {n_ok} ok, {n_fail} fail ==")
+    # builder-side correctness record (same per-query shape as the
+    # driver's CORRECTNESS_r{N}.json) — set CHECK_JSON=<path> to write it
+    out_json = os.environ.get("CHECK_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"report -> {out_json}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
