@@ -168,13 +168,17 @@ object HistogramRank {
         // (no redundant cast key in the window sort); otherwise the cast
         // leads and the raw column stays as a secondary key so cast-equal
         // raw-distinct ties stay deterministic.
-        val integralTie = bucketed.schema(tieCol).dataType match {
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.ByteType => true
-          case _ => false
-        }
+        // resolve case-insensitively like col()/expr() do (StructType's
+        // apply is case-sensitive and would reject a tie name the rest of
+        // this function accepts); unresolvable → the safe cast-order path
+        val integralTie = bucketed.schema.fields
+          .find(_.name.equalsIgnoreCase(tieCol)).map(_.dataType).exists {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.ByteType => true
+            case _ => false
+          }
         val tieOrder =
           if (integralTie) Seq(col(tieCol)) else Seq(tieL, col(tieCol))
         joined.join(sub, partCols ++ Seq(bktCol, "__hr_tbkt"))

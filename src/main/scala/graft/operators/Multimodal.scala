@@ -233,6 +233,12 @@ object Multimodal {
         val id = fourcc()
         val len = bb.getInt
         val body = bb.position()
+        // a corrupted/hostile length must FAIL the decode, not wedge it:
+        // len <= -8 would stop `pos` advancing (infinite loop on one bad
+        // row), and an overlong chunk would read past its parent
+        require(len >= 0 && body + len <= to,
+          s"corrupt RIFF chunk '$id' at offset $pos: length $len " +
+            s"exceeds enclosing range [$from, $to)")
         id match {
           case "LIST" =>
             fourcc() // list type routes nothing — children identify themselves

@@ -233,19 +233,18 @@ object Scd {
         (if (audit) Map(CreateDate -> (ts: Column), UpdateDate -> (ts: Column))
          else Map.empty)
 
+    // ONE clause set for both writers — the transactional and per-stage
+    // paths must stay semantically identical by construction, not by
+    // keeping two argument lists in sync by hand
+    val matchedClauses = Seq(MergeInto.MatchedUpdate(
+      Some(changePredicate(payload, nullSafe = false)), closeSet))
+    val notMatchedClauses = Seq(MergeInto.NotMatchedInsert(None, insertValues))
+    val bySourceClauses = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet))
     txn match {
-      case Some(t) => t.merge(table, source, keys,
-        extraOn = Some(currentOnly),
-        matched = Seq(MergeInto.MatchedUpdate(
-          Some(changePredicate(payload, nullSafe = false)), closeSet)),
-        notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
-        notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
-      case None => store.merge(table, source, keys,
-        extraOn = Some(currentOnly),
-        matched = Seq(MergeInto.MatchedUpdate(
-          Some(changePredicate(payload, nullSafe = false)), closeSet)),
-        notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
-        notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
+      case Some(t) => t.merge(table, source, keys, Some(currentOnly),
+        matchedClauses, notMatchedClauses, bySourceClauses)
+      case None => store.merge(table, source, keys, Some(currentOnly),
+        matchedClauses, notMatchedClauses, bySourceClauses)
     }
   }
 

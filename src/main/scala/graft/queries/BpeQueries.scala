@@ -66,14 +66,7 @@ object BpeQueries {
   def x121IncrementalFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = Bpe.learnMerges(docs, Rounds) // frozen
-    val r = docs.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val batches = Seq(
-      docs.filter(col("doc_id") <= c1),
-      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-      docs.filter(col("doc_id") > c2))
+    val batches = ExtensionQueries.thirdsByDocId(docs)
     val store = Scratch.store(s, "graft_x121")
     Scratch.sealing(store) {
       batches.foreach(b => fertilityIngestBatch(store, "fert.by_source", b, merges))

@@ -16,6 +16,23 @@ import graft.sources.Tables.t
   */
 object ExtensionQueries {
 
+  /** The incremental-family batch fixture: a frame split into three
+    * doc_id-ranged batches (thirds of the id span). ONE shared cut —
+    * the split is part of several twins' oracle contracts (the batches
+    * must reassemble the exact corpus), so every site must cut
+    * identically, and an off-by-one fix lands everywhere at once. */
+  private[queries] def thirdsByDocId(df: DataFrame): Seq[DataFrame] = {
+    val r = df.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    Seq(
+      df.filter(col("doc_id") <= c1),
+      df.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      df.filter(col("doc_id") > c2))
+  }
+
+
   // x1: exact dedup on normalized text.
   def x1DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -730,19 +747,16 @@ object ExtensionQueries {
       col("doc_id"), col("source"), col("n_chars"),
       size(filter(split(col("text"), " "), w => length(w) > 0))
         .cast("long").as("n_tok"))
-    val r = docs.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val Seq(b1, b2, b3) = thirdsByDocId(docs)
     val store = Scratch.store(s, "graft_ext_prof")
     Scratch.sealing(store) {
-      store.createOrReplace("cur.docs", docs.filter(col("doc_id") <= c1))
+      store.createOrReplace("cur.docs", b1)
       store.createMaterializedView("cur.profile", "cur.docs", Seq("source"),
         Seq(("n_docs", "count", "*"), ("n_tokens", "sum", "n_tok"),
           ("sum_chars", "sum", "n_chars")))
-      store.append("cur.docs", docs.filter(col("doc_id") > c1 && col("doc_id") <= c2))
+      store.append("cur.docs", b2)
       store.refreshMaterializedView("cur.profile")
-      store.append("cur.docs", docs.filter(col("doc_id") > c2))
+      store.append("cur.docs", b3)
       store.refreshMaterializedView("cur.profile")
       store.delete("cur.docs", col("doc_id") % 97 === 0) // curation pass
       store.refreshMaterializedView("cur.profile")
@@ -1372,22 +1386,18 @@ object ExtensionQueries {
         split(TextFunctions.normalizeText(col("text")), " "),
         w => length(w) > 0)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val r = docs.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val Seq(b1, b2, b3) = thirdsByDocId(docs)
     val store = Scratch.store(s, "graft_x102_prof")
     Scratch.sealing(store) {
-      store.createOrReplace("mon.profile", counts(docs.filter(col("doc_id") <= c1)),
+      store.createOrReplace("mon.profile", counts(b1),
         statsFor = Seq("term"))
-      store.merge("mon.profile", counts(
-          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2)), Seq("term"),
+      store.merge("mon.profile", counts(b2), Seq("term"),
         matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
           Map("c" -> (col("t.c") + col("s.c"))))),
         notMatched = Seq(graft.operators.MergeInto.NotMatchedInsert(None,
           Map("term" -> col("s.term"), "c" -> col("s.c")))))
       // batch 3 arrives: compare BEFORE merging it
-      val batch = counts(docs.filter(col("doc_id") > c2))
+      val batch = counts(b3)
       val prof = store.read("mon.profile")
       val ptot = prof.agg(sum(col("c")).cast("long").as("ptot"))
       val btot = batch.agg(sum(col("c")).cast("long").as("btot"))
@@ -1537,14 +1547,11 @@ object ExtensionQueries {
   // must equal x102's batch replay bit-for-bit — they share one oracle.
   def x108DriftStream(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val r = docs.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val Seq(b1, b2, b3) = thirdsByDocId(docs)
     val store = Scratch.store(s, "graft_x108")
     val ckpt = Scratch.dir("graft_x108_ckpt")
     Scratch.sealing(store, Seq(ckpt)) {
-      store.createOrReplace("stream.docs", docs.filter(col("doc_id") <= c1))
+      store.createOrReplace("stream.docs", b1)
       val q = graft.streaming.StreamingDrift.driftSink(
           s.readStream.format("graft-table")
             .option("root", store.rootDir).option("table", "stream.docs").load(),
@@ -1553,10 +1560,9 @@ object ExtensionQueries {
         .start()
       try {
         q.processAllAvailable()
-        store.append("stream.docs",
-          docs.filter(col("doc_id") > c1 && col("doc_id") <= c2))
+        store.append("stream.docs", b2)
         q.processAllAvailable()
-        store.append("stream.docs", docs.filter(col("doc_id") > c2))
+        store.append("stream.docs", b3)
         q.processAllAvailable()
       } finally q.stop()
       val drift = store.read("mon.drift")
@@ -1588,14 +1594,7 @@ object ExtensionQueries {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
       .withColumn("hash60",
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
-    val r = docs.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val batches = Seq(
-      docs.filter(col("doc_id") <= c1),
-      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-      docs.filter(col("doc_id") > c2))
+    val batches = thirdsByDocId(docs)
     val store = Scratch.store(s, "graft_x109")
     Scratch.sealing(store) {
       batches.foreach { b =>
@@ -1884,14 +1883,7 @@ object ExtensionQueries {
   // aggs, a touched-hash point probe and candidate-bounded merges.
   def x118IncrementalDatasheet(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val r = docs.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val batches = Seq(
-      docs.filter(col("doc_id") <= c1),
-      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-      docs.filter(col("doc_id") > c2))
+    val batches = thirdsByDocId(docs)
     val store = Scratch.store(s, "graft_x118")
     Scratch.sealing(store) {
       batches.foreach(b => datasheetIngest(store, b))
@@ -2043,14 +2035,7 @@ object ExtensionQueries {
     val corpus = docs.filter(col("doc_id") % 13 =!= 0)
     val bench = docs.filter(col("doc_id") % 13 === 0)
       .select(col("lang").as("benchmark"), col("text"))
-    val r = corpus.agg(min(col("doc_id")).cast("long"),
-      max(col("doc_id")).cast("long")).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
-    val batches = Seq(
-      corpus.filter(col("doc_id") <= c1),
-      corpus.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-      corpus.filter(col("doc_id") > c2))
+    val batches = thirdsByDocId(corpus)
     val store = Scratch.store(s, "graft_x122")
     Scratch.sealing(store) {
       batches.foreach { b =>

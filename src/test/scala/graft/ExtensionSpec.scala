@@ -412,6 +412,14 @@ class ExtensionSpec extends AnyFunSuite {
     lied(avihOff) = 9
     val e = intercept[IllegalArgumentException] { Multimodal.decodeAvi(lied) }
     assert(e.getMessage.contains("frames"), s"got: ${e.getMessage}")
+    // a negative chunk length must FAIL the decode, never hang the walk
+    // (len <= -8 would otherwise stop the position advancing)
+    val corrupt = avi.clone()
+    val firstChunkLen = 12 + 4 // RIFF header + LIST id -> its length dword
+    corrupt(firstChunkLen) = 0xF8.toByte; corrupt(firstChunkLen + 1) = 0xFF.toByte
+    corrupt(firstChunkLen + 2) = 0xFF.toByte; corrupt(firstChunkLen + 3) = 0xFF.toByte
+    val e2 = intercept[IllegalArgumentException] { Multimodal.decodeAvi(corrupt) }
+    assert(e2.getMessage.contains("corrupt RIFF chunk"), s"got: ${e2.getMessage}")
   }
 
   test("multimodal: image rows decode via imageio, audio via javax.sound, video via the AVI parse") {
@@ -1806,9 +1814,19 @@ class ExtensionSpec extends AnyFunSuite {
     val (viaShuffle, ss) = run(maxTokens = 1L)
     assert(!ss.broadcastProbe && ss.benchTokens == sb.benchTokens,
       s"an over-threshold benchmark must shuffle: $ss")
-    assert(viaShuffle.queryExecution.optimizedPlan.collect {
+    // hint presence is only visible in the ANALYZED plan (the optimizer's
+    // EliminateResolvedHint folds hints away before optimizedPlan, which
+    // would make this assert vacuously pass on both paths)
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
-      }.isEmpty, "the shuffle path must carry NO broadcast hint")
+      }
+    assert(hints(viaShuffle).isEmpty,
+      "the shuffle path must carry NO broadcast hint")
+    assert(hints(viaBroadcast).nonEmpty,
+      "sanity: the under-threshold path DOES carry the hint (otherwise " +
+        "this test could not distinguish the gate's two branches)")
     val key = Seq("benchmark", "source").map(col)
     assert(viaBroadcast.orderBy(key: _*).collect().toSeq ==
       viaShuffle.orderBy(key: _*).collect().toSeq,
