@@ -46,7 +46,11 @@ class ScaleSmokeSpec extends AnyFunSuite
     "x117_threshold_sweep" ->
       "scores the band-candidate set once, then fans out 5 thresholds",
     "x118_incremental_datasheet" ->
-      "3 ingest batches x store merge commits dominate at toy scale")
+      "3 ingest batches x store merge commits dominate at toy scale",
+    "x121_incremental_fertility" ->
+      "learns the frozen 12-round merge table up front (one-time), then 3 batch encodes + store merges",
+    "x122_incremental_contamination" ->
+      "3 per-batch gated contamination reports + store merge commits dominate at toy scale")
 
   /** Bound cross-test JVM state the way the bench bounds cross-query
     * state: drop cached frames + checkpointed RDDs and nudge a GC after
