@@ -461,10 +461,13 @@ object Dedup {
       groupCol, benchCol, n, threshold, broadcastMaxTokens)._1
 
   /** Broadcast gate for [[contaminationReport]]: benchmark token masses up
-    * to this broadcast the tagged shingle set (~tens of MB of short
-    * strings — comfortably inside executor memory); above it the probe
-    * becomes a shuffled equi-join that degrades instead of OOMing. */
-  val DefaultBroadcastMaxTokens: Long = 2L << 20
+    * to this broadcast the tagged shingle set; above it the probe becomes
+    * a shuffled equi-join that degrades instead of OOMing. Sizing: token
+    * mass bounds the distinct-shingle row count, and a (tag, 3-gram) row
+    * is ~60-70 bytes as an unsafe row, so 512Ki tokens caps the broadcast
+    * at ~35 MB — comfortably inside executor/driver memory while still
+    * covering every realistic eval suite. */
+  val DefaultBroadcastMaxTokens: Long = 512L << 10
 
   /** Observability reading for the [[contaminationReport]] size gate,
     * returned WITH the frame it describes (run-scoped, same pattern as

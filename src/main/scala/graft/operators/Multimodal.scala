@@ -235,8 +235,10 @@ object Multimodal {
         val body = bb.position()
         // a corrupted/hostile length must FAIL the decode, not wedge it:
         // len <= -8 would stop `pos` advancing (infinite loop on one bad
-        // row), and an overlong chunk would read past its parent
-        require(len >= 0 && body + len <= to,
+        // row), and an overlong chunk would read past its parent; the
+        // bound check is in Long so a length near Int.MaxValue can't wrap
+        // negative and slip past it
+        require(len >= 0 && body.toLong + len <= to,
           s"corrupt RIFF chunk '$id' at offset $pos: length $len " +
             s"exceeds enclosing range [$from, $to)")
         id match {
@@ -244,9 +246,13 @@ object Multimodal {
             fourcc() // list type routes nothing — children identify themselves
             walk(bb.position(), body + len)
           case "avih" =>
-            bb.position(body + 16) // dwTotalFrames is the 5th dword
+            // dwTotalFrames is the 5th dword; a truncated header must not
+            // read the sibling chunk's bytes as a frame count
+            require(len >= 20, s"truncated avih chunk: length $len < 20")
+            bb.position(body + 16)
             totalFrames = bb.getInt
           case "strf" =>
+            require(len >= 20, s"truncated strf chunk: length $len < 20")
             bb.position(body + 4) // skip biSize
             w = bb.getInt; h = bb.getInt
             bb.getShort // biPlanes
@@ -267,6 +273,10 @@ object Multimodal {
     require(totalFrames == frames.size,
       s"avih says $totalFrames frames but movi carries ${frames.size}")
     val stride = (w * 3 + 3) & ~3
+    frames.zipWithIndex.foreach { case (d, i) =>
+      require(d.length == stride * h,
+        s"frame $i carries ${d.length} bytes, expected ${stride * h} (${w}x$h 24-bit DIB)")
+    }
     val samples = for {
       d <- frames.toIndexedSeq
       y <- 0 until h; x <- 0 until w; c <- 0 until 3

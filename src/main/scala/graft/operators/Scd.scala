@@ -188,12 +188,11 @@ object Scd {
       keys: Seq[String], loadTs: Column, initAudit: Boolean = false,
       txn: Option[graft.tables.Txn] = None): Unit = {
     val ts = loadTs.cast(TimestampType)
+    // one dispatch for both paths: staged into the transaction when given
+    // one, an immediate per-table commit otherwise (see TableWriter)
+    val writer: graft.tables.TableWriter = txn.getOrElse(store)
     if (!store.exists(table)) {
-      val init = scd2Init(batch, ts, audit = initAudit)
-      txn match {
-        case Some(t) => t.createOrReplace(table, init)
-        case None => store.createOrReplace(table, init)
-      }
+      writer.writeSnapshot(table, scd2Init(batch, ts, audit = initAudit))
       return
     }
     val payload = batch.columns.filterNot(keys.contains).toSeq
@@ -233,19 +232,11 @@ object Scd {
         (if (audit) Map(CreateDate -> (ts: Column), UpdateDate -> (ts: Column))
          else Map.empty)
 
-    // ONE clause set for both writers — the transactional and per-stage
-    // paths must stay semantically identical by construction, not by
-    // keeping two argument lists in sync by hand
-    val matchedClauses = Seq(MergeInto.MatchedUpdate(
-      Some(changePredicate(payload, nullSafe = false)), closeSet))
-    val notMatchedClauses = Seq(MergeInto.NotMatchedInsert(None, insertValues))
-    val bySourceClauses = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet))
-    txn match {
-      case Some(t) => t.merge(table, source, keys, Some(currentOnly),
-        matchedClauses, notMatchedClauses, bySourceClauses)
-      case None => store.merge(table, source, keys, Some(currentOnly),
-        matchedClauses, notMatchedClauses, bySourceClauses)
-    }
+    writer.writeMerge(table, source, keys, Some(currentOnly),
+      matched = Seq(MergeInto.MatchedUpdate(
+        Some(changePredicate(payload, nullSafe = false)), closeSet)),
+      notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
+      notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
   }
 
   /** SCD1 merge: matched-and-changed → update payload, unmatched → insert;

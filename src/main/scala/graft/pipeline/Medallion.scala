@@ -216,6 +216,9 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
       cur: String => DataFrame = current,
       dims: String => DataFrame = n => store.read(n)): Unit = {
     val fact = withAudit(buildFact(loadTs, cur, dims), loadTs)
+    // one dispatch for both paths (see TableWriter): staged when inside
+    // the transactional run, an immediate commit otherwise
+    val writer: graft.tables.TableWriter = txn.getOrElse(store)
     if (store.exists("gold.fact_sales")) {
       // incremental load = the reference's SCD1 MERGE on the line grain
       // (34_ETL_Gold_Fact_PySpark.py:90-139): update changed measures/FKs,
@@ -233,23 +236,16 @@ final class Medallion(spark: SparkSession, store: TableStore, sfDir: String,
           (Scd.UpdateDate -> loadTs.cast("timestamp"))))
       val notMatched = Seq(MergeInto.NotMatchedInsert(None,
         fact.columns.map(c => c -> col(s"s.$c")).toMap))
-      txn match {
-        case Some(t) => t.merge("gold.fact_sales", fact, keys,
-          matched = matched, notMatched = notMatched)
-        case None => store.merge("gold.fact_sales", fact, keys,
-          matched = matched, notMatched = notMatched)
-      }
+      writer.writeMerge("gold.fact_sales", fact, keys,
+        matched = matched, notMatched = notMatched)
     } else {
       // initial load: fact snapshot sorted by its grain key inside each
       // file — per-file min/max manifest stats on the key become
       // selective, the file-level pruning lever after directory
       // partitioning (reference facts rely on Delta data skipping for the
       // same effect)
-      val sort = Seq("sales_order_key", "sales_line_number")
-      txn match {
-        case Some(t) => t.createOrReplace("gold.fact_sales", fact, sortWithin = sort)
-        case None => store.createOrReplace("gold.fact_sales", fact, sortWithin = sort)
-      }
+      writer.writeSnapshot("gold.fact_sales", fact,
+        sortWithin = Seq("sales_order_key", "sales_line_number"))
     }
   }
 

@@ -2,7 +2,7 @@ package graft.tables
 
 import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -105,11 +105,31 @@ object TableStore {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
+/** The writer surface [[TableStore]] and [[Txn]] share: an operator that
+  * runs either standalone (per-table commits) or inside a transaction
+  * (staged, all-or-nothing) takes an `Option[Txn]` and dispatches through
+  * `txn.getOrElse(store): TableWriter` — ONE argument list per write, so
+  * the two paths stay semantically identical by construction instead of
+  * by keeping duplicated call sites in sync by hand. Each implementation
+  * keeps its own ledger operation label (`merge` vs `txn_merge`). */
+trait TableWriter {
+  /** Full-snapshot write — [[TableStore.createOrReplace]] semantics. */
+  def writeSnapshot(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Nil, statsFor: Seq[String] = Nil): Unit
+  /** MERGE INTO with the full [[TableStore.merge]] clause surface. */
+  def writeMerge(name: String, source: DataFrame, keys: Seq[String],
+      extraOn: Option[Column] = None,
+      matched: Seq[MergeInto.MatchedAction] = Nil,
+      notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[MergeInto.BySourceAction] = Nil,
+      schemaEvolution: Boolean = false): Unit
+}
+
 /** Writer handle inside a [[TableStore.transaction]]: collects staged
   * single-visibility writes. Each table may be written at most once per
   * transaction, and staged writes are invisible until the transaction's
   * all-or-nothing commit. */
-final class Txn private[tables] (store: TableStore) {
+final class Txn private[tables] (store: TableStore) extends TableWriter {
   private val staged =
     scala.collection.mutable.ArrayBuffer.empty[(String, Int, Path, Option[Int])]
 
@@ -169,6 +189,19 @@ final class Txn private[tables] (store: TableStore) {
       notMatchedBySource, schemaEvolution, op, txn = Some(this))
   }
 
+  // TableWriter: forwarders that keep this path's staged semantics and
+  // ledger labels
+  override def writeSnapshot(name: String, df: DataFrame, partitionBy: Seq[String],
+      sortWithin: Seq[String], statsFor: Seq[String]): Unit =
+    createOrReplace(name, df, partitionBy, sortWithin, statsFor)
+  override def writeMerge(name: String, source: DataFrame, keys: Seq[String],
+      extraOn: Option[Column], matched: Seq[MergeInto.MatchedAction],
+      notMatched: Seq[MergeInto.NotMatchedInsert],
+      notMatchedBySource: Seq[MergeInto.BySourceAction],
+      schemaEvolution: Boolean): Unit =
+    merge(name, source, keys, extraOn, matched, notMatched,
+      notMatchedBySource, schemaEvolution)
+
   /** Staging is thread-safe on DIFFERENT tables — a multi-index ingest
     * stages its independent merges concurrently (Spark schedules jobs
     * from many threads); the ledger is the only shared state, and the
@@ -214,7 +247,7 @@ final class Txn private[tables] (store: TableStore) {
     if (!commitBegan) store.txnAbort(staged.synchronized(staged.map(_._3).toSeq))
 }
 
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String) extends TableWriter {
 
   // SQL-text DML (MERGE/UPDATE/DELETE via spark.sql) resolves table names
   // against the session's attached stores, keyed by table name.
@@ -1159,7 +1192,19 @@ final class TableStore(spark: SparkSession, root: String) {
                   "depends on — re-derive the change from the current snapshot " +
                   "and retry")
             }
-          case _ => next
+          case _ =>
+            // no CAS base (plain replace) or base unmoved — but an
+            // interleaved commit may still have claimed a HIGHER number
+            // while we staged (replaces assert nothing about the base, so
+            // they serialize in lock order): the pointer must never move
+            // backward — history, timestamp travel and the change feed
+            // all diff v against v-1 — so renumber past the interloper
+            if (currentVersion(name).exists(_ >= next)) {
+              val (stagedSchema, staged, opName) = parseManifest(
+                stagedManifestPath(name, next), s"staged v$next of $name")
+              val (v, d) = renumberStaged(name, next, stagedSchema, staged, opName)
+              liveDir = d; v
+            } else next
         }
         promoteManifest(name, finalV)
         swapTo(name, finalV)
@@ -1214,31 +1259,37 @@ final class TableStore(spark: SparkSession, root: String) {
       writeManifest(name, next, stagedSchema, rebased, op)
       Some((next, tableDir(name).resolve(s"v_$next")))
     } else {
-      // renumber past the interloper: claim a fresh version and move the
-      // staged directory's CONTENTS into it, keeping the claimed dir
-      // itself — the allocated directory doubles as the writer mutex, and
-      // the earlier delete-then-rename-of-the-whole-dir shape freed the
-      // number for a concurrent stager while rename(2) then landed ON TOP
-      // of the empty directory that stager had just claimed: both writers
-      // "owned" the version, one failed writing data/ and its abort
-      // cleanup deleted the other's committed files. Child moves are
-      // same-filesystem atomic renames inside a dir only this writer can
-      // touch; readers cannot see the version until _MANIFEST promotes
-      // inside the commit lock.
-      val old = tableDir(name).resolve(s"v_$next")
-      val (claimed, ndir) = allocateVersion(name)
-      Files.list(old).iterator().asScala.toSeq.foreach { child =>
-        Files.move(child, ndir.resolve(child.getFileName.toString),
-          StandardCopyOption.ATOMIC_MOVE)
-      }
-      Files.delete(old)
-      def reanchor(p: String) =
-        if (p.startsWith(s"v_$next/")) s"v_$claimed/" + p.stripPrefix(s"v_$next/") else p
-      val reanchored = rebased.map(e =>
-        e.copy(rel = reanchor(e.rel), dvs = e.dvs.map(reanchor)))
-      writeManifest(name, claimed, stagedSchema, reanchored, op)
-      Some((claimed, tableDir(name).resolve(s"v_$claimed")))
+      Some(renumberStaged(name, next, stagedSchema, rebased, op))
     }
+  }
+
+  /** Renumber a staged version past an interloper that claimed an
+    * equal-or-higher number while we staged: claim a fresh version and
+    * move the staged directory's CONTENTS into it, keeping the claimed
+    * dir itself — the allocated directory doubles as the writer mutex,
+    * and the earlier delete-then-rename-of-the-whole-dir shape freed the
+    * number for a concurrent stager while rename(2) then landed ON TOP
+    * of the empty directory that stager had just claimed: both writers
+    * "owned" the version, one failed writing data/ and its abort
+    * cleanup deleted the other's committed files. Child moves are
+    * same-filesystem atomic renames inside a dir only this writer can
+    * touch; readers cannot see the version until _MANIFEST promotes
+    * inside the commit lock. Must run inside that lock. */
+  private def renumberStaged(name: String, next: Int, schema: StructType,
+      entries: Seq[FileEntry], op: String): (Int, Path) = {
+    val old = tableDir(name).resolve(s"v_$next")
+    val (claimed, ndir) = allocateVersion(name)
+    Files.list(old).iterator().asScala.toSeq.foreach { child =>
+      Files.move(child, ndir.resolve(child.getFileName.toString),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.delete(old)
+    def reanchor(p: String) =
+      if (p.startsWith(s"v_$next/")) s"v_$claimed/" + p.stripPrefix(s"v_$next/") else p
+    val reanchored = entries.map(e =>
+      e.copy(rel = reanchor(e.rel), dvs = e.dvs.map(reanchor)))
+    writeManifest(name, claimed, schema, reanchored, op)
+    (claimed, tableDir(name).resolve(s"v_$claimed"))
   }
 
   /** The table's isolation level for concurrent-commit resolution:
@@ -1278,23 +1329,95 @@ final class TableStore(spark: SparkSession, root: String) {
   /** File-based commit mutex: held only for the pointer check+swap (the
     * expensive data writes happen outside it). Works cross-process on a
     * shared filesystem; an object-store deployment would use a
-    * conditional PUT for the same window. */
+    * conditional PUT for the same window.
+    *
+    * The lock file records its holder (`pid_nanos`, written through the
+    * same CREATE_NEW channel that acquires it), and a waiter that finds
+    * the recorded holder provably DEAD breaks the lock itself via
+    * [[breakDeadLock]] — so a writer that crashes inside the commit
+    * window never wedges the table, and nothing anywhere deletes a lock
+    * without first proving its current holder is gone (deleting a live
+    * writer's lock would put two writers inside the critical section).
+    * An unreadable/empty holder is treated as live: the only way to get
+    * one is a crash in the microseconds between create and write, and
+    * the >6s timeout below already names the manual remedy. */
   private def withCommitLock[T](name: String)(f: => T): T = {
     val lock = tableDir(name).resolve("_COMMIT_LOCK")
+    val token = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
     var tries = 0
     while (true) {
       try {
-        Files.createFile(lock)
+        val ch = Files.newByteChannel(lock,
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(token.getBytes(UTF_8)))
+        finally ch.close()
         try return f finally Files.deleteIfExists(lock)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          val holder = lockHolder(lock)
+          if (holder.exists(holderDead)) breakDeadLock(lock, holder.get)
+          // the break attempt counts toward the same timeout (a break that
+          // persistently fails — permissions, racing breakers — must not
+          // spin hot forever); a successful break re-acquires next loop
           tries += 1
           if (tries > 600) throw new IllegalStateException(
-            s"commit lock $lock held for >6s — crashed writer? delete it to recover")
+            s"commit lock $lock held for >6s by " +
+              s"${holder.getOrElse("<unknown>")} — crashed writer? " +
+              "delete it to recover")
           Thread.sleep(10)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The `pid_nanos` token a lock/break-marker file records, None if the
+    * file vanished (holder released between our check and the read) or
+    * is empty (holder mid-acquisition). */
+  private def lockHolder(lock: Path): Option[String] =
+    try {
+      val s = new String(Files.readAllBytes(lock), UTF_8).trim
+      if (s.isEmpty) None else Some(s)
+    } catch { case _: java.io.IOException => None }
+
+  /** True only when the token's pid parses AND that process is provably
+    * gone. Unparseable tokens and live (or pid-reused) processes are
+    * never broken. */
+  private def holderDead(token: String): Boolean = {
+    val digits = token.takeWhile(_ != '_')
+    digits.nonEmpty && digits.forall(_.isDigit) &&
+      scala.util.Try(digits.toLong).toOption.exists { p =>
+        !ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false)
+      }
+  }
+
+  /** Break a lock whose recorded holder died inside the commit window.
+    * Deletion is serialized through a break-marker (`<lock>.break`,
+    * CREATE_NEW — one breaker wins) and RE-VERIFIED under it: the lock
+    * must still record the same dead token, so a live writer that
+    * re-acquired after our first read is untouchable. Even a stale
+    * double-held marker stays safe — both breakers re-verify, and
+    * deleting the same dead lock twice is idempotent; the subsequent
+    * CREATE_NEW acquisition race has exactly one winner. A marker whose
+    * own holder died is itself removed here. */
+  private def breakDeadLock(lock: Path, expected: String): Unit = {
+    val marker = lock.resolveSibling(lock.getFileName.toString + ".break")
+    val token = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    try {
+      val ch = Files.newByteChannel(marker,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try ch.write(java.nio.ByteBuffer.wrap(token.getBytes(UTF_8)))
+      finally ch.close()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val mh = lockHolder(marker)
+        if (mh.exists(holderDead)) Files.deleteIfExists(marker)
+        return // someone else is breaking (or just broke) it — retry outside
+      case _: java.io.IOException => return
+    }
+    try {
+      if (lockHolder(lock).contains(expected)) Files.deleteIfExists(lock)
+      ()
+    } finally Files.deleteIfExists(marker)
   }
 
   /** The table's current committed version (the optimistic-concurrency
@@ -3135,6 +3258,19 @@ final class TableStore(spark: SparkSession, root: String) {
     mergeInternal(name, source, keys, extraOn, matched, notMatched,
       notMatchedBySource, schemaEvolution, op, txn = None)
 
+  // TableWriter: forwarders that keep this path's immediate-commit
+  // semantics and ledger labels
+  override def writeSnapshot(name: String, df: DataFrame, partitionBy: Seq[String],
+      sortWithin: Seq[String], statsFor: Seq[String]): Unit =
+    createOrReplace(name, df, partitionBy, sortWithin, statsFor)
+  override def writeMerge(name: String, source: DataFrame, keys: Seq[String],
+      extraOn: Option[Column], matched: Seq[MergeInto.MatchedAction],
+      notMatched: Seq[MergeInto.NotMatchedInsert],
+      notMatchedBySource: Seq[MergeInto.BySourceAction],
+      schemaEvolution: Boolean): Unit =
+    merge(name, source, keys, extraOn, matched, notMatched,
+      notMatchedBySource, schemaEvolution)
+
   /** [[merge]] body; with `txn` set the rewritten version is STAGED into
     * the transaction (pointer untouched until its all-or-nothing commit)
     * instead of committed here — see [[Txn.merge]]. */
@@ -3668,10 +3804,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * is a live OTHER process are skipped (that writer finishes or its own
     * next attach recovers), and intents of THIS process are skipped while
     * their commit is still in flight ([[TableStore.inflightTxnIntents]]).
-    * Stale `_COMMIT_LOCK` files are cleared only for provably-dead
-    * writers — an interrupted same-process commit released its locks on
-    * the way out, and deleting a live writer's held lock would break the
-    * commit mutex. */
+    * A dead writer's retained `_COMMIT_LOCK` is NOT deleted here — the
+    * lock records its holder, and [[withCommitLock]] itself breaks locks
+    * of provably-dead holders (re-verified under a break marker), so
+    * recovery simply acquires the lock like any other writer and can
+    * never delete one a concurrent recoverer or fresh commit is
+    * legitimately holding. */
   private def recoverTxnIntents(): Unit = {
     if (!Files.isDirectory(txnIntentDir)) return
     import scala.jdk.CollectionConverters._
@@ -3690,13 +3828,17 @@ final class TableStore(spark: SparkSession, root: String) {
       if (otherWriterAlive || selfInFlight) () // live commit window — not ours to touch
       else if (fn.endsWith(".tmp")) { Files.deleteIfExists(f); () }
       else {
-        val pairs = new String(Files.readAllBytes(f), UTF_8).split('\n')
+        // the liveness checks above and this read are not atomic: a commit
+        // finishing in the gap deletes its intent — that's a completed
+        // transaction, not a recovery case, so a vanished file is skipped
+        val raw = try Some(new String(Files.readAllBytes(f), UTF_8))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        val pairs = raw.getOrElse("").split('\n')
           .filter(_.nonEmpty).toSeq
           .map { l => val p = l.split('\t'); (p(0), p(1).toInt) }
         pairs.foreach { case (name, v) =>
-          // a DEAD writer died holding this lock and cannot release it; an
-          // interrupted same-process commit already released its locks
-          if (!isSelf) Files.deleteIfExists(tableDir(name).resolve("_COMMIT_LOCK"))
+          // a DEAD writer's retained lock is broken inside withCommitLock
+          // itself (holder-verified) — nothing to pre-delete here
           withCommitLock(name) {
             if (!currentVersion(name).exists(_ >= v)) {
               if (Files.exists(stagedManifestPath(name, v))) promoteManifest(name, v)

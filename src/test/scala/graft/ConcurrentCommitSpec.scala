@@ -20,10 +20,33 @@ import graft.tables.TableStore
   * commit. The slow writer therefore ALWAYS reads its base snapshot
   * before the fast commit and ALWAYS reaches its own commit after it —
   * the race outcome is pinned, not timed. */
-class ConcurrentCommitSpec extends AnyFunSuite {
+class ConcurrentCommitSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   lazy val spark = graft.core.GraftSession.local(4)
   import spark.implicits._
+
+  // every store this suite attaches, detached at suite end even when a
+  // test fails mid-assert — a leaked attached store holding `db.t` makes
+  // the SQL DML resolver in LATER suites see the name as ambiguous
+  private val opened =
+    scala.collection.mutable.ArrayBuffer.empty[(TableStore, String)]
+
+  private def newStore(prefix: String): (TableStore, String) = {
+    val root = Files.createTempDirectory(prefix).toString
+    val s = new TableStore(spark, root)
+    opened.synchronized { opened += ((s, root)) }
+    (s, root)
+  }
+
+  override def afterAll(): Unit = {
+    opened.foreach { case (s, root) =>
+      try s.detach() catch { case _: Throwable => () }
+      try graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+      catch { case _: Throwable => () }
+    }
+    super.afterAll()
+  }
 
   /** TRUE for `keys`, but every evaluation first waits for `marker`.
     * When `started` is given, the FIRST evaluation creates it — the
@@ -68,8 +91,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   }
 
   test("concurrent blind appends both commit — neither loses the race") {
-    val root = Files.createTempDirectory("graft_occ").toString
-    val store = new TableStore(spark, root)
+    val (store, root) = newStore("graft_occ")
     store.createOrReplace("db.t", Seq((0, 0L)).toDF("k", "n"))
     val (ea, eb) = run2(
       () => store.append("db.t", (1 to 100).map(i => (i, i.toLong)).toDF("k", "n")),
@@ -82,8 +104,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   }
 
   test("a DML that loses the race to an append it never read rebases: both survive") {
-    val root = Files.createTempDirectory("graft_occ2").toString
-    val store = new TableStore(spark, root)
+    val (store, root) = newStore("graft_occ2")
     val marker = java.nio.file.Paths.get(root, "appended.marker")
     val started = java.nio.file.Paths.get(root, "appended.marker.started")
     store.createOrReplace("db.t",
@@ -103,8 +124,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   }
 
   test("two writers rewriting the SAME file: the loser raises, nothing is merged") {
-    val root = Files.createTempDirectory("graft_occ3").toString
-    val store = new TableStore(spark, root)
+    val (store, root) = newStore("graft_occ3")
     val marker = java.nio.file.Paths.get(root, "updated.marker")
     val started = java.nio.file.Paths.get(root, "updated.marker.started")
     // one file — both updates must rewrite it, a genuine conflict
@@ -124,8 +144,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   }
 
   test("serializable isolation: a rewriting commit that loses any race aborts") {
-    val root = Files.createTempDirectory("graft_occ4").toString
-    val store = new TableStore(spark, root)
+    val (store, root) = newStore("graft_occ4")
     val marker = java.nio.file.Paths.get(root, "ser.marker")
     val started = java.nio.file.Paths.get(root, "ser.marker.started")
     // 2 partitions, NOT the default 4: the gated scan's sleeping UDF tasks
@@ -154,8 +173,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   }
 
   test("rebase stress: three appenders interleave, zero retries, linear history") {
-    val root = Files.createTempDirectory("graft_occ5").toString
-    val store = new TableStore(spark, root)
+    val (store, root) = newStore("graft_occ5")
     store.createOrReplace("db.t", Seq((0, 0L)).toDF("k", "n"))
     val gate = new CountDownLatch(1)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -187,8 +205,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     // writers x four appends drive the renumber path (a stager must hold
     // a lower number than the committer that beats it) far harder than
     // the three-writer case ever did.
-    val root = Files.createTempDirectory("graft_occ7").toString
-    val store = new TableStore(spark, root)
+    val (store, root) = newStore("graft_occ7")
     store.createOrReplace("db.t", Seq((0, 0L)).toDF("k", "n"))
     val gate = new CountDownLatch(1)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -209,8 +226,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
   }
 
   test("change feed and time travel stay correct across a rebased update") {
-    val root = Files.createTempDirectory("graft_occ6").toString
-    val store = new TableStore(spark, root)
+    val (store, root) = newStore("graft_occ6")
     val marker = java.nio.file.Paths.get(root, "cdf.marker")
     val started = java.nio.file.Paths.get(root, "cdf.marker.started")
     store.createOrReplace("db.t", (1 to 20).map(i => (i, 0L)).toDF("k", "n").coalesce(1))

@@ -420,6 +420,25 @@ class ExtensionSpec extends AnyFunSuite {
     corrupt(firstChunkLen + 2) = 0xFF.toByte; corrupt(firstChunkLen + 3) = 0xFF.toByte
     val e2 = intercept[IllegalArgumentException] { Multimodal.decodeAvi(corrupt) }
     assert(e2.getMessage.contains("corrupt RIFF chunk"), s"got: ${e2.getMessage}")
+    // a length near Int.MaxValue must not wrap the bounds check negative
+    // and slip past it into a ~2GB allocation (the guard compares in Long)
+    val wrap = avi.clone()
+    wrap(firstChunkLen) = 0xF0.toByte; wrap(firstChunkLen + 1) = 0xFF.toByte
+    wrap(firstChunkLen + 2) = 0xFF.toByte; wrap(firstChunkLen + 3) = 0x7F.toByte
+    val e3 = intercept[IllegalArgumentException] { Multimodal.decodeAvi(wrap) }
+    assert(e3.getMessage.contains("corrupt RIFF chunk"), s"got: ${e3.getMessage}")
+    // a truncated avih must fail instead of silently parsing the sibling
+    // chunk's bytes as a frame count (avih len dword sits at offset 28)
+    val shortHdr = avi.clone()
+    shortHdr(28) = 4; shortHdr(29) = 0; shortHdr(30) = 0; shortHdr(31) = 0
+    val e4 = intercept[IllegalArgumentException] { Multimodal.decodeAvi(shortHdr) }
+    assert(e4.getMessage.contains("truncated avih"), s"got: ${e4.getMessage}")
+    // frame chunks that disagree with the strf geometry are an error, not
+    // a bare IndexOutOfBounds from the pixel walk (biWidth dword at 176)
+    val thin = avi.clone()
+    thin(176) = 1 // biWidth 2 -> 1: stride*h expects 8 bytes, frames carry 16
+    val e5 = intercept[IllegalArgumentException] { Multimodal.decodeAvi(thin) }
+    assert(e5.getMessage.contains("frame 0 carries"), s"got: ${e5.getMessage}")
   }
 
   test("multimodal: image rows decode via imageio, audio via javax.sound, video via the AVI parse") {
