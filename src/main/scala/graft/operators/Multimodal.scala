@@ -243,6 +243,9 @@ object Multimodal {
             s"exceeds enclosing range [$from, $to)")
         id match {
           case "LIST" =>
+            // the 4-byte list type must fit inside the chunk — a truncated
+            // LIST at the buffer's end would otherwise read past it
+            require(len >= 4, s"truncated LIST chunk: length $len < 4")
             fourcc() // list type routes nothing — children identify themselves
             walk(bb.position(), body + len)
           case "avih" =>
@@ -272,11 +275,16 @@ object Multimodal {
     require(w > 0 && h > 0, "no strf header — not a video AVI")
     require(totalFrames == frames.size,
       s"avih says $totalFrames frames but movi carries ${frames.size}")
-    val stride = (w * 3 + 3) & ~3
+    // stride math in Long: hostile w/h near Int.MaxValue must fail the
+    // size check below, not wrap it into agreement with the frame bytes
+    val strideL = (w.toLong * 3 + 3) & ~3L
     frames.zipWithIndex.foreach { case (d, i) =>
-      require(d.length == stride * h,
-        s"frame $i carries ${d.length} bytes, expected ${stride * h} (${w}x$h 24-bit DIB)")
+      require(d.length.toLong == strideL * h,
+        s"frame $i carries ${d.length} bytes, expected ${strideL * h} (${w}x$h 24-bit DIB)")
     }
+    // safe once verified: strideL * h == d.length <= Int.MaxValue (and
+    // unused when there are no frames)
+    val stride = strideL.toInt
     val samples = for {
       d <- frames.toIndexedSeq
       y <- 0 until h; x <- 0 until w; c <- 0 until 3

@@ -103,6 +103,42 @@ object TableStore {
     * interrupted one whose intent must be rolled forward. */
   private[tables] val inflightTxnIntents: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Host tag for writer-identity tokens: `ProcessHandle` liveness is
+    * only meaningful on the host that minted the pid, so on the shared
+    * filesystems the commit lock supports, a liveness check for a token
+    * minted elsewhere must answer "unknown" — never "dead". The `~`
+    * separator cannot appear in a hostname. */
+  private[tables] val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName.replace('~', '-')
+    catch { case _: java.io.IOException => "unknown-host" }
+
+  /** `host~pid_nanos` — the ONE writer-identity token format lock files
+    * and intent filenames record; parsing lives in [[sameHostPid]] so a
+    * format change cannot silently break one consumer. */
+  private[tables] def writerToken(): String =
+    s"$localHost~${ProcessHandle.current().pid()}_${System.nanoTime()}"
+
+  /** The pid a token records, if it was minted on THIS host — a foreign
+    * host's pid is meaningless here, so it parses to None. */
+  private[tables] def sameHostPid(token: String): Option[Long] = {
+    val (host, rest) = token.indexOf('~') match {
+      case -1 => (localHost, token) // host-less legacy token: minted locally
+      case i => (token.substring(0, i), token.substring(i + 1))
+    }
+    val digits = rest.takeWhile(_ != '_')
+    if (host == localHost && digits.nonEmpty && digits.forall(_.isDigit))
+      scala.util.Try(digits.toLong).toOption
+    else None
+  }
+
+  /** True only when the token was minted on this host AND its process is
+    * provably gone. Foreign-host, unparseable, and live (or pid-reused)
+    * writers all answer false — never break what you cannot prove dead. */
+  private[tables] def writerDead(token: String): Boolean =
+    sameHostPid(token).exists { p =>
+      !ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false)
+    }
 }
 
 /** The writer surface [[TableStore]] and [[Txn]] share: an operator that
@@ -1331,93 +1367,98 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * shared filesystem; an object-store deployment would use a
     * conditional PUT for the same window.
     *
-    * The lock file records its holder (`pid_nanos`, written through the
-    * same CREATE_NEW channel that acquires it), and a waiter that finds
-    * the recorded holder provably DEAD breaks the lock itself via
-    * [[breakDeadLock]] — so a writer that crashes inside the commit
-    * window never wedges the table, and nothing anywhere deletes a lock
-    * without first proving its current holder is gone (deleting a live
-    * writer's lock would put two writers inside the critical section).
-    * An unreadable/empty holder is treated as live: the only way to get
-    * one is a crash in the microseconds between create and write, and
-    * the >6s timeout below already names the manual remedy. */
+    * The lock file records its holder ([[TableStore.writerToken]],
+    * `host~pid_nanos`), and a waiter that finds the recorded holder
+    * provably DEAD breaks the lock itself via [[breakDeadLock]] — so a
+    * writer that crashes inside the commit window never wedges the
+    * table, and nothing anywhere deletes a lock without first proving
+    * its current holder is gone (deleting a live writer's lock would put
+    * two writers inside the critical section). "Provably dead" requires
+    * the token's HOST to match: pid liveness is unknowable across a
+    * shared filesystem, so a foreign host's lock is never broken — the
+    * pre-liveness behavior (wait, then the >6s manual remedy below).
+    * An unreadable/empty holder is likewise treated as live: a failed
+    * token write deletes its own lock file on the way out, so an empty
+    * lock means a crash in the microseconds between create and write. */
   private def withCommitLock[T](name: String)(f: => T): T = {
     val lock = tableDir(name).resolve("_COMMIT_LOCK")
-    val token = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val token = TableStore.writerToken()
     var tries = 0
     while (true) {
-      try {
-        val ch = Files.newByteChannel(lock,
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        try ch.write(java.nio.ByteBuffer.wrap(token.getBytes(UTF_8)))
-        finally ch.close()
+      // acquisition is its own try: an exception from the BODY `f` must
+      // never be mistaken for lock contention and retried
+      val acquired =
+        try {
+          val ch = Files.newByteChannel(lock,
+            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+          try {
+            try ch.write(java.nio.ByteBuffer.wrap(token.getBytes(UTF_8)))
+            finally ch.close()
+          } catch { case t: Throwable =>
+            // a failed token write must not orphan an empty (unbreakable)
+            // lock file — only a hard crash inside this window can
+            Files.deleteIfExists(lock); throw t
+          }
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (acquired) {
         try return f finally Files.deleteIfExists(lock)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val holder = lockHolder(lock)
-          if (holder.exists(holderDead)) breakDeadLock(lock, holder.get)
-          // the break attempt counts toward the same timeout (a break that
-          // persistently fails — permissions, racing breakers — must not
-          // spin hot forever); a successful break re-acquires next loop
-          tries += 1
-          if (tries > 600) throw new IllegalStateException(
-            s"commit lock $lock held for >6s by " +
-              s"${holder.getOrElse("<unknown>")} — crashed writer? " +
-              "delete it to recover")
-          Thread.sleep(10)
+      } else {
+        val holder = lockHolder(lock)
+        if (holder.exists(TableStore.writerDead)) breakDeadLock(lock, holder.get)
+        // the break attempt counts toward the same timeout (a break that
+        // persistently fails — permissions, racing breakers — must not
+        // spin hot forever); a successful break re-acquires next loop
+        tries += 1
+        if (tries > 600) throw new IllegalStateException(
+          s"commit lock $lock held for >6s by " +
+            s"${holder.getOrElse("<unknown>")} — crashed writer? " +
+            "delete it to recover")
+        Thread.sleep(10)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** The `pid_nanos` token a lock/break-marker file records, None if the
-    * file vanished (holder released between our check and the read) or
-    * is empty (holder mid-acquisition). */
+  /** The writer token a lock file records, None if the file vanished
+    * (holder released between our check and the read) or is empty
+    * (holder crashed mid-acquisition). */
   private def lockHolder(lock: Path): Option[String] =
     try {
       val s = new String(Files.readAllBytes(lock), UTF_8).trim
       if (s.isEmpty) None else Some(s)
     } catch { case _: java.io.IOException => None }
 
-  /** True only when the token's pid parses AND that process is provably
-    * gone. Unparseable tokens and live (or pid-reused) processes are
-    * never broken. */
-  private def holderDead(token: String): Boolean = {
-    val digits = token.takeWhile(_ != '_')
-    digits.nonEmpty && digits.forall(_.isDigit) &&
-      scala.util.Try(digits.toLong).toOption.exists { p =>
-        !ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false)
-      }
-  }
-
-  /** Break a lock whose recorded holder died inside the commit window.
-    * Deletion is serialized through a break-marker (`<lock>.break`,
-    * CREATE_NEW — one breaker wins) and RE-VERIFIED under it: the lock
-    * must still record the same dead token, so a live writer that
-    * re-acquired after our first read is untouchable. Even a stale
-    * double-held marker stays safe — both breakers re-verify, and
-    * deleting the same dead lock twice is idempotent; the subsequent
-    * CREATE_NEW acquisition race has exactly one winner. A marker whose
-    * own holder died is itself removed here. */
+  /** Break a lock whose recorded holder provably died inside the commit
+    * window. Breaking is serialized through an OS advisory lock on a
+    * persistent sidecar (`_COMMIT_LOCK.breaklock`) rather than a marker
+    * FILE: an advisory lock cannot go stale — the OS releases it when
+    * its holder dies — so there is no stale-marker cleanup and therefore
+    * no cleanup race that could void the breakers' mutual exclusion.
+    * While one breaker holds the sidecar no other breaker can delete the
+    * dead lock, and a writer can never re-create a lock that still
+    * exists (CREATE_NEW), so the re-verify below makes verify-then-
+    * delete sound by construction: if the path's token still equals the
+    * dead token we read, nothing can change it before our delete. The
+    * sidecar file itself is NEVER deleted — unlinking a file others hold
+    * advisory locks on would split the mutex across two inodes. */
   private def breakDeadLock(lock: Path, expected: String): Unit = {
-    val marker = lock.resolveSibling(lock.getFileName.toString + ".break")
-    val token = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val sidecar = lock.resolveSibling(lock.getFileName.toString + ".breaklock")
+    val ch = try java.nio.channels.FileChannel.open(sidecar,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      catch { case _: java.io.IOException => return }
     try {
-      val ch = Files.newByteChannel(marker,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      try ch.write(java.nio.ByteBuffer.wrap(token.getBytes(UTF_8)))
-      finally ch.close()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val mh = lockHolder(marker)
-        if (mh.exists(holderDead)) Files.deleteIfExists(marker)
-        return // someone else is breaking (or just broke) it — retry outside
-      case _: java.io.IOException => return
-    }
-    try {
-      if (lockHolder(lock).contains(expected)) Files.deleteIfExists(lock)
-      ()
-    } finally Files.deleteIfExists(marker)
+      val fl = try ch.tryLock()
+        catch {
+          // another thread of THIS JVM holds it — same as a busy sidecar
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      if (fl == null) return // another breaker is active — retry outside
+      try {
+        if (lockHolder(lock).contains(expected)) Files.deleteIfExists(lock)
+        ()
+      } finally fl.release()
+    } finally ch.close()
   }
 
   /** The table's current committed version (the optimistic-concurrency
@@ -3767,7 +3808,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
 
   private def writeTxnIntent(tables: Seq[(String, Int)]): Path = {
     Files.createDirectories(txnIntentDir)
-    val id = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val id = TableStore.writerToken()
     // registered BEFORE the file exists so a concurrent same-process
     // attach can never observe this healthy commit's intent unregistered
     TableStore.inflightTxnIntents.add(id)
@@ -3783,16 +3824,6 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     }
   }
 
-  /** The writer pid embedded in an intent filename
-    * (`intent.<pid>_<nanos>[.tmp]`); None for unparseable names. */
-  private def intentWriterPid(fileName: String): Option[Long] = {
-    val digits = fileName.stripPrefix("intent.").stripSuffix(".tmp")
-      .takeWhile(_ != '_')
-    if (digits.nonEmpty && digits.forall(_.isDigit))
-      scala.util.Try(digits.toLong).toOption
-    else None
-  }
-
   /** Complete transactions that crashed mid-publish: for every retained
     * intent, promote+swap each listed table that is still behind its
     * intended version, then drop the intent. Runs at attach, before the
@@ -3800,16 +3831,18 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * version is skipped — its swap happened before the crash.
     *
     * An intent file exists during every HEALTHY commit window too, so
-    * recovery first proves the writer is gone: intents whose embedded pid
-    * is a live OTHER process are skipped (that writer finishes or its own
-    * next attach recovers), and intents of THIS process are skipped while
-    * their commit is still in flight ([[TableStore.inflightTxnIntents]]).
-    * A dead writer's retained `_COMMIT_LOCK` is NOT deleted here — the
-    * lock records its holder, and [[withCommitLock]] itself breaks locks
-    * of provably-dead holders (re-verified under a break marker), so
-    * recovery simply acquires the lock like any other writer and can
-    * never delete one a concurrent recoverer or fresh commit is
-    * legitimately holding. */
+    * recovery only touches what it can PROVE is a crash: intents of THIS
+    * process are skipped while their commit is still in flight
+    * ([[TableStore.inflightTxnIntents]]); intents of other SAME-HOST
+    * writers are recovered only once their process is provably gone; and
+    * a FOREIGN host's intent is never touched — its liveness is
+    * unknowable here, so that writer (or its own next attach) recovers
+    * it. A dead writer's retained `_COMMIT_LOCK` is NOT deleted here —
+    * the lock records its holder, and [[withCommitLock]] itself breaks
+    * locks of provably-dead holders (serialized and re-verified under an
+    * OS advisory lock), so recovery simply acquires the lock like any
+    * other writer and can never delete one a concurrent recoverer or
+    * fresh commit is legitimately holding. */
   private def recoverTxnIntents(): Unit = {
     if (!Files.isDirectory(txnIntentDir)) return
     import scala.jdk.CollectionConverters._
@@ -3819,13 +3852,12 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     val selfPid = ProcessHandle.current().pid()
     intents.filter(_.getFileName.toString.startsWith("intent.")).foreach { f =>
       val fn = f.getFileName.toString
-      val pid = intentWriterPid(fn)
-      val isSelf = pid.contains(selfPid)
-      val otherWriterAlive = pid.exists(p => p != selfPid &&
-        ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
-      val selfInFlight = isSelf && TableStore.inflightTxnIntents
-        .contains(fn.stripPrefix("intent.").stripSuffix(".tmp"))
-      if (otherWriterAlive || selfInFlight) () // live commit window — not ours to touch
+      val tok = fn.stripPrefix("intent.").stripSuffix(".tmp")
+      val isSelf = TableStore.sameHostPid(tok).contains(selfPid)
+      val selfInFlight = isSelf && TableStore.inflightTxnIntents.contains(tok)
+      // not ours to touch: a live commit window, or a writer whose
+      // liveness cannot be proven from this host
+      if (selfInFlight || (!isSelf && !TableStore.writerDead(tok))) ()
       else if (fn.endsWith(".tmp")) { Files.deleteIfExists(f); () }
       else {
         // the liveness checks above and this read are not atomic: a commit

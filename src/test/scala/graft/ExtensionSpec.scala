@@ -427,6 +427,13 @@ class ExtensionSpec extends AnyFunSuite {
     wrap(firstChunkLen + 2) = 0xFF.toByte; wrap(firstChunkLen + 3) = 0x7F.toByte
     val e3 = intercept[IllegalArgumentException] { Multimodal.decodeAvi(wrap) }
     assert(e3.getMessage.contains("corrupt RIFF chunk"), s"got: ${e3.getMessage}")
+    // a LIST too short for its own 4-byte list type must fail, not read
+    // past the buffer's end
+    val shortList = avi.clone()
+    shortList(firstChunkLen) = 0; shortList(firstChunkLen + 1) = 0
+    shortList(firstChunkLen + 2) = 0; shortList(firstChunkLen + 3) = 0
+    val eL = intercept[IllegalArgumentException] { Multimodal.decodeAvi(shortList) }
+    assert(eL.getMessage.contains("truncated LIST"), s"got: ${eL.getMessage}")
     // a truncated avih must fail instead of silently parsing the sibling
     // chunk's bytes as a frame count (avih len dword sits at offset 28)
     val shortHdr = avi.clone()

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The commit-lock liveness protocol: `_COMMIT_LOCK` records its holder
-  * (`pid_nanos`), a waiter breaks the lock only after proving that holder
-  * DEAD (re-verified under a break marker), and nothing ever deletes a
-  * live writer's held lock — the mutex-breaking hazard a blind
-  * "recovery deletes stale locks" policy carries. */
+  * (`host~pid_nanos`), a waiter breaks the lock only after proving that
+  * holder DEAD — same host, process gone — re-verified under an OS
+  * advisory lock on the `.breaklock` sidecar, and nothing ever deletes a
+  * live (or liveness-unknowable foreign-host) writer's held lock — the
+  * mutex-breaking hazard a blind "recovery deletes stale locks" policy
+  * carries. */
 class CommitLockSpec extends AnyFunSuite {
 
   lazy val spark = graft.core.GraftSession.local(4)
@@ -27,13 +29,11 @@ class CommitLockSpec extends AnyFunSuite {
     try {
       store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
       val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
-      Files.write(lock, s"${deadPid()}_123".getBytes(UTF_8))
+      Files.write(lock, s"${TableStore.localHost}~${deadPid()}_123".getBytes(UTF_8))
       // the next commit must self-heal the dead lock instead of timing out
       store.createOrReplace("db.t", Seq((2L, "b")).toDF("k", "v"))
       assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
       assert(!Files.exists(lock), "a finished commit releases its lock")
-      assert(!Files.exists(lock.resolveSibling("_COMMIT_LOCK.break")),
-        "the break marker must not outlive the break")
     } finally {
       store.detach()
       graft.queries.Scratch.deleteRecursively(Paths.get(root))
@@ -48,7 +48,8 @@ class CommitLockSpec extends AnyFunSuite {
       store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
       val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
       // held by THIS (live) process, as during any healthy commit window
-      Files.write(lock, s"${ProcessHandle.current().pid()}_999".getBytes(UTF_8))
+      Files.write(lock,
+        s"${TableStore.localHost}~${ProcessHandle.current().pid()}_999".getBytes(UTF_8))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -78,7 +79,7 @@ class CommitLockSpec extends AnyFunSuite {
       store.createOrReplace("db.t", Seq((0L, "init")).toDF("k", "v"))
       val v0 = store.version("db.t").get
       Files.write(Paths.get(root, "db", "t", "_COMMIT_LOCK"),
-        s"${deadPid()}_123".getBytes(UTF_8))
+        s"${TableStore.localHost}~${deadPid()}_123".getBytes(UTF_8))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -108,17 +109,50 @@ class CommitLockSpec extends AnyFunSuite {
     }
   }
 
-  test("a stale break marker from a dead breaker does not wedge the break") {
+  test("a pre-existing (unheld) breaklock sidecar with junk content does not wedge the break") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft_lock_marker").toString
+    val root = Files.createTempDirectory("graft_lock_sidecar").toString
     val store = new TableStore(spark, root)
     try {
       store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
       val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
-      Files.write(lock, s"${deadPid()}_123".getBytes(UTF_8))
-      Files.write(lock.resolveSibling("_COMMIT_LOCK.break"),
-        s"${deadPid()}_456".getBytes(UTF_8))
+      Files.write(lock, s"${TableStore.localHost}~${deadPid()}_123".getBytes(UTF_8))
+      // the sidecar persists between breaks by design (an OS advisory
+      // lock, not a marker file — it cannot go stale); junk content and
+      // prior existence must be irrelevant, only a HELD lock matters
+      Files.write(lock.resolveSibling("_COMMIT_LOCK.breaklock"),
+        "leftover garbage".getBytes(UTF_8))
       store.createOrReplace("db.t", Seq((2L, "b")).toDF("k", "v"))
+      assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("a FOREIGN host's lock is never broken, even for a pid that is dead here") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lock_foreign").toString
+    val store = new TableStore(spark, root)
+    try {
+      store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
+      val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
+      // the pid is provably dead ON THIS HOST — but the token says the
+      // lock was minted elsewhere, where that pid may be a live writer:
+      // liveness is unknowable across a shared filesystem, so no break
+      Files.write(lock,
+        s"definitely-not-${TableStore.localHost}~${deadPid()}_1".getBytes(UTF_8))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val commit = Future {
+        store.createOrReplace("db.t", Seq((2L, "b")).toDF("k", "v"))
+      }
+      Thread.sleep(1500)
+      assert(!commit.isCompleted && Files.exists(lock),
+        "a foreign-host lock must survive a contending commit's wait")
+      Files.delete(lock) // the (unknowable) holder releases
+      Await.result(commit, 30.seconds)
       assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
     } finally {
       store.detach()

@@ -61,6 +61,33 @@ class TxnRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("a FOREIGN host's intent is never recovered — its liveness is unknowable here") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_txn_rec3").toString
+    val store = new TableStore(spark, root)
+    try {
+      store.createOrReplace("db.a", Seq((1L, "x")).toDF("k", "v"))
+      store.detach()
+      // an intent minted elsewhere, pointing at a version that does not
+      // exist: recovering it would raise the store-corruption error, so a
+      // clean attach PROVES the foreign intent was skipped, not replayed
+      val dir = java.nio.file.Paths.get(root, "_txn_intents")
+      java.nio.file.Files.createDirectories(dir)
+      val intent = dir.resolve(
+        s"intent.definitely-not-${TableStore.localHost}~${ProcessHandle.current().pid()}_1")
+      java.nio.file.Files.write(intent, "db.a\t99".getBytes("UTF-8"))
+      val reattached = new TableStore(spark, root)
+      try {
+        assert(reattached.read("db.a").agg(max(col("k"))).head().getLong(0) == 1L)
+        assert(java.nio.file.Files.exists(intent),
+          "a foreign-host intent must be left for its own writer's recovery")
+      } finally reattached.detach()
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("a failure BEFORE the intent is durable still aborts cleanly (nothing publishes)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_txn_rec2").toString
