@@ -107,11 +107,27 @@ object TableStore {
   /** Host tag for writer-identity tokens: `ProcessHandle` liveness is
     * only meaningful on the host that minted the pid, so on the shared
     * filesystems the commit lock supports, a liveness check for a token
-    * minted elsewhere must answer "unknown" — never "dead". The `~`
-    * separator cannot appear in a hostname. */
-  private[tables] val localHost: String =
-    try java.net.InetAddress.getLocalHost.getHostName.replace('~', '-')
-    catch { case _: java.io.IOException => "unknown-host" }
+    * minted elsewhere must answer "unknown" — never "dead". Resolution
+    * never blocks on DNS (env/procfs first; `getLocalHost` can stall for
+    * the resolver timeout on misconfigured hosts), and an UNRESOLVABLE
+    * hostname yields a per-process tag, not a shared sentinel — two
+    * hosts both falling back to the same constant would judge each
+    * other's pids and re-enable exactly the cross-host lock-breaking
+    * this tag exists to prevent. The `~` separator cannot appear in a
+    * hostname. */
+  private[tables] val localHost: String = {
+    def env = Option(System.getenv("HOSTNAME")).map(_.trim).filter(_.nonEmpty)
+    def proc = try {
+      val p = Paths.get("/proc/sys/kernel/hostname")
+      if (Files.isReadable(p))
+        Some(new String(Files.readAllBytes(p), UTF_8).trim).filter(_.nonEmpty)
+      else None
+    } catch { case _: java.io.IOException => None }
+    def dns = try Some(java.net.InetAddress.getLocalHost.getHostName)
+      catch { case _: java.io.IOException => None }
+    env.orElse(proc).orElse(dns).map(_.replace('~', '-')).getOrElse(
+      s"unresolved-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+  }
 
   /** `host~pid_nanos` — the ONE writer-identity token format lock files
     * and intent filenames record; parsing lives in [[sameHostPid]] so a
@@ -119,26 +135,37 @@ object TableStore {
   private[tables] def writerToken(): String =
     s"$localHost~${ProcessHandle.current().pid()}_${System.nanoTime()}"
 
-  /** The pid a token records, if it was minted on THIS host — a foreign
-    * host's pid is meaningless here, so it parses to None. */
+  /** The pid a token records, if it was minted on THIS host. A foreign
+    * host's pid is meaningless here, and a HOST-LESS token's provenance
+    * is unknowable (it could be a live writer elsewhere), so both parse
+    * to None — never assume local. */
   private[tables] def sameHostPid(token: String): Option[Long] = {
-    val (host, rest) = token.indexOf('~') match {
-      case -1 => (localHost, token) // host-less legacy token: minted locally
-      case i => (token.substring(0, i), token.substring(i + 1))
+    val i = token.indexOf('~')
+    if (i < 0) None
+    else {
+      val host = token.substring(0, i)
+      val digits = token.substring(i + 1).takeWhile(_ != '_')
+      if (host == localHost && digits.nonEmpty && digits.forall(_.isDigit))
+        scala.util.Try(digits.toLong).toOption
+      else None
     }
-    val digits = rest.takeWhile(_ != '_')
-    if (host == localHost && digits.nonEmpty && digits.forall(_.isDigit))
-      scala.util.Try(digits.toLong).toOption
-    else None
   }
 
   /** True only when the token was minted on this host AND its process is
-    * provably gone. Foreign-host, unparseable, and live (or pid-reused)
-    * writers all answer false — never break what you cannot prove dead. */
+    * provably gone. Foreign-host, host-less, unparseable, and live (or
+    * pid-reused) writers all answer false — never break what you cannot
+    * prove dead. */
   private[tables] def writerDead(token: String): Boolean =
     sameHostPid(token).exists { p =>
       !ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false)
     }
+
+  /** One breaker per sidecar path per JVM: a second in-JVM channel to a
+    * file the JVM already holds an advisory lock on would, on plain
+    * fcntl platforms, RELEASE that lock when closed — voiding the
+    * breakers' cross-process mutual exclusion. */
+  private[tables] val breakersActive: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 /** The writer surface [[TableStore]] and [[Txn]] share: an operator that
@@ -1396,8 +1423,11 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
             finally ch.close()
           } catch { case t: Throwable =>
             // a failed token write must not orphan an empty (unbreakable)
-            // lock file — only a hard crash inside this window can
-            Files.deleteIfExists(lock); throw t
+            // lock file — only a hard crash inside this window can; the
+            // cleanup is sidecar-serialized so it can never delete a
+            // successor's lock (a breaker may have judged our partial
+            // token dead and a new writer re-acquired)
+            cleanupOwnFailedLock(lock); throw t
           }
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -1430,35 +1460,68 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     } catch { case _: java.io.IOException => None }
 
   /** Break a lock whose recorded holder provably died inside the commit
-    * window. Breaking is serialized through an OS advisory lock on a
-    * persistent sidecar (`_COMMIT_LOCK.breaklock`) rather than a marker
-    * FILE: an advisory lock cannot go stale — the OS releases it when
-    * its holder dies — so there is no stale-marker cleanup and therefore
-    * no cleanup race that could void the breakers' mutual exclusion.
-    * While one breaker holds the sidecar no other breaker can delete the
-    * dead lock, and a writer can never re-create a lock that still
-    * exists (CREATE_NEW), so the re-verify below makes verify-then-
-    * delete sound by construction: if the path's token still equals the
-    * dead token we read, nothing can change it before our delete. The
-    * sidecar file itself is NEVER deleted — unlinking a file others hold
-    * advisory locks on would split the mutex across two inodes. */
-  private def breakDeadLock(lock: Path, expected: String): Unit = {
-    val sidecar = lock.resolveSibling(lock.getFileName.toString + ".breaklock")
-    val ch = try java.nio.channels.FileChannel.open(sidecar,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      catch { case _: java.io.IOException => return }
+    * window — [[deleteLockIfHolds]] with the dead holder as the expected
+    * token. */
+  private def breakDeadLock(lock: Path, expected: String): Unit =
+    deleteLockIfHolds(lock, expected)
+
+  /** Clean up this writer's own lock file after its token write failed.
+    * An EMPTY lock is still provably ours — breakers never break a lock
+    * whose holder is unreadable — so it deletes directly; a PARTIAL
+    * token may already have been judged dead, broken, and the path
+    * re-acquired by a successor, so it goes through the same serialized
+    * verify-then-delete a break does. Never throws: the original write
+    * failure is the error the caller reports. */
+  private def cleanupOwnFailedLock(lock: Path): Unit =
     try {
-      val fl = try ch.tryLock()
-        catch {
-          // another thread of THIS JVM holds it — same as a busy sidecar
-          case _: java.nio.channels.OverlappingFileLockException => null
-        }
-      if (fl == null) return // another breaker is active — retry outside
+      lockHolder(lock) match {
+        case None => Files.deleteIfExists(lock); ()
+        case Some(tok) => deleteLockIfHolds(lock, tok)
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** Serialized conditional lock delete: removes `lock` only if, while
+    * holding the breaker mutex, it still records exactly `expected`.
+    * The mutex is an OS advisory lock on a persistent sidecar
+    * (`_COMMIT_LOCK.breaklock`) rather than a marker FILE: an advisory
+    * lock cannot go stale — the OS releases it when its holder dies — so
+    * there is no stale-marker cleanup and therefore no cleanup race that
+    * could void the breakers' mutual exclusion. While one breaker holds
+    * the sidecar no other breaker can delete the lock, and a writer can
+    * never re-create a lock that still exists (CREATE_NEW), so the
+    * re-verify makes verify-then-delete sound by construction: if the
+    * path's token still equals `expected`, nothing can change it before
+    * our delete. In-JVM breakers are additionally serialized through
+    * [[TableStore.breakersActive]] — see its scaladoc — and the sidecar
+    * file itself is NEVER deleted (unlinking a file others hold advisory
+    * locks on would split the mutex across two inodes). Never throws: a
+    * filesystem without advisory-lock support simply cannot break locks,
+    * and the waiter falls through to the >6s manual-remedy timeout. */
+  private def deleteLockIfHolds(lock: Path, expected: String): Unit = {
+    val sidecar = lock.resolveSibling(lock.getFileName.toString + ".breaklock")
+    val key = sidecar.toAbsolutePath.toString
+    if (!TableStore.breakersActive.add(key)) return // in-JVM breaker active
+    try {
+      val ch = try java.nio.channels.FileChannel.open(sidecar,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        catch { case _: java.io.IOException => return }
       try {
-        if (lockHolder(lock).contains(expected)) Files.deleteIfExists(lock)
-        ()
-      } finally fl.release()
-    } finally ch.close()
+        val fl = try ch.tryLock()
+          catch {
+            // no advisory-lock support (or an unexpected in-JVM overlap):
+            // breaking is not safely possible here — let the waiter time out
+            case _: java.nio.channels.OverlappingFileLockException => null
+            case _: java.io.IOException => null
+          }
+        if (fl == null) return // another breaker is active — retry outside
+        try {
+          if (lockHolder(lock).contains(expected))
+            try Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+          ()
+        } finally fl.release()
+      } finally ch.close()
+    } finally TableStore.breakersActive.remove(key)
   }
 
   /** The table's current committed version (the optimistic-concurrency

@@ -130,6 +130,34 @@ class CommitLockSpec extends AnyFunSuite {
     }
   }
 
+  test("a HOST-LESS token is liveness-unknowable and never broken") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lock_hostless").toString
+    val store = new TableStore(spark, root)
+    try {
+      store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
+      val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
+      // no host tag: could be a live writer on any host — assuming "local"
+      // would judge a foreign pid and re-enable cross-host breaking
+      Files.write(lock, s"${deadPid()}_1".getBytes(UTF_8))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val commit = Future {
+        store.createOrReplace("db.t", Seq((2L, "b")).toDF("k", "v"))
+      }
+      Thread.sleep(1500)
+      assert(!commit.isCompleted && Files.exists(lock),
+        "a host-less lock token must survive a contending commit's wait")
+      Files.delete(lock)
+      Await.result(commit, 30.seconds)
+      assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(Paths.get(root))
+    }
+  }
+
   test("a FOREIGN host's lock is never broken, even for a pid that is dead here") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_lock_foreign").toString
