@@ -125,15 +125,28 @@ object TableStore {
     } catch { case _: java.io.IOException => None }
     def dns = try Some(java.net.InetAddress.getLocalHost.getHostName)
       catch { case _: java.io.IOException => None }
-    env.orElse(proc).orElse(dns).map(_.replace('~', '-')).getOrElse(
+    // procfs (kernel-authoritative) before the user-controlled HOSTNAME
+    // env var — a wrong/leaked env value minting another machine's name
+    // would re-enable cross-host breaking; dns last (resolver stall).
+    // The per-process fallback trades self-recovery-after-restart for
+    // collision safety: on such a host a crashed writer's intents stay
+    // untouched until an operator intervenes — the conservative side.
+    proc.orElse(env).orElse(dns).map(_.replace('~', '-')).getOrElse(
       s"unresolved-${ProcessHandle.current().pid()}-${System.nanoTime()}")
   }
 
   /** `host~pid_nanos` — the ONE writer-identity token format lock files
     * and intent filenames record; parsing lives in [[sameHostPid]] so a
-    * format change cannot silently break one consumer. */
-  private[tables] def writerToken(): String =
-    s"$localHost~${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    * format change cannot silently break one consumer. Nanos are
+    * zero-padded to fixed width so every complete token of one process
+    * has ONE length — which makes "is this a truncated write of MY
+    * token?" decidable by the strict-prefix test in
+    * [[TableStore]].cleanupOwnFailedLock (a strict prefix can never be
+    * some sibling thread's complete token). */
+  private[tables] def writerToken(): String = {
+    val nanos = System.nanoTime() & Long.MaxValue
+    f"$localHost~${ProcessHandle.current().pid()}_$nanos%019d"
+  }
 
   /** The pid a token records, if it was minted on THIS host. A foreign
     * host's pid is meaningless here, and a HOST-LESS token's provenance
@@ -1427,7 +1440,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
             // cleanup is sidecar-serialized so it can never delete a
             // successor's lock (a breaker may have judged our partial
             // token dead and a new writer re-acquired)
-            cleanupOwnFailedLock(lock); throw t
+            cleanupOwnFailedLock(lock, token); throw t
           }
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -1462,23 +1475,42 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   /** Break a lock whose recorded holder provably died inside the commit
     * window — [[deleteLockIfHolds]] with the dead holder as the expected
     * token. */
-  private def breakDeadLock(lock: Path, expected: String): Unit =
+  private def breakDeadLock(lock: Path, expected: String): Unit = {
     deleteLockIfHolds(lock, expected)
+    ()
+  }
 
   /** Clean up this writer's own lock file after its token write failed.
     * An EMPTY lock is still provably ours — breakers never break a lock
-    * whose holder is unreadable — so it deletes directly; a PARTIAL
-    * token may already have been judged dead, broken, and the path
-    * re-acquired by a successor, so it goes through the same serialized
-    * verify-then-delete a break does. Never throws: the original write
-    * failure is the error the caller reports. */
-  private def cleanupOwnFailedLock(lock: Path): Unit =
-    try {
-      lockHolder(lock) match {
-        case None => Files.deleteIfExists(lock); ()
-        case Some(tok) => deleteLockIfHolds(lock, tok)
-      }
-    } catch { case _: java.io.IOException => () }
+    * whose holder is unreadable — so it deletes directly. A non-empty
+    * holder is ours ONLY if it equals our token or is a STRICT PREFIX of
+    * it (a truncated write): fixed-width tokens make a strict prefix
+    * provably incomplete, so it cannot be a sibling thread's (same
+    * host+pid) complete token, and a different pid or host cannot prefix
+    * ours past its own `_`/`~` separator. Anything else means a breaker
+    * already judged our partial dead and a successor re-acquired — the
+    * file is theirs, leave it (conditioning the delete on the CURRENT
+    * holder instead would vacuously "verify" and delete a live lock).
+    * Ours-but-busy outcomes retry briefly so a transient sidecar
+    * collision cannot orphan an unbreakable partial. Never throws: the
+    * original write failure is the error the caller reports. */
+  private def cleanupOwnFailedLock(lock: Path, ownToken: String): Unit = {
+    var tries = 0
+    while (tries < 100) {
+      val done =
+        try {
+          lockHolder(lock) match {
+            case None => Files.deleteIfExists(lock); true
+            case Some(tok) if tok == ownToken || ownToken.startsWith(tok) =>
+              deleteLockIfHolds(lock, tok)
+            case _ => true // broken and re-acquired by a successor — not ours
+          }
+        } catch { case _: java.io.IOException => false }
+      if (done) return
+      tries += 1
+      Thread.sleep(10)
+    }
+  }
 
   /** Serialized conditional lock delete: removes `lock` only if, while
     * holding the breaker mutex, it still records exactly `expected`.
@@ -1496,15 +1528,21 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * file itself is NEVER deleted (unlinking a file others hold advisory
     * locks on would split the mutex across two inodes). Never throws: a
     * filesystem without advisory-lock support simply cannot break locks,
-    * and the waiter falls through to the >6s manual-remedy timeout. */
-  private def deleteLockIfHolds(lock: Path, expected: String): Unit = {
+    * and the waiter falls through to the >6s manual-remedy timeout.
+    * Returns true when the lock provably no longer holds `expected`
+    * (deleted by us, changed, or already gone); false when the breaker
+    * mutex was busy/unavailable and nothing could be verified. */
+  private def deleteLockIfHolds(lock: Path, expected: String): Boolean = {
     val sidecar = lock.resolveSibling(lock.getFileName.toString + ".breaklock")
-    val key = sidecar.toAbsolutePath.toString
-    if (!TableStore.breakersActive.add(key)) return // in-JVM breaker active
+    // normalized so two spellings of one root cannot bypass the in-JVM
+    // guard (toRealPath would be stronger against symlinked roots but can
+    // fail on a not-yet-created sidecar)
+    val key = sidecar.toAbsolutePath.normalize.toString
+    if (!TableStore.breakersActive.add(key)) return false // in-JVM breaker active
     try {
       val ch = try java.nio.channels.FileChannel.open(sidecar,
           StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-        catch { case _: java.io.IOException => return }
+        catch { case _: java.io.IOException => return false }
       try {
         val fl = try ch.tryLock()
           catch {
@@ -1513,12 +1551,12 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
             case _: java.nio.channels.OverlappingFileLockException => null
             case _: java.io.IOException => null
           }
-        if (fl == null) return // another breaker is active — retry outside
+        if (fl == null) return false // another breaker is active — retry outside
         try {
           if (lockHolder(lock).contains(expected))
-            try Files.deleteIfExists(lock)
-            catch { case _: java.io.IOException => () }
-          ()
+            try { Files.deleteIfExists(lock); true }
+            catch { case _: java.io.IOException => false }
+          else true // no longer holds `expected` — nothing left to do
         } finally fl.release()
       } finally ch.close()
     } finally TableStore.breakersActive.remove(key)
