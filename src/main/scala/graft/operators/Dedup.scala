@@ -475,6 +475,46 @@ object Dedup {
     * benchmark token mass and which probe path the gate chose. */
   final case class ContaminationStats(benchTokens: Long, broadcastProbe: Boolean)
 
+  /** A FROZEN benchmark suite prepared once for repeated
+    * [[contaminationProbe]] calls — the incremental-audit shape (x122):
+    * batches arrive continuously while the suite never changes, so the
+    * size-gate aggregate (a blocking benchmark scan) and the tagged
+    * distinct (benchmark, shingle) relation (an explode + distinct
+    * shuffle) are paid ONCE here instead of once per batch. With
+    * `persist = true` (the default) the two frames are MEMORY_AND_DISK-
+    * cached — call [[release]] when the last probe is done. */
+  final case class PreparedBenchmark private[operators] (
+      benchShingles: DataFrame, benches: DataFrame,
+      stats: ContaminationStats, n: Int, benchCol: String,
+      persisted: Boolean) {
+    def release(): Unit = if (persisted) {
+      benchShingles.unpersist(); benches.unpersist(); ()
+    }
+  }
+
+  /** Build a [[PreparedBenchmark]]: one gate aggregate + one tagged
+    * shingle relation, shared by every subsequent probe. */
+  def prepareBenchmark(benchmark: DataFrame, textCol: String,
+      benchCol: String, n: Int = 3,
+      broadcastMaxTokens: Long = DefaultBroadcastMaxTokens,
+      persist: Boolean = true): PreparedBenchmark = {
+    val benchTokens = benchmark
+      .agg(coalesce(sum(size(split(
+        normalizeText(coalesce(col(textCol), lit(""))), " "))), lit(0L)))
+      .head().getLong(0)
+    val broadcastProbe = benchTokens <= broadcastMaxTokens
+    // shingles() keys by its id column — passing the benchmark tag AS the
+    // id yields exactly the distinct (benchmark, shingle) relation
+    val bsh = shingles(benchmark, benchCol, textCol, n)
+      .select(col("doc").as("__bench"), col("shingle"))
+    val benches = benchmark.select(col(benchCol).as("__bench")).distinct()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    PreparedBenchmark(
+      if (persist) bsh.persist(lvl) else bsh,
+      if (persist) benches.persist(lvl) else benches,
+      ContaminationStats(benchTokens, broadcastProbe), n, benchCol, persist)
+  }
+
   /** [[contaminationReport]] returning the size-gate reading with the
     * report frame. The gate costs one aggregate scan of the benchmark
     * frame (token counts, no explode/shuffle) — negligible next to the
@@ -483,37 +523,41 @@ object Dedup {
       idCol: String, textCol: String, groupCol: String, benchCol: String,
       n: Int = 3, threshold: Long = 3L,
       broadcastMaxTokens: Long = DefaultBroadcastMaxTokens): (DataFrame, ContaminationStats) = {
+    val prep = prepareBenchmark(benchmark, textCol, benchCol, n,
+      broadcastMaxTokens, persist = false)
+    (contaminationProbe(prep, corpus, idCol, textCol, groupCol, threshold),
+      prep.stats)
+  }
+
+  /** One corpus batch probed against a [[PreparedBenchmark]]: the
+    * batch-sized half of [[contaminationReport]] — corpus shingles,
+    * gate-chosen join, per-(benchmark, group) rollup. Identical output
+    * to the one-shot report on the same inputs. */
+  def contaminationProbe(prep: PreparedBenchmark, corpus: DataFrame,
+      idCol: String, textCol: String, groupCol: String,
+      threshold: Long = 3L): DataFrame = {
     require(threshold >= 1, "threshold must be at least 1")
-    val cs = shingles(corpus, idCol, textCol, n)
-    val benchTokens = benchmark
-      .agg(coalesce(sum(size(split(
-        normalizeText(coalesce(col(textCol), lit(""))), " "))), lit(0L)))
-      .head().getLong(0)
-    val broadcastProbe = benchTokens <= broadcastMaxTokens
-    // shingles() keys by its id column — passing the benchmark tag AS the
-    // id yields exactly the distinct (benchmark, shingle) relation
-    val bsh0 = shingles(benchmark, benchCol, textCol, n)
-      .select(col("doc").as("__bench"), col("shingle"))
-    val bsh = if (broadcastProbe) broadcast(bsh0) else bsh0
+    val cs = shingles(corpus, idCol, textCol, prep.n)
+    val bsh =
+      if (prep.stats.broadcastProbe) broadcast(prep.benchShingles)
+      else prep.benchShingles
     val perDoc = cs.join(bsh, Seq("shingle"))
       .groupBy(col("doc"), col("__bench"))
       .agg(count(lit(1)).as("overlap_ngrams"))
     val src = corpus.select(col(idCol).as("doc"), col(groupCol).as("__grp"))
     val totals = src.groupBy(col("__grp")).agg(count(lit(1)).as("n_docs"))
-    val benches = benchmark.select(col(benchCol).as("__bench")).distinct()
     val hits = perDoc.join(src, "doc")
       .groupBy(col("__bench"), col("__grp"))
       .agg(sum(col("overlap_ngrams")).as("overlap_ngrams"),
         sum(when(col("overlap_ngrams") >= threshold, lit(1L)).otherwise(lit(0L)))
           .as("n_contaminated"))
-    val report = benches.crossJoin(totals)
+    prep.benches.crossJoin(totals)
       .join(hits, Seq("__bench", "__grp"), "left_outer")
       .na.fill(0L, Seq("overlap_ngrams", "n_contaminated"))
-      .select(col("__bench").as(benchCol), col("__grp").as(groupCol),
+      .select(col("__bench").as(prep.benchCol), col("__grp").as(groupCol),
         col("n_docs"), col("n_contaminated"),
         expr("(1000000 * n_contaminated) div n_docs").as("contaminated_micro"),
         col("overlap_ngrams"))
-    (report, ContaminationStats(benchTokens, broadcastProbe))
   }
 
   /** 32-bit SimHash per doc: token hash bits vote ±1, fingerprint = sign

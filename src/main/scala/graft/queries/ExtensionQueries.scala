@@ -2027,8 +2027,11 @@ object ExtensionQueries {
   // span batches), so the >= threshold test per doc is decided there too
   // — and the micro-rate is derived from the accumulated sums at read
   // time, so the report converges bit-for-bit to x119's one-shot (shared
-  // oracle). History is never rescanned; the broadcast size gate applies
-  // per batch.
+  // oracle). History is never rescanned, and the FROZEN suite's cost is
+  // paid once: Dedup.prepareBenchmark runs the size-gate aggregate and
+  // builds (and caches) the tagged shingle relation up front, so each
+  // arriving batch pays only its own corpus-side probe — not a redundant
+  // benchmark scan + shingle explode per batch.
   def x122IncrementalContamination(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
     val docs = t(s, dir, "documents")
@@ -2037,10 +2040,11 @@ object ExtensionQueries {
       .select(col("lang").as("benchmark"), col("text"))
     val batches = thirdsByDocId(corpus)
     val store = Scratch.store(s, "graft_x122")
-    Scratch.sealing(store) {
+    val prep = Dedup.prepareBenchmark(bench, "text", "benchmark", n = 3)
+    try Scratch.sealing(store) {
       batches.foreach { b =>
-        val rep = Dedup.contaminationReport(b, bench,
-            "doc_id", "text", "source", "benchmark", n = 3, threshold = 3L)
+        val rep = Dedup.contaminationProbe(prep, b,
+            "doc_id", "text", "source", threshold = 3L)
           .select(col("benchmark"), col("source"), col("n_docs"),
             col("n_contaminated"), col("overlap_ngrams"))
         if (!store.exists("audit.contam"))
@@ -2062,7 +2066,7 @@ object ExtensionQueries {
         .select(col("benchmark"), col("source"), col("n_docs"),
           col("n_contaminated"), col("contaminated_micro"), col("overlap_ngrams"))
         .orderBy(col("benchmark"), col("source"))
-    }
+    } finally prep.release()
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

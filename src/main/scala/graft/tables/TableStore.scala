@@ -151,16 +151,34 @@ object TableStore {
   /** The pid a token records, if it was minted on THIS host. A foreign
     * host's pid is meaningless here, and a HOST-LESS token's provenance
     * is unknowable (it could be a live writer elsewhere), so both parse
-    * to None — never assume local. */
+    * to None — never assume local.
+    *
+    * Only a COMPLETE token parses: the nanos tail must be exactly the
+    * fixed 19 digits [[writerToken]] writes, ending the string. A
+    * truncated write of ANY token (cut in the host, the pid, or the
+    * nanos) is therefore malformed here — so a partially-written lock
+    * token can never be judged dead and broken, no matter how the
+    * truncation falls. That unbreakability is what makes
+    * [[TableStore]].cleanupOwnFailedLock's "an empty or unreadable lock
+    * after OUR failed write is still ours" reasoning sound: no breaker
+    * can have removed our partial and let a successor re-create the
+    * file. */
   private[tables] def sameHostPid(token: String): Option[Long] = {
     val i = token.indexOf('~')
     if (i < 0) None
     else {
       val host = token.substring(0, i)
-      val digits = token.substring(i + 1).takeWhile(_ != '_')
-      if (host == localHost && digits.nonEmpty && digits.forall(_.isDigit))
-        scala.util.Try(digits.toLong).toOption
-      else None
+      val rest = token.substring(i + 1)
+      val u = rest.indexOf('_')
+      if (u <= 0) None
+      else {
+        val digits = rest.substring(0, u)
+        val nanos = rest.substring(u + 1)
+        if (host == localHost && digits.forall(_.isDigit) &&
+            nanos.length == 19 && nanos.forall(_.isDigit))
+          scala.util.Try(digits.toLong).toOption
+        else None
+      }
     }
   }
 
@@ -1419,7 +1437,12 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * pre-liveness behavior (wait, then the >6s manual remedy below).
     * An unreadable/empty holder is likewise treated as live: a failed
     * token write deletes its own lock file on the way out, so an empty
-    * lock means a crash in the microseconds between create and write. */
+    * lock means a crash in the microseconds between create and write.
+    * A MALFORMED token (anything but `host~pid_<19 digits>`) is treated
+    * as live too — a partially-visible write of a live acquirer's token
+    * looks exactly like that, and breaking it would let two writers into
+    * the window ([[TableStore.sameHostPid]] enforces this by parsing
+    * only complete tokens). */
   private def withCommitLock[T](name: String)(f: => T): T = {
     val lock = tableDir(name).resolve("_COMMIT_LOCK")
     val token = TableStore.writerToken()
@@ -1432,7 +1455,15 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
           val ch = Files.newByteChannel(lock,
             StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
           try {
-            try ch.write(java.nio.ByteBuffer.wrap(token.getBytes(UTF_8)))
+            // loop until the buffer drains: a short write that returns
+            // without throwing would otherwise leave a truncated token on
+            // disk while this writer proceeds believing it holds the lock
+            // (harmless to breakers — a truncated token is malformed per
+            // sameHostPid and never breakable — but the holder would then
+            // be unbreakable after a real crash, wedging the table until
+            // the manual remedy)
+            val buf = java.nio.ByteBuffer.wrap(token.getBytes(UTF_8))
+            try { while (buf.hasRemaining) { ch.write(buf); () } }
             finally ch.close()
           } catch { case t: Throwable =>
             // a failed token write must not orphan an empty (unbreakable)
@@ -1481,31 +1512,26 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   }
 
   /** Clean up this writer's own lock file after its token write failed.
-    * An EMPTY lock is still provably ours — breakers never break a lock
-    * whose holder is unreadable — so it deletes directly. A non-empty
-    * holder is ours ONLY if it equals our token or is a STRICT PREFIX of
-    * it (a truncated write): fixed-width tokens make a strict prefix
-    * provably incomplete, so it cannot be a sibling thread's (same
-    * host+pid) complete token, and a different pid or host cannot prefix
-    * ours past its own `_`/`~` separator. Anything else means a breaker
-    * already judged our partial dead and a successor re-acquired — the
-    * file is theirs, leave it (conditioning the delete on the CURRENT
-    * holder instead would vacuously "verify" and delete a live lock).
-    * Ours-but-busy outcomes retry briefly so a transient sidecar
+    * The file is provably still ours, whatever it holds: a truncated
+    * token is MALFORMED (the fixed 19-digit nanos tail cannot survive a
+    * strict-prefix cut — [[TableStore.sameHostPid]]), so no breaker can
+    * have judged our partial dead; an empty or unreadable holder is
+    * never broken either; and our COMPLETE token names a live process.
+    * With no break possible, no successor can have re-created the file —
+    * so the holder can only be empty, our token, or a strict prefix of
+    * it. The delete still verifies exactly that, atomically under the
+    * breaker sidecar ([[deleteLockWhen]]), so even a future format
+    * regression could not turn this into a delete of someone else's
+    * lock. Ours-but-busy outcomes retry briefly so a transient sidecar
     * collision cannot orphan an unbreakable partial. Never throws: the
     * original write failure is the error the caller reports. */
   private def cleanupOwnFailedLock(lock: Path, ownToken: String): Unit = {
     var tries = 0
     while (tries < 100) {
       val done =
-        try {
-          lockHolder(lock) match {
-            case None => Files.deleteIfExists(lock); true
-            case Some(tok) if tok == ownToken || ownToken.startsWith(tok) =>
-              deleteLockIfHolds(lock, tok)
-            case _ => true // broken and re-acquired by a successor — not ours
-          }
-        } catch { case _: java.io.IOException => false }
+        try deleteLockWhen(lock, h =>
+          h.isEmpty || h.exists(t => t == ownToken || ownToken.startsWith(t)))
+        catch { case _: java.io.IOException => false }
       if (done) return
       tries += 1
       Thread.sleep(10)
@@ -1532,7 +1558,17 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * Returns true when the lock provably no longer holds `expected`
     * (deleted by us, changed, or already gone); false when the breaker
     * mutex was busy/unavailable and nothing could be verified. */
-  private def deleteLockIfHolds(lock: Path, expected: String): Boolean = {
+  private def deleteLockIfHolds(lock: Path, expected: String): Boolean =
+    deleteLockWhen(lock, _.contains(expected))
+
+  /** The sidecar-serialized core of [[deleteLockIfHolds]] /
+    * [[cleanupOwnFailedLock]]: while holding the breaker mutex, read the
+    * lock's holder ([[lockHolder]] — None for gone/empty/unreadable) and
+    * delete the file iff `shouldDelete` accepts it. See
+    * [[deleteLockIfHolds]] for the mutex's soundness argument and
+    * return-value contract. */
+  private def deleteLockWhen(lock: Path,
+      shouldDelete: Option[String] => Boolean): Boolean = {
     val sidecar = lock.resolveSibling(lock.getFileName.toString + ".breaklock")
     // normalized so two spellings of one root cannot bypass the in-JVM
     // guard (toRealPath would be stronger against symlinked roots but can
@@ -1553,10 +1589,10 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
           }
         if (fl == null) return false // another breaker is active — retry outside
         try {
-          if (lockHolder(lock).contains(expected))
+          if (shouldDelete(lockHolder(lock)))
             try { Files.deleteIfExists(lock); true }
             catch { case _: java.io.IOException => false }
-          else true // no longer holds `expected` — nothing left to do
+          else true // holder not accepted — nothing left to do
         } finally fl.release()
       } finally ch.close()
     } finally TableStore.breakersActive.remove(key)

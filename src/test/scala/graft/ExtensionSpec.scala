@@ -1821,6 +1821,32 @@ class ExtensionSpec extends AnyFunSuite {
     assert(inc == one, s"incremental != one-shot:\n$inc\nvs\n$one")
   }
 
+  test("prepared-benchmark probe: equals the one-shot report, pays the suite once, releases") {
+    // the frozen-suite pattern x122 rides on: prepareBenchmark runs the
+    // size gate and caches the tagged shingle relation ONCE; each batch
+    // probe then reuses it — no per-batch benchmark scan or explode
+    val corpus = docs.filter($"doc_id" % 13 =!= 0)
+    val bench = docs.filter($"doc_id" % 13 === 0)
+      .select($"lang".as("benchmark"), $"text")
+    val prep = Dedup.prepareBenchmark(bench, "text", "benchmark", n = 3)
+    try {
+      val lvl = prep.benchShingles.storageLevel
+      assert(lvl.useMemory || lvl.useDisk,
+        s"prepare must cache the tagged shingle relation, got $lvl")
+      val probe = Dedup.contaminationProbe(
+        prep, corpus, "doc_id", "text", "source", threshold = 3L)
+      val one = Dedup.contaminationReport(corpus, bench,
+        "doc_id", "text", "source", "benchmark", n = 3, threshold = 3L)
+      val key = Seq("benchmark", "source").map(col)
+      assert(probe.orderBy(key: _*).collect().toSeq ==
+        one.orderBy(key: _*).collect().toSeq,
+        "a prepared probe must equal the one-shot report on the same inputs")
+    } finally prep.release()
+    assert(prep.benchShingles.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "release must unpersist the prepared suite")
+  }
+
   test("contamination report: an oversized benchmark drops the broadcast hint and completes " +
       "via the shuffle path with identical results") {
     val corpus = docs.filter($"doc_id" % 13 =!= 0)

@@ -22,6 +22,12 @@ class CommitLockSpec extends AnyFunSuite {
     Iterator.iterate(4000000L)(_ + 7).find(p =>
       !ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false)).get
 
+  /** A COMPLETE dead-writer token: the breaker only parses the one
+    * fixed-width format writerToken mints (19-digit nanos tail) — a
+    * short tail reads as a truncated write of a LIVE acquirer. */
+  private def deadToken(): String =
+    f"${TableStore.localHost}~${deadPid()}_${123L}%019d"
+
   test("a dead holder's retained lock is broken and the commit proceeds") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_lock_dead").toString
@@ -29,7 +35,7 @@ class CommitLockSpec extends AnyFunSuite {
     try {
       store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
       val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
-      Files.write(lock, s"${TableStore.localHost}~${deadPid()}_123".getBytes(UTF_8))
+      Files.write(lock, deadToken().getBytes(UTF_8))
       // the next commit must self-heal the dead lock instead of timing out
       store.createOrReplace("db.t", Seq((2L, "b")).toDF("k", "v"))
       assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
@@ -48,8 +54,11 @@ class CommitLockSpec extends AnyFunSuite {
       store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
       val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
       // held by THIS (live) process, as during any healthy commit window
+      // (a COMPLETE token, so survival exercises the pid-liveness check
+      // itself, not the malformed-token guard)
       Files.write(lock,
-        s"${TableStore.localHost}~${ProcessHandle.current().pid()}_999".getBytes(UTF_8))
+        f"${TableStore.localHost}~${ProcessHandle.current().pid()}_${999L}%019d"
+          .getBytes(UTF_8))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -60,7 +69,8 @@ class CommitLockSpec extends AnyFunSuite {
       Thread.sleep(1500)
       assert(!commit.isCompleted && Files.exists(lock),
         "a live holder's lock must survive a contending commit's wait")
-      assert(new String(Files.readAllBytes(lock), UTF_8).endsWith("_999"),
+      assert(new String(Files.readAllBytes(lock), UTF_8)
+          .endsWith(f"_${999L}%019d"),
         "the waiting commit must not have re-acquired over the live holder")
       Files.delete(lock) // the holder releases; the waiter now acquires
       Await.result(commit, 30.seconds)
@@ -79,7 +89,7 @@ class CommitLockSpec extends AnyFunSuite {
       store.createOrReplace("db.t", Seq((0L, "init")).toDF("k", "v"))
       val v0 = store.version("db.t").get
       Files.write(Paths.get(root, "db", "t", "_COMMIT_LOCK"),
-        s"${TableStore.localHost}~${deadPid()}_123".getBytes(UTF_8))
+        deadToken().getBytes(UTF_8))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -116,7 +126,7 @@ class CommitLockSpec extends AnyFunSuite {
     try {
       store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
       val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
-      Files.write(lock, s"${TableStore.localHost}~${deadPid()}_123".getBytes(UTF_8))
+      Files.write(lock, deadToken().getBytes(UTF_8))
       // the sidecar persists between breaks by design (an OS advisory
       // lock, not a marker file — it cannot go stale); junk content and
       // prior existence must be irrelevant, only a HELD lock matters
@@ -179,6 +189,41 @@ class CommitLockSpec extends AnyFunSuite {
       Thread.sleep(1500)
       assert(!commit.isCompleted && Files.exists(lock),
         "a foreign-host lock must survive a contending commit's wait")
+      Files.delete(lock) // the (unknowable) holder releases
+      Await.result(commit, 30.seconds)
+      assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(Paths.get(root))
+    }
+  }
+
+  test("a TRUNCATED token is never broken, even when its pid-prefix parses dead") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lock_truncated").toString
+    val store = new TableStore(spark, root)
+    try {
+      store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
+      val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
+      // a partially-visible write cut right before the nanos separator:
+      // 'host~pid' with a pid that IS dead here (as when a live pid 421
+      // is cut to '42'). A prefix-tolerant parser would judge it dead and
+      // break — letting a second writer into the commit window while the
+      // real (live) acquirer finishes its token write. The breaker must
+      // treat any malformed token as a live acquirer mid-write.
+      val truncated = deadToken().takeWhile(_ != '_')
+      Files.write(lock, truncated.getBytes(UTF_8))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val commit = Future {
+        store.createOrReplace("db.t", Seq((2L, "b")).toDF("k", "v"))
+      }
+      Thread.sleep(1500)
+      assert(!commit.isCompleted && Files.exists(lock),
+        "a truncated token must survive a contending commit's wait")
+      assert(new String(Files.readAllBytes(lock), UTF_8) == truncated,
+        "the truncated token must be untouched, not re-acquired over")
       Files.delete(lock) // the (unknowable) holder releases
       Await.result(commit, 30.seconds)
       assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
