@@ -480,9 +480,13 @@ object Dedup {
     * batches arrive continuously while the suite never changes, so the
     * size-gate aggregate (a blocking benchmark scan) and the tagged
     * distinct (benchmark, shingle) relation (an explode + distinct
-    * shuffle) are paid ONCE here instead of once per batch. With
-    * `persist = true` (the default) the two frames are MEMORY_AND_DISK-
-    * cached — call [[release]] when the last probe is done. */
+    * shuffle) are paid ONCE here instead of once per batch. Caching: a
+    * BROADCAST-sized suite's shingle relation is one small scan+explode
+    * to rebuild, measurably cheaper per probe than re-reading cached
+    * blocks — so by default only a suite too big to broadcast (whose
+    * rebuild is a real shuffle) is MEMORY_AND_DISK-persisted; pass
+    * `persist = Some(…)` to override. Call [[release]] when the last
+    * probe is done (a no-op when nothing was persisted). */
   final case class PreparedBenchmark private[operators] (
       benchShingles: DataFrame, benches: DataFrame,
       stats: ContaminationStats, n: Int, benchCol: String,
@@ -497,12 +501,13 @@ object Dedup {
   def prepareBenchmark(benchmark: DataFrame, textCol: String,
       benchCol: String, n: Int = 3,
       broadcastMaxTokens: Long = DefaultBroadcastMaxTokens,
-      persist: Boolean = true): PreparedBenchmark = {
+      persist: Option[Boolean] = None): PreparedBenchmark = {
     val benchTokens = benchmark
       .agg(coalesce(sum(size(split(
         normalizeText(coalesce(col(textCol), lit(""))), " "))), lit(0L)))
       .head().getLong(0)
     val broadcastProbe = benchTokens <= broadcastMaxTokens
+    val doPersist = persist.getOrElse(!broadcastProbe)
     // shingles() keys by its id column — passing the benchmark tag AS the
     // id yields exactly the distinct (benchmark, shingle) relation
     val bsh = shingles(benchmark, benchCol, textCol, n)
@@ -510,9 +515,9 @@ object Dedup {
     val benches = benchmark.select(col(benchCol).as("__bench")).distinct()
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     PreparedBenchmark(
-      if (persist) bsh.persist(lvl) else bsh,
-      if (persist) benches.persist(lvl) else benches,
-      ContaminationStats(benchTokens, broadcastProbe), n, benchCol, persist)
+      if (doPersist) bsh.persist(lvl) else bsh,
+      if (doPersist) benches.persist(lvl) else benches,
+      ContaminationStats(benchTokens, broadcastProbe), n, benchCol, doPersist)
   }
 
   /** [[contaminationReport]] returning the size-gate reading with the
@@ -524,7 +529,7 @@ object Dedup {
       n: Int = 3, threshold: Long = 3L,
       broadcastMaxTokens: Long = DefaultBroadcastMaxTokens): (DataFrame, ContaminationStats) = {
     val prep = prepareBenchmark(benchmark, textCol, benchCol, n,
-      broadcastMaxTokens, persist = false)
+      broadcastMaxTokens, persist = Some(false))
     (contaminationProbe(prep, corpus, idCol, textCol, groupCol, threshold),
       prep.stats)
   }

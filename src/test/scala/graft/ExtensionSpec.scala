@@ -1821,18 +1821,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(inc == one, s"incremental != one-shot:\n$inc\nvs\n$one")
   }
 
-  test("prepared-benchmark probe: equals the one-shot report, pays the suite once, releases") {
+  test("prepared-benchmark probe: equals the one-shot report, pays the gate once, " +
+      "persists only past the broadcast gate") {
     // the frozen-suite pattern x122 rides on: prepareBenchmark runs the
-    // size gate and caches the tagged shingle relation ONCE; each batch
-    // probe then reuses it — no per-batch benchmark scan or explode
+    // size gate ONCE and builds the tagged shingle relation for every
+    // probe. A broadcast-sized suite rebuilds cheaper than it re-reads
+    // cached blocks, so auto-persist engages only on the shuffle path.
     val corpus = docs.filter($"doc_id" % 13 =!= 0)
     val bench = docs.filter($"doc_id" % 13 === 0)
       .select($"lang".as("benchmark"), $"text")
     val prep = Dedup.prepareBenchmark(bench, "text", "benchmark", n = 3)
     try {
-      val lvl = prep.benchShingles.storageLevel
-      assert(lvl.useMemory || lvl.useDisk,
-        s"prepare must cache the tagged shingle relation, got $lvl")
+      assert(prep.stats.broadcastProbe, "fixture suite must be gate-sized")
+      assert(prep.benchShingles.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "a broadcast-sized suite must NOT auto-persist")
       val probe = Dedup.contaminationProbe(
         prep, corpus, "doc_id", "text", "source", threshold = 3L)
       val one = Dedup.contaminationReport(corpus, bench,
@@ -1842,7 +1845,16 @@ class ExtensionSpec extends AnyFunSuite {
         one.orderBy(key: _*).collect().toSeq,
         "a prepared probe must equal the one-shot report on the same inputs")
     } finally prep.release()
-    assert(prep.benchShingles.storageLevel ==
+    // an over-gate suite auto-persists (its rebuild is a real shuffle)
+    val big = Dedup.prepareBenchmark(bench, "text", "benchmark", n = 3,
+      broadcastMaxTokens = 1L)
+    try {
+      assert(!big.stats.broadcastProbe, "forced-shut gate must shuffle")
+      val lvl = big.benchShingles.storageLevel
+      assert(lvl.useMemory || lvl.useDisk,
+        s"a shuffle-path suite must auto-persist, got $lvl")
+    } finally big.release()
+    assert(big.benchShingles.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE,
       "release must unpersist the prepared suite")
   }
