@@ -2032,8 +2032,30 @@ object ExtensionQueries {
   // builds (and caches) the tagged shingle relation up front, so each
   // arriving batch pays only its own corpus-side probe — not a redundant
   // benchmark scan + shingle explode per batch.
-  def x122IncrementalContamination(s: SparkSession, dir: String): DataFrame = {
+  /** One corpus batch folded into the contamination accumulator — the
+    * batch-sized unit x122 pays per arrival (shared with the
+    * sf1-equivalent smoke, which drives 12 batches through it). */
+  def contaminationIngestBatch(store: graft.tables.TableStore, table: String,
+      prep: Dedup.PreparedBenchmark, batch: DataFrame): Unit = {
     import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    val rep = Dedup.contaminationProbe(prep, batch,
+        "doc_id", "text", "source", threshold = 3L)
+      .select(col("benchmark"), col("source"), col("n_docs"),
+        col("n_contaminated"), col("overlap_ngrams"))
+    if (!store.exists(table)) store.createOrReplace(table, rep)
+    else store.merge(table, rep, Seq("benchmark", "source"),
+      matched = Seq(MatchedUpdate(None, Map(
+        "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
+        "n_contaminated" -> (col("t.n_contaminated") + col("s.n_contaminated")),
+        "overlap_ngrams" -> (col("t.overlap_ngrams") + col("s.overlap_ngrams"))))),
+      notMatched = Seq(NotMatchedInsert(None, Map(
+        "benchmark" -> col("s.benchmark"), "source" -> col("s.source"),
+        "n_docs" -> col("s.n_docs"),
+        "n_contaminated" -> col("s.n_contaminated"),
+        "overlap_ngrams" -> col("s.overlap_ngrams")))))
+  }
+
+  def x122IncrementalContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val corpus = docs.filter(col("doc_id") % 13 =!= 0)
     val bench = docs.filter(col("doc_id") % 13 === 0)
@@ -2042,24 +2064,8 @@ object ExtensionQueries {
     val store = Scratch.store(s, "graft_x122")
     val prep = Dedup.prepareBenchmark(bench, "text", "benchmark", n = 3)
     try Scratch.sealing(store) {
-      batches.foreach { b =>
-        val rep = Dedup.contaminationProbe(prep, b,
-            "doc_id", "text", "source", threshold = 3L)
-          .select(col("benchmark"), col("source"), col("n_docs"),
-            col("n_contaminated"), col("overlap_ngrams"))
-        if (!store.exists("audit.contam"))
-          store.createOrReplace("audit.contam", rep)
-        else store.merge("audit.contam", rep, Seq("benchmark", "source"),
-          matched = Seq(MatchedUpdate(None, Map(
-            "n_docs" -> (col("t.n_docs") + col("s.n_docs")),
-            "n_contaminated" -> (col("t.n_contaminated") + col("s.n_contaminated")),
-            "overlap_ngrams" -> (col("t.overlap_ngrams") + col("s.overlap_ngrams"))))),
-          notMatched = Seq(NotMatchedInsert(None, Map(
-            "benchmark" -> col("s.benchmark"), "source" -> col("s.source"),
-            "n_docs" -> col("s.n_docs"),
-            "n_contaminated" -> col("s.n_contaminated"),
-            "overlap_ngrams" -> col("s.overlap_ngrams")))))
-      }
+      batches.foreach(b =>
+        contaminationIngestBatch(store, "audit.contam", prep, b))
       store.read("audit.contam")
         .withColumn("contaminated_micro",
           expr("(1000000 * n_contaminated) div n_docs"))

@@ -166,6 +166,48 @@ class Scale100Spec extends AnyFunSuite
     } finally store.detach()
   }
 
+  test("x122 incremental contamination: 12 batches under a frozen prepared suite; " +
+      "batch cost stays flat and the accumulator converges to the one-shot report") {
+    requested()
+    import graft.operators.Dedup
+    val corpus = docs10.filter(col("doc_id") % 13 =!= 0)
+    val bench = docs10.filter(col("doc_id") % 13 === 0)
+      .select(col("lang").as("benchmark"), col("text"))
+    // the suite is prepared ONCE (gate aggregate + tagged shingle
+    // relation); its cost is recorded separately so the per-batch rows
+    // measure only batch work — the incremental contract
+    val prep = timed("x122_prepare_frozen", 1L) {
+      Dedup.prepareBenchmark(bench, "text", "benchmark", n = 3)
+    }
+    val store = new graft.tables.TableStore(spark,
+      Files.createTempDirectory("graft_s100_contam").toString)
+    try {
+      val ids = corpus.select(col("doc_id").cast("long")).as[Long](
+        spark.implicits.newLongEncoder).collect().sorted
+      val cuts = (1 to 11).map(i => ids((ids.length.toLong * i / 12).toInt))
+      val ranges = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+      ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val b = corpus.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        val t0 = System.nanoTime()
+        graft.queries.ExtensionQueries
+          .contaminationIngestBatch(store, "audit.contam", prep, b)
+        record(f"x122_batch_${i + 1}%02d",
+          store.read("audit.contam").count(), (System.nanoTime() - t0) / 1e9)
+      }
+      // accumulated sums equal the one-shot report bit-for-bit — the
+      // same convergence contract the sf0.01 oracle enforces
+      val acc = store.read("audit.contam")
+        .select(col("benchmark"), col("source"), col("n_docs"),
+          col("n_contaminated"), col("overlap_ngrams"))
+      val one = Dedup.contaminationReport(corpus, bench,
+          "doc_id", "text", "source", "benchmark", n = 3, threshold = 3L)
+        .select(col("benchmark"), col("source"), col("n_docs"),
+          col("n_contaminated"), col("overlap_ngrams"))
+      assert(acc.exceptAll(one).isEmpty && one.exceptAll(acc).isEmpty,
+        "12-batch accumulator must equal the one-shot report")
+    } finally { store.detach(); prep.release() }
+  }
+
   test("x60 IVF: 8 ingest batches; probe scans a flat FRACTION of the index") {
     requested()
     val emb10 = (0 until R).map { i =>
