@@ -601,8 +601,18 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     if (l.value == null) return None
     l.dataType match {
       case BooleanType => Some(((if (l.value.asInstanceOf[Boolean]) "1" else "0"), true))
-      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-           _: FloatType | _: DoubleType => Some((l.value.toString, true))
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        Some((l.value.toString, true))
+      case _: FloatType | _: DoubleType =>
+        // NaN/Infinity have no BigDecimal form — cmp would throw, killing
+        // the whole statement. No stats canon → the file is simply not
+        // pruned (conservative, correct: footerStats already refuses to
+        // record non-finite min/max on the stats side)
+        val d = l.value match {
+          case f: java.lang.Float => f.doubleValue()
+          case x: java.lang.Double => x.doubleValue()
+        }
+        if (java.lang.Double.isFinite(d)) Some((l.value.toString, true)) else None
       case _: DecimalType =>
         Some((l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toJavaBigDecimal.toPlainString, true))
@@ -1156,8 +1166,22 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * live in OTHER version directories and are untouched. */
   private def dropAbortedVersion(dir: Path): Unit =
     if (Files.exists(dir))
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(Files.deleteIfExists(_))
+      walkAll(dir).sorted.reverse.foreach(Files.deleteIfExists(_))
+
+  /** `Files.walk`/`Files.list` hold a directory handle until CLOSED —
+    * every traversal in this class drains through these two helpers so a
+    * long-lived driver (periodic vacuum, streaming commits) cannot leak
+    * one fd per directory visited and die of "Too many open files" (the
+    * `Scratch.deleteRecursively` lesson, applied store-wide). */
+  private def walkAll(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
 
   /** Write `df`'s files into an atomically-allocated `v_<next>` honoring
     * the layout, collect their manifest entries (with stats), commit
@@ -1219,8 +1243,8 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       // list the files this write produced
       val newFilesAbs: Seq[Path] =
         if (!Files.exists(dataDir)) Seq.empty
-        else Files.walk(dataDir).iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+        else walkAll(dataDir)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
 
       // per-file min/max stats for the partition + sort (+ requested)
       // columns, read from the parquet FOOTERS the write just produced —
@@ -1373,7 +1397,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       entries: Seq[FileEntry], op: String): (Int, Path) = {
     val old = tableDir(name).resolve(s"v_$next")
     val (claimed, ndir) = allocateVersion(name)
-    Files.list(old).iterator().asScala.toSeq.foreach { child =>
+    listDir(old).foreach { child =>
       Files.move(child, ndir.resolve(child.getFileName.toString),
         StandardCopyOption.ATOMIC_MOVE)
     }
@@ -1748,7 +1772,10 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       bounds <- p.get("zorder.bounds")
       basev <- p.get("zorder.base")
     } yield (cols.split(',').toSeq, bits.toInt,
-      bounds.split(';').map(s => if (s.isEmpty) Array.empty[Double]
+      // limit -1: split() drops TRAILING empty segments, so a final
+      // all-NULL column's empty bounds would vanish and zorderRoute's
+      // positional buckets(ci) lookup would go out of range
+      bounds.split(";", -1).map(s => if (s.isEmpty) Array.empty[Double]
         else s.split(':').map(_.toDouble)),
       basev.toInt)
   }
@@ -1977,7 +2004,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       else {
         val matcher = pattern.map(p =>
           java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
-        Files.walk(fromPath).iterator().asScala
+        walkAll(fromPath).iterator
           .filter(Files.isRegularFile(_))
           .filter(_.getFileName.toString.toLowerCase.endsWith(ext))
           .filter(p => matcher.forall(_.matches(fromPath.relativize(p))))
@@ -1994,10 +2021,18 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       case "csv" => spark.read.option("header", "true").schema(visible).csv(fresh: _*)
       case "json" => spark.read.schema(visible).json(fresh: _*)
     }
-    val rowsBefore = entries.map(_.rows).sum
     append(name, df, op = s"copy_into:${fresh.size}", copyFiles = fresh)
-    val rowsAfter = currentManifest(name)._2.map(_.rows).sum
-    (fresh.size.toLong, rowsAfter - rowsBefore)
+    // rows loaded = the row counts of the files THIS copy's commit added
+    // (its version still exists even if auto-compaction committed after).
+    // A before/after sum over the whole manifest would be wrong whenever
+    // any entry carries the unknown sentinel (rows = -1) or a compaction
+    // folded deletion vectors between the two reads.
+    val copyV = versions(name)
+      .filter(v => manifestOp(name, v).startsWith("copy_into:")).max
+    val beforeRels = entries.map(_.rel).toSet
+    val added = readManifest(name, copyV)._2.filterNot(e => beforeRels(e.rel))
+    val loaded = if (added.exists(_.rows < 0)) -1L else added.map(_.rows).sum
+    (fresh.size.toLong, loaded)
   }
 
   /** Every source file a committed COPY INTO has loaded: the folded
@@ -2360,7 +2395,10 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   def changeFeed(name: String, fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion,
       s"$name changeFeed: fromVersion $fromVersion > toVersion $toVersion")
-    val layoutOnly = Set("optimize", "zorder", "vacuum", "clone", "restore",
+    // RESTORE is deliberately NOT here: it changes table CONTENT (the
+    // restored snapshot's rows replace the current ones), so it must emit
+    // a delta — a feed consumer that saw nothing would silently diverge
+    val layoutOnly = Set("optimize", "zorder", "vacuum", "clone",
       "rename_column", "drop_column", "add_columns", "alter", "create")
     // iterate COMMITTED versions only: numbers are monotone in commit
     // order but not contiguous (a rebased commit vacates the number it
@@ -2393,8 +2431,17 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
         if (removed.isEmpty)
           Some(vcol(readEntries(name, schemaCur, added)
             .withColumn("_change_type", lit("insert"))))
-        else if (op == "write" && added.size == cur.size && removed.size == prev.size) {
-          // full overwrite: old snapshot deleted, new snapshot inserted
+        else if (((op == "write" || op == "txn_write") &&
+              added.size == cur.size && removed.size == prev.size) ||
+            op == "restore") {
+          // full overwrite (direct or transactional): old snapshot deleted,
+          // new snapshot inserted. RESTORE reconstructs the same way from
+          // its manifest diff — files shared with the predecessor cancel
+          // (their rows are unchanged), removed files' rows emit as
+          // deletes and re-added files' rows as inserts; a row an
+          // intermediate OPTIMIZE moved between files emits as a
+          // delete+insert pair, which nets to zero under the multiset
+          // semantics every feed consumer (MV refresh included) applies
           val (schemaPrev, _) = readManifest(name, prevOpt.get)
           Some(vcol(readEntries(name, schemaPrev, removed)
             .withColumn("_change_type", lit("delete"))
@@ -2436,7 +2483,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   private[graft] def cdcInventory(name: String, version: Int): Option[Seq[(String, Long)]] = {
     val dir = cdcDir(name, version)
     if (!Files.exists(dir)) None
-    else Some(Files.walk(dir).iterator().asScala
+    else Some(walkAll(dir).iterator
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(p => (p.toAbsolutePath.toString, Files.size(p))).toSeq.sortBy(_._1))
   }
@@ -2902,8 +2949,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     } catch {
       case t: Throwable =>
         if (Files.exists(dstDir))
-          Files.walk(dstDir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(Files.deleteIfExists(_))
+          walkAll(dstDir).sorted.reverse.foreach(Files.deleteIfExists(_))
         throw t
     }
   }
@@ -2931,7 +2977,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     if (!Files.exists(dir)) Seq.empty
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-      Files.list(dir).forEach { p =>
+      listDir(dir).foreach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("v_") && Files.exists(p.resolve("_MANIFEST")))
           out += n.stripPrefix("v_").toInt
@@ -3138,16 +3184,19 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
           // `live` and `set` speak logical names; the appended files store
           // physical ones (same boundary stageVersion applies)
           val lschema = logicalizeSchema(name, schema)
-          val outCols = lschema.fieldNames.toSeq ++
-            (if (tracking) Seq(TableStore.RowIdCol) else Nil)
-          val updated = lschema.fields.foldLeft(live.filter(cond)) { (df, f) =>
-            s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
-          }.select(outCols.map(col): _*)
+          // one projection so every SET expression sees the PRE-image row
+          // (see the copy-on-write update path for the fold hazard)
+          val filtered = live.filter(cond)
+          val updated = filtered.select(
+            (lschema.fields.toSeq.map { f =>
+              s.get(f.name).map(_.cast(f.dataType).as(f.name))
+                .getOrElse(filtered(f.name))
+            } ++ (if (tracking) Seq(filtered(TableStore.RowIdCol)) else Nil)): _*)
           val dataDir = dir.resolve("data")
           toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, updated)))
             .write.parquet(dataDir.toString)
-          val files = Files.walk(dataDir).iterator().asScala
-            .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+          val files = walkAll(dataDir)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
           val (pb, sw, sf) = readLayout(name)
           footerEntries(name, files,
             (pb ++ sw ++ sf).distinct.filter(schema.fieldNames.contains))
@@ -3161,9 +3210,11 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
         val cdcDf = set match {
           case None => pre.withColumn("_change_type", lit("delete"))
           case Some(s) =>
-            val post = lschema.fields.foldLeft(pre) { (df, f) =>
-              s.get(f.name).map(v => df.withColumn(f.name, v.cast(f.dataType))).getOrElse(df)
-            }
+            // one projection: post-image SETs see the pre-image row
+            val post = pre.select(lschema.fields.toSeq.map { f =>
+              s.get(f.name).map(_.cast(f.dataType).as(f.name))
+                .getOrElse(pre(f.name))
+            }: _*)
             pre.withColumn("_change_type", lit("update_preimage"))
               .unionByName(post.withColumn("_change_type", lit("update_postimage")))
         }
@@ -3288,15 +3339,21 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       if (touched.isEmpty) return // no matching rows anywhere — nothing to commit
       val subset = rewriteSource(name, schema, entries.filter(e => touched(e.rel)))
       val lschema = logicalizeSchema(name, schema)
-      val updated = subset.columns.foldLeft(subset) { (df, c) =>
-        set.get(c).map(v => df.withColumn(c,
-          when(cond, v).otherwise(df(c)).cast(lschema(c).dataType))).getOrElse(df)
-      }
+      // SQL UPDATE semantics: every SET expression (and the WHERE) sees
+      // the PRE-image row, so all assignments evaluate in ONE projection.
+      // A sequential withColumn fold would let a later SET (or the
+      // re-evaluated cond) read an already-updated column — SET a=a+1,
+      // b=a would assign the new a to b, and SET a=b, b=a couldn't swap.
+      val updated = subset.select(subset.columns.toSeq.map { c =>
+        set.get(c).map(v =>
+            when(cond, v).otherwise(subset(c)).cast(lschema(c).dataType).as(c))
+          .getOrElse(subset(c))
+      }: _*)
       val cdc = if (!cdfEnabled(name)) None else {
         val pre = dropRowIdCol(subset.filter(cond))
-        val post = pre.columns.foldLeft(pre) { (df, c) =>
-          set.get(c).map(v => df.withColumn(c, v.cast(lschema(c).dataType))).getOrElse(df)
-        }
+        val post = pre.select(pre.columns.toSeq.map { c =>
+          set.get(c).map(_.cast(lschema(c).dataType).as(c)).getOrElse(pre(c))
+        }: _*)
         Some(pre.withColumn("_change_type", lit("update_preimage"))
           .unionByName(post.withColumn("_change_type", lit("update_postimage"))))
       }
@@ -3780,8 +3837,8 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       val dataDir = dir.resolve("data")
       toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, toAppend)))
         .write.parquet(dataDir.toString)
-      val files = Files.walk(dataDir).iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      val files = walkAll(dataDir)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
       val (pb, sw, sf0) = readLayout(name)
       // adaptive merge-key stats (copy-on-write parity): record the keys
       // into the stats layout so future writes/OPTIMIZE collect min/max
@@ -3871,15 +3928,26 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       sortWithin: Seq[String], statsFor: Seq[String], append: Boolean,
       op: String): (Int, Path, Option[Int]) = {
     val base = currentVersion(name)
-    val (df1, carryOver, schemaHint, pb, sw, sf) =
-      if (!append) (df, Seq.empty[FileEntry], None, partitionBy, sortWithin, statsFor)
-      else {
-        val (schema, entries) = currentManifest(name)
-        val (pb0, sw0, sf0) = readLayout(name)
-        (alignedForAppend(name, schema, df), entries, Some(schema), pb0, sw0, sf0)
-      }
-    val (v, dir) = stageVersion(name, df1, pb, sw, sf, carryOver, schemaHint, op)
-    (v, dir, base)
+    if (!append) {
+      val (v, dir) = stageVersion(name, df, partitionBy, sortWithin, statsFor,
+        Seq.empty[FileEntry], None, op)
+      (v, dir, base)
+    } else {
+      val (schema, entries) = currentManifest(name)
+      val (pb0, sw0, sf0) = readLayout(name)
+      // identity parity with the direct append path: a transactional
+      // append to a GENERATED ALWAYS AS IDENTITY table must block-allocate
+      // keys (and reject explicit values) exactly like append() — without
+      // this, omitting the column failed with a misleading schema
+      // mismatch while supplying it bypassed the locked counter and could
+      // collide with keys block-allocated by direct appends
+      val (keyed, cleanup) = applyIdentity(name, df)
+      try {
+        val (v, dir) = stageVersion(name, alignedForAppend(name, schema, keyed),
+          pb0, sw0, sf0, entries, Some(schema), op)
+        (v, dir, base)
+      } finally cleanup()
+    }
   }
 
   private[tables] def txnCommit(staged: Seq[(String, Int, Path, Option[Int])],
@@ -4336,7 +4404,12 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
         matched = Seq(
           MergeInto.MatchedDelete(Some(col("t.__mv_n") + col("s.__d___mv_n") === 0)),
           MergeInto.MatchedUpdate(None, setCols)),
-        notMatched = Seq(MergeInto.NotMatchedInsert(None, insertCols)),
+        // a key fully churned INSIDE the refresh window (inserted then
+        // deleted) arrives unmatched with a net-zero delta — inserting it
+        // would create a zombie count-0 group a from-scratch rebuild
+        // would not contain
+        notMatched = Seq(MergeInto.NotMatchedInsert(
+          Some(col("s.__d___mv_n") =!= 0), insertCols)),
         op = s"mv_refresh:$cur")
       persistMvVersion(view, cur)
     } finally delta.unpersist()
@@ -4494,8 +4567,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   def dropTable(name: String): Unit = {
     val dir = tableDir(name)
     if (Files.exists(dir))
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(Files.deleteIfExists(_))
+      walkAll(dir).sorted.reverse.foreach(Files.deleteIfExists(_))
   }
 
   // ---------------------------------------------------------------- vacuum
@@ -4574,7 +4646,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
         entries.flatMap(_.dvs)
       }.distinct.map(d => tableDir(name).resolve(d).toAbsolutePath.normalize)
       val dir = tableDir(name)
-      Files.list(dir).forEach { p =>
+      listDir(dir).foreach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("v_")) {
           val isRetained = retained.contains(n.stripPrefix("v_").toInt)
@@ -4584,13 +4656,22 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
           // until it ages past the retention gate
           if (committed || ageMs > staleStagingMs) {
             // delete unreferenced files (and stale manifests) bottom-up
-            Files.walk(p).sorted(java.util.Comparator.reverseOrder()).forEach { f =>
+            walkAll(p).sorted.reverse.foreach { f =>
               val abs = f.toAbsolutePath.normalize
               val isManifest = f.getFileName.toString == "_MANIFEST"
+              // a retained version's change-feed sidecar must survive with
+              // it: deleting cdc/ would destroy the row-level feed over a
+              // window the retention promise says is still replayable
+              // (changeFeed would then throw, and MV refreshes degrade to
+              // full rebuilds)
+              val isRetainedCdc = isRetained && {
+                val rel = p.relativize(f)
+                rel.getNameCount > 0 && rel.getName(0).toString == "cdc"
+              }
               if (Files.isDirectory(f)) {
-                if (!Files.list(f).iterator().hasNext) Files.delete(f) // now empty
+                if (!isRetainedCdc && listDir(f).isEmpty) Files.delete(f)
               } else if (!referenced.contains(abs) && !dvDirs.exists(abs.startsWith) &&
-                  !(isManifest && isRetained)) {
+                  !(isManifest && isRetained) && !isRetainedCdc) {
                 Files.delete(f)
               }
             }

@@ -160,9 +160,15 @@ class SqlMergePropertySpec extends AnyFunSuite {
             (df: DataFrame) => (c: org.apache.spark.sql.Column) =>
               df.withColumn("v", when(c, upper(col("v"))).otherwise(col("v")))),
           ((q: String) => s"v = 'Z', ${q}w = w + 1.5",
+            // ONE projection: SQL UPDATE evaluates every SET (and the
+            // WHERE) against the PRE-image row. A withColumn chain would
+            // re-evaluate a v-referencing cond against the already-set
+            // v='Z' and skip the w assignment — the exact fold bug the
+            // engine itself once had.
             (df: DataFrame) => (c: org.apache.spark.sql.Column) =>
-              df.withColumn("v", when(c, lit("Z")).otherwise(col("v")))
-                .withColumn("w", when(c, col("w") + 1.5).otherwise(col("w")))))
+              df.select(df("k"),
+                when(c, lit("Z")).otherwise(df("v")).as("v"),
+                when(c, df("w") + 1.5).otherwise(df("w")).as("w"))))
       val gen = for {
         alias <- Gen.oneOf(Some("u"), None)
         fullQual <- Gen.oneOf(true, false)
