@@ -179,7 +179,18 @@ object MergeInto {
 
     require(keys.nonEmpty, "merge keys must be non-empty")
 
-    if (failOnMultipleMatches) checkMultipleMatches(target, source, keys, extraOn)
+    // An INSERT-ONLY merge (no matched, no by-source clauses) is legal
+    // even when several source rows match one target row — there is
+    // nothing ambiguous for the duplicates to do (Delta allows this, and
+    // TableStore's file-pruned merge path codifies it). The precheck
+    // would spuriously abort, so it only guards merges whose matched/
+    // by-source actions a duplicate match WOULD make ambiguous; the
+    // insert-only dataflow below also bypasses the full-outer join,
+    // which would otherwise emit a multiply-matched target row once per
+    // source partner.
+    val insertOnly = matched.isEmpty && notMatchedBySource.isEmpty
+    if (failOnMultipleMatches && !insertOnly)
+      checkMultipleMatches(target, source, keys, extraOn)
 
     val t = target.withColumn(TMark, lit(true)).alias("t")
     val s = source.withColumn(SMark, lit(true)).alias("s")
@@ -227,6 +238,18 @@ object MergeInto {
     val bySourceKeeps = notMatchedBySource.map {
       case BySourceUpdate(c, _) => (c, true)
       case BySourceDelete(c) => (c, false)
+    }
+
+    if (insertOnly) {
+      // target rows pass through untouched exactly once; only source rows
+      // with no target partner run the insert clause chain
+      val unmatchedSrc = s.join(t, onCond, "left_anti")
+      val inserts = unmatchedSrc.select(outCols.map(c =>
+          chainValue(c, insertSpecs, nullDefault(c)).cast(outTypes(c)).as(c)) :+
+          chainKeep(insertKeeps, default = false).as("__graft_keep"): _*)
+        .filter(col("__graft_keep"))
+        .drop("__graft_keep")
+      return target.unionByName(inserts)
     }
 
     val projected = outCols.map { c =>

@@ -186,7 +186,8 @@ object Scd {
     * contract. */
   def scd2ApplyBatch(store: graft.tables.TableStore, table: String, batch: DataFrame,
       keys: Seq[String], loadTs: Column, initAudit: Boolean = false,
-      txn: Option[graft.tables.Txn] = None): Unit = {
+      txn: Option[graft.tables.Txn] = None,
+      closeVanished: Boolean = true): Unit = {
     val ts = loadTs.cast(TimestampType)
     // one dispatch for both paths: staged into the transaction when given
     // one, an immediate per-table commit otherwise (see TableWriter)
@@ -236,7 +237,15 @@ object Scd {
       matched = Seq(MergeInto.MatchedUpdate(
         Some(changePredicate(payload, nullSafe = false)), closeSet)),
       notMatched = Seq(MergeInto.NotMatchedInsert(None, insertValues)),
-      notMatchedBySource = Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet)))
+      // close-vanished is FULL-SNAPSHOT semantics: every current row whose
+      // key is absent from `batch` closes. Correct only when the batch is
+      // a complete key snapshot (the reference's daily loads); an
+      // incremental/CDC-style batch must pass closeVanished = false or
+      // every key that merely sat out one batch loses its current row
+      notMatchedBySource =
+        if (closeVanished)
+          Seq(MergeInto.BySourceUpdate(Some(currentOnly), closeSet))
+        else Nil)
   }
 
   /** SCD1 merge: matched-and-changed → update payload, unmatched → insert;

@@ -210,23 +210,33 @@ private[graft] class GraftTableBatch(options: CaseInsensitiveStringMap,
   }
 
   private lazy val files = GraftTableSource.withStore(options) { (store, table) =>
-    val fs = store.prunedInventory(table, pruningPredicate)
-    require(fs.forall(!_._3),
-      s"$table carries deletion vectors — the direct file source cannot " +
-        "apply them; read through the store (store.read) or OPTIMIZE first")
-    fs
+    store.prunedInventory(table, pruningPredicate)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  // the DV check guards the actual BATCH read, not `files`: Spark's
+  // streaming planner calls this scan's stats on EVERY micro-batch
+  // (StreamingDataSourceV2ScanRelation.computeStats → numRows), so a
+  // require inside the lazy inventory would kill any stream the moment
+  // the table's current snapshot carries a deletion vector — even
+  // streams that never batch-read it
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(files.forall(!_._3),
+      s"${options.get("table")} carries deletion vectors — the direct file " +
+        "source cannot apply them; read through the store (store.read) or " +
+        "OPTIMIZE first")
     files.map { case (p, len, _, _) => GraftFilePartition(p, len) }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = factory
 
   private[graft] def stats: Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(files.map(_._2).sum)
-    // exact when every planned file carries its footer row count
+    // exact when every planned file carries its footer row count AND no
+    // deletion vector hides rows from it (a DV'd file's footer count
+    // overcounts its live rows)
     override def numRows(): util.OptionalLong =
-      if (files.forall(_._4 >= 0)) util.OptionalLong.of(files.map(_._4).sum)
+      if (files.forall(f => f._4 >= 0 && !f._3))
+        util.OptionalLong.of(files.map(_._4).sum)
       else util.OptionalLong.empty()
   }
 }
@@ -445,9 +455,22 @@ private[graft] class GraftTableMicroBatchStream(
     var fromIdx = if (pos.index >= 0) pos.index else 0
     while (v <= cap) {
       // version numbers are monotone in commit order but not contiguous
-      // (a rebased commit vacates its staged number) — skip the holes; a
-      // missing number ≤ cap can never appear later, so no data is lost
-      if (!store.hasVersion(t, v)) { v += 1; fromIdx = 0 }
+      // (a rebased commit vacates its staged number, aborted stages burn
+      // theirs) — skip those holes; a missing number ≤ cap can never
+      // appear later, so no data is lost. A number the store marked
+      // RETIRED is different: it was a committed version this stream has
+      // not delivered and a vacuum destroyed it — continuing would
+      // silently lose its changes (the next retained version may satisfy
+      // addedFiles from its own cdc sidecar without ever consulting the
+      // predecessor, so no downstream check catches it).
+      if (!store.hasVersion(t, v)) {
+        if (store.wasRetired(t, v)) throw new IllegalStateException(
+          s"$t: version $v was committed but has been vacuumed before this " +
+            "stream delivered it — its changes are unrecoverable here; " +
+            "restart the stream from a fresh snapshot (drop startingVersion) " +
+            "or vacuum with a retention window longer than stream downtime")
+        v += 1; fromIdx = 0
+      }
       else {
         val adds = addedFiles(store, t, v)
         val until = endAt.filter(e => !e.snapshot && e.version == v && e.index >= 0)
@@ -513,7 +536,13 @@ private[graft] class GraftTableMicroBatchStream(
                 "rows. Set ignoreChanges=true to stream only the added files, use " +
                 "changeFeed=true over a table with enableChangeFeed, or " +
                 "restart the stream from a fresh snapshot (drop startingVersion).")
-        added.filterNot(_._3).map { case (p, len, _) => GraftFilePartition(p, len, "insert", v) }
+        // reaching here with DV-carrying added files implies
+        // ignoreChanges=true (the guard above threw otherwise): stream
+        // them AS-WRITTEN, the flag's documented contract — dropping
+        // them entirely would silently lose their live rows (and
+        // disagree with snapshotFilesClean, which streams DV'd files
+        // as-written under the same flag)
+        added.map { case (p, len, _) => GraftFilePartition(p, len, "insert", v) }
     }
   }
 

@@ -97,11 +97,18 @@ object EventStreams {
         col("n_events"), col("sum_value"))
 
   /** Exactly-once-per-id stream: duplicates within the watermark horizon are
-    * dropped by keyed state. */
+    * dropped by keyed state. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) is load-bearing: a subset that omits the
+    * event-time column never evicts its dedup state — the keyed set grows
+    * with lifetime-distinct ids until the state store dies, exactly the
+    * unbounded-state shape the watermark exists to prevent. The
+    * within-watermark variant expires an id's entry once the watermark
+    * passes it, which is also the documented semantics (an id reused
+    * AFTER the horizon is a new event, not a duplicate). */
   def dedupedStream(events: DataFrame): DataFrame =
     normalizeTs(events)
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join (attribution shape): each click pairs
     * with the same user's purchases inside [click, click+windowMinutes].
@@ -154,7 +161,16 @@ object EventStreams {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
-                  cur = Some(SessionState(s.start, e.ts, s.n + 1))
+                  // a within-watermark event can arrive OUT OF ORDER
+                  // across batches (earlier than the session's current
+                  // span): extend the span with min/max, never let the
+                  // end regress below the start — a later gap test
+                  // against a regressed end would split the session in
+                  // the wrong place and emit end < start
+                  val start =
+                    if (e.ts.getTime < s.start.getTime) e.ts else s.start
+                  val end = if (e.ts.getTime > s.end.getTime) e.ts else s.end
+                  cur = Some(SessionState(start, end, s.n + 1))
                 case Some(s) =>
                   closed ::= Session(user, s.start, s.end, s.n)
                   cur = Some(SessionState(e.ts, e.ts, 1))

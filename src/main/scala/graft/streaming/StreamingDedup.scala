@@ -13,11 +13,17 @@ import graft.tables.TableStore
   * [[Dedup.firstSeenDedup]], the ingest gate a training-corpus pipeline
   * runs in front of its bronze layer.
   *
-  * Semantics: a document is dropped iff any document with a SMALLER id
-  * (earlier in stream order) shares one of its band keys — dropped
-  * documents still block later near-dups of themselves, so the kept set is
-  * a function of the data alone, independent of micro-batch boundaries;
-  * [[graft.queries.ExtensionQueries]] x28 is the oracle-backed batch twin.
+  * Semantics: a document is KEPT iff no document with a SMALLER id
+  * anywhere in the data shares one of its band keys — dropped documents
+  * still block later near-dups of themselves. That invariant holds for
+  * ANY arrival order, not just id-monotone streams: when a smaller-id
+  * document arrives AFTER a colliding larger-id one was already kept
+  * (retries, multi-producer upstreams), the batch RETRACTS the
+  * larger-id row from the kept table (a keyed MatchedDelete merge) while
+  * its signatures stay to keep blocking — so the kept set is a function
+  * of the data alone, independent of micro-batch boundaries, and
+  * converges to [[graft.queries.ExtensionQueries]] x28, the
+  * oracle-backed batch twin.
   *
   * Exactly-once under foreachBatch's at-least-once contract, with no batch
   * markers: both writes are INSERT-ONLY merges keyed on their natural ids
@@ -55,6 +61,23 @@ object StreamingDedup {
               col("b.doc") < col("a.doc"), "left_semi")
           .select(col("a.doc")).distinct()
         val kept = batch.join(dropped, batch(idCol) === dropped("doc"), "left_anti")
+
+        // out-of-order arrival: a previously-KEPT doc colliding with a
+        // strictly smaller id in THIS batch lost its first-seen claim —
+        // retract it (its signatures stay: dropped docs keep blocking).
+        // Replay-idempotent: after the delete the kept table no longer
+        // holds the row, so a replayed batch computes an empty retract
+        // set. Both sides are band-key equi-joins — no driver collect.
+        val retractIds = store.read(sigTable)
+          .join(store.read(keptTable).select(col(idCol).as("doc")), "doc")
+          .alias("b")
+          .join(sigs.alias("a"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc") < col("b.doc"), "left_semi")
+          .select(col("b.doc")).distinct()
+        store.merge(keptTable, retractIds.withColumnRenamed("doc", idCol),
+          keys = Seq(idCol),
+          matched = Seq(MergeInto.MatchedDelete(None)))
 
         store.merge(sigTable, sigs, keys = Seq("doc", "band", "key"),
           notMatched = Seq(MergeInto.NotMatchedInsert(None,

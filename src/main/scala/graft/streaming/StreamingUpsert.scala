@@ -47,16 +47,27 @@ import graft.tables.TableStore
   */
 object StreamingUpsert {
 
+  /** `snapshotBatches` states the micro-batch CONTRACT and must match the
+    * upstream: `true` (the reference's shape) means every micro-batch is a
+    * COMPLETE key snapshot, so a key absent from a batch has genuinely
+    * vanished and its current row closes. For an incremental/CDC-style
+    * stream — where a batch carries only the keys that changed — pass
+    * `false`: close-vanished semantics would otherwise close the current
+    * row of every key that merely sat out one micro-batch, leaving
+    * long-lived keys with no current row though nothing deleted them
+    * upstream. */
   def scd2Sink(
       stream: DataFrame,
       store: TableStore,
       table: String,
       keys: Seq[String],
-      tsForBatch: Long => Column): DataStreamWriter[Row] =
+      tsForBatch: Long => Column,
+      snapshotBatches: Boolean = true): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       // the merge shape itself (null-merge-key duplication, one atomic
       // commit per batch) is shared with the batch medallion — see
       // Scd.scd2ApplyBatch for the semantics and scale notes
-      Scd.scd2ApplyBatch(store, table, batch, keys, tsForBatch(batchId))
+      Scd.scd2ApplyBatch(store, table, batch, keys, tsForBatch(batchId),
+        closeVanished = snapshotBatches)
     }
 }

@@ -2403,7 +2403,17 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     // iterate COMMITTED versions only: numbers are monotone in commit
     // order but not contiguous (a rebased commit vacates the number it
     // staged under — see tryRebase), so each version diffs against its
-    // predecessor in the committed sequence, not v-1 numerically
+    // predecessor in the committed sequence, not v-1 numerically.
+    // A RETIRED number inside the window is different from those benign
+    // holes: it was a committed version whose cdc sidecar and manifest a
+    // vacuum destroyed — its row-level changes are unrecoverable, and
+    // silently omitting them would hand a consumer (an MV refresh, a
+    // downstream sync) a delta that no longer reconstructs the table
+    (fromVersion + 1 to toVersion).find(v => wasRetired(name, v)).foreach(v =>
+      throw new IllegalStateException(
+        s"$name: changeFeed($fromVersion, $toVersion] includes version $v, " +
+          "which has been vacuumed — its changes cannot be replayed; start " +
+          "the feed at a retained version or rebuild the consumer"))
     val all = versions(name)
     val frames = all.filter(v => v > fromVersion && v <= toVersion).map { v =>
       val (schemaCur, cur) = readManifest(name, v)
@@ -2992,6 +3002,15 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * ones — consumers walking history must skip the holes. */
   private[graft] def hasVersion(name: String, v: Int): Boolean =
     Files.exists(manifestPath(name, v))
+
+  /** True when version `v` was a COMMITTED version that a vacuum has
+    * since retired (durable `_retired_v_N` marker, written just before
+    * the manifest delete). Distinguishes real data loss from the benign
+    * numbering holes rebases and aborted stages leave — a consumer
+    * walking history must SKIP the latter but FAIL on the former. */
+  private[graft] def wasRetired(name: String, v: Int): Boolean =
+    !hasVersion(name, v) &&
+      Files.exists(tableDir(name).resolve(s"_retired_v_$v"))
 
   /** The committed version immediately before `v` in commit order. */
   private[graft] def prevVersion(name: String, v: Int): Option[Int] =
@@ -4672,6 +4691,17 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
                 if (!isRetainedCdc && listDir(f).isEmpty) Files.delete(f)
               } else if (!referenced.contains(abs) && !dvDirs.exists(abs.startsWith) &&
                   !(isManifest && isRetained) && !isRetainedCdc) {
+                // retiring a COMMITTED version: leave a durable marker
+                // first (crash-safe — a marker beside a still-live
+                // manifest is ignored). Version numbers have benign holes
+                // too (rebase-vacated, aborted stages), so without the
+                // marker a history consumer cannot tell "never existed"
+                // from "committed and vacuumed" — the streaming source
+                // and changeFeed would skip real, undelivered changes
+                // SILENTLY instead of failing loudly.
+                if (isManifest)
+                  Files.write(dir.resolve(s"_retired_${p.getFileName}"),
+                    Array.empty[Byte])
                 Files.delete(f)
               }
             }

@@ -625,4 +625,105 @@ class StreamingSpec extends AnyFunSuite {
     store.detach()
     graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("streaming minhash dedup: REVERSED arrival order still converges to the batch twin") {
+    // ids arrive largest-first (retries / multi-producer upstreams), so a
+    // larger-id near-dup is kept before its smaller-id winner arrives —
+    // the sink must RETRACT it when the winner lands, or the kept set
+    // depends on micro-batch boundaries
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_rev").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sdedup_rsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdedup_rck").toString
+    val store = new graft.tables.TableStore(spark, root)
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"text", $"lang")
+      val schema = docs.schema
+      def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      def drain(): Unit = runToCompletion(
+        graft.streaming.StreamingDedup.minhashDedupSink(
+            spark.readStream.schema(schema).parquet(srcDir),
+            store, "bronze.docs_kept", "bronze.doc_sigs")
+          .option("checkpointLocation", ckpt).start())
+      val cut1 = 150L; val cut2 = 300L
+      docs.filter($"doc_id" >= cut2).write.mode("append").parquet(srcDir)
+      drain()
+      docs.filter($"doc_id" >= cut1 && $"doc_id" < cut2)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      docs.filter($"doc_id" < cut1).write.mode("append").parquet(srcDir)
+      drain()
+      val streamed = store.read("bronze.docs_kept")
+      val batchTwin = graft.operators.Dedup.firstSeenDedup(docs, "doc_id", "text")
+      assert(streamed.exceptAll(batchTwin).isEmpty &&
+        batchTwin.exceptAll(streamed).isEmpty,
+        "reversed arrival must converge to the batch twin via retraction")
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
+  test("sessionize: an out-of-order within-watermark event cannot regress the session end") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionize(events.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_ooo").start()
+    try {
+      def ts(m: Int) = new Timestamp(
+        Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+      events.addData(SessionEvent(7L, ts(20), "view"))
+      q.processAllAvailable() // watermark = 20 - 10 = minute 10
+      // minute 12 is within the watermark: it must extend the session's
+      // span backwards, not move its END back to 12 (which would make the
+      // next event split the session in the wrong place)
+      events.addData(SessionEvent(7L, ts(12), "click"))
+      q.processAllAvailable()
+      // 49 - 20 = 29 min <= 30-min gap: the session CONTINUES (a
+      // regressed end of 12 would read 37 min and close it spuriously)
+      events.addData(SessionEvent(7L, ts(49), "view"))
+      q.processAllAvailable()
+      events.addData(SessionEvent(99L, ts(600), "view"))
+      q.processAllAvailable()
+      events.addData(SessionEvent(99L, ts(1200), "view"))
+      q.processAllAvailable()
+      val out = spark.table("sessions_ooo").as[Session].collect()
+        .filter(_.user_id == 7L)
+      assert(out.length == 1 &&
+        out(0).session_start == ts(12) && out(0).session_end == ts(49) &&
+        out(0).n_events == 3L,
+        s"expected one session [12, 49] x3, got: ${out.mkString("; ")}")
+    } finally q.stop()
+  }
+
+  test("scd2Sink with snapshotBatches=false leaves absent keys' current rows open") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_inc").toString
+    val store = new graft.tables.TableStore(spark, root)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_inc_ck").toString
+    try {
+      val events = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingUpsert.scd2Sink(
+          events.toDF().toDF("k", "v"), store, "silver.t", Seq("k"),
+          b => lit(java.sql.Timestamp.valueOf(f"2024-01-01 00:${b}%02d:00")),
+          snapshotBatches = false)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        events.addData((1L, "a")) // batch with key 1 only
+        q.processAllAvailable()
+        events.addData((2L, "b")) // batch with key 2 only — key 1 sat out
+        q.processAllAvailable()
+        val current = store.read("silver.t")
+          .filter(col(graft.operators.Scd.ValidTo).isNull)
+          .select("k").collect().map(_.getLong(0)).toSet
+        assert(current == Set(1L, 2L),
+          s"an incremental batch must not close keys that sat it out, got $current")
+      } finally q.stop()
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
 }

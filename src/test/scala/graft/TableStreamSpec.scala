@@ -324,4 +324,63 @@ class TableStreamSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("enableChangeFeed")), msgs(e).mkString("; "))
     store.detach()
   }
+
+  private def causeMsgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ causeMsgs(t.getCause)
+
+  test("a stream behind a vacuumed window fails loudly instead of skipping lost changes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ts_vac").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ts_vac_ck").toString
+    val store = new TableStore(spark, root)
+    try {
+      store.createOrReplace("db.t", Seq((1L, 10L), (2L, 20L)).toDF("k", "x")) // v1
+      store.enableChangeFeed("db.t")
+      runOnce(readTableStream(root, "db.t", Map("changeFeed" -> "true")), ckpt)
+      // three DML commits land while the stream is down...
+      store.update("db.t", col("k") === 1L, Map("x" -> lit(11L)))             // v2
+      store.update("db.t", col("k") === 2L, Map("x" -> lit(21L)))             // v3
+      store.update("db.t", col("k") === 1L, Map("x" -> lit(12L)))             // v4
+      // ...and a zero-retention vacuum destroys the middle versions'
+      // manifests and cdc sidecars (v4, the current version, keeps its)
+      store.vacuum("db.t", retainMs = 0L)
+      // v2/v3's changes are unrecoverable: the walk must throw — skipping
+      // them as rebase holes would let v4's cdc sidecar satisfy the next
+      // batch and the lost changes would never surface anywhere
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runOnce(readTableStream(root, "db.t", Map("changeFeed" -> "true")), ckpt)
+      }
+      assert(causeMsgs(e).exists(_.contains("vacuumed")),
+        causeMsgs(e).mkString("; "))
+    } finally store.detach()
+  }
+
+  test("ignoreChanges streams DV-carrying ADDED files as-written (restore re-add)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ts_dvadd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ts_dvadd_ck").toString
+    val store = new TableStore(spark, root)
+    try {
+      store.createOrReplace("db.t", Seq((1L, 10L), (2L, 20L), (3L, 30L))
+        .toDF("k", "x"))                                                     // v1
+      store.setDmlMode("db.t", "mor")
+      store.delete("db.t", col("k") === 2L)                                  // v2: file+DV
+      val v2 = store.version("db.t").get
+      store.compact("db.t")                                                  // v3: folds DV
+      // the pinned initial snapshot is the CURRENT (post-compaction)
+      // state: 2 live rows, DVs already folded
+      val first = runOnce(
+        readTableStream(root, "db.t", Map("ignoreChanges" -> "true")), ckpt)
+      assert(first.size == 2, s"initial snapshot, got $first")
+      // RESTORE re-adds v2's manifest entries: the original file arrives
+      // as an ADDED file CARRYING its deletion vector
+      store.restore("db.t", v2)                                             // v4
+      val rows = runOnce(
+        readTableStream(root, "db.t", Map("ignoreChanges" -> "true")), ckpt)
+      // the flag's contract: added files stream AS-WRITTEN — all three
+      // raw rows re-deliver (the DV'd row reappears, the documented
+      // trade); dropping the file entirely would silently lose k=1, k=3
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 10L), (2L, 20L), (3L, 30L)),
+        s"DV-carrying added file must stream as-written, got $rows")
+    } finally store.detach()
+  }
 }

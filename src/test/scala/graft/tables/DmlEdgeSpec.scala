@@ -194,6 +194,56 @@ class DmlEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("insert-only merge tolerates duplicate source matches; target rows never duplicate") {
+    withStore("graft_dml_insonly") { (store, _) =>
+      import spark.implicits._
+      import graft.operators.MergeInto
+      val target = Seq((5L, "t5")).toDF("id", "v")
+      // two source rows match target id=5 (legal for insert-only merges —
+      // nothing ambiguous exists for them to do); two share unmatched id=6
+      // (both insert: multiset semantics, as Delta does)
+      val source = Seq((5L, "a"), (5L, "b"), (6L, "c"), (6L, "d")).toDF("id", "v")
+      val out = MergeInto(target, source, keys = Seq("id"),
+        notMatched = Seq(MergeInto.NotMatchedInsert(None,
+          Map("id" -> col("s.id"), "v" -> col("s.v")))))
+        .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out == Seq((5L, "t5"), (6L, "c"), (6L, "d")),
+        s"insert-only merge must keep the matched target row ONCE and insert " +
+          s"both unmatched source rows, got $out")
+    }
+  }
+
+  test("changeFeed over a window with a vacuumed version fails loudly; MV rebuilds") {
+    withStore("graft_dml_retired") { (store, _) =>
+      import spark.implicits._
+      store.createOrReplace("db.src", Seq((1L, 10L)).toDF("g", "v"))
+      store.enableChangeFeed("db.src")
+      store.createMaterializedView("db.mv", "db.src", Seq("g"),
+        Seq(("n", "count", "*"), ("total", "sum", "v")))
+      val v0 = store.version("db.src").get
+      store.append("db.src", Seq((2L, 20L)).toDF("g", "v"))
+      store.update("db.src", col("g") === 1L, Map("v" -> lit(11L)))
+      store.append("db.src", Seq((3L, 30L)).toDF("g", "v"))
+      val cur = store.version("db.src").get
+      // retainMs = 0: only the current version survives — the middle
+      // versions' manifests AND cdc sidecars are destroyed, leaving
+      // durable _retired markers
+      store.vacuum("db.src", retainMs = 0L)
+      val e = intercept[IllegalStateException] {
+        store.changeFeed("db.src", v0, cur)
+      }
+      assert(e.getMessage.contains("vacuumed"),
+        s"a feed spanning retired versions must fail loudly, got: ${e.getMessage}")
+      // the MV consumer degrades to a full rebuild instead of diverging
+      store.refreshMaterializedView("db.mv")
+      val got = store.read("db.mv").select("g", "n", "total").orderBy("g").collect()
+      val want = store.read("db.src").groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("total")).orderBy("g").collect()
+      assert(got.toSeq == want.toSeq,
+        s"MV must rebuild across the vacuumed window:\n got ${got.toSeq}\nwant ${want.toSeq}")
+    }
+  }
+
   test("MV refresh inserts no zombie count-0 group for a key churned in-window") {
     withStore("graft_dml_mv_churn") { (store, _) =>
       import spark.implicits._
