@@ -22,11 +22,22 @@ import graft.functions.TextFunctions
   *
   * Scale shape (both operators): one tokenize projection (no shuffle),
   * partial-agg groupBys on term keys (map-side combine collapses the
-  * per-partition stream to vocabulary size, which is tiny relative to the
-  * corpus), and for lift a vocabulary-sized join that Spark broadcasts.
-  * The bigram explode is array-local `transform` over each document's own
-  * token array — adjacent pairs never cross a row, so no positional
-  * self-join and no shuffle to form them.
+  * per-partition stream to vocabulary size, which is small relative to the
+  * corpus), and for lift a vocabulary-keyed join. The vocabulary joins
+  * carry NO broadcast hint: vocabulary cardinality is unbounded (Heaps'
+  * law puts a web corpus's distinct-token count in the billions — typos,
+  * URLs, numbers), so a forced `broadcast()` would OOM the driver at scale
+  * instead of degrading. Both vocab frames sit immediately behind an
+  * aggregate's shuffle stage, so AQE measures their REAL size at runtime
+  * and converts the join to a broadcast hash join exactly when the
+  * vocabulary fits (it does at every tested scale — PlanSpec pins that as
+  * a fixture-scale reading) and to a shuffled equi-join when it doesn't
+  * (ExtensionSpec forces the gate shut and pins identical results). Same
+  * remedy as [[Dedup.contaminationReport]]'s size gate, but free: no
+  * pre-scan needed when the planner can read the size off a finished
+  * stage. The bigram explode is array-local `transform` over each
+  * document's own token array — adjacent pairs never cross a row, so no
+  * positional self-join and no shuffle to form them.
   */
 object Collocations {
 
@@ -55,9 +66,11 @@ object Collocations {
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
     val cxy = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
+    // no broadcast hint: the unigram vocabulary is corpus-unbounded; AQE
+    // reads its true post-agg size and broadcasts only when it fits
     cxy
-      .join(broadcast(uni.select(col("term").as("w1"), col("c").as("c_x"))), "w1")
-      .join(broadcast(uni.select(col("term").as("w2"), col("c").as("c_y"))), "w2")
+      .join(uni.select(col("term").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("c_y")), "w2")
       .crossJoin(total)
       .withColumn("lift_micro", expr("(c_xy * n_tokens * 1000000) div (c_x * c_y)"))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("lift_micro"))
@@ -102,8 +115,10 @@ object Collocations {
     * set is keyed by the 60-bit [[Dedup.shingleHash]] so the three
     * PageRank iterations shuffle 8-byte ids instead of word strings, and
     * [[Graph.pageRank]] supplies the exact BIGINT micro-unit iteration.
-    * The word↔id dictionary is vocabulary-sized and broadcasts back onto
-    * the final ranks; the cut is a TakeOrdered.
+    * The word↔id dictionary is vocabulary-sized — unbounded at corpus
+    * scale, so it carries no broadcast hint; it sits behind its own
+    * distinct's shuffle stage, and AQE broadcasts it onto the final ranks
+    * only when its measured size fits. The cut is a TakeOrdered.
     */
   def textRank(docs: DataFrame, textCol: String = "text", window: Int = 2,
       iterations: Int = 3, k: Int = 20): DataFrame = {
@@ -132,7 +147,8 @@ object Collocations {
       .union(und.select(col("b").as("word")))
       .select(col("word"), Dedup.shingleHash(col("word")).as("id"))
       .distinct()
-    ranks.join(broadcast(dict), "id")
+    // no broadcast hint — see scaladoc: AQE sizes the dictionary itself
+    ranks.join(dict, "id")
       .select(col("word"), col("pr"))
       .orderBy(col("pr").desc, col("word"))
       .limit(k)

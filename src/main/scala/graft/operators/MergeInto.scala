@@ -166,7 +166,13 @@ object MergeInto {
       .select(col("__c.*"))
   }
 
-  /** Returns the post-merge target state (target schema preserved). */
+  /** Returns the post-merge target state (target schema preserved).
+    *
+    * Contract note: an INSERT-ONLY merge (no matched / by-source clauses)
+    * takes a left-anti fast path whose NOT MATCHED clauses may reference
+    * only SOURCE (`s.*`) columns — Delta's contract. A `t.*` reference in
+    * an insert condition or value raises a named-column error instead of
+    * the NULL the historical full-outer plan silently produced. */
   def apply(
       target: DataFrame,
       source: DataFrame,
@@ -241,6 +247,25 @@ object MergeInto {
     }
 
     if (insertOnly) {
+      // The fast path resolves insert clauses against a SOURCE-ONLY
+      // left-anti frame, so a `t.*` reference — which the full-outer
+      // plan would have evaluated as NULL (the row is by definition
+      // unmatched) — has nothing to bind to. Rejecting it here with a
+      // named-column error beats the resolver's generic failure, and the
+      // contract matches Delta's: NOT MATCHED clauses may reference only
+      // the source.
+      val targetRefs = notMatched
+        .flatMap(i => i.cond.toSeq ++ i.values.values)
+        .flatMap(org.apache.spark.sql.GraftShims.catalystExpr(_).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length > 1 && a.nameParts.head == "t" => a.name
+        }).distinct
+      require(targetRefs.isEmpty,
+        s"insert-only merge: NOT MATCHED clauses may reference only source " +
+          s"columns (an unmatched row has no target side — the full plan " +
+          s"evaluated these as NULL); found ${targetRefs.mkString(", ")}. " +
+          s"Use typed NULL literals instead, or add a matched/by-source " +
+          s"clause to engage the full-outer plan.")
       // target rows pass through untouched exactly once; only source rows
       // with no target partner run the insert clause chain
       val unmatchedSrc = s.join(t, onCond, "left_anti")

@@ -17,26 +17,46 @@ import graft.tables.TableStore
   */
 object PipelineQueries {
 
+  private def factReadback(store: TableStore): DataFrame =
+    store.read("gold.fact_sales")
+      .select(
+        col("sales_order_key"), col("sales_line_number"),
+        col("_tf_dim_calendar_id"), col("_tf_dim_customer_id"), col("_tf_dim_geography_id"),
+        col("sales_qty").cast("double").as("sales_qty"),
+        col("sales_extended_price").cast("double").as("sales_extended_price"),
+        col("sales_net_price").cast("double").as("sales_net_price"))
+      .orderBy(col("sales_order_key"), col("sales_line_number"))
+
   def q23PipelineFact(s: SparkSession, dir: String): DataFrame = {
     val store = Scratch.store(s, "graft_pipeline_q")
     Scratch.sealing(store) {
       new Medallion(s, store, dir).run(lit("2024-01-01 00:00:00"))
-      store.read("gold.fact_sales")
-        .select(
-          col("sales_order_key"), col("sales_line_number"),
-          col("_tf_dim_calendar_id"), col("_tf_dim_customer_id"), col("_tf_dim_geography_id"),
-          col("sales_qty").cast("double").as("sales_qty"),
-          col("sales_extended_price").cast("double").as("sales_extended_price"),
-          col("sales_net_price").cast("double").as("sales_net_price"))
-        .orderBy(col("sales_order_key"), col("sales_line_number"))
+      factReadback(store)
+    }
+  }
+
+  /** q23's star output produced through [[Medallion.runTransactional]] —
+    * the whole-pipeline single-transaction commit path (13 tables staged,
+    * one all-or-nothing publish) under the same DuckDB oracle as the
+    * per-stage `run()`: both paths must converge to the identical fact
+    * rows, so the transactional plumbing (staged manifests, read-your-
+    * writes via readStaged, parallel bronze+silver staging) is hash-gated
+    * end-to-end, not just spec-covered for crash atomicity. */
+  def q59PipelineTxnFact(s: SparkSession, dir: String): DataFrame = {
+    val store = Scratch.store(s, "graft_pipeline_txn_q")
+    Scratch.sealing(store) {
+      new Medallion(s, store, dir).runTransactional(lit("2024-01-01 00:00:00"))
+      factReadback(store)
     }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q23_pipeline_fact" -> q23PipelineFact _)
+    "q23_pipeline_fact" -> q23PipelineFact _,
+    "q59_pipeline_txn_fact" -> q59PipelineTxnFact _)
 
-  val oracles: Map[String, String] = Map(
-    "q23_pipeline_fact" ->
+  // q59 runs the SAME lineage through the transactional commit path, so it
+  // shares q23's oracle verbatim — bit-for-bit convergence is the point
+  private val factOracleSql: String =
       """WITH dimc AS (
         |  SELECT c_custkey AS customer_key, c_nationkey AS nation_key,
         |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS _tf_dim_customer_id
@@ -59,5 +79,9 @@ object PipelineQueries {
         |LEFT JOIN orders ON l_orderkey = o_orderkey
         |LEFT JOIN dimc ON o_custkey = dimc.customer_key
         |LEFT JOIN dimg ON dimc.nation_key = dimg.nation_key
-        |ORDER BY sales_order_key, sales_line_number""".stripMargin)
+        |ORDER BY sales_order_key, sales_line_number""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q23_pipeline_fact" -> factOracleSql,
+    "q59_pipeline_txn_fact" -> factOracleSql)
 }

@@ -75,18 +75,26 @@ object EventStreams {
 
   /** Stream-static dimension enrichment: events join a STATIC dimension
     * frame (e.g. a store-table read — the static side is re-planned per
-    * micro-batch in streaming, and broadcast when small) on `user_id`,
-    * then tumbling 1-hour counts/sums per (window, segment). The standard
-    * streaming-medallion shape: facts stream, dimensions sit in the
-    * lakehouse. LEFT join — events from unknown users survive under
-    * segment 'N/A', the reference's unknown-member convention
-    * (01_Init.py:265-277, the -9 member's string twin). Works identically
-    * over a batch frame (oracle twin x48); StreamingSpec pins
-    * stream == batch. */
+    * micro-batch in streaming) on `user_id`, then tumbling 1-hour
+    * counts/sums per (window, segment). The standard streaming-medallion
+    * shape: facts stream, dimensions sit in the lakehouse. LEFT join —
+    * events from unknown users survive under segment 'N/A', the
+    * reference's unknown-member convention (01_Init.py:265-277, the -9
+    * member's string twin). Works identically over a batch frame (oracle
+    * twin x48); StreamingSpec pins stream == batch.
+    *
+    * The dim carries NO broadcast hint: a user-keyed "dimension" is
+    * user-cardinality, which a 100 TB deployment does not bound. The
+    * static side's size is known to the planner from its relation
+    * statistics (file sizes for a store/parquet read) at every
+    * micro-batch re-plan, so it broadcasts exactly while it fits under
+    * `autoBroadcastJoinThreshold` and degrades to a shuffled join —
+    * never a driver OOM — when it outgrows that. Same contract as
+    * [[graft.operators.Collocations]]' vocabulary joins. */
   def enrichedTumblingAgg(events: DataFrame, dim: DataFrame): DataFrame =
     normalizeTs(events)
       .withWatermark("ts", "10 minutes")
-      .join(broadcast(dim.select(col("user_id"), col("segment"))),
+      .join(dim.select(col("user_id"), col("segment")),
         Seq("user_id"), "left_outer")
       .withColumn("segment", coalesce(col("segment"), lit("N/A")))
       .groupBy(window(col("ts"), "60 minutes").as("win"), col("segment"))

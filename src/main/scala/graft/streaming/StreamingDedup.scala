@@ -43,7 +43,19 @@ object StreamingDedup {
       sigTable: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 3, bands: Int = 4, rows: Int = 2): DataStreamWriter[Row] =
+      n: Int = 3, bands: Int = 4, rows: Int = 2): DataStreamWriter[Row] = {
+    // Driver-side OVER-approximation of the kept table's max id: seeded
+    // from one table scan on the first batch after every (re)start, then
+    // grown from each batch's own candidate inserts. Growth only — a
+    // retraction can only remove a row at or below the bound, so the
+    // bound never under-states the true max, which is the safe direction
+    // for the gate below. One sink instance owns its tables (the
+    // exactly-once argument already requires that), so no other writer
+    // can move the true max behind this bound.
+    var keptMax: Any = null
+    var seeded = false
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val sigs = Dedup.bandKeys(batch, idCol, textCol, n, bands, rows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -68,16 +80,31 @@ object StreamingDedup {
         // Replay-idempotent: after the delete the kept table no longer
         // holds the row, so a replayed batch computes an empty retract
         // set. Both sides are band-key equi-joins — no driver collect.
-        val retractIds = store.read(sigTable)
-          .join(store.read(keptTable).select(col(idCol).as("doc")), "doc")
-          .alias("b")
-          .join(sigs.alias("a"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc") < col("b.doc"), "left_semi")
-          .select(col("b.doc")).distinct()
-        store.merge(keptTable, retractIds.withColumnRenamed("doc", idCol),
-          keys = Seq(idCol),
-          matched = Seq(MergeInto.MatchedDelete(None)))
+        //
+        // GATED: a retraction needs a batch doc id strictly below some
+        // kept id, so when the batch's min id is at or above the kept
+        // max (every id-monotone stream, i.e. the insert-only common
+        // case) the pre-pass — a sigTable x keptTable x batch-sigs join
+        // plus a full merge, cost growing with table size — is provably
+        // empty and skipped outright.
+        if (!seeded) {
+          keptMax = store.read(keptTable)
+            .agg(max(col(idCol))).head().get(0)
+          seeded = true
+        }
+        val batchMin = sigs.agg(min(col("doc"))).head().get(0)
+        if (batchMin != null && keptMax != null && lt(batchMin, keptMax)) {
+          val retractIds = store.read(sigTable)
+            .join(store.read(keptTable).select(col(idCol).as("doc")), "doc")
+            .alias("b")
+            .join(sigs.alias("a"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.doc") < col("b.doc"), "left_semi")
+            .select(col("b.doc")).distinct()
+          store.merge(keptTable, retractIds.withColumnRenamed("doc", idCol),
+            keys = Seq(idCol),
+            matched = Seq(MergeInto.MatchedDelete(None)))
+        }
 
         store.merge(sigTable, sigs, keys = Seq("doc", "band", "key"),
           notMatched = Seq(MergeInto.NotMatchedInsert(None,
@@ -85,6 +112,14 @@ object StreamingDedup {
         store.merge(keptTable, kept, keys = Seq(idCol),
           notMatched = Seq(MergeInto.NotMatchedInsert(None,
             batch.columns.toSeq.map(c => c -> col(s"s.$c")).toMap)))
+        // grow the bound by this batch's candidate inserts (an over-
+        // approximation: rows the insert-only merge skipped or a later
+        // batch retracts only leave the bound above the true max)
+        val batchKeptMax = kept.agg(max(col(idCol))).head().get(0)
+        if (batchKeptMax != null &&
+            (keptMax == null || lt(keptMax, batchKeptMax)))
+          keptMax = batchKeptMax
       } finally sigs.unpersist()
     }
+  }
 }

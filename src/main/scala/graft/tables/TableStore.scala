@@ -153,16 +153,29 @@ object TableStore {
     * is unknowable (it could be a live writer elsewhere), so both parse
     * to None — never assume local.
     *
-    * Only a COMPLETE token parses: the nanos tail must be exactly the
-    * fixed 19 digits [[writerToken]] writes, ending the string. A
-    * truncated write of ANY token (cut in the host, the pid, or the
-    * nanos) is therefore malformed here — so a partially-written lock
-    * token can never be judged dead and broken, no matter how the
-    * truncation falls. That unbreakability is what makes
+    * The nanos tail may be 1 to 19 digits: [[writerToken]] has always
+    * written SOME digits there, but only zero-padded them to the fixed
+    * 19 since the format hardening — a lock or intent left by a
+    * pre-padding build (`host~pid_123`) must stay parseable or a dead
+    * legacy holder wedges the table through any upgrade overlap.
+    *
+    * Tolerating a variable-width tail stays SOUND for breakers because
+    * a token that parses AT ALL carries its writer's complete host and
+    * pid: the pid digits are terminated by the `_`, so a truncated
+    * write either lost the `_` (no parse — treated as a live acquirer
+    * mid-write, never broken) or was cut inside the nanos, in which
+    * case host and pid are intact and liveness is judged against the
+    * TRUE writer. A live writer's partial is therefore never broken
+    * (its real pid answers alive), which is what keeps
     * [[TableStore]].cleanupOwnFailedLock's "an empty or unreadable lock
-    * after OUR failed write is still ours" reasoning sound: no breaker
-    * can have removed our partial and let a successor re-create the
-    * file. */
+    * after OUR failed write is still ours" reasoning valid: no breaker
+    * can have removed a live writer's partial and let a successor
+    * re-create the file. A DEAD writer's nanos-cut partial now parses
+    * and breaks — the correct outcome the fixed width needlessly gave
+    * up. The fixed width still earns its keep in
+    * cleanupOwnFailedLock's strict-prefix test (one length per
+    * complete token of a process ⇒ a strict prefix is never a sibling
+    * thread's complete token). */
   private[tables] def sameHostPid(token: String): Option[Long] = {
     val i = token.indexOf('~')
     if (i < 0) None
@@ -175,7 +188,7 @@ object TableStore {
         val digits = rest.substring(0, u)
         val nanos = rest.substring(u + 1)
         if (host == localHost && digits.forall(_.isDigit) &&
-            nanos.length == 19 && nanos.forall(_.isDigit))
+            nanos.nonEmpty && nanos.length <= 19 && nanos.forall(_.isDigit))
           scala.util.Try(digits.toLong).toOption
         else None
       }
@@ -1462,11 +1475,13 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * An unreadable/empty holder is likewise treated as live: a failed
     * token write deletes its own lock file on the way out, so an empty
     * lock means a crash in the microseconds between create and write.
-    * A MALFORMED token (anything but `host~pid_<19 digits>`) is treated
-    * as live too — a partially-visible write of a live acquirer's token
-    * looks exactly like that, and breaking it would let two writers into
-    * the window ([[TableStore.sameHostPid]] enforces this by parsing
-    * only complete tokens). */
+    * A MALFORMED token (no `host~pid_` head — e.g. a write cut before
+    * the underscore) is treated as live too: a partially-visible write
+    * of a live acquirer's token can look exactly like that, and breaking
+    * it would let two writers into the window. A token cut INSIDE the
+    * nanos tail still carries its writer's complete host and pid, so it
+    * parses and is judged by the TRUE writer's liveness — see
+    * [[TableStore.sameHostPid]]. */
   private def withCommitLock[T](name: String)(f: => T): T = {
     val lock = tableDir(name).resolve("_COMMIT_LOCK")
     val token = TableStore.writerToken()
@@ -1482,10 +1497,11 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
             // loop until the buffer drains: a short write that returns
             // without throwing would otherwise leave a truncated token on
             // disk while this writer proceeds believing it holds the lock
-            // (harmless to breakers — a truncated token is malformed per
-            // sameHostPid and never breakable — but the holder would then
-            // be unbreakable after a real crash, wedging the table until
-            // the manual remedy)
+            // (harmless to breakers — a truncated token either fails to
+            // parse or parses to THIS live pid, so it is never broken
+            // under a live holder — but a holder that proceeded on a
+            // short write would leave a token that wedges or misleads
+            // after a real crash)
             val buf = java.nio.ByteBuffer.wrap(token.getBytes(UTF_8))
             try { while (buf.hasRemaining) { ch.write(buf); () } }
             finally ch.close()
@@ -1537,8 +1553,9 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
 
   /** Clean up this writer's own lock file after its token write failed.
     * The file is provably still ours, whatever it holds: a truncated
-    * token is MALFORMED (the fixed 19-digit nanos tail cannot survive a
-    * strict-prefix cut — [[TableStore.sameHostPid]]), so no breaker can
+    * token either fails to parse (cut before the `_`) or parses to OUR
+    * pid (cut inside the nanos — host and pid survive any such cut,
+    * [[TableStore.sameHostPid]]), and we are alive, so no breaker can
     * have judged our partial dead; an empty or unreadable holder is
     * never broken either; and our COMPLETE token names a live process.
     * With no break possible, no successor can have re-created the file —
@@ -3004,13 +3021,22 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     Files.exists(manifestPath(name, v))
 
   /** True when version `v` was a COMMITTED version that a vacuum has
-    * since retired (durable `_retired_v_N` marker, written just before
-    * the manifest delete). Distinguishes real data loss from the benign
+    * since retired. Distinguishes real data loss from the benign
     * numbering holes rebases and aborted stages leave — a consumer
-    * walking history must SKIP the latter but FAIL on the former. */
+    * walking history must SKIP the latter but FAIL on the former.
+    * Retirement is durable in two forms: the per-version `_retired_v_N`
+    * marker written just before the manifest delete (crash-safe), and
+    * the `_RETIRED` ledger each vacuum folds those markers into so the
+    * directory listing stays O(live versions). */
   private[graft] def wasRetired(name: String, v: Int): Boolean =
-    !hasVersion(name, v) &&
-      Files.exists(tableDir(name).resolve(s"_retired_v_$v"))
+    !hasVersion(name, v) && {
+      val dir = tableDir(name)
+      Files.exists(dir.resolve(s"_retired_v_$v")) || {
+        val ledger = dir.resolve("_RETIRED")
+        Files.exists(ledger) &&
+          Files.readAllLines(ledger).asScala.exists(_.trim == v.toString)
+      }
+    }
 
   /** The committed version immediately before `v` in commit order. */
   private[graft] def prevVersion(name: String, v: Int): Option[Int] =
@@ -4707,6 +4733,30 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
             }
           }
         }
+      }
+      // fold the per-version `_retired_v_N` markers into the single
+      // `_RETIRED` ledger (idempotent union via atomic replace — the
+      // `_COPY_LOADED` shape). The markers stay crash-safe: one is
+      // created just before each manifest delete, and a crash anywhere
+      // before this fold leaves it in place for the next vacuum to fold.
+      // Without the fold the table directory grows one file per version
+      // ever retired, taxing every listing (`versions()`, each re-vacuum)
+      // with O(all-time history) entries instead of O(live versions).
+      val markers = listDir(dir)
+        .filter(_.getFileName.toString.startsWith("_retired_v_"))
+      if (markers.nonEmpty) {
+        val retiredNow = markers
+          .map(_.getFileName.toString.stripPrefix("_retired_v_").toInt)
+        val ledger = dir.resolve("_RETIRED")
+        val prev = if (Files.exists(ledger))
+          Files.readAllLines(ledger).asScala.map(_.trim.toInt).toSet
+        else Set.empty[Int]
+        val tmp = dir.resolve("_RETIRED.tmp")
+        Files.write(tmp,
+          (prev ++ retiredNow).toSeq.sorted.mkString("\n").getBytes(UTF_8))
+        Files.move(tmp, ledger, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        markers.foreach(Files.deleteIfExists(_))
       }
     }
   }

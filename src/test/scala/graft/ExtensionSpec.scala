@@ -1912,4 +1912,27 @@ class ExtensionSpec extends AnyFunSuite {
     r.unpersist(false)
     assert(got == expected, s"matrix mass $got != pair list $expected")
   }
+
+  test("collocations: with broadcast disabled the vocabulary joins complete via the " +
+      "shuffle path with identical results (x69 bigrams, x92 textrank)") {
+    // the 100x contract behind dropping Collocations' forced broadcast()
+    // hints: an over-threshold vocabulary must degrade to a shuffled
+    // equi-join, never OOM the driver. Simulate "vocabulary too big to
+    // broadcast" by shutting the planner's gate in a sibling session
+    // (runtime confs are session-scoped; the shared SparkContext and the
+    // parquet-by-path reads carry over).
+    val shuffled = spark.newSession()
+    shuffled.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (q <- Seq("x69_pmi_bigrams", "x92_textrank")) {
+      val expect = SparkEntry.queries(q)(spark, dir).collect().toSeq
+      val got = SparkEntry.queries(q)(shuffled, dir)
+      val rows = got.collect().toSeq
+      val plan = got.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$q: gate forced shut, the vocab join must take the shuffle path:\n${plan.take(1200)}")
+      assert(rows == expect,
+        s"$q: shuffle and broadcast paths must produce identical rows")
+    }
+  }
 }

@@ -32,6 +32,16 @@ class PlanSpec extends AnyFunSuite {
     executed(mk)
   }
 
+  /** Join-strategy hints in the ANALYZED plan — the only place they are
+    * visible (EliminateResolvedHint folds them away before optimizedPlan,
+    * so checking later plans would pass vacuously). Used to assert an
+    * operator did NOT force a broadcast it cannot bound. */
+  private def analyzedHints(df: DataFrame) =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+
   test("q2: filters are pushed to the parquet scan and columns pruned") {
     val plan = executed(SparkEntry.queries("q2_filter_project")(spark, dir))
     assert(plan.contains("PushedFilters: ["), "expected parquet pushdown")
@@ -388,16 +398,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "bounded_topk must not fall back to a window sort")
   }
 
-  test("x69 bigrams: pairs form array-locally (no positional self-join), vocab joins broadcast") {
-    val plan = executedIsolated(SparkEntry.queries("x69_pmi_bigrams")(spark, dir))
+  test("x69 bigrams: pairs form array-locally, vocab joins are UNHINTED and AQE " +
+      "broadcasts them at fixture scale") {
+    // the vocabulary joins must carry NO broadcast hint — the unigram
+    // vocabulary is corpus-unbounded (Heaps' law), so a forced broadcast
+    // is a driver OOM at 100x; asserting hint-absence here is the guard
+    // (round 13 showed that pinning the hint is how the flaw hides)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("x69_pmi_bigrams")(spark, dir)
+    assert(analyzedHints(df).isEmpty,
+      "the vocabulary joins must not carry a broadcast hint")
+    val plan = executed(df).split("== Initial Plan ==").head
     // adjacent pairs come from Generate(explode(transform(...))) over each
     // row's own token array — a positional self-join would add a non-
     // broadcast join keyed on (doc, pos)
     assert(plan.contains("Generate"), "bigram formation must be an array-local explode")
+    // FIXTURE-SCALE reading, not a contract: at sf0.001 the vocabulary is
+    // tiny, so AQE's measured-size conversion must pick broadcast in the
+    // FINAL plan — proving the unhinted join still broadcasts when small
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      s"both unigram-count joins must broadcast:\n${plan.take(1200)}")
-    assert(!plan.contains("SortMergeJoin"),
-      "a vocabulary-sized frame must never sort-merge against bigram counts")
+      s"AQE must broadcast the fixture-scale vocabulary:\n${plan.take(1200)}")
     assert(plan.contains("TakeOrderedAndProject"),
       "top-k collocations must not materialize a global sort")
   }
@@ -576,14 +596,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("x92 textrank: dictionary joins broadcast; the rank cut is a TakeOrdered, no cartesian") {
-    val plan = executedIsolated(SparkEntry.queries("x92_textrank")(spark, dir))
-      .split("== Initial Plan ==").head
+  test("x92 textrank: dictionary join is UNHINTED (AQE broadcasts it at fixture scale); " +
+      "the rank cut is a TakeOrdered, no cartesian") {
+    // same contract as x69: the word<->id dictionary is vocabulary-sized
+    // and corpus-unbounded, so it must NOT be force-broadcast; AQE reads
+    // its post-distinct size and broadcasts only while it fits
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("x92_textrank")(spark, dir)
+    assert(analyzedHints(df).isEmpty,
+      "the dictionary join must not carry a broadcast hint")
+    val plan = executed(df).split("== Initial Plan ==").head
+    // fixture-scale reading: AQE's measured-size choice is broadcast here
     assert(plan.contains("BroadcastHashJoin"),
-      s"the vocabulary-sized dictionary must broadcast:\n${plan.take(1500)}")
+      s"AQE must broadcast the fixture-scale dictionary:\n${plan.take(1500)}")
     assert(plan.contains("TakeOrderedAndProject"),
       "top-k keywords must not materialize a global sort")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("x48 stream-static enrich: the user-keyed dim is UNHINTED; the planner broadcasts " +
+      "it at fixture scale from relation statistics") {
+    // a user-keyed "dimension" is user-cardinality — unbounded at 100 TB —
+    // so enrichedTumblingAgg must not force a broadcast; the static side's
+    // file-based size statistics give the planner the real number at every
+    // (micro-batch) re-plan
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("x48_stream_static")(spark, dir)
+    assert(analyzedHints(df).isEmpty,
+      "the dim join must not carry a broadcast hint")
+    val plan = executed(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the planner must broadcast the fixture-scale dim:\n${plan.take(1200)}")
   }
 
   test("x94 drift: corpus tokenizes once per slice, vocab join only, totals broadcast") {

@@ -29,12 +29,17 @@ class ScaleSmokeSpec extends AnyFunSuite
     * prior rounds) make drift visible: each row carries its floor and the
     * wall/floor ratio; ratios are informational (the smoke asserts
     * completion + invariants, the bench owns timing enforcement). */
-  private val walls =
-    scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double, Option[String])]
+  private val walls = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Long, Double, Option[String], String)]
 
+  /** `input` = the directory the measurement actually ran against. The
+    * recheck MUST re-run against this exact path: round 13's x121 recheck
+    * re-ran a test that had deliberately built a PLAIN-replicated corpus
+    * (BPE charset) against the shared word-suffixed dir — a different
+    * workload whose "10x speedup" adjudicated nothing. */
   private def record(name: String, rows: Long, wall: Double,
-      note: Option[String] = None): Unit =
-    synchronized { walls(name) = (rows, wall, note) }
+      note: Option[String] = None, input: String = dir): Unit =
+    synchronized { walls(name) = (rows, wall, note, input) }
 
   /** Heavy-by-design rows carry the reason IN the artifact, so their
     * large floors are not misread as regressions in a later round. */
@@ -85,17 +90,20 @@ class ScaleSmokeSpec extends AnyFunSuite
       // lazy session initializes after this afterAll, and getOrCreate
       // replaces a stopped session with a fresh one.
       val flagged = walls.collect {
-        case (n, (_, w, _)) if SparkEntry.queries.contains(n) &&
+        case (n, (_, w, _, _)) if SparkEntry.queries.contains(n) &&
           floors.get(n).exists(fl => w > 2 * fl && w - fl > 1.0) => n
       }.toSeq
       val rechecked: Map[String, Double] =
         if (flagged.isEmpty) Map.empty
         else {
-          val d = dir // realize the scaled inputs path before the stop
           spark.stop()
           System.gc()
           val fresh = graft.core.GraftSession.local(16)
           val res = flagged.map { n =>
+            // recheck against the test's RECORDED input path — not the
+            // shared dir — so tests that built their own corpus (plain
+            // replication for the BPE family) re-measure the same workload
+            val d = walls(n)._4
             // two runs, min — the bench's recheck recipe: the first run in
             // a fresh session carries ~10 s of codegen/classloading that
             // would otherwise read as the operator's own cost
@@ -117,20 +125,25 @@ class ScaleSmokeSpec extends AnyFunSuite
           fresh.stop()
           res
         }
-      val rows = walls.map { case (n, (r, w, note)) =>
+      val rows = walls.map { case (n, (r, w, note, input)) =>
         val fl = floors.get(n)
         val extra = fl.map(f =>
           f""","floor":$f,"ratio":${math.round(w / f * 100) / 100.0}""")
           .getOrElse("")
         val re = rechecked.get(n)
           .map(v => f""","recheck_sec":$v%.1f""").getOrElse("")
+        // which corpus this row (and its recheck) actually measured —
+        // the artifact's self-adjudication field
+        val corpus = if (input == dir) "suffixed10x" else "plain10x"
         val nt = note.map(t => s""","_note":"$t"""").getOrElse("")
-        f"""  "$n": {"rows": $r, "wall_sec": $w%.1f$extra$re$nt}"""
+        f"""  "$n": {"rows": $r, "wall_sec": $w%.1f$extra$re,"input":"$corpus"$nt}"""
       }.mkString(",\n")
       Files.write(java.nio.file.Paths.get(out),
         s"""{\n  "_sf": "sf0.1 x$R",\n$rows\n}\n""".getBytes("UTF-8"))
       info(s"[scale] wrote ${walls.size} rows to $out" +
         (if (rechecked.nonEmpty) s" (rechecked: ${rechecked.keys.mkString(", ")})" else ""))
+      plainDirBuilt.foreach(p =>
+        graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(p)))
     }
     super.afterAll()
   }
@@ -172,6 +185,24 @@ class ScaleSmokeSpec extends AnyFunSuite
     d
   }
 
+  /** PLAIN 10x replication of `documents` (ids shifted, text untouched),
+    * shared by the BPE-family tests: the suffixed corpus's replica digits
+    * fall outside BPE's ^[a-z]+$ training charset and would empty the
+    * word-frequency table. Materialized (not in-memory) so the afterAll
+    * recheck can re-run the SAME inputs by path; deleted after the
+    * artifact is written. */
+  private var plainDirBuilt: Option[String] = None
+  private lazy val plainDir: String = {
+    val d = Files.createTempDirectory("graft_scale10_plain").toString
+    (0 until R).map(i =>
+        spark.read.parquet(s"$src/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
+      .reduce(_ unionAll _)
+      .write.parquet(s"$d/documents.parquet")
+    plainDirBuilt = Some(d)
+    d
+  }
+
   private def run(name: String): Unit = {
     val t0 = System.nanoTime()
     val n = SparkEntry.queries(name)(spark, dir).count()
@@ -200,17 +231,13 @@ class ScaleSmokeSpec extends AnyFunSuite
   }
   test("x75 BPE merge learning completes at 10x") {
     requested()
-    // plain replication (no word suffixing — the scaled corpus's replica
-    // digits would fall outside BPE's ^[a-z]+$ training charset): BPE
-    // only sees the word-frequency table, so dup structure is irrelevant
-    val docs = (0 until R).map(i =>
-        spark.read.parquet(s"$src/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
-      .reduce(_ unionAll _)
+    // plain replication via the shared plainDir: BPE only sees the
+    // word-frequency table, so dup structure is irrelevant
+    val docs = spark.read.parquet(s"$plainDir/documents.parquet")
     val t0 = System.nanoTime()
     val merges = graft.operators.Bpe.learnMerges(docs, rounds = 12)
     val wall = (System.nanoTime() - t0) / 1e9
-    record("x75_bpe_merges", merges.length.toLong, wall)
+    record("x75_bpe_merges", merges.length.toLong, wall, input = plainDir)
     info(f"[scale] x75 merges=${merges.length} wall=$wall%.1fs")
     clearState()
     assert(merges.length == 12)
@@ -350,13 +377,8 @@ class ScaleSmokeSpec extends AnyFunSuite
 
   test("x120 tokenizer fertility completes at 10x (vocabulary-sized encode, source rollup)") {
     requested()
-    // plain replication, like x75: the scaled corpus's replica-suffix
-    // digits would fall outside BPE's ^[a-z]+$ training charset and
-    // empty the word-frequency table
-    val docs = (0 until R).map(i =>
-        spark.read.parquet(s"$src/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
-      .reduce(_ unionAll _)
+    // plain replication via the shared plainDir (BPE charset)
+    val docs = spark.read.parquet(s"$plainDir/documents.parquet")
     val t0 = System.nanoTime()
     val merges = graft.operators.Bpe.learnMerges(docs, rounds = 12)
     val n = graft.operators.Bpe.subwordStats(docs, merges)
@@ -364,7 +386,8 @@ class ScaleSmokeSpec extends AnyFunSuite
       .groupBy(col("source"))
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
       .count()
-    record("x120_tokenizer_fertility", n, (System.nanoTime() - t0) / 1e9)
+    record("x120_tokenizer_fertility", n, (System.nanoTime() - t0) / 1e9,
+      input = plainDir)
     info(f"[scale] x120 sources=$n")
     clearState()
     assert(n > 0, "x120 returned no rows at 10x scale")
@@ -372,21 +395,16 @@ class ScaleSmokeSpec extends AnyFunSuite
 
   test("x121 incremental fertility completes at 10x (frozen merges, batch-cost batches)") {
     requested()
-    // plain replication like x75/x120 (BPE charset), materialized to a
-    // temp table dir because the incremental twin drives the real query
-    // (store merges included) rather than its pieces
-    val d = Files.createTempDirectory("graft_scale_x121").toString
-    (0 until R).map(i =>
-        spark.read.parquet(s"$src/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L)))
-      .reduce(_ unionAll _)
-      .write.parquet(s"$d/documents.parquet")
+    // plain replication via the shared plainDir (BPE charset); the
+    // incremental twin drives the real query (store merges included)
+    // rather than its pieces, and the recorded input path makes any
+    // afterAll recheck re-run THIS corpus, not the suffixed one
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries("x121_incremental_fertility")(spark, d).count()
-    record("x121_incremental_fertility", n, (System.nanoTime() - t0) / 1e9)
+    val n = SparkEntry.queries("x121_incremental_fertility")(spark, plainDir).count()
+    record("x121_incremental_fertility", n, (System.nanoTime() - t0) / 1e9,
+      note = notes.get("x121_incremental_fertility"), input = plainDir)
     info(f"[scale] x121 sources=$n")
     clearState()
-    graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(d))
     assert(n > 0, "x121 returned no rows at 10x scale")
   }
 

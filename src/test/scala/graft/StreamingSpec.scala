@@ -58,7 +58,9 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-static enrichment: streaming events x store dimension == batch twin") {
     // dimension lives in the table store — the streaming medallion shape
     // (facts stream, dims sit in the lakehouse); the static side is
-    // re-planned per micro-batch and broadcast
+    // re-planned per micro-batch, and the planner broadcasts it from its
+    // OWN relation statistics — the operator forces no hint (a user-keyed
+    // dim is user-cardinality; PlanSpec pins the fixture-scale choice)
     val store = new graft.tables.TableStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ss_dim").toString)
     // PARTIAL dimension (odd keys only) so some events have no dim row —

@@ -22,11 +22,31 @@ class CommitLockSpec extends AnyFunSuite {
     Iterator.iterate(4000000L)(_ + 7).find(p =>
       !ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false)).get
 
-  /** A COMPLETE dead-writer token: the breaker only parses the one
-    * fixed-width format writerToken mints (19-digit nanos tail) — a
-    * short tail reads as a truncated write of a LIVE acquirer. */
+  /** A COMPLETE dead-writer token in the fixed-width format writerToken
+    * mints (19-digit nanos tail). */
   private def deadToken(): String =
     f"${TableStore.localHost}~${deadPid()}_${123L}%019d"
+
+  test("a dead holder's LEGACY-format lock (unpadded nanos) is broken — an upgrade " +
+      "overlap must not wedge the table") {
+    import spark.implicits._
+    // pre-hardening builds wrote host~pid_<unpadded nanos>; a lock such a
+    // build's crashed writer left behind must still parse as that dead
+    // writer, or the table wedges until the manual remedy
+    val root = Files.createTempDirectory("graft_lock_legacy").toString
+    val store = new TableStore(spark, root)
+    try {
+      store.createOrReplace("db.t", Seq((1L, "a")).toDF("k", "v"))
+      val lock = Paths.get(root, "db", "t", "_COMMIT_LOCK")
+      Files.write(lock, s"${TableStore.localHost}~${deadPid()}_123".getBytes(UTF_8))
+      store.createOrReplace("db.t", Seq((2L, "b")).toDF("k", "v"))
+      assert(store.read("db.t").agg(max($"k")).head().getLong(0) == 2L)
+      assert(!Files.exists(lock), "a finished commit releases its lock")
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(Paths.get(root))
+    }
+  }
 
   test("a dead holder's retained lock is broken and the commit proceeds") {
     import spark.implicits._

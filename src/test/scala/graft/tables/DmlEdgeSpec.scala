@@ -213,6 +213,23 @@ class DmlEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("insert-only merge rejects t.* references in NOT MATCHED clauses with a named error") {
+    import spark.implicits._
+    import graft.operators.MergeInto
+    // the left-anti fast path has no target side for an unmatched row to
+    // bind t.* against; the error must name the offending column instead
+    // of surfacing the resolver's generic failure
+    val target = Seq((5L, "t5")).toDF("id", "v")
+    val source = Seq((6L, "s6")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeInto(target, source, keys = Seq("id"),
+        notMatched = Seq(MergeInto.NotMatchedInsert(None,
+          Map("id" -> col("s.id"), "v" -> col("t.v")))))
+    }
+    assert(e.getMessage.contains("t.v") && e.getMessage.contains("insert-only"),
+      s"the error must name the offending target reference, got: ${e.getMessage}")
+  }
+
   test("changeFeed over a window with a vacuumed version fails loudly; MV rebuilds") {
     withStore("graft_dml_retired") { (store, _) =>
       import spark.implicits._
@@ -241,6 +258,41 @@ class DmlEdgeSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum("v").as("total")).orderBy("g").collect()
       assert(got.toSeq == want.toSeq,
         s"MV must rebuild across the vacuumed window:\n got ${got.toSeq}\nwant ${want.toSeq}")
+    }
+  }
+
+  test("vacuum folds _retired_v_N markers into the _RETIRED ledger; retirement stays durable") {
+    withStore("graft_dml_retired_ledger") { (store, root) =>
+      import spark.implicits._
+      store.createOrReplace("db.t", Seq((1L, 10L)).toDF("g", "v"))
+      val v0 = store.version("db.t").get
+      store.append("db.t", Seq((2L, 20L)).toDF("g", "v"))
+      store.append("db.t", Seq((3L, 30L)).toDF("g", "v"))
+      val v1 = store.version("db.t").get - 1
+      store.vacuum("db.t", retainMs = 0L)
+      val dir = Paths.get(root, "db", "t")
+      import scala.jdk.CollectionConverters._
+      def markers = {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_retired_v_")).toList
+        finally s.close()
+      }
+      // the fold keeps the directory listing O(live versions): one ledger
+      // file instead of one marker per version ever retired
+      assert(markers.isEmpty,
+        s"vacuum must fold its own markers into the ledger, left: $markers")
+      assert(java.nio.file.Files.exists(dir.resolve("_RETIRED")),
+        "the fold must leave a _RETIRED ledger")
+      assert(store.wasRetired("db.t", v0) && store.wasRetired("db.t", v1),
+        "ledger-recorded retirements must still answer wasRetired")
+      // a second vacuum cycle unions into the same ledger
+      store.append("db.t", Seq((4L, 40L)).toDF("g", "v"))
+      val v2 = store.version("db.t").get - 1
+      store.vacuum("db.t", retainMs = 0L)
+      assert(markers.isEmpty, "re-vacuum must fold again")
+      assert(store.wasRetired("db.t", v0) && store.wasRetired("db.t", v2),
+        "the ledger union must keep earlier retirements while adding new ones")
     }
   }
 
