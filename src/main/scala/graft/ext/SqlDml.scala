@@ -898,10 +898,14 @@ final case class GraftInsertCommand(
         // static PARTITION value: parser-text literal cast to the column
         case Some((_, v)) => lit(v).cast(f.dataType).as(f.name)
         case None =>
-          (if (named.columns.contains(f.name)) col(f.name)
-           else defaults.collectFirst {
-             case (c, sql) if resolves(c, f.name) => expr(sql)
-           }.getOrElse(lit(null)))
+          // resolver-matched, NOT exact `contains`: a column list / BY
+          // NAME spelling differing only in case would otherwise silently
+          // default- or NULL-fill the column it named (the same trap the
+          // MERGE star expansion documents)
+          (named.columns.find(resolves(_, f.name)).map(col)
+            .orElse(defaults.collectFirst {
+              case (c, sql) if resolves(c, f.name) => expr(sql)
+            }).getOrElse(lit(null)))
             .cast(f.dataType).as(f.name)
       }
     }: _*)
@@ -1189,7 +1193,9 @@ final case class GraftCreateMvCommand(view: String, queryText: String,
         val fn = f.nameParts.head.toLowerCase(Locale.ROOT)
         val arg = f.arguments match {
           case Seq(_: UnresolvedStar) => "*"
-          case Seq(Literal(_, _)) => "*" // count(1)
+          // count(1)-style constants; count(NULL) is always 0, NOT
+          // count(*) — mapping it to "*" would maintain the wrong value
+          case Seq(Literal(v, _)) if v != null => "*"
           case Seq(a: UnresolvedAttribute) => a.nameParts.last
           case other => bad(s"$fn argument $other is not a plain column")
         }

@@ -515,10 +515,18 @@ private[graft] class GraftTableMicroBatchStream(
       case None =>
         val prev = store.prevVersion(t, v) match {
           case Some(pv) => store.snapshotInventory(t, pv)._3
-          case None if v == 1 => Seq.empty // table creation
-          case None => throw new IllegalStateException(
-            s"$t: version $v's predecessor was vacuumed — restart the " +
-              "stream from a fresh snapshot (drop startingVersion)")
+          case None =>
+            // No committed version below v. That is the TABLE-CREATION
+            // commit unless some lower number was committed and vacuumed
+            // away — and creation is NOT always v=1: a crashed first
+            // writer's aborted stage burns its number (allocateVersion
+            // bumps past the orphaned dir), so a healthy table's first
+            // commit can be v=2. Benign numbering holes have no retirement
+            // record; a vacuumed predecessor does.
+            if (!(1 until v).exists(store.wasRetired(t, _))) Seq.empty
+            else throw new IllegalStateException(
+              s"$t: version $v's predecessor was vacuumed — restart the " +
+                "stream from a fresh snapshot (drop startingVersion)")
         }
         val prevByPath = prev.map(f => f._1 -> f._3).toMap
         val added = cur.filterNot(f => prevByPath.contains(f._1))

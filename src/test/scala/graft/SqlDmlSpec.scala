@@ -127,6 +127,14 @@ class SqlDmlSpec extends AnyFunSuite {
       spark.sql("INSERT INTO gold.dim (customer_key, wrong_col) VALUES (9, 'x')")
     }
     assert(e.getMessage.contains("wrong_col"))
+
+    // a column list differing only in CASE assigns the value (Spark SQL
+    // is case-insensitive by default) — it must not default/NULL-fill
+    // the column it names
+    spark.sql("INSERT INTO gold.dim (CUSTOMER_KEY, Customer_Name) VALUES (8, 'cased')")
+    assert(store.read("gold.dim").as[(Long, String, String)].collect().toSet
+      .contains((8L, "cased", null)),
+      "a case-differing column list must assign, not NULL-fill")
     store.detach()
   }
 

@@ -141,6 +141,28 @@ class TableStreamSpec extends AnyFunSuite {
     store.detach()
   }
 
+  test("startingVersion streams a table whose first COMMIT is not v1 (aborted first " +
+      "stage burned the number) — a benign hole, not a vacuumed predecessor") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsrc_hole").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tsrc_hole_ckpt").toString
+    // simulate a first writer that crashed mid-stage: its orphaned v_1 dir
+    // (no _MANIFEST) makes the retry's allocateVersion land the CREATION
+    // commit at v_2 — prevVersion(v_2) is None but nothing was vacuumed
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "db", "t", "v_1"))
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.t", spark.range(0, 10).toDF("k"))
+    assert(store.version("db.t").contains(2), "the orphan must burn v1")
+    val q = readTableStream(root, "db.t", Map("startingVersion" -> "1"))
+      .writeStream.format("memory").queryName("thole")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("thole").count() == 10,
+        "the creation commit at v2 must stream in full, not fail as a vacuumed hole")
+    } finally q.stop()
+    store.detach()
+  }
+
   test("maxFilesPerTrigger splits the initial snapshot into bounded micro-batches") {
     val root = java.nio.file.Files.createTempDirectory("graft_admit").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_admit_ckpt").toString
