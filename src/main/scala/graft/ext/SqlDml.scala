@@ -1123,14 +1123,26 @@ final case class GraftShowCreateTableCommand(table: String)
     val schema = store.read(table).schema
     val notNull = store.notNullColumns(table).map(_.toLowerCase).toSet
     val defaults = store.columnDefaults(table)
+    // GENERATED clauses are DECLARATION, not state (the reference's most
+    // distinctive DDL — GENERATED ALWAYS AS IDENTITY, 01_Init.py:59):
+    // omitting them would round-trip to a table whose surrogate keys stop
+    // generating. Only the identity's issued-count is state and stays out.
+    val identity = store.identityColumn(table)
+    val gencols = store.generatedColumns(table)
     val cols = schema.fields.map { f =>
       val nn = if (notNull(f.name.toLowerCase)) " NOT NULL" else ""
+      val gen = identity.collect {
+        case (c, start, step, _) if c.equalsIgnoreCase(f.name) =>
+          s" GENERATED ALWAYS AS IDENTITY (START WITH $start INCREMENT BY $step)"
+      }.orElse(gencols.collectFirst {
+        case (c, sql) if c.equalsIgnoreCase(f.name) => s" GENERATED ALWAYS AS ($sql)"
+      }).getOrElse("")
       val dflt = defaults.collectFirst {
         case (c, sql) if c.equalsIgnoreCase(f.name) => s" DEFAULT $sql"
       }.getOrElse("")
       val comment = m.columnComments.get(f.name)
         .map(c => s" COMMENT '${c.replace("'", "''")}'").getOrElse("")
-      s"  `${f.name}` ${f.dataType.sql}$nn$dflt$comment"
+      s"  `${f.name}` ${f.dataType.sql}$gen$nn$dflt$comment"
     }
     val pk = m.properties.get("primary_key").map(k =>
       s"  CONSTRAINT pk PRIMARY KEY ($k)").toSeq

@@ -142,11 +142,17 @@ class ColumnConstraintsSpec extends AnyFunSuite {
       spark.sql("INSERT INTO ddl.orders (amount) VALUES (1.0)")
     }
     assert(messages(e2).exists(_.contains("NOT NULL constraint")), e2.toString)
-    // SHOW CREATE TABLE round-trips the declarations
+    // SHOW CREATE TABLE round-trips the declarations — INCLUDING the
+    // GENERATED clauses: a reconstruction missing them would create a
+    // table whose surrogate keys stop generating (the reference's most
+    // distinctive DDL, 01_Init.py:59)
     val ddl = spark.sql("SHOW CREATE TABLE ddl.orders").head().getString(0)
     assert(ddl.contains("NOT NULL") && ddl.contains("DEFAULT 'NEW'") &&
       ddl.contains("PRIMARY KEY") && ddl.contains("FOREIGN KEY") &&
       ddl.contains("CHECK"), ddl)
+    assert(ddl.contains(
+      "GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2)"), ddl)
+    assert(ddl.contains("GENERATED ALWAYS AS (amount * 2)"), ddl)
     // a non-store namespace falls through to Spark untouched
     val e3 = intercept[Exception] {
       spark.sql("CREATE TABLE nosuchdb.t (k INT) USING parquet")
