@@ -225,12 +225,18 @@ object Graph {
         .select(col("s").as("id"), col("label"))
         .join(labeled.select(col("id")), Seq("id"), "left_anti")
         .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax by (votes desc, label asc) as ONE partial-aggregable
+      // min(struct(-c, label)): struct ordering is field-lexicographic,
+      // so the minimum is the largest vote count with the smallest label
+      // breaking ties — identical semantics to the rank-1 window this
+      // replaces, without the window's per-partition SORT (r15 plan
+      // change: the window ran a full sort of the vote set every round
+      // on top of the groupBy shuffle; min() map-side-combines instead,
+      // so round cost tracks candidate IDS, not votes)
       val adopted = votes
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-            .orderBy(col("c").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("label"), lit(r.toLong).as("round"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("id"), col("m.label").as("label"), lit(r.toLong).as("round"))
       labeled = labeled.unionAll(adopted).materialized
     }
     labeled

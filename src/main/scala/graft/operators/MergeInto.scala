@@ -46,6 +46,40 @@ object MergeInto {
   private val TMark = "__graft_t"
   private val SMark = "__graft_s"
 
+  /** Resolve a user-written column reference against `fields` under the
+    * session resolver: exact match first, else the unique case-insensitive
+    * match (Spark's default resolution), else a named error. The r14
+    * INSERT column-list bug (`ext/SqlDml.scala:898`) was an instance of a
+    * CLASS — string-keyed Map lookups against schema-cased names silently
+    * no-op on a cased identifier (`SET ACCTBAL = 0` leaving `acctbal`
+    * untouched) — so every clause map funnels through this before any
+    * `.get`/`.getOrElse` against schema names. */
+  private[graft] def resolveColumn(fields: Seq[String], ref: String,
+      caseSensitive: Boolean, ctx: String): String =
+    fields.find(_ == ref).getOrElse {
+      if (caseSensitive)
+        throw new IllegalArgumentException(
+          s"$ctx: column $ref not found among (${fields.mkString(", ")})")
+      else fields.filter(_.equalsIgnoreCase(ref)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"$ctx: column $ref not found among (${fields.mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"$ctx: column $ref is ambiguous under case-insensitive " +
+            s"resolution: ${many.mkString(", ")}")
+      }
+    }
+
+  private[graft] def normalizeSet(fields: Seq[String], set: Map[String, Column],
+      caseSensitive: Boolean, ctx: String): Map[String, Column] = {
+    val resolved = set.toSeq.map { case (k, v) =>
+      resolveColumn(fields, k, caseSensitive, ctx) -> v }
+    val dups = resolved.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"$ctx: multiple assignments target the same column(s) ${dups.mkString(", ")}")
+    resolved.toMap
+  }
+
   /** Delta parity: error when a target row would match multiple source
     * rows. Kept as an up-front check (one cheap extra job) rather than
     * fused into the merge join — fusing needs a per-target-row window
@@ -82,11 +116,15 @@ object MergeInto {
     * target scan to the keys — this is how the table store's file-pruned
     * merge appends inserts without rewriting a single existing file. */
   def insertedRows(target: DataFrame, source: DataFrame, keys: Seq[String],
-      extraOn: Option[Column], notMatched: Seq[NotMatchedInsert]): DataFrame = {
+      extraOn: Option[Column], notMatched0: Seq[NotMatchedInsert]): DataFrame = {
     val outCols = target.columns.toSeq
     val outTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
-    if (notMatched.isEmpty)
+    if (notMatched0.isEmpty)
       return target.filter(lit(false)) // no insert clauses → empty, target schema
+    val cs = target.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val notMatched = notMatched0.map(i =>
+      NotMatchedInsert(i.cond, normalizeSet(outCols, i.values, cs, "MERGE INSERT")))
     val t = target.alias("t")
     val s = source.alias("s")
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -131,10 +169,22 @@ object MergeInto {
       source: DataFrame,
       keys: Seq[String],
       extraOn: Option[Column],
-      matched: Seq[MatchedAction],
-      notMatchedBySource: Seq[BySourceAction]): DataFrame = {
+      matched0: Seq[MatchedAction],
+      notMatchedBySource0: Seq[BySourceAction]): DataFrame = {
     val outCols = target.columns.toSeq
     val outTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cs = target.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val matched = matched0.map {
+      case MatchedUpdate(c, set) =>
+        MatchedUpdate(c, normalizeSet(outCols, set, cs, "MERGE UPDATE SET"))
+      case d => d
+    }
+    val notMatchedBySource = notMatchedBySource0.map {
+      case BySourceUpdate(c, set) =>
+        BySourceUpdate(c, normalizeSet(outCols, set, cs, "MERGE BY SOURCE UPDATE SET"))
+      case d => d
+    }
     val t = target.withColumn(TMark, lit(true)).alias("t")
     val s = source.withColumn(SMark, lit(true)).alias("s")
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -184,6 +234,39 @@ object MergeInto {
       failOnMultipleMatches: Boolean = true): DataFrame = {
 
     require(keys.nonEmpty, "merge keys must be non-empty")
+
+    // normalize every user-written identifier (ON keys, SET/INSERT map
+    // keys) to the target schema's spelling before any exact-string
+    // lookup below — see resolveColumn
+    val cs = target.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val tCols = target.columns.toSeq
+    val keysN = keys.map(resolveColumn(tCols, _, cs, "MERGE ON"))
+    val matchedN = matched.map {
+      case MatchedUpdate(c, set) =>
+        MatchedUpdate(c, normalizeSet(tCols, set, cs, "MERGE UPDATE SET"))
+      case d => d
+    }
+    val notMatchedN = notMatched.map(i =>
+      NotMatchedInsert(i.cond, normalizeSet(tCols, i.values, cs, "MERGE INSERT")))
+    val notMatchedBySourceN = notMatchedBySource.map {
+      case BySourceUpdate(c, set) =>
+        BySourceUpdate(c, normalizeSet(tCols, set, cs, "MERGE BY SOURCE UPDATE SET"))
+      case d => d
+    }
+    applyNormalized(target, source, keysN, extraOn, matchedN, notMatchedN,
+      notMatchedBySourceN, failOnMultipleMatches)
+  }
+
+  private def applyNormalized(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      extraOn: Option[Column],
+      matched: Seq[MatchedAction],
+      notMatched: Seq[NotMatchedInsert],
+      notMatchedBySource: Seq[BySourceAction],
+      failOnMultipleMatches: Boolean): DataFrame = {
 
     // An INSERT-ONLY merge (no matched, no by-source clauses) is legal
     // even when several source rows match one target row — there is
@@ -254,11 +337,19 @@ object MergeInto {
       // named-column error beats the resolver's generic failure, and the
       // contract matches Delta's: NOT MATCHED clauses may reference only
       // the source.
+      // The alias match is case-INsensitive (the full-outer plan resolves
+      // `T.v` against alias `t` under Spark's default resolver, so the
+      // guard must catch the same spellings), and a head that ALSO names
+      // a real top-level source column (a struct literally called `t`)
+      // is exempt — those references legitimately resolve against the
+      // source-only frame.
+      val tIsSourceCol = source.columns.exists(_.equalsIgnoreCase("t"))
       val targetRefs = notMatched
         .flatMap(i => i.cond.toSeq ++ i.values.values)
         .flatMap(org.apache.spark.sql.GraftShims.catalystExpr(_).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if a.nameParts.length > 1 && a.nameParts.head == "t" => a.name
+              if a.nameParts.length > 1 && a.nameParts.head.equalsIgnoreCase("t") &&
+                !tIsSourceCol => a.name
         }).distinct
       require(targetRefs.isEmpty,
         s"insert-only merge: NOT MATCHED clauses may reference only source " +

@@ -184,10 +184,24 @@ object Scd {
     * an identical batch is a no-op by SCD2 idempotence, which is what
     * makes the streaming sink safe under foreachBatch's at-least-once
     * contract. */
+  /** @param pruneCurrentByBatchKeyRange gate the change-detection pre-join
+    *   below by the BATCH's per-key [min, max] box (one tiny batch
+    *   aggregation, the mergeCandidates cut applied one layer up): the
+    *   pre-join only needs current rows whose key exists in the batch, so
+    *   the box is a pure superset filter — semantics unchanged — and on a
+    *   key-clustered table it turns a per-batch scan of the WHOLE current
+    *   slice into the overlapping files only. Off by default: the batch
+    *   pipeline's full-snapshot loads touch every key anyway (the box
+    *   covers everything and the extra driver job is pure cost); the
+    *   STREAMING sink turns it on, where micro-batches are narrow and
+    *   per-batch cost must track the batch, not the table. Random
+    *   (unclustered) keys degrade gracefully — the box covers the table
+    *   and only the small aggregation is wasted. */
   def scd2ApplyBatch(store: graft.tables.TableStore, table: String, batch: DataFrame,
       keys: Seq[String], loadTs: Column, initAudit: Boolean = false,
       txn: Option[graft.tables.Txn] = None,
-      closeVanished: Boolean = true): Unit = {
+      closeVanished: Boolean = true,
+      pruneCurrentByBatchKeyRange: Boolean = false): Unit = {
     val ts = loadTs.cast(TimestampType)
     // one dispatch for both paths: staged into the transaction when given
     // one, an immediate per-table commit otherwise (see TableWriter)
@@ -208,7 +222,18 @@ object Scd {
     // cannot match, so it reaches the insert clause)
     // readWhere: the IS NULL predicate hits null-count file skipping, so
     // closed-history files never open for the change-detection join
-    val current = store.readWhere(table, col(ValidTo).isNull)
+    val boxPred: Option[Column] =
+      if (!pruneCurrentByBatchKeyRange) None
+      else {
+        val exprs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val r = batch.agg(exprs.head, exprs.tail: _*).head()
+        if (keys.indices.exists(i => r.isNullAt(2 * i))) None // empty batch
+        else Some(keys.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
+        }.reduce(_ && _))
+      }
+    val current = store.readWhere(table,
+      boxPred.map(col(ValidTo).isNull && _).getOrElse(col(ValidTo).isNull))
     val changed = batch.alias("s")
       .join(current.alias("t"),
         keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _))

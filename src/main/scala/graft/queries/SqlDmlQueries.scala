@@ -557,7 +557,51 @@ object SqlDmlQueries {
       store)
   }
 
+  // q60: DESCRIBE HISTORY's operation metrics under the hard oracle gate —
+  // a known DML sequence (create, insert, update, delete, merge) replayed
+  // on a scratch table; the ledger's data-deterministic invariants
+  // (version order, operation labels, post-commit row count, net row
+  // delta) must equal DuckDB's arithmetic over the same batch
+  // definitions. rows_added / rows_removed INDIVIDUALLY are layout facts
+  // (a CoW update's rows_added counts the rewritten files' rows, which
+  // depends on how many files the touched rows lived in), so the gate
+  // pins their data-deterministic combination net = added − removed and
+  // the running num_rows — exactly the quantities a user audits a ledger
+  // with. LakeFeaturesSpec keeps the file-level assertions.
+  def q60HistoryMetrics(s: SparkSession, dir: String): DataFrame = {
+    val store = Scratch.store(s, "graft_sqldml_q")
+    store.createOrReplace("lake.hist",
+      t(s, dir, "customer").filter(col("c_custkey") % 10 < 8)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    t(s, dir, "customer").filter(col("c_custkey") % 10 >= 8)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .createOrReplaceTempView("hist_b2")
+    s.sql("INSERT INTO lake.hist SELECT * FROM hist_b2")
+    s.sql("UPDATE lake.hist SET c_acctbal = 0.0 WHERE c_custkey % 7 = 0")
+    s.sql("DELETE FROM lake.hist WHERE c_custkey % 5 = 0")
+    t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .createOrReplaceTempView("hist_src")
+    s.sql(
+      """MERGE INTO lake.hist AS t
+        |USING hist_src AS s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET t.c_acctbal = s.c_acctbal + 1.0
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+        |  VALUES (s.c_custkey, s.c_name, s.c_acctbal)
+        |""".stripMargin)
+    Scratch.seal(
+      s.sql("DESCRIBE HISTORY lake.hist")
+        .select(col("version"),
+          col("operation"),
+          col("num_rows").cast("long").as("num_rows"),
+          (col("rows_added") - col("rows_removed")).cast("long").as("net_rows"))
+        .orderBy(col("version")),
+      store)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_history_metrics" -> q60HistoryMetrics _,
     "q58_mor_merge" -> q58MorMerge _,
     "q57_create_table_ddl" -> q57CreateTableDdl _,
     "q56_row_tracking" -> q56RowTracking _,
@@ -587,6 +631,28 @@ object SqlDmlQueries {
       |FROM customer WHERE c_custkey % 10 < 9 AND c_custkey % 17 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q60_history_metrics" ->
+      """WITH
+        |n1 AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 10 < 8),
+        |n2 AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 10 >= 8),
+        |nd AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 5 = 0),
+        |ni AS (SELECT count(*) AS n FROM customer
+        |       WHERE c_custkey % 3 = 0 AND c_custkey % 5 = 0),
+        |tot AS (SELECT count(*) AS n FROM customer)
+        |SELECT CAST(version AS INT) AS version, operation,
+        |       CAST(num_rows AS BIGINT) AS num_rows,
+        |       CAST(net_rows AS BIGINT) AS net_rows
+        |FROM (
+        |  SELECT 1 AS version, 'write' AS operation,
+        |         (SELECT n FROM n1) AS num_rows, (SELECT n FROM n1) AS net_rows
+        |  UNION ALL SELECT 2, 'append', (SELECT n FROM tot), (SELECT n FROM n2)
+        |  UNION ALL SELECT 3, 'update', (SELECT n FROM tot), 0
+        |  UNION ALL SELECT 4, 'delete',
+        |         (SELECT n FROM tot) - (SELECT n FROM nd), -(SELECT n FROM nd)
+        |  UNION ALL SELECT 5, 'merge',
+        |         (SELECT n FROM tot) - (SELECT n FROM nd) + (SELECT n FROM ni),
+        |         (SELECT n FROM ni)
+        |) ORDER BY version""".stripMargin,
     "q58_mor_merge" ->
       """WITH tgt AS (
         |  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 4 = 1),

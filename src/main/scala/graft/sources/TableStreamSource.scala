@@ -523,7 +523,7 @@ private[graft] class GraftTableMicroBatchStream(
             // bumps past the orphaned dir), so a healthy table's first
             // commit can be v=2. Benign numbering holes have no retirement
             // record; a vacuumed predecessor does.
-            if (!(1 until v).exists(store.wasRetired(t, _))) Seq.empty
+            if (!store.retiredVersions(t).exists(_ < v)) Seq.empty
             else throw new IllegalStateException(
               s"$t: version $v's predecessor was vacuumed — restart the " +
                 "stream from a fresh snapshot (drop startingVersion)")

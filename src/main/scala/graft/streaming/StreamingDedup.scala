@@ -52,10 +52,16 @@ object StreamingDedup {
     // for the gate below. One sink instance owns its tables (the
     // exactly-once argument already requires that), so no other writer
     // can move the true max behind this bound.
+    // All ORDER comparisons against the bound happen in Spark expressions
+    // (min(..) < lit(bound), greatest(max(..), lit(bound))), never in
+    // driver-side Java compareTo: for string ids Java's UTF-16 code-unit
+    // order disagrees with Spark's UTF8String byte order on
+    // supplementary-plane characters (U+10000 sorts below U+FFFF in Java
+    // but above in Spark), and a gate built on the wrong ordering could
+    // skip a NEEDED retraction — silently breaking the "kept set is a
+    // function of the data alone" invariant the batch twin pins.
     var keptMax: Any = null
     var seeded = false
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val sigs = Dedup.bandKeys(batch, idCol, textCol, n, bands, rows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -92,8 +98,12 @@ object StreamingDedup {
             .agg(max(col(idCol))).head().get(0)
           seeded = true
         }
-        val batchMin = sigs.agg(min(col("doc"))).head().get(0)
-        if (batchMin != null && keptMax != null && lt(batchMin, keptMax)) {
+        val needRetract = keptMax != null && sigs
+          .agg(coalesce(
+            min(col("doc")) < lit(keptMax).cast(sigs.schema("doc").dataType),
+            lit(false)))
+          .head().getBoolean(0)
+        if (needRetract) {
           val retractIds = store.read(sigTable)
             .join(store.read(keptTable).select(col(idCol).as("doc")), "doc")
             .alias("b")
@@ -114,11 +124,15 @@ object StreamingDedup {
             batch.columns.toSeq.map(c => c -> col(s"s.$c")).toMap)))
         // grow the bound by this batch's candidate inserts (an over-
         // approximation: rows the insert-only merge skipped or a later
-        // batch retracts only leave the bound above the true max)
-        val batchKeptMax = kept.agg(max(col(idCol))).head().get(0)
-        if (batchKeptMax != null &&
-            (keptMax == null || lt(keptMax, batchKeptMax)))
-          keptMax = batchKeptMax
+        // batch retracts only leave the bound above the true max);
+        // `greatest` skips nulls, so an empty batch or a null prior
+        // bound degrades to the other operand
+        val grown = kept
+          .agg(greatest(
+            max(col(idCol)),
+            lit(keptMax).cast(kept.schema(idCol).dataType)))
+          .head().get(0)
+        if (grown != null) keptMax = grown
       } finally sigs.unpersist()
     }
   }

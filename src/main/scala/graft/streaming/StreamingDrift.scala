@@ -22,6 +22,16 @@ import graft.tables.TableStore
   * corpus costs each batch one tokenize+count and one vocab-sized merge —
   * x102's economics with the push model's latency.
   *
+  * Per-batch cost audit (the r14/r15 streaming-sink sweep): the report
+  * step reads the WHOLE profile table each batch and the absorb step
+  * merges into it — both grow with PROFILE size, not batch size. That is
+  * inherent to drift comparison (the report is "batch vs everything seen
+  * so far") and bounded in a different way: the profile holds one row per
+  * DISTINCT TERM, so it is vocabulary-sized — sublinear in the corpus and
+  * effectively capped by the language (Heaps' law), not something a gate
+  * can skip. The merge itself stays candidate-bounded like every store
+  * merge.
+  *
   * Exactly-once under foreachBatch's at-least-once contract via
   * [[StreamingIngest]]'s transactional-label pattern: the report append
   * and the profile merge each carry the micro-batch id as their commit's

@@ -21,6 +21,13 @@ import graft.tables.TableStore
   *    skipped entirely;
   *  - otherwise append the batch's rows as new files (current files carry
   *    over untouched — the cheapest possible write at 100 TB).
+  *
+  * Per-batch cost audit (the r14/r15 streaming-sink sweep): every data
+  * job here is batch-sized. The one table-size-DEPENDENT step is the
+  * manifest rewrite inside the commit — O(live files) driver-side
+  * metadata, inherent to the manifest design (Delta pays the same in its
+  * log checkpoint), and bounded by keeping files right-sized
+  * (`target_file_rows` + periodic OPTIMIZE), not by gating.
   */
 object StreamingIngest {
 

@@ -67,7 +67,14 @@ object StreamingUpsert {
       // the merge shape itself (null-merge-key duplication, one atomic
       // commit per batch) is shared with the batch medallion — see
       // Scd.scd2ApplyBatch for the semantics and scale notes
+      // pruneCurrentByBatchKeyRange: the change-detection pre-join is
+      // gated by the batch's key box (one tiny agg job per batch) so a
+      // narrow micro-batch against a key-clustered 100 TB history costs
+      // its overlapping files, not the whole current slice — the same
+      // per-batch-cost-tracks-the-batch audit StreamingDedup's retraction
+      // gate closed in r14
       Scd.scd2ApplyBatch(store, table, batch, keys, tsForBatch(batchId),
-        closeVanished = snapshotBatches)
+        closeVanished = snapshotBatches,
+        pruneCurrentByBatchKeyRange = true)
     }
 }

@@ -1221,8 +1221,19 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       // physical names files store.
       val checked = toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, df)))
       val physName = { val rev = renames(name).map(_.swap); (c: String) => rev.getOrElse(c, c) }
-      val (pbP, swP, sfP) = (partitionBy.map(physName), sortWithin.map(physName),
-        statsFor.map(physName))
+      // Loose case-normalization of the layout lists: a cased identifier
+      // (statsFor = "L_ORDERKEY" on column l_orderkey) otherwise slips
+      // through the exact-case statCols filter below and silently
+      // disables stats/pruning for that column. LOOSE on purpose — these
+      // lists ride every DML rewrite via readLayout and may legitimately
+      // carry names a schema change removed; unknown names stay as-is
+      // (and are dropped by the filter), they are not an error here.
+      def resolveLoose(c: String): String =
+        if (checked.columns.contains(c)) c
+        else checked.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+      val (pbP, swP, sfP) = (partitionBy.map(physName).map(resolveLoose),
+        sortWithin.map(physName).map(resolveLoose),
+        statsFor.map(physName).map(resolveLoose))
       // partition columns are duplicated into __p_* for the directory layout
       // so the REAL columns stay in the data files (manifest reads need no
       // hive partition reconstruction)
@@ -2426,7 +2437,8 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     // vacuum destroyed — its row-level changes are unrecoverable, and
     // silently omitting them would hand a consumer (an MV refresh, a
     // downstream sync) a delta that no longer reconstructs the table
-    (fromVersion + 1 to toVersion).find(v => wasRetired(name, v)).foreach(v =>
+    val retired = retiredVersions(name)
+    (fromVersion + 1 to toVersion).find(retired.contains).foreach(v =>
       throw new IllegalStateException(
         s"$name: changeFeed($fromVersion, $toVersion] includes version $v, " +
           "which has been vacuumed — its changes cannot be replayed; start " +
@@ -3038,6 +3050,27 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       }
     }
 
+  /** ALL retired versions of `name`, from one marker listing + one ledger
+    * read — the set-membership form of [[wasRetired]] for callers that
+    * would otherwise probe a RANGE of versions (the table-stream's
+    * creation-commit check, changeFeed's window scan), each probe
+    * re-reading the ledger file: O(v) full-file reads for a creation
+    * commit at a high number. A version still holding its manifest is
+    * excluded (the marker-written-but-delete-crashed window), matching
+    * [[wasRetired]] exactly. */
+  private[graft] def retiredVersions(name: String): Set[Int] = {
+    val dir = tableDir(name)
+    val markers = listDir(dir)
+      .filter(_.getFileName.toString.startsWith("_retired_v_"))
+      .map(_.getFileName.toString.stripPrefix("_retired_v_").toInt)
+    val ledger = dir.resolve("_RETIRED")
+    val fromLedger =
+      if (!Files.exists(ledger)) Seq.empty[Int]
+      else Files.readAllLines(ledger).asScala.toSeq
+        .map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    (markers ++ fromLedger).toSet.filterNot(hasVersion(name, _))
+  }
+
   /** The committed version immediately before `v` in commit order. */
   private[graft] def prevVersion(name: String, v: Int): Option[Int] =
     versions(name).filter(_ < v).maxOption
@@ -3374,7 +3407,16 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * into the new manifest untouched. In `mor` mode ([[setDmlMode]]) the
     * matched positions are deletion-vectored and the rewritten rows
     * appended — no existing file is rewritten at all. */
-  def update(name: String, cond: Column, set: Map[String, Column]): Unit =
+  def update(name: String, cond: Column, set0: Map[String, Column]): Unit = {
+    // SET keys must match the schema's spelling before the exact-string
+    // projection lookups below (and in the mor path) — a cased identifier
+    // (`SET ACCTBAL = 0` on column acctbal) otherwise silently left the
+    // column untouched, and an unknown column silently no-opped instead
+    // of erroring. Same r14 bug class as the INSERT column list.
+    val set = MergeInto.normalizeSet(
+      read(name).columns.toSeq, set0,
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean,
+      s"UPDATE $name SET")
     if (dmlMode(name) == "mor") commitMorDml(name, cond, Some(set), "update")
     else {
       val base = currentVersion(name).getOrElse(
@@ -3407,6 +3449,7 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
         carryOver = entries.filterNot(e => touched(e.rel)), schemaHint = Some(schema),
         expectedBase = Some(Some(base)), op = "update", cdc = cdc)
     }
+  }
 
   /** K6: DELETE FROM … WHERE — file-pruned copy-on-write, or a pure
     * deletion-vector commit in `mor` mode. */
@@ -3557,17 +3600,45 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   private[tables] def mergeInternal(
       name: String,
       source: DataFrame,
-      keys: Seq[String],
+      keys0: Seq[String],
       extraOn: Option[Column],
-      matched: Seq[MergeInto.MatchedAction],
-      notMatched: Seq[MergeInto.NotMatchedInsert],
-      notMatchedBySource: Seq[MergeInto.BySourceAction],
+      matched0: Seq[MergeInto.MatchedAction],
+      notMatched0: Seq[MergeInto.NotMatchedInsert],
+      notMatchedBySource0: Seq[MergeInto.BySourceAction],
       schemaEvolution: Boolean,
       op: String,
       txn: Option[Txn]): Unit = {
     val base = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"table not found: $name"))
     val (schema0, entries) = readManifest(name, base)
+    // Normalize every user-written identifier (ON keys, SET/INSERT map
+    // keys) to the table schema's spelling ONCE, so the whole path below
+    // (stats pruning, mor post-images, CDC emit, the CoW rewrite) does
+    // exact-string lookups against names it can trust — a cased
+    // identifier otherwise silently no-ops (MergeInto.resolveColumn).
+    val csFlag = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val lnames = logicalizeSchema(name, schema0).fieldNames.toSeq
+    val keys = keys0.map(
+      MergeInto.resolveColumn(lnames, _, csFlag, s"MERGE INTO $name ON"))
+    // clause SET/INSERT maps may reference schema-evolution columns not
+    // yet in the table — resolve against table ∪ source names (the
+    // evolved schema; without schemaEvolution a source-only name still
+    // fails later with the schema-mismatch error, as before)
+    val evoNames = (lnames ++ source.columns.filterNot(c =>
+      lnames.exists(l => if (csFlag) l == c else l.equalsIgnoreCase(c)))).toSeq
+    val setNames = if (schemaEvolution) evoNames else lnames
+    val matched = matched0.map {
+      case MergeInto.MatchedUpdate(c, set) => MergeInto.MatchedUpdate(c,
+        MergeInto.normalizeSet(setNames, set, csFlag, s"MERGE INTO $name UPDATE SET"))
+      case d => d
+    }
+    val notMatched = notMatched0.map(i => MergeInto.NotMatchedInsert(i.cond,
+      MergeInto.normalizeSet(setNames, i.values, csFlag, s"MERGE INTO $name INSERT")))
+    val notMatchedBySource = notMatchedBySource0.map {
+      case MergeInto.BySourceUpdate(c, set) => MergeInto.BySourceUpdate(c,
+        MergeInto.normalizeSet(setNames, set, csFlag, s"MERGE INTO $name BY SOURCE UPDATE SET"))
+      case d => d
+    }
     // match source to target columns under the session's resolver (Spark
     // SQL resolution is case-insensitive unless spark.sql.caseSensitive) —
     // a source column differing only in case is the SAME column, not a
@@ -4258,10 +4329,14 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     require(cols.nonEmpty, s"$name: bloom filter index needs at least one column")
     require(ndv > 0, s"$name: bloom ndv must be positive, got $ndv")
     val visible = logicalizeSchema(name, currentManifest(name)._1).fieldNames
-    cols.foreach(c => require(visible.exists(_.equalsIgnoreCase(c)),
-      s"$name bloom index: no column $c (columns: ${visible.mkString(", ")})"))
+    // store the SCHEMA's spelling, not the user's — downstream consumers
+    // do exact-string matches against schema names (the r14 cased-INSERT
+    // bug class), and a cased stored name would silently dead-arm the index
+    val resolved = cols.map(MergeInto.resolveColumn(visible.toSeq, _,
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean,
+      s"$name bloom index"))
     setMeta(name, meta(name).copy(properties = meta(name).properties +
-      ("bloom.cols" -> cols.mkString(",")) + ("bloom.ndv" -> ndv.toString)))
+      ("bloom.cols" -> resolved.mkString(",")) + ("bloom.ndv" -> ndv.toString)))
   }
 
   def dropBloomFilterIndex(name: String): Unit =
@@ -4742,6 +4817,18 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       // Without the fold the table directory grows one file per version
       // ever retired, taxing every listing (`versions()`, each re-vacuum)
       // with O(all-time history) entries instead of O(live versions).
+      //
+      // FORMAT BUMP (r14): the fold makes retirement records invisible
+      // to builds that predate the `_RETIRED` ledger — their marker-only
+      // `wasRetired` answers false after this vacuum, the silent
+      // data-skip the marker exists to prevent. Running a MIXED
+      // deployment through an upgrade (the overlap the legacy
+      // lock-token tolerance supports)? Set table property
+      // `graft.vacuum.keepRetiredMarkers=true` for the transition
+      // window: the fold still unions into the ledger (new readers get
+      // the O(1) path) but RETAINS the markers old readers need; clear
+      // the property once every reader is ledger-aware and the next
+      // vacuum folds them away.
       val markers = listDir(dir)
         .filter(_.getFileName.toString.startsWith("_retired_v_"))
       if (markers.nonEmpty) {
@@ -4756,7 +4843,9 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
           (prev ++ retiredNow).toSeq.sorted.mkString("\n").getBytes(UTF_8))
         Files.move(tmp, ledger, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
-        markers.foreach(Files.deleteIfExists(_))
+        if (!meta(name).properties.get("graft.vacuum.keepRetiredMarkers")
+            .exists(_.equalsIgnoreCase("true")))
+          markers.foreach(Files.deleteIfExists(_))
       }
     }
   }

@@ -129,4 +129,103 @@ class InsertAlignmentPropertySpec extends AnyFunSuite {
       graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // The r14 INSERT fix was an instance of a CLASS: any string-keyed map
+  // lookup against schema-cased names silently no-ops on a cased
+  // identifier. This property sweeps the OTHER DML surfaces — MERGE ON
+  // keys, MERGE UPDATE SET / INSERT maps, NOT MATCHED BY SOURCE SET,
+  // UPDATE SET targets (SQL text and the TableStore API), and bloom-index
+  // DDL — asserting a case-mangled spelling lands BIT-IDENTICAL state to
+  // the schema-cased spelling of the same operation.
+  // ---------------------------------------------------------------------
+
+  private def m(c: String, up: Boolean): String = if (up) c.toUpperCase else c
+
+  test("case-mangled identifiers across MERGE/UPDATE/bloom surfaces land the " +
+      "same state as schema-cased spellings") {
+    val root = Files.createTempDirectory("graft_caseprop").toString
+    val store = new TableStore(spark, root)
+    try {
+      val flagsGen: Gen[(List[Boolean], Int)] = for {
+        fs <- Gen.listOfN(8, Gen.oneOf(true, false))
+        whereK <- Gen.choose(0, 4)
+      } yield (fs, whereK)
+      val prop = Prop.forAll(flagsGen) { case (fs, whereK) =>
+        import spark.implicits._
+        val List(fOn, fSet, fInsK, fInsV, fBys, fUpd, fApiK, fApiSet) = fs
+        val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+          (4L, "d", 4.0)).toDF("k", "v", "x")
+        val src = Seq((2L, "B2", 20.0), (3L, "C2", 30.0), (5L, "E", 50.0))
+          .toDF("k", "v", "x")
+        // twin tables: db.a takes the mangled statements, db.b the exact
+        for (t <- Seq("db.a", "db.b")) store.createOrReplace(t, seed)
+        src.createOrReplaceTempView("case_src")
+        def mergeSql(t: String, mangled: Boolean): String = {
+          def id(c: String, f: Boolean) = if (mangled) m(c, f) else c
+          s"""MERGE INTO $t AS tgt USING case_src AS src
+             |ON tgt.${id("k", fOn)} = src.${id("k", fOn)}
+             |WHEN MATCHED AND src.k < 3 THEN UPDATE SET
+             |  tgt.${id("v", fSet)} = src.v
+             |WHEN NOT MATCHED THEN INSERT
+             |  (${id("k", fInsK)}, ${id("v", fInsV)}, x)
+             |  VALUES (src.k, src.v, src.x)
+             |WHEN NOT MATCHED BY SOURCE AND tgt.k = 4 THEN UPDATE SET
+             |  tgt.${id("x", fBys)} = tgt.x + 100.0
+             |""".stripMargin
+        }
+        spark.sql(mergeSql("db.a", mangled = true))
+        spark.sql(mergeSql("db.b", mangled = false))
+        def updSql(t: String, mangled: Boolean): String = {
+          def id(c: String, f: Boolean) = if (mangled) m(c, f) else c
+          s"UPDATE $t SET ${id("x", fUpd)} = x * 2.0 WHERE k = $whereK"
+        }
+        spark.sql(updSql("db.a", mangled = true))
+        spark.sql(updSql("db.b", mangled = false))
+        // API surfaces: cased merge keys + cased SET map keys, cased update map
+        store.merge("db.a", src.filter(col("k") === 2L),
+          keys = Seq(m("k", fApiK)),
+          matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
+            Map(m("v", fApiSet) -> concat(col("t.v"), org.apache.spark.sql.functions.lit("!"))))))
+        store.merge("db.b", src.filter(col("k") === 2L), keys = Seq("k"),
+          matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
+            Map("v" -> concat(col("t.v"), org.apache.spark.sql.functions.lit("!"))))))
+        store.update("db.a", col("k") === 5L, Map(m("x", fApiSet) -> org.apache.spark.sql.functions.lit(99.0)))
+        store.update("db.b", col("k") === 5L, Map("x" -> org.apache.spark.sql.functions.lit(99.0)))
+        val got = store.read("db.a").collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString("|"))
+        val want = store.read("db.b").collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString("|"))
+        if (got != want)
+          Prop.falsified :| s"flags=$fs whereK=$whereK\n got: $got\nwant: $want"
+        else Prop.passed
+      }
+      val result = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(16).withInitialSeed(101L), prop)
+      assert(result.passed, s"property failed: ${result.status}")
+
+      // named errors, not silent no-ops: an unknown SET column
+      import spark.implicits._
+      store.createOrReplace("db.err", Seq((1L, "a")).toDF("k", "v"))
+      val e1 = intercept[IllegalArgumentException] {
+        store.update("db.err", col("k") === 1L,
+          Map("nosuch" -> org.apache.spark.sql.functions.lit(1)))
+      }
+      assert(e1.getMessage.contains("nosuch"))
+      val e2 = intercept[IllegalArgumentException] {
+        store.merge("db.err", Seq((1L, "z")).toDF("k", "v"), keys = Seq("k"),
+          matched = Seq(graft.operators.MergeInto.MatchedUpdate(None,
+            Map("nosuch" -> org.apache.spark.sql.functions.lit(1)))))
+      }
+      assert(e2.getMessage.contains("nosuch"))
+
+      // bloom DDL: the stored property carries the SCHEMA's spelling
+      store.setBloomFilterIndex("db.err", Seq("K"))
+      assert(store.bloomIndexCols("db.err") == Seq("k"),
+        s"bloom must store schema case, got ${store.bloomIndexCols("db.err")}")
+    } finally {
+      store.detach()
+      graft.queries.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
 }

@@ -296,6 +296,41 @@ class DmlEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("keepRetiredMarkers property retains markers through the fold (mixed-version window)") {
+    withStore("graft_dml_retired_keep") { (store, root) =>
+      import spark.implicits._
+      store.createOrReplace("db.t", Seq((1L, 10L)).toDF("g", "v"))
+      val v0 = store.version("db.t").get
+      // a pre-ledger build only reads _retired_v_N markers: during an
+      // upgrade overlap the fold must not strip the format it understands
+      store.setMeta("db.t", store.meta("db.t").copy(properties =
+        store.meta("db.t").properties + ("graft.vacuum.keepRetiredMarkers" -> "true")))
+      store.append("db.t", Seq((2L, 20L)).toDF("g", "v"))
+      store.vacuum("db.t", retainMs = 0L)
+      val dir = Paths.get(root, "db", "t")
+      import scala.jdk.CollectionConverters._
+      def markers = {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_retired_v_")).toList
+        finally s.close()
+      }
+      assert(markers.contains(s"_retired_v_$v0"),
+        s"markers must survive the fold while the property is set, saw: $markers")
+      assert(java.nio.file.Files.exists(dir.resolve("_RETIRED")),
+        "the ledger must still be written for ledger-aware readers")
+      assert(store.wasRetired("db.t", v0) && store.retiredVersions("db.t").contains(v0),
+        "both read paths must answer retired")
+      // transition over: clearing the property lets the next vacuum fold away
+      store.setMeta("db.t", store.meta("db.t").copy(properties =
+        store.meta("db.t").properties - "graft.vacuum.keepRetiredMarkers"))
+      store.append("db.t", Seq((3L, 30L)).toDF("g", "v"))
+      store.vacuum("db.t", retainMs = 0L)
+      assert(markers.isEmpty, s"post-transition vacuum must fold markers away, saw: $markers")
+      assert(store.wasRetired("db.t", v0), "retirement stays durable in the ledger")
+    }
+  }
+
   test("MV refresh inserts no zombie count-0 group for a key churned in-window") {
     withStore("graft_dml_mv_churn") { (store, _) =>
       import spark.implicits._
