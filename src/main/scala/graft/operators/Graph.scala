@@ -220,23 +220,20 @@ object Graph {
         col(labelCol).cast("string").as("label"), lit(0L).as("round"))
       .materialized
     for (r <- 1 to rounds) {
-      val votes = sym
+      // majority vote with smallest-label tie-break as ONE aggregation:
+      // deterministic mode() returns the most frequent value and the
+      // LOWEST value on frequency ties — exactly the (count desc, label
+      // asc) rank-1 the historical count+window pair computed with TWO
+      // shuffles and a per-partition sort (r15 plan change: one shuffle
+      // on id, map-side-combining a label→count sketch whose size is
+      // bounded by label cardinality, not votes)
+      val adopted = sym
         .join(labeled.select(col("id").as("d"), col("label")), Seq("d"))
         .select(col("s").as("id"), col("label"))
         .join(labeled.select(col("id")), Seq("id"), "left_anti")
-        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
-      // argmax by (votes desc, label asc) as ONE partial-aggregable
-      // min(struct(-c, label)): struct ordering is field-lexicographic,
-      // so the minimum is the largest vote count with the smallest label
-      // breaking ties — identical semantics to the rank-1 window this
-      // replaces, without the window's per-partition SORT (r15 plan
-      // change: the window ran a full sort of the vote set every round
-      // on top of the groupBy shuffle; min() map-side-combines instead,
-      // so round cost tracks candidate IDS, not votes)
-      val adopted = votes
         .groupBy(col("id"))
-        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
-        .select(col("id"), col("m.label").as("label"), lit(r.toLong).as("round"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
+        .select(col("id"), col("label"), lit(r.toLong).as("round"))
       labeled = labeled.unionAll(adopted).materialized
     }
     labeled
