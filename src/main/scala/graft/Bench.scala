@@ -18,6 +18,23 @@ import org.apache.spark.sql.SparkSession
   * so a phantom (environmental) regression shows as batch-high/recheck-
   * at-floor while a real one stays high in both columns.
   */
+/** The one parser for BENCH_FLOOR.json, shared by [[Bench]] (regression
+  * flags, sf-gated) and [[Verify]] (heaviest-first scheduling, any sf) so
+  * the two cannot drift on the file's shape. */
+private[graft] object BenchFloors {
+  /** name → floor seconds; empty if the file is missing or, when
+    * `requireSf` is set, recorded at a different scale factor. */
+  def read(path: String, requireSf: Option[String]): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    val floorSf = """"_sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (requireSf.exists(sf => !floorSf.contains(sf))) Map.empty
+    else """"([\w]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+}
+
 object Bench {
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -137,18 +154,9 @@ object Bench {
       val collide = pref.groupBy(_._2).filter(_._2.size > 1).keySet
       pref.map { case (full, p) => full -> (if (collide(p)) full else p) }.toMap
     }
-    val floors: Map[String, Double] = {
-      val f = new java.io.File("BENCH_FLOOR.json")
-      if (!f.exists()) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        // floors only compare within the scale factor they were measured at
-        val floorSf = """"_sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!floorSf.contains(sfDir.split('/').last)) Map.empty
-        else """"([\w]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
+    // floors only compare within the scale factor they were measured at
+    val floors: Map[String, Double] =
+      BenchFloors.read("BENCH_FLOOR.json", requireSf = Some(sfDir.split('/').last))
     val calibLast = { clearState(spark); calibProbe(spark, sfDir) }
     // drift divisor: this batch's calibration readings over the floor
     // file's recorded `_calib` (same machine, floor-setting day). Capped

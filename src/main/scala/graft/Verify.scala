@@ -92,21 +92,23 @@ object Verify {
       .map(_._1)
     // schedule heaviest-first when a floor file is around (pure makespan
     // optimization — a 7 s query starting last stalls the whole pool)
-    val floors: Map[String, Double] = {
-      val f = new java.io.File("BENCH_FLOOR.json")
-      if (!f.exists()) Map.empty
-      else """"([\w]+)"\s*:\s*([0-9.]+)""".r
-        .findAllMatchIn(new String(Files.readAllBytes(f.toPath)))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    // any sf's floors are fine here — they only order the schedule
+    val floors: Map[String, Double] =
+      BenchFloors.read("BENCH_FLOOR.json", requireSf = None)
     def weight(name: String): Double =
       floors.getOrElse(name, floors.getOrElse(name.takeWhile(_ != '_'), 0.0))
     val ordered = selected.sortBy { case (n, _) => (-weight(n), n) }
 
-    // progress.jsonl: one flushed+fsynced line per finished query
+    // progress.jsonl: one flushed+fsynced line per finished query.
+    // TRUNCATED at open — a rerun into the same outDir (the natural
+    // post-kill move) must not interleave a dead run's lines with this
+    // one's (stale errors, elapsed values from another t0); the other
+    // sentinels are overwritten on the same principle. Each line also
+    // carries this run's pid for belt-and-braces attribution.
     val progress = java.nio.channels.FileChannel.open(
       Paths.get(s"$outDir/progress.jsonl"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
     val progressLock = new Object
     def record(line: String): Unit = progressLock.synchronized {
       progress.write(java.nio.ByteBuffer.wrap((line + "\n").getBytes("UTF-8")))
@@ -154,16 +156,18 @@ object Verify {
         fn(sess, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val rows = sess.read.parquet(s"$outDir/$name").count()
-        record(s"""{"q":${q(name)},"rows":$rows,"sec":${r2((System.nanoTime() - s0) / 1e9)},"elapsed_s":${r2(elapsed)},"attempt":$attempt}""")
+        record(s"""{"q":${q(name)},"rows":$rows,"sec":${r2((System.nanoTime() - s0) / 1e9)},"elapsed_s":${r2(elapsed)},"attempt":$attempt,"pid":${ProcessHandle.current().pid()}}""")
         true
       } catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: $msg")
-        record(s"""{"q":${q(name)},"error":${q(msg.take(300))},"sec":${r2((System.nanoTime() - s0) / 1e9)},"elapsed_s":${r2(elapsed)},"attempt":$attempt}""")
+        record(s"""{"q":${q(name)},"error":${q(msg.take(300))},"sec":${r2((System.nanoTime() - s0) / 1e9)},"elapsed_s":${r2(elapsed)},"attempt":$attempt,"pid":${ProcessHandle.current().pid()}}""")
         false
       } finally {
         inFlight.remove(name)
-        done.incrementAndGet()
+        // `done` counts QUERIES, not attempts — a sequential retry of a
+        // pool failure must not push done past total in the sentinels
+        if (attempt == 1) done.incrementAndGet()
         SparkSession.clearActiveSession()
       }
     }

@@ -216,7 +216,14 @@ object Graph {
       col(dstCol).cast("long").as("d"))
     val sym = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
       .distinct().materialized
-    var labeled = seeds.select(col(idCol).cast("long").as("id"),
+    // A NULL label is not a label: null-labeled seed rows are dropped at
+    // entry, so they neither occupy their node (blocking real labels from
+    // reaching it) nor cast votes. Stated because the r15 single-
+    // aggregation vote (mode() ignores NULLs) would otherwise differ from
+    // the historical count+window plan exactly on NULL votes — the
+    // contract pins the sensible semantics instead of the accident.
+    var labeled = seeds.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         col(labelCol).cast("string").as("label"), lit(0L).as("round"))
       .materialized
     for (r <- 1 to rounds) {

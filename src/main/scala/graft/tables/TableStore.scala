@@ -1220,7 +1220,13 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       // names, so they apply BEFORE the column-mapping translation to the
       // physical names files store.
       val checked = toPhysicalDf(name, enforceChecks(name, applyGeneratedColumns(name, df)))
-      val physName = { val rev = renames(name).map(_.swap); (c: String) => rev.getOrElse(c, c) }
+      // logical→physical rename lookup is case-INsensitive (exact first):
+      // a cased spelling of a RENAMED column must still find its physical
+      // name, or it slips past resolveLoose below (which only knows
+      // physical spellings) and silently drops out of the stats lists —
+      // the same silent-drop class, surviving in the rename+case combo
+      val physName = { val rev = renames(name).map(_.swap); (c: String) =>
+        rev.getOrElse(c, rev.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)) }
       // Loose case-normalization of the layout lists: a cased identifier
       // (statsFor = "L_ORDERKEY" on column l_orderkey) otherwise slips
       // through the exact-case statCols filter below and silently
@@ -3959,7 +3965,9 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       // adaptive merge-key stats (copy-on-write parity): record the keys
       // into the stats layout so future writes/OPTIMIZE collect min/max
       // for them and discovery prunes
-      val physName = { val rev = renames(name).map(_.swap); (c: String) => rev.getOrElse(c, c) }
+      // case-insensitive rename fallback — same contract as commitVersion's
+      val physName = { val rev = renames(name).map(_.swap); (c: String) =>
+        rev.getOrElse(c, rev.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c)) }
       val layoutCols = (pb ++ sw ++ sf0).map(_.toLowerCase)
       val sf = sf0 ++ keys.map(physName)
         .filterNot(k => layoutCols.contains(k.toLowerCase))

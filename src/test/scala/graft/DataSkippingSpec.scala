@@ -142,4 +142,29 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(store.readWhere("db.silver", col("_tf_valid_to").isNull).count() == 100)
     store.detach()
   }
+
+  test("statsFor keeps skipping through the rename + cased-spelling combo") {
+    // column k is renamed to kk (physical name stays k); a snapshot then
+    // declares statsFor with the CASED logical spelling "KK". The
+    // logical→physical rename lookup must resolve it (exact first, then
+    // case-insensitive — r15 fix), or the name silently falls out of the
+    // stats list and every file answers "can't exclude": pruning dead
+    // with no error, on a spelling Spark's own resolver accepts.
+    val root = Files.createTempDirectory("graft_skip_rn").toString
+    val store = new TableStore(spark, root)
+    store.createOrReplace("db.rn",
+      spark.range(0, 100).select(col("id").as("k"), (col("id") * 3).as("v")))
+    store.renameColumn("db.rn", "k", "kk")
+    store.createOrReplace("db.rn",
+      spark.range(0, 400).select(col("id").as("kk"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("kk")),
+      statsFor = Seq("KK"))
+    val total = store.prunedFileList("db.rn", None).size
+    val hit = store.prunedFileList("db.rn", Some(col("kk") === 7))
+    assert(total >= 4 && hit.size < total,
+      s"cased statsFor on a renamed column must still collect stats and prune " +
+        s"(${hit.size} of $total files planned)")
+    assert(store.readWhere("db.rn", col("kk") === 7).count() == 1)
+    store.detach()
+  }
 }

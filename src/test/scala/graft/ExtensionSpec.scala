@@ -1504,6 +1504,19 @@ class ExtensionSpec extends AnyFunSuite {
       s"got $r")
   }
 
+  test("label propagation: a NULL label is not a label — null seeds neither occupy nor vote") {
+    // Node 2's seed label is NULL: it must not block node 2 from adopting
+    // a real label, and it must not cast a NULL vote at node 3. Pins the
+    // r15 contract (mode() ignores NULL votes; the entry filter makes the
+    // occupancy side match).
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, Some("a")), (2L, None)).toDF("id", "lab")
+    val r = graft.operators.Graph.labelPropagation(edges, seeds, rounds = 2,
+        idCol = "id", labelCol = "lab")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq
+    assert(r == Seq((1L, "a", 0L), (2L, "a", 1L), (3L, "a", 2L)), s"got $r")
+  }
+
   test("water-fill: round-1 exhaustion redistributes, cascading a second exhaustion in round 2") {
     // budget = 100 (whole corpus). a wants 50 but has 30 (exhausts r1,
     // surplus 20); b wants 30, +surplus*30/50=12 -> 42 > 40 (exhausts r2);
