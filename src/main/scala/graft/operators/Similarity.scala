@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The ANN family's shared top-k tail: rank within `partCol` by
+    * (`simCol` desc, `tieCol` asc) and keep rk <= k — ONE definition so
+    * the ranking convention (row_number, deterministic id tie-break)
+    * cannot drift between the seven entry points that all end this way. */
+  private def topK(scored: DataFrame, partCol: String, simCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(simCol).desc, col(tieCol))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+
   /** Sequential-fold dot product of two float arrays in double space —
     * native codegen expression (see [[graft.functions.DotProductFloat]]);
     * bit-identical to the HOF `aggregate(zip_with(...))` form. */
@@ -44,9 +56,7 @@ object Similarity {
       .select(
         col("query_id"), col(s"c.$idCol").as("neighbor_id"),
         round(dot(col("qvec"), col(s"c.$vecCol")) / (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** Hard-negative mining for contrastive training: for each anchor, the
@@ -66,17 +76,21 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     val cn = corpus.select(col(idCol), col(vecCol), col(labelCol),
       norm(col(vecCol)).as("cnrm"))
+    // NULL-safe label inequality: NULL is treated as a label of its own —
+    // a NULL-labeled corpus vector IS a negative for any labeled anchor
+    // (and vice versa), and two NULLs are the same label. Plain =!= is
+    // null-rejecting and silently dropped every NULL-labeled row from
+    // both sides — an anchor with an unlabeled corpus half lost those
+    // negatives with no error.
     val scored = cn.alias("c").join(
         broadcast(anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("qvec"),
           col(labelCol).as("anchor_label"), norm(col(vecCol)).as("qnrm"))),
-        col("anchor_label") =!= col(s"c.$labelCol"))
+        !(col("anchor_label") <=> col(s"c.$labelCol")))
       .select(
         col("anchor_id"), col(s"c.$idCol").as("neg_id"),
         col(s"c.$labelCol").as("neg_label"),
         round(dot(col("qvec"), col(s"c.$vecCol")) / (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("anchor_id")).orderBy(col("cos_sim").desc, col("neg_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, "anchor_id", "cos_sim", "neg_id", k)
   }
 
   /** md5-derived component index per LSH bit — public so oracle SQL can be
@@ -89,10 +103,16 @@ object Similarity {
     * picked by md5(b) (a degenerate-but-deterministic hyperplane — no RNG,
     * so buckets are reproducible across engines and runs). Vectors sharing
     * a bucket are ANN candidates. */
-  def lshBucket(vecCol: Column, nBits: Int, dim: Int): Column =
+  def lshBucket(vecCol: Column, nBits: Int, dim: Int): Column = {
+    // 1L << b wraps mod 64 past bit 63 (Java shift semantics), so bit 64
+    // would alias bit 0 and distinct sign patterns would silently share
+    // buckets — fail loudly instead
+    require(nBits >= 1 && nBits <= 63,
+      s"lshBucket: nBits must be in [1, 63] (bucket is one signed long), got $nBits")
     lshComponents(nBits, dim).zipWithIndex.map { case (component, b) =>
       when(element_at(vecCol, component + 1) >= 0f, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** ANN top-k via LSH buckets: score only within-bucket candidates, then
     * per-query top-k. `probes` > 1 turns on multi-probe: each query also
@@ -114,9 +134,7 @@ object Similarity {
       .filter(col("query_id") =!= col(s"c.$idCol"))
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
         cosine(col("qvec"), col(s"c.$vecCol")).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** LSH-bucketed near-duplicate pairs — the scale path for [[nearDupPairs]]:
@@ -142,10 +160,15 @@ object Similarity {
     * deterministic, which the cross-engine oracle requires. */
   def nearestCentroids(df: DataFrame, centroids: DataFrame, probes: Int,
       idCol: String, vecCol: String): DataFrame = {
-    val scored = df.join(broadcast(
+    // the vector norm is projected BEFORE the centroid cross join, so the
+    // dim-length fold runs once per VECTOR (n rows), not once per
+    // (vector, centroid) pair — k-fold redundant work otherwise, and
+    // trainCentroids multiplies it again by `iterations`
+    val scored = df.withColumn("__vnrm", norm(col(vecCol)))
+      .join(broadcast(
         centroids.select(col("centroid_id"), col("cvec"), norm(col("cvec")).as("__cnrm"))))
       .withColumn("__csim", round(dot(col(vecCol), col("cvec")) /
-        (norm(col(vecCol)) * col("__cnrm")), 6))
+        (col("__vnrm") * col("__cnrm")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__csim").desc, col("centroid_id"))
     scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= probes)
@@ -170,7 +193,7 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
     for (_ <- 1 to iterations) {
       val assigned = nearestCentroids(corpus, centroids, probes = 1, idCol, vecCol)
-      centroids = assigned
+      val updated = assigned
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "comp")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(round(col("comp").cast("double") * 1e6).cast("long")).as("s"),
@@ -179,6 +202,15 @@ object Similarity {
         .groupBy(col("cluster"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("cvec"))
         .select(col("cluster").as("centroid_id"), col("cvec"))
+      // a cluster that received no vectors (possible whenever seeds
+      // duplicate: ties all break to the lower centroid_id, starving the
+      // higher seed) KEEPS its previous centroid instead of silently
+      // vanishing from the groupBy — the standard Lloyd's empty-cluster
+      // convention, and what keeps the codebook at the requested
+      // nCentroids for ivfTopK/pqTopK/semanticDedup
+      centroids = updated.unionByName(
+        centroids.join(updated.select(col("centroid_id")),
+          Seq("centroid_id"), "left_anti"))
     }
     centroids
   }
@@ -193,7 +225,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       iterations: Int = 2, probes: Int = 1): DataFrame = {
     val centroids = trainCentroids(corpus, nCentroids, iterations, idCol, vecCol)
-      .persist() // consumed by both assignment passes below
+      // consumed by both assignment passes below; deliberately NOT
+      // unpersisted here — the returned frame is lazy over it, so release
+      // is the caller's (the bench's clearState / Scratch.seal both do).
+      // The cached frame is nCentroids rows, KB-bounded.
+      .persist()
     val assigned = nearestCentroids(corpus, centroids, probes = 1, idCol, vecCol)
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("cnrm"), col("cluster"))
     val probed = nearestCentroids(queries, centroids, probes, idCol, vecCol)
@@ -206,9 +242,7 @@ object Similarity {
     // probes > 1: the same neighbor can surface via two clusters — dedup
     // only then (for probes=1 the extra shuffle would be pure cost).
     val deduped = if (probes > 1) scored.distinct() else scored
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    deduped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(deduped, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** Semantic (embedding-space) dedup: cluster the corpus with the
@@ -260,9 +294,7 @@ object Similarity {
     val scored = cq.alias("c").join(broadcast(qq), col("query_id") =!= col(s"c.$idCol"))
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
         round(dot(col("qvec_q"), col(s"c.qvec")) / (col("qnrm") * col("cnrm")), 6).as("qcos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("qcos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, "query_id", "qcos_sim", "neighbor_id", k)
   }
 
   /** Product quantization codebooks: the vector is split into `m`
@@ -315,7 +347,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sub = dim / m
     val codebooks = pqTrain(corpus, m, dim, nCentroids, iterations, idCol, vecCol)
-      .map { case (s, c) => s -> c.persist() } // reused: encode + ADC tables
+      // reused by encode + ADC tables; not unpersisted for the same
+      // caller-owns-release reason as ivfTopK's centroids (m × nCentroids
+      // rows, KB-bounded)
+      .map { case (s, c) => s -> c.persist() }
     val codes = pqEncode(corpus, codebooks, m, dim, idCol, vecCol)
     val tables = codebooks.map { case (s, cents) =>
       queries.select(col(idCol).as("query_id"),
@@ -334,9 +369,7 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round((col("pd").cast("double") / 1e6) /
           (col("qnrm") * sqrt(col("c2").cast("double") / 1e6)), 6).as("pq_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("pq_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(scored, "query_id", "pq_sim", "neighbor_id", k)
   }
 
   /** Test/tooling observability for [[incrementalIvfTopK]]'s probe
@@ -363,7 +396,10 @@ object Similarity {
       else {
         val c = trainCentroids(batch, nCentroids, iterations, idCol, vecCol)
         store.createOrReplace(centroidsTable, c)
-        c
+        // read the COMMITTED centroids back: `c` is the unpersisted
+        // i-iteration Lloyd's plan, and using it for the assignment below
+        // would re-run the whole training a second time
+        store.read(centroidsTable)
       }
     val assigned = nearestCentroids(batch, centroids, probes = 1, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cluster"))
@@ -388,21 +424,23 @@ object Similarity {
     val probed = nearestCentroids(queries, centroids, probes, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnrm"), col("cluster"))
-    val (cand, counts) = store.readPointPruned(vectorsTable,
+    val (cand0, counts) = store.readPointPruned(vectorsTable,
       probed.select(col("cluster")), Seq("cluster"))
     lastIvfScan = Some(counts)
+    // candidate norm projected BEFORE the query join: once per candidate
+    // row, not once per (query, candidate) pair — the family convention
+    // (bruteForceTopK/ivfTopK project cnrm on the corpus side)
+    val cand = cand0.withColumn("cnrm", norm(col(vecCol)))
     val scored = cand.alias("c").join(broadcast(probed), Seq("cluster"))
       .filter(col("query_id") =!= col(s"c.$idCol"))
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
         round(dot(col("qvec"), col(s"c.$vecCol")) /
-          (col("qnrm") * norm(col(s"c.$vecCol"))), 6).as("cos_sim"))
+          (col("qnrm") * col("cnrm")), 6).as("cos_sim"))
     // probes > 1: a neighbor can surface via two probed clusters
     val deduped =
       if (probes > 1) scored.dropDuplicates("query_id", "neighbor_id")
       else scored
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    deduped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topK(deduped, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact quadratic
@@ -457,9 +495,17 @@ object Similarity {
       .getOrElse(throw new IllegalArgumentException(
         s"mmrSelect: query vector $idCol=$queryId not found in the corpus"))
     val (qv, qn) = (q.getSeq[Float](1), q.getDouble(2))
+    // zero-norm contract: cosine with a zero-norm side is defined as 0.0.
+    // Under Spark 4's default ANSI mode a plain `/` RAISES on the zero
+    // divisor (non-ANSI yields NULL, which then NPEs the driver-side
+    // getDouble) — either way the documented no-mid-selection-crash
+    // promise broke; try_divide + coalesce pins the 0.0 contract in both
+    // modes
     val rel = cn.filter(col("id") =!= queryId)
       .select(col("id"), col("v"), col("nrm"),
-        round(dot(typedLit(qv), col("v")) / (lit(qn) * col("nrm")), 6).as("rel"))
+        coalesce(
+          round(try_divide(dot(typedLit(qv), col("v")), lit(qn) * col("nrm")), 6),
+          lit(0.0)).as("rel"))
     val picks = scala.collection.mutable.ArrayBuffer.empty[(MmrPick, Seq[Float], Double)]
     var r = 1
     var drained = false
@@ -468,7 +514,9 @@ object Similarity {
         if (picks.isEmpty) lit(0.0)
         else {
           val sims = picks.toSeq.map { case (_, sv, snrm) =>
-            round(dot(typedLit(sv), col("v")) / (lit(snrm) * col("nrm")), 6)
+            coalesce(
+              round(try_divide(dot(typedLit(sv), col("v")), lit(snrm) * col("nrm")), 6),
+              lit(0.0)) // zero-norm side → similarity 0, same contract as rel
           }
           if (sims.length == 1) sims.head else greatest(sims: _*)
         }

@@ -956,6 +956,56 @@ class ExtensionSpec extends AnyFunSuite {
     assert(picks.map(_.rank) == Seq(1, 2))
   }
 
+  test("MMR zero-norm contract: undefined cosines score 0.0, never a driver NPE") {
+    // id 2 is the all-zero vector: its cosine with anything is undefined
+    // (Spark divide-by-zero -> NULL), which used to NPE getDouble on the
+    // driver. Contract: zero-norm sides score 0 relevance/0 similarity,
+    // so the pool drains gracefully and the zero vector ranks LAST.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(vecs, queryId = 0L, k = 3)
+    assert(picks.map(_.vecId) == Seq(1L, 2L), s"got $picks")
+    assert(picks.last.relevance == 0.0 && picks.last.penalty == 0.0)
+    // and a zero-norm QUERY: every relevance is 0, selection proceeds by id
+    val picksZq = Similarity.mmrSelect(vecs, queryId = 2L, k = 2)
+    assert(picksZq.map(_.vecId) == Seq(0L, 1L), s"got $picksZq")
+  }
+
+  test("k-means empty clusters keep their previous centroid (codebook never shrinks)") {
+    // duplicate seed vectors: every assignment ties between centroids 0/1
+    // and breaks to the lower id, starving cluster 1 — its centroid must
+    // survive the round, keeping the codebook at the requested size
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, nCentroids = 2, iterations = 2)
+    assert(cents.count() == 2,
+      s"codebook must stay at nCentroids, got ${cents.collect().toSeq}")
+  }
+
+  test("hard negatives treat NULL as its own label: unlabeled rows are cross-label negatives") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f), Some("a")),
+      (1L, Array(0.95f, 0.05f), Some("b")),
+      (2L, Array(0.9f, 0.1f), None),      // unlabeled: negative for "a"
+      (3L, Array(0.99f, 0.01f), Some("a")) // same label: never a negative
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = corpus.filter($"vec_id" === 0L)
+    val negs = Similarity.hardNegatives(corpus, anchors, k = 10)
+      .select($"neg_id").as[Long].collect().toSet
+    assert(negs == Set(1L, 2L),
+      s"NULL-labeled row must be a negative, same-label must not: got $negs")
+    // and a NULL-labeled anchor gets every labeled row as a negative
+    val nullAnchor = Seq((9L, Array(1f, 0f), Option.empty[String]))
+      .toDF("vec_id", "embedding", "label")
+    val negs2 = Similarity.hardNegatives(corpus, nullAnchor, k = 10)
+      .select($"neg_id").as[Long].collect().toSet
+    assert(negs2 == Set(0L, 1L, 3L),
+      s"labeled rows are negatives for a NULL anchor, NULL-NULL is same-label: got $negs2")
+  }
+
   test("MMR on the real corpus: k distinct picks, query excluded, pick 1 = brute-force top-1") {
     val picks = Similarity.mmrSelect(emb, queryId = 0L, k = 5)
     assert(picks.map(_.vecId).distinct.length == 5)
