@@ -33,6 +33,30 @@ object Dedup {
   /** Same observability for [[incrementalNovelty]]'s shingle-index probe. */
   @volatile var lastNoveltyScan: Option[(Int, Int)] = None
 
+  /** Same observability for [[incrementalSegmentDedup]]'s hash-index
+    * probe — its OWN var (it used to write [[lastIndexScan]], so an
+    * interleaved band-index call and segment call clobbered each other's
+    * readings and a pruning assertion could pass against the wrong
+    * operator's scan). */
+  @volatile var lastSegmentScan: Option[(Int, Int)] = None
+
+  /** Corpus-scale caches pinned by the most recent one-shot dedup call
+    * (ngramJaccardPairs / minhashLsh / firstSeenDedup / simhashPairs):
+    * the returned frames are lazy over them, so this module cannot
+    * unpersist eagerly — instead each new persisting call RELEASES the
+    * previous generation (the [[graft.operators.Fuzzy]] lastCached
+    * pattern), so a long-lived session running many dedup passes pins at
+    * most ONE generation instead of accumulating corpus-sized caches
+    * forever. Consume a result before issuing the next dedup call, or
+    * the released frames recompute from lineage (correct, just slower —
+    * also the worst case under concurrent callers, e.g. the parallel
+    * verify harness). */
+  private val lastCached =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+  private def pinGeneration(frames: DataFrame*): Unit =
+    Option(lastCached.getAndSet(frames.toSeq))
+      .foreach(_.foreach(_.unpersist(false)))
+
   /** Exact dedup on normalized text: canonical row = min(id) per digest.
     * One shuffle on the 128-bit digest; at 100 TB this is the cheapest
     * possible dedup (digest is 16 bytes/row regardless of doc size). */
@@ -47,6 +71,11 @@ object Dedup {
     * subtree inside the lambda would re-run the regex once per position
     * (O(L) regex evaluations per document — measured 10× slower). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // n = 0 would make every position's slice empty: every document gets
+    // the "" shingle, every band collides, and first-seen dedup silently
+    // deletes the whole corpus as duplicates — fail loudly instead (the
+    // one shingle entry point that lacked the segments()/threshold guards)
+    require(n > 0, s"shingles: n-gram size must be positive, got $n")
     val words = col("__words")
     // guard: sequence(1, x) with x<1 would generate a *descending* sequence
     val positions = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
@@ -69,6 +98,7 @@ object Dedup {
     // instead of recomputing the explode+distinct pipeline three times
     val sh = shingles(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinGeneration(sh)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -84,12 +114,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The bands×rows min-hash aggregation list — ONE definition shared by
+    * [[minhashSignatures]] and [[minhashLsh]]'s fused signature+count agg
+    * so the permutation seeds cannot drift between them. */
+  private def signatureAggs(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands * rows).map(i =>
+      min(md5(concat(lit(s"graft$i|"), col("shingle")))).as(s"mh_$i"))
+
+  /** The (band, key) struct list over a signature row — THE band-key
+    * format every consumer shares ([[minhashLsh]] candidate generation,
+    * [[bandKeys]] and through it [[firstSeenDedup]], the persisted
+    * incremental index, and the streaming sink). One definition: an edit
+    * to the separator or row order here changes ALL of them together,
+    * instead of silently desynchronizing candidate generation from the
+    * indexes built in the other format. */
+  private def bandStructs(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("key")))
+
   /** MinHash signatures: k = bands×rows min-hash values per doc, one
     * groupBy. The "permutation" is the lexicographic order of
     * `md5(seed ∥ shingle)` — deterministic and engine-portable. */
   def minhashSignatures(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val aggs = (0 until bands * rows).map(i =>
-      min(md5(concat(lit(s"graft$i|"), col("shingle")))).as(s"mh_$i"))
+    val aggs = signatureAggs(bands, rows)
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -104,15 +152,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one pass: signatures AND per-doc shingle counts (saves a second
     // groupBy over the shingle relation); tiny → persisted for its 3 uses
-    val sigAggs = (0 until bands * rows).map(i =>
-      min(md5(concat(lit(s"graft$i|"), col("shingle")))).as(s"mh_$i")) :+
-      count(lit(1)).as("n_sh")
+    val sigAggs = signatureAggs(bands, rows) :+ count(lit(1)).as("n_sh")
     val sig = sh.groupBy(col("doc")).agg(sigAggs.head, sigAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("key")))
-    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    pinGeneration(sh, sig)
+    val buckets = sig.select(col("doc"), explode(array(bandStructs(bands, rows): _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
     val candidates = buckets.alias("a").join(buckets.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -147,10 +191,7 @@ object Dedup {
   def bandKeys(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
     val sig = minhashSignatures(shingles(docs, idCol, textCol, n), bands, rows)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*).as("key")))
-    sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc"), explode(array(bandStructs(bands, rows): _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
@@ -165,6 +206,7 @@ object Dedup {
     // so the shingle→signature pipeline runs once, not twice
     val bk = bandKeys(docs, idCol, textCol, n, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinGeneration(bk)
     val dropped = bk.alias("a").join(bk.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("b.doc") < col("a.doc"), "left_semi")
@@ -310,6 +352,7 @@ object Dedup {
     // batch shingle are skipped — and a skipped file by construction holds
     // NO batch shingle, so the same frame is valid for both the semi-join
     // (seen) and the anti-join (novel) below
+    if (!hasIndex) lastNoveltyScan = None // no-index batch: no stale reading
     val idx =
       if (!hasIndex) None
       else {
@@ -415,15 +458,26 @@ object Dedup {
     * (a benchmark document leaking into the training set inflates evals).
     *
     * Scale shape: the benchmark's distinct-shingle set is the join's
-    * build side; benchmarks are small relative to a training corpus, so
-    * the join broadcasts and the corpus-side cost is one shingle explode —
+    * build side, SIZE-GATED like [[contaminationReport]] (one cheap
+    * token-mass scan of the benchmark — an upper bound on its
+    * distinct-shingle count — decides): under the gate it broadcasts
+    * (eval suites are normally tiny next to a training corpus, and after
+    * the explode+distinct the optimizer has no size statistics to decide
+    * with), above it the probe degrades to a shuffled equi-join instead
+    * of OOMing the driver. Corpus-side cost is one shingle explode —
     * linear, no corpus self-join. Corpus documents with zero overlap are
     * kept with `n_overlap` 0 (left join), so the output is a complete
     * per-document audit, not just the hits. */
   def crossCorpusOverlap(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+      idCol: String, textCol: String, n: Int = 3,
+      broadcastMaxTokens: Long = DefaultBroadcastMaxTokens): DataFrame = {
     val cs = shingles(corpus, idCol, textCol, n)
-    val bs = shingles(benchmark, idCol, textCol, n).select(col("shingle")).distinct()
+    val benchTokens = benchmark
+      .agg(coalesce(sum(size(split(
+        normalizeText(coalesce(col(textCol), lit(""))), " "))), lit(0L)))
+      .head().getLong(0)
+    val bs0 = shingles(benchmark, idCol, textCol, n).select(col("shingle")).distinct()
+    val bs = if (benchTokens <= broadcastMaxTokens) broadcast(bs0) else bs0
     val hits = cs.join(bs, Seq("shingle"), "left_semi")
       .groupBy(col("doc")).agg(count(lit(1)).as("n_overlap"))
     corpus.select(col(idCol))
@@ -695,10 +749,17 @@ object Dedup {
     * quadratic. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // maxDist >= 32 makes the band width 0: every non-last band keys to 0
+    // and the "banded" self-join degenerates to a full corpus cross join
+    // that hangs/OOMs instead of erroring — and a Hamming bound >= 32
+    // over a 32-bit fingerprint is always a caller mistake
+    require(maxDist >= 0 && maxDist < 32,
+      s"simhashPairs: maxDist must be in [0, 31] (32-bit fingerprint), got $maxDist")
     // both sides of the banded self-join reference the fingerprints —
     // persist so the 32-vote aggregation runs once, not twice
     val s = simhash(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinGeneration(s)
     val nBands = maxDist + 1
     val width = 32 / nBands
     val bandCols = (0 until nBands).map { b =>
@@ -811,11 +872,12 @@ object Dedup {
     // resolve the index read NOW — this batch's append below must not
     // leak into its own dedup decision
     val hasIndex = store.exists(indexTable)
+    if (!hasIndex) lastSegmentScan = None // no-index batch: no stale reading
     val inIndex =
       if (!hasIndex) segs.filter(lit(false)).select(col("h"))
       else {
         val (idx, counts) = store.readPointPruned(indexTable, segs, Seq("h"))
-        lastIndexScan = Some(counts)
+        lastSegmentScan = Some(counts)
         segs.join(idx, Seq("h"), "left_semi").select(col("h"))
       }
     val flagged = flagFirstSegments(segs)
