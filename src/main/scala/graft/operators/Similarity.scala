@@ -189,8 +189,9 @@ object Similarity {
     * assign the full corpus once with the final centroids. */
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iterations: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+    val seeds = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    var centroids = seeds
     for (_ <- 1 to iterations) {
       val assigned = nearestCentroids(corpus, centroids, probes = 1, idCol, vecCol)
       val updated = assigned
@@ -202,17 +203,26 @@ object Similarity {
         .groupBy(col("cluster"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").as("cvec"))
         .select(col("cluster").as("centroid_id"), col("cvec"))
-      // a cluster that received no vectors (possible whenever seeds
-      // duplicate: ties all break to the lower centroid_id, starving the
-      // higher seed) KEEPS its previous centroid instead of silently
-      // vanishing from the groupBy — the standard Lloyd's empty-cluster
-      // convention, and what keeps the codebook at the requested
-      // nCentroids for ivfTopK/pqTopK/semanticDedup
-      centroids = updated.unionByName(
-        centroids.join(updated.select(col("centroid_id")),
-          Seq("centroid_id"), "left_anti"))
+      centroids = updated
     }
-    centroids
+    // A cluster that receives no vectors in some round (possible whenever
+    // seeds duplicate: ties all break to the lower centroid_id, starving
+    // the higher seed) must not silently SHRINK the codebook — downstream
+    // IVF/PQ/semantic-dedup would run with fewer cells than requested and
+    // no error. Backfill is done ONCE after the loop, from the seeds: any
+    // centroid id the final round dropped returns with its seed vector.
+    // Structure matters — a per-round carry-forward references the
+    // round's plan (the whole corpus assignment) twice and re-executes it
+    // (same-day solo A/Bs: x29 1.55s baseline vs 2.70 for the in-loop
+    // union form, 4.64 for an eager per-round checkpoint); the final
+    // seed-backfill is one k-row join OUTSIDE the loop, free by
+    // comparison, at the cost of returning the seed rather than the
+    // last-refined value for a starved cell — a valid (and deterministic)
+    // empty-cluster convention, since any member-less cell is arbitrary.
+    seeds.alias("s")
+      .join(centroids.alias("t"), Seq("centroid_id"), "left_outer")
+      .select(col("centroid_id"),
+        coalesce(col("t.cvec"), col("s.cvec")).as("cvec"))
   }
 
   /** IVF ANN: k-means-trained centroids (deterministic Lloyd's, see
