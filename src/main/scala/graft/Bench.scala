@@ -161,9 +161,10 @@ object Bench {
     // drift divisor: this batch's calibration readings over the floor
     // file's recorded `_calib` (same machine, floor-setting day). Capped
     // at [1, 2]: drift below 1 never TIGHTENS the gate (a fast day must
-    // not un-flag a real regression), and past 2× the machine is too
-    // disturbed for normalization to mean anything — flags then stand
-    // raw and the rechecks adjudicate, as before.
+    // not un-flag a real regression), and past 2× the divisor stays
+    // CLAMPED at 2 — a machine so disturbed gets at most a 4×-floor gate,
+    // never a looser one, which errs toward extra flags that the fresh-
+    // session rechecks then adjudicate.
     val drift: Option[Double] = floors.get("_calib")
       .map(cf => ((calibFirst + calibLast) / 2) / cf)
     val driftAdj = drift.map(d => math.min(2.0, math.max(1.0, d))).getOrElse(1.0)

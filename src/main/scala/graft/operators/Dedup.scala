@@ -40,22 +40,23 @@ object Dedup {
     * operator's scan). */
   @volatile var lastSegmentScan: Option[(Int, Int)] = None
 
-  /** Corpus-scale caches pinned by the most recent one-shot dedup call
+  /** Corpus-scale caches pinned by the one-shot dedup calls
     * (ngramJaccardPairs / minhashLsh / firstSeenDedup / simhashPairs):
     * the returned frames are lazy over them, so this module cannot
-    * unpersist eagerly — instead each new persisting call RELEASES the
-    * previous generation (the [[graft.operators.Fuzzy]] lastCached
-    * pattern), so a long-lived session running many dedup passes pins at
-    * most ONE generation instead of accumulating corpus-sized caches
-    * forever. Consume a result before issuing the next dedup call, or
-    * the released frames recompute from lineage (correct, just slower —
-    * also the worst case under concurrent callers, e.g. the parallel
-    * verify harness). */
-  private val lastCached =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+    * unpersist eagerly — lifecycle is delegated to the INPUT-KEYED
+    * [[graft.core.PinnedGenerations]] LRU: a repeated call on the same
+    * corpus reuses the live generation (no eviction, no re-registration),
+    * only a genuinely new input releases the least-recently-used one, and
+    * concurrent callers (the parallel verify harness) no longer evict
+    * each other mid-flight. The round-15 single-slot variant released the
+    * PREVIOUS generation on every call, which on a repeated plan evicted
+    * the entry the call itself had just registered — every warm dedup
+    * query rebuilt its shingle/signature caches from lineage AND lost its
+    * own intra-query reuse. */
+  private def pinPersist(df: DataFrame): DataFrame =
+    graft.core.PinnedGenerations.persistPinned(df)
   private def pinGeneration(frames: DataFrame*): Unit =
-    Option(lastCached.getAndSet(frames.toSeq))
-      .foreach(_.foreach(_.unpersist(false)))
+    graft.core.PinnedGenerations.pin(frames: _*)
 
   /** Exact dedup on normalized text: canonical row = min(id) per digest.
     * One shuffle on the 128-bit digest; at 100 TB this is the cheapest
@@ -96,8 +97,7 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     // the shingle relation feeds sizes + both join sides: persist it once
     // instead of recomputing the explode+distinct pipeline three times
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = pinPersist(shingles(docs, idCol, textCol, n))
     pinGeneration(sh)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.alias("a").join(sh.alias("b"),
@@ -148,13 +148,11 @@ object Dedup {
     * the standard near-dup design for trillion-token corpora. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 2, threshold: Double = 0.0): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = pinPersist(shingles(docs, idCol, textCol, n))
     // one pass: signatures AND per-doc shingle counts (saves a second
     // groupBy over the shingle relation); tiny → persisted for its 3 uses
     val sigAggs = signatureAggs(bands, rows) :+ count(lit(1)).as("n_sh")
-    val sig = sh.groupBy(col("doc")).agg(sigAggs.head, sigAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = pinPersist(sh.groupBy(col("doc")).agg(sigAggs.head, sigAggs.tail: _*))
     pinGeneration(sh, sig)
     val buckets = sig.select(col("doc"), explode(array(bandStructs(bands, rows): _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -204,8 +202,7 @@ object Dedup {
       n: Int = 3, bands: Int = 4, rows: Int = 2): DataFrame = {
     // both sides of the smaller-id semi-join scan the band keys — persist
     // so the shingle→signature pipeline runs once, not twice
-    val bk = bandKeys(docs, idCol, textCol, n, bands, rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = pinPersist(bandKeys(docs, idCol, textCol, n, bands, rows))
     pinGeneration(bk)
     val dropped = bk.alias("a").join(bk.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -757,8 +754,7 @@ object Dedup {
       s"simhashPairs: maxDist must be in [0, 31] (32-bit fingerprint), got $maxDist")
     // both sides of the banded self-join reference the fingerprints —
     // persist so the 32-vote aggregation runs once, not twice
-    val s = simhash(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = pinPersist(simhash(docs, idCol, textCol))
     pinGeneration(s)
     val nBands = maxDist + 1
     val width = 32 / nBands

@@ -92,14 +92,6 @@ object Fuzzy {
     * self-join and lookup: the cap logic only looks at block keys, never
     * at which side a row is from.
     */
-  /** The helper frames the most recent stats-collecting call persisted —
-    * each new call releases the previous call's pair, so a long-lived
-    * session running many fuzzy queries holds at most ONE call's
-    * block-size frames in storage (unpersist is always safe: an
-    * in-flight plan that still referenced them recomputes, never errs). */
-  private val lastCached =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
-
   private def capBlocks(blocked: DataFrame, keyCols: Seq[String],
       blockLen: Int, maxBlock: Int,
       collectStats: Boolean): (DataFrame, Option[BlockStats]) = {
@@ -108,11 +100,13 @@ object Fuzzy {
     // stats job below and the returned lazy plan — so they are persisted
     // across both (block-cardinality-bounded, tiny next to the corpus);
     // without the persist the whole blocking/count pass would run twice.
-    // Bounded by [[lastCached]] + the caller's session-level cache clear;
-    // stats-off runs stay fully lazy and persist nothing.
+    // Lifecycle: the input-keyed [[graft.core.PinnedGenerations]] LRU — a
+    // repeated call on the same inputs reuses the live size tables (the
+    // previous single-slot evict-previous scheme released the entry a
+    // repeated call had just registered, forcing a full rebuild); stats-
+    // off runs stay fully lazy and persist nothing.
     val sizes =
-      if (collectStats)
-        sizes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (collectStats) graft.core.PinnedGenerations.persistPinned(sizes0)
       else sizes0
     val tagged = blocked.join(sizes, "blk")
     val ok = tagged.filter(col("bn") <= maxBlock).drop("bn")
@@ -127,8 +121,7 @@ object Fuzzy {
       midBlk(keyCols.last, col("__hot_blk"), blockLen).as("blk"): _*)
     val midSizes0 = mid.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
     val midSizes =
-      if (collectStats)
-        midSizes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (collectStats) graft.core.PinnedGenerations.persistPinned(midSizes0)
       else midSizes0
     val midTagged = mid.join(midSizes, "blk")
     val midOk = midTagged.filter(col("bn") <= maxBlock).drop("bn")
@@ -140,7 +133,7 @@ object Fuzzy {
     // still applies; production keeps it on, it is the
     // no-silent-truncation alerting surface).
     if (!collectStats) return (ok.unionByName(midOk), None)
-    lastCached.getAndSet(Seq(sizes, midSizes)).foreach(_.unpersist(false))
+    graft.core.PinnedGenerations.pin(sizes, midSizes)
     val st = sizes.select(col("bn"), lit(0).as("pass"))
       .unionAll(midSizes.select(col("bn"), lit(1).as("pass")))
       .agg(count(lit(1)).as("blocks"),

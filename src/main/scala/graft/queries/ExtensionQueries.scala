@@ -3043,7 +3043,8 @@ object ExtensionQueries {
         |    ROUND(list_sum(list_transform(range(1, len(q.embedding)+1),
         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
         |      / (q.nrm * c.nrm), 6) AS cos_sim
-        |  FROM n q JOIN n c ON q.vec_id % 25 = 0 AND c.label <> q.label),
+        |  FROM n q JOIN n c ON q.vec_id % 25 = 0
+        |    AND c.label IS DISTINCT FROM q.label),
         |ranked AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id) AS rk
         |  FROM scored)

@@ -3066,9 +3066,13 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     * [[wasRetired]] exactly. */
   private[graft] def retiredVersions(name: String): Set[Int] = {
     val dir = tableDir(name)
+    // numeric-suffix filter: a stray file matching the prefix (editor
+    // temp, partial copy) must not hard-fail stream startup / changeFeed
     val markers = listDir(dir)
       .filter(_.getFileName.toString.startsWith("_retired_v_"))
-      .map(_.getFileName.toString.stripPrefix("_retired_v_").toInt)
+      .map(_.getFileName.toString.stripPrefix("_retired_v_"))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toInt)
     val ledger = dir.resolve("_RETIRED")
     val fromLedger =
       if (!Files.exists(ledger)) Seq.empty[Int]
@@ -4837,8 +4841,16 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       // the O(1) path) but RETAINS the markers old readers need; clear
       // the property once every reader is ledger-aware and the next
       // vacuum folds them away.
+      // same numeric-suffix guard as retiredVersions: never .toInt a
+      // stray prefix-matching file, and never fold/delete one either
       val markers = listDir(dir)
-        .filter(_.getFileName.toString.startsWith("_retired_v_"))
+        .filter { p =>
+          val s = p.getFileName.toString
+          s.startsWith("_retired_v_") && {
+            val suf = s.stripPrefix("_retired_v_")
+            suf.nonEmpty && suf.forall(_.isDigit)
+          }
+        }
       if (markers.nonEmpty) {
         val retiredNow = markers
           .map(_.getFileName.toString.stripPrefix("_retired_v_").toInt)

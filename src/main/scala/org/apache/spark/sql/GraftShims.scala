@@ -26,6 +26,17 @@ object GraftShims {
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Whether the cache manager already holds an entry answering this
+    * frame's plan — the guard that makes re-persisting an already-cached
+    * plan a true no-op instead of a WARN ("Asked to cache already cached
+    * data") plus a redundant registration attempt. Used by the pinned-
+    * generation cache so a REPEATED operator call on the same input finds
+    * and reuses the previous call's materialized blocks. */
+  def isCached(df: DataFrame): Boolean = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
+  }
+
   /** Release the storage behind a checkpointed DataFrame
     * (`Dataset.unpersist` only talks to the cache manager, which never
     * sees checkpoint state): drops the executor-storage blocks of a
