@@ -37,7 +37,13 @@ object Profile {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))
-            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
+            .orElse(Option(p.getProperty("callSite.short"))))
+          // fall back to the result stage's call site — SQL-executed jobs
+          // carry no description but every stage names its action site
+          .orElse(js.stageInfos.lastOption.map(si =>
+            si.name + " [" + js.stageInfos.map(_.numTasks).sum + " tasks/" +
+              js.stageInfos.size + " stages]"))
+          .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =

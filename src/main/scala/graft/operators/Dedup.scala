@@ -667,9 +667,17 @@ object Dedup {
     // Only docs that appear in a pair can ever change label — iterate over
     // that (much smaller) vertex set and left-join the full corpus once at
     // the end; singletons self-label through the coalesce.
-    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .materialized // materialize once; pair generation can be expensive
+    // Pinned persist (not localCheckpoint): pair GENERATION is the
+    // expensive half of every dupClusters consumer (an LSH banding +
+    // candidate verification), and the cache manager's plan matching lets
+    // a repeated call on the same pair derivation reuse the symmetrized
+    // edge blocks instead of re-running it; the input-keyed LRU bounds
+    // what a long session keeps pinned (the r15 dedup-cache lesson).
+    // Loop state below stays localCheckpoints — run-local by nature.
+    val edges0 = pinPersist(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    pinGeneration(edges0)
     // The iterate set is usually TINY relative to the corpus (only paired
     // docs), but each round would still shuffle it across the session's
     // full shuffle-partition count — at 32+ partitions the loop's cost is
@@ -677,15 +685,11 @@ object Dedup {
     // data: ~64k edges per partition, capped at the session setting (a
     // billion-edge pair set still spreads over the full cluster).
     val loopParts = {
-      val n = edges0.count() // trivial scan of the checkpointed blocks
+      val n = edges0.count() // materializes (cold) or reads (warm) the cache
       val cap = pairs.sparkSession.sessionState.conf.numShufflePartitions
       math.max(1, math.min(cap, ((n + 65535) / 65536).toInt))
     }
     val edges = edges0.repartition(loopParts, col("dst")).materialized
-    // the repartitioned checkpoint supersedes edges0's blocks — release
-    // them now, or every dupClusters call pins a dead edge copy in
-    // executor storage for the life of the session
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(edges0, deleteFiles = true)
     // localCheckpoint (not persist): iterative algorithms re-optimize the
     // whole lineage each round otherwise — plan analysis cost grows
     // superlinearly with iteration count while the data stays tiny

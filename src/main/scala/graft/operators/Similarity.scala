@@ -459,7 +459,17 @@ object Similarity {
     * the pair loop does only the dot product. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // The nested-loop pair generation's parallelism is the STREAMED side's
+    // partition count: a small corpus read from one parquet file would run
+    // the whole n² dot-product loop in ONE task (measured: the 2M-pair
+    // bench corpus is a single 780 KB file — one core busy, 31 idle).
+    // Hash-repartition on the id (explicit width — AQE-exempt, and the
+    // join's OUTPUT is the n² explosion AQE's input-sized coalescing
+    // cannot see); the shuffle moves only (id, vec, norm) rows, linear in
+    // the corpus this operator is documented small-corpus-only for.
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val n = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .repartition(parts, col(idCol))
     n.alias("a").join(n.alias("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /

@@ -1299,24 +1299,37 @@ object ExtensionQueries {
   // set, not the corpus.
   def x100DedupAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val bk = Dedup.bandKeys(docs, "doc_id", "text", n = 3, bands = 4, rows = 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shadow = bk.alias("a").join(bk.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("b.doc") < col("a.doc"))
-      .groupBy(col("a.doc").as("dropped_doc"))
-      .agg(min(col("b.doc")).as("shadowed_by"))
+    // band keys + the restricted shingle relation are pinned through the
+    // input-keyed PinnedGenerations LRU (not persist/unpersist-per-call):
+    // the returned audit stays LAZY over them, a repeated audit on the
+    // same corpus reuses the live blocks, and the LRU bounds what a long
+    // session keeps pinned — the same lifecycle the one-shot dedup
+    // operators use (this site previously localCheckpointed the result
+    // just so it could unpersist eagerly, paying a full audit
+    // materialization per call).
+    val bk = graft.core.PinnedGenerations.persistPinned(
+      Dedup.bandKeys(docs, "doc_id", "text", n = 3, bands = 4, rows = 2))
+    // the shadow map (dropped-set-sized, tiny) feeds the ids restriction
+    // AND the final audit join — pinned so neither pass re-runs the
+    // band-bucket self-join
+    val shadow = graft.core.PinnedGenerations.persistPinned(
+      bk.alias("a").join(bk.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("b.doc") < col("a.doc"))
+        .groupBy(col("a.doc").as("dropped_doc"))
+        .agg(min(col("b.doc")).as("shadowed_by")))
     val ids = shadow.select(col("dropped_doc").as("doc"))
       .unionAll(shadow.select(col("shadowed_by").as("doc"))).distinct()
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
-      .join(ids, Seq("doc"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.PinnedGenerations.persistPinned(
+      Dedup.shingles(docs, "doc_id", "text", 3)
+        .join(ids, Seq("doc"), "left_semi"))
+    graft.core.PinnedGenerations.pin(bk, shadow, sh)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("pa"), col("b.doc").as("pb"))
       .agg(count(lit(1)).as("n_inter"))
-    val audit = shadow
+    shadow
       .join(sizes.select(col("doc").as("shadowed_by"), col("n_sh").as("n_a")), "shadowed_by")
       .join(sizes.select(col("doc").as("dropped_doc"), col("n_sh").as("n_b")), "dropped_doc")
       .join(inter, col("pa") === col("shadowed_by") && col("pb") === col("dropped_doc"),
@@ -1325,13 +1338,6 @@ object ExtensionQueries {
         expr("(1000000L * coalesce(n_inter, 0L)) div (n_a + n_b - coalesce(n_inter, 0L))")
           .as("jaccard_micro"))
       .orderBy(col("dropped_doc"))
-      // materialize BEFORE releasing the band/shingle caches the lazy plan
-      // reads (same pattern as incrementalDedup): returning the lazy frame
-      // would pin both caches in executor storage for the session lifetime
-      .materialized
-    bk.unpersist(false)
-    sh.unpersist(false)
-    audit
   }
 
   // x101: per-source quality-percentile normalization — each doc's x7
@@ -1714,13 +1720,13 @@ object ExtensionQueries {
   }
 
   def x112MemorizationRisk(s: SparkSession, dir: String): DataFrame = {
-    val sh = memorizationShingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE releasing the shingle cache the lazy plan reads
-    // (the x100 pattern; reliable-checkpoint mode on a cluster)
-    val out = memorizationRiskPlan(sh).materialized
-    sh.unpersist(false)
-    out
+    // pinned through the input-keyed LRU (the x100 note): the returned
+    // frame stays lazy over the shingle cache, repeated calls reuse it,
+    // and the per-call result materialization this bought is gone
+    val sh = graft.core.PinnedGenerations.persistPinned(
+      memorizationShingles(s, dir))
+    graft.core.PinnedGenerations.pin(sh)
+    memorizationRiskPlan(sh)
   }
 
   // x113: curriculum export order — ONE deterministic total order over

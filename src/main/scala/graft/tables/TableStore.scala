@@ -360,6 +360,22 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   // against the session's attached stores, keyed by table name.
   TableStore.attach(spark, this)
 
+  // Every store read passes the manifest's EXPLICIT leaf-file paths to the
+  // parquet source — there are no directories to discover — but past 32
+  // paths (the stock parallelPartitionDiscovery threshold) Spark launches a
+  // distributed listing JOB just to re-stat files the manifest already
+  // names: measured 2.3 s per read of a 64-file table on an idle local[32],
+  // pure scheduling overhead at any scale. Driver-side listing of explicit
+  // file paths is a stat call each, so raise the threshold (never lower a
+  // caller's larger setting) — reads of multi-thousand-file tables keep
+  // the distributed path.
+  locally {
+    val k = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val want = sys.env.getOrElse("GRAFT_LIST_THRESHOLD", "4096").toInt
+    val cur = scala.util.Try(spark.conf.get(k).toInt).getOrElse(32)
+    if (cur < want) spark.conf.set(k, want.toString)
+  }
+
   def rootDir: String = root
 
   /** Remove this store from the session's SQL-DML routing registry. */
@@ -1247,6 +1263,12 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       val withDups = pbP.zip(dupCols).foldLeft(checked) { case (d, (c, p)) =>
         d.withColumn(p, col(c))
       }
+      // Output file sizing was A/B'd here (r16): an AQE REBALANCE before
+      // the write collapses KB-sized merge outputs from 33-64 part files
+      // to one — but the per-write extra exchange + optimizer pass cost
+      // the 18-query store family 63.4→75.2 s warm, so writes keep their
+      // incoming partitioning and small-file hygiene stays with
+      // compactSmall/setAutoCompact (the bounded maintenance path).
       val sorted =
         if (swP.nonEmpty) withDups.sortWithinPartitions(swP.map(col): _*)
         else withDups
