@@ -51,6 +51,15 @@ object Bench {
       // core counts — default false only to keep cached partitioning
       // stable for reuse, which no bench query depends on
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE's parallelism-first coalescing heuristic stays at its default
+      // (true). r17 A/B'd flipping it to the byte target suite-wide: the
+      // store-DML subset won (30-query interleaved A/B, warm 99.6→93.5 s)
+      // but the FULL suite lost — warm 192.3→206.5, cold 351→378 —
+      // because the dedup/graph/BPE family's CPU-dense, small-BYTE
+      // shuffle stages (md5 shingling, pair explodes, replace chains)
+      // collapse to one task under a byte-only target (x121 +4.3 s,
+      // x68 +2.5 s, x2/x4 +1.9 s each). Small-write output sizing is
+      // handled structurally in TableStore.stageVersion instead.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

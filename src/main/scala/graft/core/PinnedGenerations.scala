@@ -40,13 +40,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object PinnedGenerations {
 
-  /** Live-generation bound. Sized for the worst live-set observed: the
-    * parallel verify harness runs up to 8 queries at once, of which the
-    * dedup/fuzzy family contributes a handful of single-frame generations
-    * — 4 keeps those from thrashing while capping a multi-corpus session
-    * at 4 corpus-scale cache sets (each MEMORY_AND_DISK, so Spark's own
-    * block eviction handles memory pressure within a generation). */
-  private val MaxGenerations = 4
+  /** Live-generation bound. Sized for the worst live-set: the parallel
+    * verify harness runs up to 8 queries at once and the r16 pin sites
+    * register up to ~2 generations per query (pageRank pins a 3-frame
+    * generation, x100 a 3-frame one, dedup operators one each) — 16 keeps
+    * concurrent callers from evicting each other's generations mid-flight
+    * (the r15 churn this class exists to prevent), while still capping a
+    * multi-corpus session's pinned footprint. Each generation is
+    * MEMORY_AND_DISK, so Spark's own block eviction handles memory
+    * pressure within the bound, and eviction is correctness-neutral
+    * (lineage recompute). Overridable (`graft.pinned.maxGenerations`
+    * system property) for deployments with different concurrency or
+    * memory budgets — and for the eviction-under-scale smoke, which
+    * shrinks it to force churn without 17 corpus-scale runs. */
+  private def MaxGenerations: Int =
+    sys.props.get("graft.pinned.maxGenerations")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+      .getOrElse(16)
 
   /** Access-ordered LRU: key = the pinned frames' canonicalized analyzed
     * plans (structural equality — two reads of the same parquet path

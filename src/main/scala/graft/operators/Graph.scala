@@ -69,13 +69,20 @@ object Graph {
     graft.core.PinnedGenerations.pin(e, eo, nodes)
     val base = scale - (dampNum * scale) / dampDen
     var ranks = nodes.select(col("id"), lit(scale).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = eo.join(ranks, eo("src") === ranks("id"))
         .select(eo("dst").as("dst"), expr("pr div outdeg").as("c"))
       val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(inSum, nodes("id") === inSum("dst"), "left_outer")
         .select(nodes("id"),
           expr(s"${base}L + (${dampNum}L * coalesce(s, 0L)) div ${dampDen}L").as("pr"))
+      // The lazily-pinned base frames keep each iteration's FULL plan
+      // subtree alive, so analysis/canonicalization cost grows with
+      // iterations × derivation size. Fine at the default depth of 3;
+      // for caller-chosen deep runs, cut lineage periodically (the loop
+      // state is run-local by nature, so a localCheckpoint is correct)
+      // while the pinned edge caches keep serving cross-call reuse.
+      if (i % 8 == 0 && i < iterations) ranks = ranks.materialized
     }
     ranks
   }

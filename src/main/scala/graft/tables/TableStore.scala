@@ -371,7 +371,9 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
   // the distributed path.
   locally {
     val k = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val want = sys.env.getOrElse("GRAFT_LIST_THRESHOLD", "4096").toInt
+    // malformed override must not hard-fail store attach — fall back
+    val want = sys.env.get("GRAFT_LIST_THRESHOLD")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4096)
     val cur = scala.util.Try(spark.conf.get(k).toInt).getOrElse(32)
     if (cur < want) spark.conf.set(k, want.toString)
   }
@@ -1263,12 +1265,17 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
       val withDups = pbP.zip(dupCols).foldLeft(checked) { case (d, (c, p)) =>
         d.withColumn(p, col(c))
       }
-      // Output file sizing was A/B'd here (r16): an AQE REBALANCE before
-      // the write collapses KB-sized merge outputs from 33-64 part files
-      // to one — but the per-write extra exchange + optimizer pass cost
-      // the 18-query store family 63.4→75.2 s warm, so writes keep their
-      // incoming partitioning and small-file hygiene stays with
-      // compactSmall/setAutoCompact (the bounded maintenance path).
+      // Output file sizing was A/B'd here TWICE and rejected twice:
+      //  - r16: AQE REBALANCE hint before the write — the extra exchange
+      //    + optimizer pass cost the 18-query store family 63.4→75.2 s.
+      //  - r17: estimate-gated coalesce(1) (optimizedPlan.stats ≤ 32 MB →
+      //    one part file, no exchange) — the stats call forces an EXTRA
+      //    full analysis+optimization of every staged plan, and the
+      //    30-query store family regressed 74.0→87.6 s warm interleaved
+      //    (q23 +2.8 s, q59 +2.7 s, x118 +1.7 s — every query lost).
+      // Writes therefore keep their incoming partitioning; small-file
+      // hygiene stays with compactSmall/setAutoCompact (the bounded
+      // maintenance path a 100 TB deployment runs anyway).
       val sorted =
         if (swP.nonEmpty) withDups.sortWithinPartitions(swP.map(col): _*)
         else withDups
@@ -3695,6 +3702,17 @@ final class TableStore(spark: SparkSession, root: String) extends TableWriter {
     // reading with the WIDENED schema NULL-fills the new columns for every
     // existing file — no explicit widening projection, no rewrite
     val schema = StructType(schema0.fields ++ newCols)
+    // NOT Delta's merge-source materialization: persisting the source here
+    // (MEMORY_AND_DISK, released in a finally) to save its 3-4 per-merge
+    // re-evaluations (candidate stats agg, discovery join, rewrite ∪
+    // insert branches) was A/B'd in r17 and DOUBLED the 30-query store
+    // family (74.0→150.1 s warm interleaved, x118 recheck 11.3, x121 9.6):
+    // per-merge cache registration + columnar materialization of deep
+    // store-read plans costs far more than the recomputes it saves, and
+    // every later query in the session pays cache-manager plan-matching
+    // against the live entries. Callers whose batch source is genuinely
+    // expensive persist it themselves around their ingest unit (x118's
+    // bc/old, StreamingDrift's cnts do).
     // `mor` mode: clauses that modify existing rows commit deletion
     // vectors + appended post-images instead of rewriting files. An
     // insert-only merge stays on the shared path below — it is a pure
