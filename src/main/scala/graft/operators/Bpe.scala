@@ -226,6 +226,9 @@ object Bpe {
     */
   def subwordStats(docs: DataFrame, merges: Seq[Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // NOT fanned out: r17 A/B'd the §2.5 repartition-after-read here and
+    // the BPE family got slower (x120 +1.0, x121 +0.9, x75/x76 +0.1 s) —
+    // the map-side combine off the scan beats the extra exchange
     val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike(WordRe))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))

@@ -81,6 +81,12 @@ object Dedup {
     // guard: sequence(1, x) with x<1 would generate a *descending* sequence
     val positions = when(size(words) >= n, sequence(lit(1), size(words) - (n - 1)))
       .otherwise(array().cast("array<int>"))
+    // NOT fanned out (§2.5): r17 A/B'd a fanOut here — the dedup family's
+    // shingle consumers (x3/x106/x111/x100/x83/x46) got SLOWER (+0.3-0.9 s
+    // warm each): their per-call frames are small or per-batch, so the
+    // extra exchange + changed pinned-cache plan keys cost more than the
+    // parallelism won. The spots where shingle-shaped explodes DO pay off
+    // fan out at their own call sites (duplicatedSpans, shingleNovelty).
     docs.select(col(idCol).as("doc"), split(normalizeText(col(textCol)), " ").as("__words"))
       .select(
         col("doc"),
@@ -417,11 +423,14 @@ object Dedup {
     * declared contract. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 15): DataFrame = {
-    val words = split(normalizeText(col(textCol)), " ")
     val positions = when(size(col("__w")) >= w,
       sequence(lit(1), size(col("__w")) - (w - 1)))
       .otherwise(array().cast("array<int>"))
-    val spans = docs.select(col(idCol).as("doc"), words.as("__w"))
+    // fanOut before the normalize + positional window explode (§2.5, see
+    // shingles): the low-split bench scan otherwise serializes it
+    val spans = graft.sources.Tables.fanOut(
+        docs.select(col(idCol).as("doc"), col(textCol).as("__t")), col("doc"))
+      .select(col("doc"), split(normalizeText(col("__t")), " ").as("__w"))
       .select(col("doc"), explode(transform(positions,
         i => struct(i.as("pos"), concat_ws(" ", slice(col("__w"), i, lit(w))).as("span")))).as("s"))
       .select(col("doc"), col("s.pos").as("pos"), col("s.span").as("span"))

@@ -61,7 +61,9 @@ object LangModel {
     * Output: (doc_id, n_bigrams, fluency_micro).
     */
   def bigramFluency(docs: DataFrame, trainPred: Column): DataFrame = {
-    val toks = docs
+    // fanOut before the tokenize + bigram explode (§2.5): a low-split
+    // scan otherwise runs the corpus-sized pass in one task
+    val toks = graft.sources.Tables.fanOut(docs, col("doc_id"))
       .select(col("doc_id"), trainPred.as("is_train"), tokens(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
     val bigrams = toks.select(col("doc_id"), col("is_train"),
@@ -109,7 +111,9 @@ object LangModel {
     * Output: (doc_id, n_tokens, dsir_micro, selected).
     */
   def dsirSelect(docs: DataFrame, targetPred: Column, buckets: Int = 256): DataFrame = {
-    val tok = docs
+    // fanOut before the token explode + md5 bucketing (§2.5, see
+    // bigramFluency)
+    val tok = graft.sources.Tables.fanOut(docs, col("doc_id"))
       .select(col("doc_id"), targetPred.as("is_tgt"),
         explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), col("is_tgt"),

@@ -85,12 +85,20 @@ object BpeQueries {
   def fertilityIngestBatch(store: graft.tables.TableStore, table: String,
       batch: DataFrame, merges: Seq[Bpe.Merge]): Unit = {
     import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    import graft.core.Materialize.MatOps
+    // materialized ONCE (localCheckpoint, sources-sized — a handful of
+    // rows): the MERGE below otherwise re-evaluates its lazy source 3x
+    // (candidate stats, discovery join, staged write), and every
+    // evaluation here is a full batch subword-encode. localCheckpoint,
+    // not persist — no cache-manager cost for a tiny RDD (see
+    // TableStore.mergeInternal's r17 A/B note).
     val roll = Bpe.subwordStats(batch, merges)
       .join(batch.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),
         sum(col("n_subwords")).as("n_subwords"))
+      .materialized
     if (!store.exists(table)) store.createOrReplace(table, roll)
     else store.merge(table, roll, Seq("source"),
       matched = Seq(MatchedUpdate(None, Map(

@@ -102,6 +102,33 @@ object EventQueries {
   // batch is event-time-complete, so the stream's greedy state walk equals
   // the batch funnel exactly (batch-split invariance is StreamingSpec's
   // job); sharing x72's oracle hash-gates the whole stateful path.
+  /** Start a STATEFUL stream and drain it with the state-store partition
+    * count pinned explicitly (§2.1): stateful stages are AQE-exempt, so
+    * they inherit the session's full `spark.sql.shuffle.partitions` — one
+    * state-store instance (init, per-batch delta file, snapshot
+    * maintenance) per partition, pure overhead past what the keyed state
+    * actually needs, and it grows with CORE count (x73 measured slower at
+    * 32 cores than 8). The count is a deliberate production knob anyway —
+    * it is frozen into the checkpoint at first batch and must be chosen
+    * for state size/throughput, not inherited from a transient core
+    * count. Default 8 (capped by the session setting, so a 4-core run is
+    * unchanged); GRAFT_STREAM_STATE_PARTITIONS overrides for deployments
+    * with real state volume, <0 disables the pin. The set/restore spans
+    * start() THROUGH the drain because the stream thread clones the
+    * session conf asynchronously after start(). */
+  private def drainWithStatePartitions(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = sys.env.get("GRAFT_STREAM_STATE_PARTITIONS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
+    val want = math.min(n, scala.util.Try(prev.toInt).getOrElse(n))
+    val pin = n > 0 && want.toString != prev
+    if (pin) s.conf.set(key, want.toString)
+    try { val q = start; try q.processAllAvailable() finally q.stop() }
+    finally if (pin) s.conf.set(key, prev)
+  }
+
   def x73FunnelStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val steps = Seq("view", "click", "purchase")
@@ -109,9 +136,10 @@ object EventQueries {
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[EventStreams.FunnelEvent]
     val name = s"funnel_hits_${System.nanoTime()}"
-    val q = EventStreams.funnelStream(src, steps, windowSecs = 86400L)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    drainWithStatePartitions(s) {
+      EventStreams.funnelStream(src, steps, windowSecs = 86400L)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    }
     val spine = steps.zipWithIndex
       .map { case (n, i) => (i + 1L, n) }.toDF("step", "step_name")
     spine.join(
@@ -135,9 +163,10 @@ object EventQueries {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[EventStreams.TransEvent]
     val name = s"trans_pairs_${System.nanoTime()}"
-    val q = EventStreams.transitionStream(src)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    drainWithStatePartitions(s) {
+      EventStreams.transitionStream(src)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    }
     val pairs = s.table(name)
       .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
@@ -162,9 +191,10 @@ object EventQueries {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[EventStreams.TransEvent]
     val name = s"path_hits_${System.nanoTime()}"
-    val q = EventStreams.pathStream(src, depth = 3)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    drainWithStatePartitions(s) {
+      EventStreams.pathStream(src, depth = 3)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    }
     s.table(name)
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))

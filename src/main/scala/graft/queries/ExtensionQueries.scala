@@ -638,7 +638,9 @@ object ExtensionQueries {
   /** Shared-shingle core of x81 — public so the spec can drive fixtures
     * (within-doc repeats, short docs, exact micro arithmetic). */
   def shingleNovelty(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // fanOut before the tokenize + shingle explode + md5 hashing (§2.5)
+    val toks = graft.sources.Tables.fanOut(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
       .filter(size(col("ws")) >= 5)
@@ -1371,6 +1373,8 @@ object ExtensionQueries {
   // sub-bucket key; results are bit-identical to the window formulation
   // (PlanSpec pins the shape).
   def x101QualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    // no fanOut here (unlike x113): A/B'd +0.09 warm / +0.59 cold — the
+    // quality projection already overlaps HistogramRank's own exchanges
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         TextFunctions.qualityScore(col("text")).as("quality"))
@@ -1748,7 +1752,11 @@ object ExtensionQueries {
   // twin a curriculum schedule needs.
   def x113CurriculumOrder(s: SparkSession, dir: String): DataFrame = {
     val HR = graft.operators.HistogramRank
-    val keyed = t(s, dir, "documents")
+    // fanOut before the regex-heavy quality projection: a low-split scan
+    // (single-row-group file) otherwise runs it in one task (§2.5)
+    val keyed = graft.sources.Tables.fanOut(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"),
         round(TextFunctions.qualityScore(col("text")) * 1000000).cast("long").as("qm"),
         conv(substring(md5(concat(lit("curr|"), col("doc_id").cast("string"))), 1, 13),
@@ -1915,6 +1923,14 @@ object ExtensionQueries {
     * the transaction — an empty table is a harmless pre-state. */
   private[graft] def datasheetIngest(store: graft.tables.TableStore, b: DataFrame): Unit = {
     import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    // NOTE (r17): materializing stats/langs/delta here (the x121/x122
+    // one-localCheckpoint-per-batch fix) was A/B'd and REGRESSED x118
+    // (warm 7.7→9.0, cold 12.7→15.5): these four merges stage CONCURRENTLY
+    // inside one transaction, so their 3x source re-evaluations already
+    // overlap across idle cores, while eager localCheckpoints serialize
+    // into sync points between the probe and the merges. Serial-merge
+    // ingest units (x121/x122) keep the materialization; this one stays
+    // lazy on purpose.
     val stats = datasheetStatFrame(b)
     if (!store.exists("ds.stats"))
       store.createOrReplace("ds.stats", stats.limit(0), statsFor = Seq("source"))
@@ -2052,10 +2068,17 @@ object ExtensionQueries {
   def contaminationIngestBatch(store: graft.tables.TableStore, table: String,
       prep: Dedup.PreparedBenchmark, batch: DataFrame): Unit = {
     import graft.operators.MergeInto.{MatchedUpdate, NotMatchedInsert}
+    // materialized ONCE (localCheckpoint, benchmark×source-sized): the
+    // MERGE below otherwise re-runs the batch's contamination probe 3x
+    // (candidate stats, discovery join, staged write) — see
+    // TableStore.mergeInternal's r17 A/B note for why localCheckpoint
+    // and not persist
+    import graft.core.Materialize.MatOps
     val rep = Dedup.contaminationProbe(prep, batch,
         "doc_id", "text", "source", threshold = 3L)
       .select(col("benchmark"), col("source"), col("n_docs"),
         col("n_contaminated"), col("overlap_ngrams"))
+      .materialized
     if (!store.exists(table)) store.createOrReplace(table, rep)
     else store.merge(table, rep, Seq("benchmark", "source"),
       matched = Seq(MatchedUpdate(None, Map(
